@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``flink_1_11_1_spark`` (see SURVEY.md; the declared queries are
+§3.13, each tagged to the Blink physical operator(s) it exercises).
 """
 
 from __future__ import annotations
@@ -13,26 +15,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_1_11_1_spark import catalog, declared
+from flink_1_11_1_spark.extensions import registry as ext_registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q3 shape: 3-way join + agg + top-k) on sf0.001."""
+    catalog.register(spark, "/root/testdata/sf0.001")
+    return spark.sql(declared.QUERIES["q05"])
+
+
+def _declared_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        qid: _declared_runner(sql) for qid, sql in declared.QUERIES.items()
+    }
+    out.update(ext_registry.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query key (omitted → rows-only check)."""
+    out = {qid: declared.oracle_text(sql) for qid, sql in declared.QUERIES.items()}
+    out.update(ext_registry.oracle_sql())
+    return out

@@ -1,0 +1,290 @@
+"""Deduplication family over ``documents`` (SURVEY.md §8.4).
+
+Four tiers, each a standard building block of a 100 TB training-data
+pipeline, each expressed as shuffling DataFrame ops (no Python in the
+hot path):
+
+- exact:          hash-groupBy on md5(text) — one shuffle on the digest.
+- normalized:     same after lower/trim/whitespace-collapse.
+- n-gram Jaccard: exact set-similarity join on word-3-gram shingles
+                  (explode → distinct → self-join on shingle → pair
+                  counts).  Correct but O(pairs-sharing-a-shingle); at
+                  scale it is the *verifier*, not the candidate
+                  generator.
+- MinHash+LSH:    64 murmur3 min-hashes → 16 bands × 4 rows → bucket
+                  join for candidates → exact-Jaccard verification of
+                  candidates only.  The scale path: candidate volume is
+                  governed by band collisions, not corpus size; each
+                  stage is a plain shuffle that AQE can re-balance.
+- SimHash:        64-bit signature via per-bit majority vote of xxhash64
+                  token hashes (64 JVM-side aggregates, no UDF); banded
+                  into 4×16-bit keys (pigeonhole: hamming≤3 pairs share
+                  ≥1 band) → bucket join → exact hamming verify via
+                  bit_count(xor).
+
+LSH-miss probability at the declared threshold (pairs in the fixtures
+have Jaccard ≈ 0.99): (1 - 0.99^4)^16 ≈ 1e-22, so the MinHash query
+shares the exact-Jaccard oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from . import registry
+
+# ---------------------------------------------------------------- exact
+
+EXACT_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique_norm
+FROM documents
+"""
+
+
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.countDistinct(F.md5(F.lower(F.trim("text")))).alias("n_unique_norm"),
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, key: Column | None = None) -> DataFrame:
+    """Keep one row per exact text (min doc_id wins, deterministic).
+
+    Spark-first: row_number over the digest (one shuffle); not
+    dropDuplicates, whose survivor is partition-order dependent.
+    """
+    from pyspark.sql.window import Window
+
+    key = key if key is not None else F.md5("text")
+    w = F.row_number().over(Window.partitionBy(key).orderBy("doc_id"))
+    return docs.withColumn("_rn", w).where("_rn = 1").drop("_rn")
+
+
+# ---------------------------------------------------- shingles (shared)
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (doc_id, g).
+
+    Arrays stay JVM-side (split/transform/sequence/explode); 0-based
+    Spark indexing — w[i-1..i+n-2] for i in 1..len-n+1.
+    """
+    parts = ", ".join(f"w[i-2+{j}]" for j in range(1, n + 1))
+    return (
+        docs.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"array_distinct(transform(sequence(1, size(w)-{n-1}), "
+                    f"i -> concat_ws(' ', {parts}))) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+    )
+
+
+def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs (da < db) given shingle sets."""
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.select(F.col("doc_id").alias("da"), "g")
+    y = sh.select(F.col("doc_id").alias("db"), "g")
+    inter = (
+        cand.join(x, "da")
+        .join(y, ["db", "g"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(
+            "da",
+            "db",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jac"),
+        )
+    )
+
+
+# ---------------------------------------------------- exact n-gram join
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard >= threshold (exact)."""
+    sh = shingles(docs, n)
+    cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    return (
+        _pair_jaccard(cand, sh)
+        .where(F.col("jac") >= threshold)
+        .select("da", "db", F.round("jac", 4).alias("j"))
+        .orderBy("da", "db")
+    )
+
+
+JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) t(i)
+), cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id da, b.doc_id db, count(*) c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db, round(c * 1.0 / (ca.n + cb.n - c), 4) j
+FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+ORDER BY da, db
+"""
+
+
+# --------------------------------------------------------- MinHash+LSH
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h63): min murmur3(g, seed=i) per doc — 64 JVM aggs."""
+    aggs = [F.min(F.hash(F.col("g"), F.lit(i))).alias(f"h{i}") for i in range(NUM_HASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band-bucket join: pairs agreeing on all rows of >=1 band."""
+    band_structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"h{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh")))
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.bh")
+    return (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates + exact-Jaccard verify."""
+    sh = shingles(docs, n)
+    cand = lsh_candidates(minhash_signatures(sh))
+    return (
+        _pair_jaccard(cand, sh)
+        .where(F.col("jac") >= threshold)
+        .select("da", "db", F.round("jac", 4).alias("j"))
+        .orderBy("da", "db")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 64
+SIM_BANDS = 4  # 16 bits each; hamming<=3 pairs share >=1 band (pigeonhole)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc from xxhash64 token hashes (JVM-side)."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
+    )
+    bit_votes = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)" for i in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(recombine).alias("sh"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Banded candidate generation (4×16-bit keys) + exact
+    bit_count(xor) verification — never an all-pairs comparison.
+    """
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(sh >> {b * 16}) & 65535").alias("bk"),
+                    )
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bk")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.expr("bit_count(a.sh ^ b.sh)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("da", "db")
+    )
+
+
+# ----------------------------------------------------------- registry
+
+
+def _exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(spark, sf_dir)
+
+
+def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+registry.register("x_dedup_exact", _exact, EXACT_SQL)
+registry.register("x_dedup_jaccard", _jaccard, JACCARD_ORACLE)
+registry.register("x_dedup_minhash", _minhash, JACCARD_ORACLE)  # see module docstring
+registry.register("x_dedup_simhash", _simhash)  # rows-only: xxhash64 not portable

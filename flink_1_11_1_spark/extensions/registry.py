@@ -1,0 +1,46 @@
+"""Declared-query registry for extension operators.
+
+Each entry mirrors the driver contract of ``__spark_entry__``: a
+``(spark, sf_dir) -> DataFrame`` callable, plus a DuckDB oracle SQL
+string where the semantics are portably expressible (exact math — no
+float-ranking ambiguity); otherwise the entry is rows-only checked and
+covered by unit tests instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str | None = None):
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import extension modules for their registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import dedup, similarity, text  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,199 @@
+"""Embedding similarity search over ``embeddings`` (SURVEY.md §8.4).
+
+- Brute-force cosine top-k: broadcast the (small) query side against the
+  full corpus; dot product via ``zip_with``/``aggregate`` higher-order
+  functions in DOUBLE (JVM-side, codegen'd — no Python).  The baseline
+  and the verifier.
+- Random-hyperplane LSH: deterministic hyperplanes (seeded numpy),
+  signature = sign-bit string, bucket join restricts candidates; exact
+  re-ranking inside buckets.  The scale path: candidate volume is
+  governed by bucket width, not corpus², and every stage is a plain
+  shuffle.
+- kNN label vote: majority label of the k nearest, deterministic
+  tie-breaks (count desc, label asc).
+
+Numeric contract with the DuckDB oracle: both engines cast float32 →
+DOUBLE *before* multiplying and sum left-to-right, so cosine values are
+bit-comparable; ranking gaps in the fixtures are >=1e-4, far above any
+float-noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import catalog
+from . import registry
+
+DIM = 64
+
+_DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+_TO_DOUBLE = "transform(embedding, x -> cast(x as double))"
+
+
+def _with_vec(df: DataFrame, out: str = "v") -> DataFrame:
+    return df.select("vec_id", "label", F.expr(_TO_DOUBLE).alias(out))
+
+
+def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(qid, nid, sim) for every query×corpus pair, qid != nid.
+
+    The query side is broadcast — at 100 TB the corpus never shuffles.
+    """
+    q = _with_vec(queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va")
+    )
+    c = _with_vec(corpus).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"), F.col("v").alias("vb")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "nlabel",
+            (
+                F.expr(_DOT)
+                / (
+                    F.sqrt(F.expr("aggregate(va, 0D, (a, x) -> a + x * x)"))
+                    * F.sqrt(F.expr("aggregate(vb, 0D, (a, x) -> a + x * x)"))
+                )
+            ).alias("sim"),
+        )
+    )
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 1) -> DataFrame:
+    """Exact top-k cosine neighbors per query (deterministic ties)."""
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        cosine_pairs(queries, corpus)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_topk(emb.where("vec_id < 50"), emb, k=1)
+        .select("qid", "nid", F.round("sim", 4).alias("s"))
+        .orderBy("qid")
+    )
+
+
+ANN_TOP1_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+p AS (
+  SELECT a.vec_id qid, b.vec_id nid,
+         list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) sim
+  FROM e a JOIN e b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
+)
+SELECT qid, nid, round(sim, 4) s
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM p)
+WHERE rn = 1 ORDER BY qid
+"""
+
+
+def knn_label(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Majority label of the k nearest neighbors, per query vector."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    top = cosine_topk(emb.where("vec_id < 50"), emb, k=k)
+    votes = top.groupBy("qid", "nlabel").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nlabel"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("qid", F.col("nlabel").alias("pred_label"))
+        .orderBy("qid")
+    )
+
+
+KNN_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+p AS (
+  SELECT a.vec_id qid, b.vec_id nid, b.label nlabel,
+         list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) sim
+  FROM e a JOIN e b ON a.vec_id < 50 AND b.vec_id <> a.vec_id
+),
+top AS (
+  SELECT qid, nlabel
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM p)
+  WHERE rn <= 5
+),
+votes AS (SELECT qid, nlabel, count(*) c FROM top GROUP BY qid, nlabel)
+SELECT qid, nlabel AS pred_label
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) rn FROM votes)
+WHERE rn = 1 ORDER BY qid
+"""
+
+
+# ------------------------------------------------ LSH bucketed variant
+
+N_PLANES = 8  # 2^8 buckets — sized so fixture-scale buckets stay non-empty
+
+
+def _hyperplanes(seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((N_PLANES, DIM)).tolist()
+
+
+def lsh_bucket_col(vec_col: str = "v") -> F.Column:
+    """Sign-bit signature of the random-hyperplane projections."""
+    planes = _hyperplanes()
+    bits = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+        dot = f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN shiftleft(1, {i}) ELSE 0 END)")
+    return F.expr(" + ".join(bits)).alias("bucket")
+
+
+def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 1) -> DataFrame:
+    """Approximate top-k: exact re-rank within shared LSH bucket.
+
+    Recall is measured against ``cosine_topk`` in tests; at scale,
+    multi-probe (flip lowest-margin bits) widens candidates without a
+    corpus-wide shuffle.
+    """
+    q = _with_vec(queries).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va"), lsh_bucket_col("v")
+    )
+    c = _with_vec(corpus).select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), lsh_bucket_col("v")
+    )
+    pairs = (
+        c.join(F.broadcast(q), ["bucket"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.expr(_DOT).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_top1(spark, sf_dir)
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_label(spark, sf_dir)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return (
+        ann_lsh_topk(emb.where("vec_id < 50"), emb, k=1)
+        .select("qid", "nid", F.round("sim", 4).alias("s"))
+        .orderBy("qid")
+    )
+
+
+registry.register("x_ann_top1", _ann, ANN_TOP1_ORACLE)
+registry.register("x_knn_label", _knn, KNN_ORACLE)
+registry.register("x_ann_lsh_top1", _ann_lsh)  # rows-only: approximate by design

@@ -1,0 +1,139 @@
+"""Text analysis battery over ``documents`` (SURVEY.md §8.4).
+
+Training-data-pipeline ops a 100 TB corpus needs: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.  All
+are embarrassingly parallel per-row expressions — they stay inside
+WholeStageCodegen (no Python in the hot path) except the fingerprint,
+which demonstrates the Arrow-batched pandas-UDF path.
+
+Portability strategy: the stats/lang-id expressions are written once as
+SQL text in the engine-portable subset (length/replace/||/CASE, SURVEY.md
+§0) and evaluated by Spark via ``F.expr`` — the DuckDB oracle runs the
+same text, so both engines compute identical integer/double arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .. import catalog
+from . import registry
+
+# --- shared expression fragments (engine-portable SQL subset) ----------
+
+# whitespace token count: single-space-separated corpus contract
+N_TOKENS = "(length(text) - length(replace(text, ' ', '')) + 1)"
+# characters excluding spaces
+N_ALPHA = "length(replace(text, ' ', ''))"
+
+
+def _count_word(word: str) -> str:
+    """Occurrences of a space-delimited word via length-difference."""
+    pat = f" {word} "
+    return (
+        f"((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{pat}', ' '))) "
+        f"/ {len(pat) - 1})"
+    )
+
+
+# language-marker words -> language, checked in deterministic order.
+_LANG_MARKERS = [
+    ("en", ["the", "a"]),
+    ("de", ["der", "und"]),
+    ("es", ["el", "los"]),
+    ("fr", ["le", "la"]),
+    ("zh", ["de", "shi"]),
+]
+
+
+def _lang_scores() -> list[tuple[str, str]]:
+    return [
+        (lang, "(" + " + ".join(_count_word(w) for w in words) + ")")
+        for lang, words in _LANG_MARKERS
+    ]
+
+
+def lang_id_expr() -> str:
+    """CASE expression: argmax of marker-word scores, first-wins ties."""
+    scores = _lang_scores()
+    branches = []
+    for i, (lang, s) in enumerate(scores):
+        others = [o for j, (_, o) in enumerate(scores) if j != i]
+        ge = " AND ".join(f"{s} >= {o}" for o in others)
+        branches.append(f"WHEN {s} > 0 AND {ge} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+STATS_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       {N_TOKENS} AS n_tokens,
+       round({N_ALPHA} * 1.0 / {N_TOKENS}, 4) AS avg_token_len,
+       round({_count_word('the')} * 1.0 / {N_TOKENS}, 4) AS stop_ratio,
+       CASE WHEN {N_TOKENS} >= 20 AND {N_ALPHA} * 1.0 / {N_TOKENS} >= 3.0
+            THEN 'keep' ELSE 'drop' END AS quality_band
+FROM documents
+ORDER BY doc_id
+"""
+
+LANGID_SQL = f"""
+SELECT doc_id, lang AS label_lang, {lang_id_expr()} AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality score per document (JVM-side expressions)."""
+    catalog.register(spark, sf_dir)
+    return spark.sql(STATS_SQL)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language-ID heuristic per document."""
+    catalog.register(spark, sf_dir)
+    return spark.sql(LANGID_SQL)
+
+
+# --- fingerprint: Arrow-batched pandas UDF (the vectorized-UDF path) ---
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+@F.pandas_udf(LongType())
+def _fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Polynomial rolling hash of the normalized text, mod 2^61-1.
+
+    Arrow-batched transfer; per-row arbitrary-precision Python ints so
+    the result matches ``fingerprint_py`` exactly (no uint64 wraparound).
+    Deterministic across partitionings (pure per-row function).
+    """
+    return texts.map(fingerprint_py)
+
+
+def fingerprint_py(t: str) -> int:
+    """Pure-python reference for unit tests."""
+    acc = 0
+    for ch in " ".join(t.lower().split()).encode("utf-8"):
+        acc = (acc * _BASE + ch) % _MOD
+    return acc
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register(spark, sf_dir)
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _fingerprint_udf(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+registry.register("x_text_stats", text_stats, STATS_SQL)
+registry.register("x_text_langid", lang_id, LANGID_SQL)
+registry.register("x_text_fingerprint", fingerprints)  # rows-only: UDF hash

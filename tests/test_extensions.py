@@ -1,0 +1,76 @@
+"""Extension-operator tests (SURVEY.md §8.4): oracle checks at sf0.001
+plus semantic unit tests (planted duplicates, LSH self-recall,
+fingerprint reference)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark import catalog, testing
+from flink_1_11_1_spark.extensions import dedup, registry, similarity, text
+
+from .conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("name", sorted(registry.oracle_sql()))
+def test_extension_matches_oracle(spark, duck, name):
+    df = registry.queries()[name](spark, SF_SMOKE)
+    sc, sr = df.columns, [tuple(r) for r in df.collect()]
+    dc, dr = testing.run_duckdb(duck, registry.oracle_sql()[name])
+    ok, msg = testing.compare(sc, sr, dc, dr)
+    assert ok, f"{name}: {msg}"
+
+
+def test_minhash_equals_exact_jaccard(spark):
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    exact = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    lsh = {tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert lsh == exact  # miss probability ~1e-22 at fixture similarity
+
+
+def test_simhash_finds_planted_duplicate(spark):
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(50)
+    planted = docs.where("doc_id = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    pairs = dedup.simhash_pairs(docs.unionByName(planted), max_hamming=3)
+    got = {(r.da, r.db): r.hamming for r in pairs.collect()}
+    assert got.get((0, 100000)) == 0
+
+
+def test_drop_exact_duplicates(spark):
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(20)
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    kept = dedup.drop_exact_duplicates(doubled)
+    assert kept.count() == 20
+    # deterministic survivor: the min doc_id of each text group
+    assert kept.agg(F.max("doc_id")).first()[0] < 500000
+
+
+def test_fingerprint_matches_reference(spark):
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(25)
+    got = {r.doc_id: r.fp for r in docs.select("doc_id", text._fingerprint_udf("text").alias("fp")).collect()}
+    want = {r.doc_id: text.fingerprint_py(r.text) for r in docs.collect()}
+    assert got == want
+
+
+def test_lsh_self_recall(spark):
+    """Identical vectors share an identical signature — recall 1.0 for
+    exact matches, the property LSH actually guarantees."""
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where("vec_id < 20")
+    shifted = q.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    top = similarity.ann_lsh_topk(shifted, emb.unionByName(shifted).where("vec_id < 20 or vec_id >= 10000"), k=1)
+    rows = {r.qid: r.nid for r in top.collect()}
+    assert all(rows[qid + 10000] == qid for qid in range(20))
+
+
+def test_brute_force_topk_is_exact(spark):
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    top = similarity.cosine_topk(emb.where("vec_id < 5"), emb, k=3)
+    rows = top.collect()
+    assert len(rows) == 15
+    assert all(-1.0001 <= r.sim <= 1.0001 for r in rows)

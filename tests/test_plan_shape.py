@@ -1,0 +1,54 @@
+"""Plan-shape smoke tests (SURVEY.md §6.2 item 4) — the Spark analogue
+of Flink's golden XML plan tests, without golden-file brittleness.
+Catches silent performance regressions: a lost broadcast, a lost
+window-group-limit pushdown, a lost parquet filter pushdown would all
+surface as plan-shape changes long before they surface as BENCH deltas.
+"""
+
+from flink_1_11_1_spark import catalog, declared
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, sql: str) -> str:
+    catalog.register(spark, SF_SMOKE)
+    return spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_small_dim_join_broadcasts(spark):
+    # Q06: nation/region are tiny dims — must broadcast, never shuffle.
+    plan = _plan(spark, declared.QUERIES["q06"])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_uses_window_group_limit(spark):
+    # Q22: rn<=k must push into WindowGroupLimit (Flink's Rank/TopN node).
+    plan = _plan(spark, declared.QUERIES["q22"])
+    assert "WindowGroupLimit" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _plan(spark, declared.QUERIES["q01"])
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_projection_pruning_reaches_scan(spark):
+    # Q04 reads 2 of 6 orders columns; scan schema must be pruned.
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(declared.QUERIES["q04"])
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderdate" not in scan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    # AQE finalizes the plan lazily — materialize, then read the final plan.
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(declared.QUERIES["q03"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark WholeStageCodegen spans in the plan string.
+    assert "*(1) HashAggregate" in plan or "*(1) Filter" in plan
+    # two-phase aggregation: map-side combine before the shuffle.
+    assert "partial_sum" in plan
