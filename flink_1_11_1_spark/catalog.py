@@ -42,6 +42,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table as a DataFrame."""
+    configure(spark)  # nanosAsLong/UTC must hold on driver-owned sessions too
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts arrives as BIGINT nanoseconds (nanosAsLong=true).  Contract:

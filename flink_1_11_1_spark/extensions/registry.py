@@ -42,5 +42,7 @@ def _load() -> None:
     if _LOADED:
         return
     from . import dedup, similarity, text  # noqa: F401
+    from ..operators import declared_ops
 
+    declared_ops.register_all()
     _LOADED = True

@@ -1,0 +1,95 @@
+"""Flink built-in functions absent from Spark (SURVEY.md §3.10 gaps).
+
+Reference parity: FlinkSqlOperatorTable / BuiltInFunctionDefinitions,
+runtime bodies in SqlFunctionUtils.java / SqlDateTimeUtils.java.  Spark
+covers the whole 1.11 library natively except the ~10 names below; each
+is a thin JVM-expression alias (no UDFs — everything stays inside
+codegen).  ``register_flink_functions`` exposes the SQL names via Spark
+SQL-macro UDFs so ``engine.sql("SELECT SPLIT_INDEX(...)")`` works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------- python API
+
+
+def split_index(s: Column | str, sep: str, index: int) -> Column:
+    """SPLIT_INDEX(s, sep, i) — 0-based field extract, NULL past the end
+    (Flink semantics; plain ``[i]`` would *error* under Spark 4 ANSI mode)."""
+    return F.get(F.split(F.col(s) if isinstance(s, str) else s, _lit_escape(sep)), index)
+
+
+def rand_integer(n: int | Column, seed: int | None = None) -> Column:
+    """RAND_INTEGER(n): uniform int in [0, n)."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return F.floor(r * (F.lit(n) if isinstance(n, int) else n)).cast("int")
+
+
+def is_alpha(s: Column | str) -> Column:
+    return _c(s).rlike("^[A-Za-z]+$")
+
+
+def is_digit(s: Column | str) -> Column:
+    return _c(s).rlike("^[0-9]+$")
+
+
+def is_decimal(s: Column | str) -> Column:
+    return _c(s).rlike("^[0-9]+([.][0-9]+)?$")
+
+
+def proctime() -> Column:
+    """PROCTIME(): evaluated once per (micro-)batch plan, not per record —
+    the documented semantic delta (SURVEY.md §8.3 item 4)."""
+    return F.current_timestamp()
+
+
+def sum0(col: Column | str) -> Column:
+    """SUM0: sum that yields 0 (not NULL) on empty/all-null input."""
+    return F.coalesce(F.sum(_c(col)), F.lit(0))
+
+
+def ceil_to(ts: Column | str, unit: str) -> Column:
+    """CEIL(ts TO unit): next unit boundary unless already aligned."""
+    t = _c(ts)
+    floored = F.date_trunc(unit, t)
+    return F.when(floored == t, t).otherwise(floored + F.expr(f"INTERVAL 1 {unit}"))
+
+
+def _c(s: Column | str) -> Column:
+    return F.col(s) if isinstance(s, str) else s
+
+
+def _lit_escape(sep: str) -> str:
+    """split() takes a regex; Flink SPLIT_INDEX takes a literal."""
+    import re
+
+    return re.escape(sep)
+
+
+# ------------------------------------------------------- SQL registration
+
+_SQL_MACROS = {
+    # name: (param list, body) — registered as SQL scalar UDFs
+    "SPLIT_INDEX": ("s STRING, sep STRING, i INT", "STRING", "get(split(s, sep, -1), i)"),
+    "RAND_INTEGER": ("n INT", "INT", "cast(floor(rand() * n) as int)"),
+    "IS_ALPHA": ("s STRING", "BOOLEAN", "s rlike '^[A-Za-z]+$'"),
+    "IS_DIGIT": ("s STRING", "BOOLEAN", "s rlike '^[0-9]+$'"),
+    "IS_DECIMAL": ("s STRING", "BOOLEAN", "s rlike '^[0-9]+([.][0-9]+)?$'"),
+    "PROCTIME": ("", "TIMESTAMP", "current_timestamp()"),
+}
+
+
+def register_flink_functions(spark: SparkSession) -> None:
+    """Register the Flink-only SQL names as temporary SQL functions.
+
+    Note: SPLIT_INDEX here treats ``sep`` as a regex (Spark split
+    semantics); use the python ``split_index`` for literal separators.
+    """
+    for name, (params, rtype, body) in _SQL_MACROS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            f"RETURNS {rtype} RETURN {body}"
+        )

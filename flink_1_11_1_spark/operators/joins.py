@@ -1,0 +1,130 @@
+"""Temporal join family (SURVEY.md §3.4).
+
+Reference parity:
+- ``asof_join``     — StreamExecTemporalJoin / TemporalRowTimeJoinOperator
+  (flink-table-runtime-blink operators/join/temporal/): enrich each left
+  row with the right-side version valid at the left row's time
+  (``FOR SYSTEM_TIME AS OF``).
+- ``interval_join`` — StreamExecIntervalJoin / TimeIntervalJoin
+  (operators/join/interval/): equi-join constrained to a relative time
+  window.
+- ``lookup_join``   — StreamExecLookupJoin / LookupJoinRunner
+  (operators/join/lookup/): per-row enrichment against a (refreshable)
+  dimension table, realized as a broadcast join per (micro-)batch.
+
+Scale notes: ``asof_join`` is the union-then-window formulation — ONE
+shuffle on the join keys, then a per-partition ordered scan with
+``last(..., ignorenulls)``; no per-key pandas, no driver loop, no
+cross product.  This survives arbitrarily many left rows per key and is
+the standard 100 TB-safe as-of plan.  ``interval_join`` relies on
+Spark's range-join handling (the equi-key shuffle dominates; the range
+residual filters within partitions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str] | None = None,
+    tie_break: Sequence[str] = (),
+    how: str = "left",
+) -> DataFrame:
+    """For each left row: the right row with the greatest
+    ``right_time <= left_time`` per key (ties broken by ``tie_break``
+    ascending — the *last* wins, matching "latest version").
+
+    Returns all left columns plus ``right_cols`` (null when no match and
+    ``how='left'``; inner drops unmatched).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on]
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload")
+
+    r = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload,
+    )
+    l_cols = left.columns
+    lft = left.select(
+        *[F.col(c) for c in l_cols],
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
+    )
+    # align schemas: right side carries nulls for left-only columns
+    for c in l_cols:
+        if c not in on:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*lft.columns)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_side"), *[F.col(f"_asof_payload.{c}") for c in tie_break])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lft.unionByName(r)
+        .withColumn("_match", F.last("_asof_payload", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    out = matched.select(
+        *l_cols, *[F.col(f"_match.{c}").alias(c) for c in right_cols]
+    )
+    if how == "inner":
+        out = out.where(F.col(right_cols[0]).isNotNull())
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join constrained to ``left.time + lower <= right.time <=
+    left.time + upper`` (interval literals like ``'-1 hour'``/``'0'``).
+
+    Works identically on batch DataFrames and on watermarked streams
+    (where the bound also drives state cleanup — Spark native).
+    """
+    cond = (
+        on
+        & (F.col(right_time) >= F.expr(f"{left_time} + INTERVAL {lower}"))
+        & (F.col(right_time) <= F.expr(f"{left_time} + INTERVAL {upper}"))
+    )
+    return left.join(right, cond, how)
+
+
+def lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich facts against a small dimension — always broadcast.
+
+    Flink's per-row (async) point lookup has no Spark analogue; the
+    batch-level contract is: the dimension snapshot visible when the
+    (micro-)batch starts is used for every row of the batch.  For
+    streaming, call this inside ``foreachBatch`` with a freshly loaded
+    ``dim`` to get the "periodically refreshed" semantics.
+    """
+    return facts.join(F.broadcast(dim), on, how)

@@ -1,0 +1,111 @@
+"""Operator-package tests: oracle parity at sf0.001 for the DataFrame
+operators (as-of/interval joins, windows, top-n, dedup, CDC) plus
+semantic unit tests for the pieces oracles can't reach (lookup join,
+canal decode, Flink function shims)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructType
+
+from flink_1_11_1_spark import catalog, functions as ffn, testing
+from flink_1_11_1_spark.extensions import registry
+from flink_1_11_1_spark.operators import cdc, joins
+
+from .conftest import SF_SMOKE
+
+OP_KEYS = [
+    "x_asof_join_df",
+    "x_interval_join_df",
+    "x_topn_df",
+    "x_dedup_first_df",
+    "x_tumble_df",
+    "x_hop_df",
+    "x_session_df",
+    "x_count_window_df",
+    "x_cdc_debezium",
+]
+
+
+@pytest.mark.parametrize("name", OP_KEYS)
+def test_operator_matches_oracle(spark, duck, name):
+    df = registry.queries()[name](spark, SF_SMOKE)
+    sc, sr = df.columns, [tuple(r) for r in df.collect()]
+    dc, dr = testing.run_duckdb(duck, registry.oracle_sql()[name])
+    ok, msg = testing.compare(sc, sr, dc, dr)
+    assert ok, f"{name}: {msg}"
+
+
+def test_lookup_join_broadcasts(spark):
+    cust = catalog.load_table(spark, SF_SMOKE, "customer")
+    nation = catalog.load_table(spark, SF_SMOKE, "nation")
+    out = joins.lookup_join(
+        cust, nation, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    assert out.count() == cust.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_asof_join_no_match_is_null(spark):
+    left = spark.createDataFrame([(1, 5)], ["k", "t"])
+    right = spark.createDataFrame([(1, 10, "late")], ["k", "t2", "v"])
+    out = joins.asof_join(left, right, on=["k"], left_time="t", right_time="t2").collect()
+    assert out[0].v is None
+    inner = joins.asof_join(
+        left, right, on=["k"], left_time="t", right_time="t2", how="inner"
+    ).collect()
+    assert inner == []
+
+
+def test_canal_decode(spark):
+    schema = (
+        StructType()
+        .add("id", IntegerType())
+        .add("name", StringType())
+    )
+    rows = [
+        ('{"data": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}], "old": null, "type": "INSERT"}',),
+        ('{"data": [{"id": 1, "name": "a2"}], "old": [{"name": "a"}], "type": "UPDATE"}',),
+        ('{"data": [{"id": 2, "name": "b"}], "old": null, "type": "DELETE"}',),
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    got = [(r.row_kind, r.id, r.name) for r in cdc.canal_decode(df, "value", schema).collect()]
+    assert ("+I", 1, "a") in got and ("+I", 2, "b") in got
+    # canal 'old' carries only changed fields: -U merges old over data
+    assert ("-U", 1, "a") in got and ("+U", 1, "a2") in got
+    assert ("-D", 2, "b") in got
+    assert len(got) == 5
+
+
+def test_flink_function_shims(spark):
+    ffn.register_flink_functions(spark)
+    row = spark.sql(
+        "SELECT SPLIT_INDEX('a,b,c', ',', 1) s, IS_DIGIT('123') d1, "
+        "IS_DIGIT('12x') d2, IS_ALPHA('abc') a1, IS_DECIMAL('1.25') dec, "
+        "RAND_INTEGER(10) r, PROCTIME() pt"
+    ).first()
+    assert row.s == "b" and row.d1 and not row.d2 and row.a1 and row.dec
+    assert 0 <= row.r < 10 and row.pt is not None
+    # Flink semantics: past-the-end index is NULL, not an ANSI error
+    assert spark.sql("SELECT SPLIT_INDEX('x,y', ',', 5) s").first().s is None
+
+
+def test_python_function_api(spark):
+    df = spark.range(1).select(
+        ffn.split_index(F.lit("x|y|z"), "|", 2).alias("s"),
+        ffn.is_decimal(F.lit("3.14")).alias("d"),
+        ffn.sum0(F.lit(None).cast("int")).alias("z"),
+    )
+    r = df.first()
+    assert r.s == "z" and r.d and r.z == 0
+
+
+def test_ceil_to_unit(spark):
+    df = spark.sql(
+        "SELECT timestamp '2024-01-01 10:30:00' t1, timestamp '2024-01-01 10:00:00' t2"
+    ).select(
+        ffn.ceil_to("t1", "hour").alias("c1"), ffn.ceil_to("t2", "hour").alias("c2")
+    )
+    r = df.first()
+    assert str(r.c1) == "2024-01-01 11:00:00" and str(r.c2) == "2024-01-01 10:00:00"
