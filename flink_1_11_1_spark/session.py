@@ -46,6 +46,41 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor python workers.
+
+    Closures shipped by the engine (CEP processors, pandas UDFs) refer to
+    module-level helpers, which cloudpickle serializes *by reference* —
+    the worker must import the module.  On a real cluster this is the
+    ``--py-files`` deployment; here we build the zip once (content-hashed
+    name, so ``addPyFile`` stays idempotent) and attach it.
+    """
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    digest = hashlib.md5()
+    files = []
+    for dirpath, _, names in sorted(os.walk(pkg_dir)):
+        for n in sorted(names):
+            if n.endswith(".py"):
+                p = os.path.join(dirpath, n)
+                files.append(p)
+                digest.update(open(p, "rb").read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"flink_1_11_1_spark_{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in files:
+                z.write(p, os.path.join("flink_1_11_1_spark", os.path.relpath(p, pkg_dir)))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added under this name — content-hash makes that safe
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session."""
     for k, v in RUNTIME_CONFS.items():
@@ -53,6 +88,7 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this session; builder-created sessions pin it
+    ship_package(spark)
     return spark
 
 

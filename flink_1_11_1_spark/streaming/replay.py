@@ -1,0 +1,144 @@
+"""Deterministic file-stream replay harness (FIXTURES.md "Streaming
+replays").
+
+Reference parity: Flink's KeyedOneInputStreamOperatorTestHarness
+(flink-streaming-java test util) drives operators record-by-record with
+controlled watermarks; the Spark analogue is a file source consumed one
+file per micro-batch — each file is one "chunk" of event-time, so
+watermark progression across chunks is deterministic.
+
+``write_replay`` splits the canonical ``events`` table into N
+time-ordered parquet files; ``events_stream`` reads them back as a
+watermarked stream (one file per trigger); ``run_stream`` drains to an
+in-memory sink and returns the result rows plus the aggregate
+``numRowsDroppedByWatermark`` observed — Flink's late-side-output
+equivalent observable (SURVEY.md §3.11).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+
+
+def write_replay_frames(
+    frames: list[DataFrame], out_dir: str
+) -> list[str]:
+    """Write explicit DataFrame chunks as sequential replay files.
+
+    One parquet file per chunk, named and mtime-ordered so the file
+    source replays them in this exact order (one per micro-batch).
+    """
+    import glob
+    import shutil
+    import time
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, chunk in enumerate(frames):
+        staging = os.path.join(out_dir, f"_staging_{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(out_dir, f"chunk_{i:03d}.parquet")
+        shutil.copyfile(part, dest)
+        shutil.rmtree(staging)
+        t = time.time() - len(frames) + i  # strictly increasing mtimes
+        os.utime(dest, (t, t))
+        paths.append(dest)
+    return paths
+
+
+def flush_sentinel(ev: DataFrame) -> DataFrame:
+    """One synthetic far-future row (event_id = -1, user_id = -1).
+
+    Bounded Flink jobs emit a final +inf watermark that closes all open
+    windows; Spark's file source does not, so an append-mode windowed agg
+    would never emit its last window.  Replaying this sentinel as the
+    final chunk advances the watermark past all real data — the Spark
+    rendering of the final watermark.  The sentinel's own groups stay
+    open/unmatched and thus never pollute output; filter ``user_id >= 0``
+    where the key itself is output (e.g. deduplicate).
+    """
+    mx = ev.agg(F.max("ts")).first()[0]
+    return ev.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(mx) + F.expr("INTERVAL 30 DAY")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
+def write_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, parts: int = 6, flush: bool = True
+) -> list[str]:
+    """Split canonical events into ``parts`` sequential time chunks."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    qs = [(i + 1) / parts for i in range(parts - 1)]
+    bounds = ev.selectExpr(
+        f"percentile_approx(cast(ts as double), array({', '.join(map(str, qs))}), 10000) p"
+    ).first().p
+    frames = []
+    lo = None
+    for i in range(parts):
+        hi = bounds[i] if i < parts - 1 else None
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts").cast("double") > lo)
+        if hi is not None:
+            chunk = chunk.where(F.col("ts").cast("double") <= hi)
+        frames.append(chunk)
+        lo = hi
+    if flush:
+        frames.append(flush_sentinel(ev.select(*frames[0].columns)))
+    return write_replay_frames(frames, out_dir)
+
+
+def events_stream(
+    spark: SparkSession, replay_dir: str, watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """Watermarked streaming read of a replay dir, one file per trigger."""
+    schema = spark.read.parquet(os.path.join(replay_dir, "chunk_000.parquet")).schema
+    out = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay_dir, "chunk_*.parquet"))
+    )
+    if watermark:
+        out = out.withWatermark("ts", watermark)
+    return out
+
+
+def run_stream(
+    out: DataFrame,
+    output_mode: str = "append",
+    name: str = "replay_result",
+) -> tuple[list, int]:
+    """Drain a streaming DataFrame to a memory sink; return (rows,
+    total numRowsDroppedByWatermark across the run)."""
+    spark = out.sparkSession
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", None or f"/tmp/ckpt_{name}_{os.getpid()}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = 0
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        return rows, dropped
+    finally:
+        q.stop()
+        import shutil
+
+        shutil.rmtree(f"/tmp/ckpt_{name}_{os.getpid()}", ignore_errors=True)

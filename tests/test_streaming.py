@@ -1,0 +1,241 @@
+"""S-series streaming semantics tests (SURVEY.md §6.2 item 2).
+
+File-replay micro-batches (deterministic, no rate source); each test
+asserts the streaming result against the batch-equivalent computation
+on the same input — Flink's operator-harness idea re-expressed.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark import catalog
+from flink_1_11_1_spark.operators import windows as W
+from flink_1_11_1_spark.streaming import capability, cep, replay
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    d = tempfile.mkdtemp(prefix="events_replay_")
+    replay.write_replay(spark, SF_SMOKE, d, parts=6)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch_events(spark):
+    return catalog.load_table(spark, SF_SMOKE, "events")
+
+
+def _rows_set(rows, *cols):
+    return {tuple(getattr(r, c) for c in cols) for r in rows}
+
+
+# ---------------------------------------------------------- S1: tumble
+
+
+def test_s1_tumble_stream_equals_batch(spark, replay_dir):
+    stream = replay.events_stream(spark, replay_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    got, dropped = replay.run_stream(agg, "append", "s1_tumble")
+    batch = W.tumble_agg(
+        _batch_events(spark), "ts", "1 hour", ["event_type"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")],
+    ).collect()
+    key = lambda rows, win: {  # noqa: E731
+        (str(getattr(r, win)), r.event_type): (r.n, r.sv) for r in rows
+    }
+    assert dropped == 0  # in-order replay: nothing late beyond watermark
+    got_m = {(str(r.window.start), r.event_type): (r.n, r.sv) for r in got}
+    want_m = {(str(r.window_start), r.event_type): (r.n, r.sv) for r in batch}
+    assert got_m == want_m
+
+
+def test_s1b_late_rows_are_dropped(spark, replay_dir):
+    """Hand-move some early rows into the last chunk: watermark has
+    passed -> dropped, observable via numRowsDroppedByWatermark
+    (Flink's side-output-late-data equivalent; SURVEY.md §3.11)."""
+    ev = _batch_events(spark).orderBy("ts", "event_id")
+    rows = ev.collect()
+    late_ids = [r.event_id for r in rows[:5]]  # earliest 5 events
+    on_time = ev.where(~F.col("event_id").isin(late_ids))
+    late = ev.where(F.col("event_id").isin(late_ids))
+    d = tempfile.mkdtemp(prefix="late_replay_")
+    try:
+        n = on_time.count()
+        half = on_time.limit(n // 2)
+        rest = on_time.subtract(half)
+        replay.write_replay_frames([half, rest, late], d)
+        stream = replay.events_stream(spark, d, watermark="10 minutes")
+        agg = stream.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n"))
+        got, dropped = replay.run_stream(agg, "append", "s1b_late")
+        # numRowsDroppedByWatermark counts rows reaching the state store —
+        # i.e. AFTER map-side partial aggregation: one per late window.
+        n_late_windows = late.select(F.window("ts", "1 hour")).distinct().count()
+        assert dropped == n_late_windows
+        # and the emitted output contains no late contribution at all
+        total_emitted = sum(r.n for r in got)
+        assert total_emitted <= n  # strictly: late rows absent
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------- S2: hop
+
+
+def test_s2_hop_stream_equals_batch(spark, replay_dir):
+    stream = replay.events_stream(spark, replay_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count("*").alias("n")
+    )
+    got, _ = replay.run_stream(agg, "append", "s2_hop")
+    batch = W.hop_agg(
+        _batch_events(spark), "ts", "1 hour", "30 minutes", [],
+        [F.count("*").alias("n")],
+    ).collect()
+    assert {(str(r.window.start), r.n) for r in got} == {
+        (str(r.window_start), r.n) for r in batch
+    }
+
+
+# --------------------------------------------------------- S3: session
+
+
+def test_s3_session_stream_equals_batch(spark, replay_dir):
+    stream = replay.events_stream(spark, replay_dir)
+    agg = stream.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    got, _ = replay.run_stream(agg, "append", "s3_session")
+    batch = W.session_agg(
+        _batch_events(spark), "ts", "30 minutes", ["user_id"],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")],
+    ).collect()
+    got_m = {
+        (r.user_id, str(r.session_window.start)): (r.n, r.sv) for r in got
+    }
+    want_m = {(r.user_id, str(r.session_start)): (r.n, r.sv) for r in batch}
+    assert got_m == want_m
+
+
+# --------------------------------------- S4: stream-stream interval join
+
+
+def test_s4_interval_join_stream_equals_batch(spark, replay_dir):
+    a = (
+        replay.events_stream(spark, replay_dir, watermark=None)
+        .where("event_type = 'signup'")
+        .select("user_id", F.col("event_id").alias("s_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "10 minutes")
+    )
+    b = (
+        replay.events_stream(spark, replay_dir, watermark=None)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("b_user"), F.col("event_id").alias("p_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "10 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "s_id", "p_id")
+    got, _ = replay.run_stream(joined, "append", "s4_interval")
+    ev = _batch_events(spark)
+    batch = (
+        ev.where("event_type = 'signup'")
+        .select("user_id", F.col("event_id").alias("s_id"), F.col("ts").alias("a_ts"))
+        .join(
+            ev.where("event_type = 'purchase'").select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("p_id"),
+                F.col("ts").alias("b_ts"),
+            ),
+            F.expr(
+                "user_id = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select("user_id", "s_id", "p_id")
+        .collect()
+    )
+    assert _rows_set(got, "user_id", "s_id", "p_id") == _rows_set(
+        batch, "user_id", "s_id", "p_id"
+    )
+
+
+# ----------------------------------------------------------- S5: dedup
+
+
+def test_s5_dedup_within_watermark(spark, replay_dir):
+    """Flink's keep-first dedup holds key state forever; Spark's
+    dropDuplicatesWithinWatermark evicts state once the watermark passes
+    first_seen + delay — so the delay must cover the key-reoccurrence
+    horizon (engine contract, SURVEY.md §3.8).  With delay >= replay
+    span: exactly one survivor per key, chosen by *arrival* order (the
+    survivor lands in the key's earliest chunk; within a chunk arrival
+    is unordered — the documented delta from Flink's rowtime-first)."""
+    stream = (
+        replay.events_stream(spark, replay_dir, watermark="60 days")
+        .where("user_id >= 0")  # exclude the flush sentinel (key is output)
+        .select("user_id", "event_id", "ts")
+    )
+    got, _ = replay.run_stream(
+        stream.dropDuplicatesWithinWatermark(["user_id"]), "append", "s5_dedup"
+    )
+    ev = _batch_events(spark)
+    from flink_1_11_1_spark.operators import rank
+
+    batch = rank.deduplicate(
+        ev.select("user_id", "event_id", "ts"),
+        keys=["user_id"], order_by=[F.col("ts"), F.col("event_id")],
+    ).collect()
+    assert {r.user_id for r in got} == {r.user_id for r in batch}
+    assert len(got) == len(batch)  # exactly one survivor per key
+    first_ts = {r.user_id: r.ts for r in batch}
+    for r in got:
+        delta = (r.ts - first_ts[r.user_id]).total_seconds()
+        # survivor never precedes the true first event and sits in the
+        # same ~5-day replay chunk (6 chunks over 30 days)
+        assert 0 <= delta <= 6 * 86400
+
+
+# ------------------------------------------------------------- S6: CEP
+
+
+def test_s6_cep_stream_equals_batch(spark, replay_dir):
+    stream = replay.events_stream(spark, replay_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    got, _ = replay.run_stream(
+        cep.match_stream(stream, horizon_s=3600), "append", "s6_cep"
+    )
+    batch = cep.match_batch(_batch_events(spark), horizon_s=3600).collect()
+    assert _rows_set(got, "user_id", "a_id", "b_id") == _rows_set(
+        batch, "user_id", "a_id", "b_id"
+    )
+    assert len(batch) > 0  # non-vacuous
+
+
+# ----------------------------------------------------- capability matrix
+
+
+def test_capability_matrix():
+    capability.validate("windowed_agg", "append")
+    capability.validate("agg", "update")
+    with pytest.raises(capability.UnsupportedStreamingPlan, match="retract/upsert"):
+        capability.validate("agg", "append")
+    with pytest.raises(capability.UnsupportedStreamingPlan, match="foreachBatch"):
+        capability.validate("join_outer_unbounded", "append")
+    with pytest.raises(capability.UnsupportedStreamingPlan, match="Top-N"):
+        capability.validate("topn", "append")
+    assert "update" in capability.supported_modes("agg")
+    assert "append" not in capability.supported_modes("sort")
