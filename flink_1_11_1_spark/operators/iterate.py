@@ -1,0 +1,112 @@
+"""Iterations (SURVEY.md §3.11 last row).
+
+Reference parity: DataSet bulk iterations (flink-java operators/
+IterativeDataSet) and delta iterations (operators/DeltaIteration.java).
+Spark has no native iteration operator; the idiomatic realization is a
+driver-side loop over DataFrames.  The scale-critical detail this module
+pins down: ``localCheckpoint`` every iteration to TRUNCATE LINEAGE —
+without it the plan doubles per round and the job dies of analysis time
+long before data size matters.
+
+``delta_iterate`` carries Flink's workset/solution-set split: only the
+changed keys (workset) feed the next step, and the solution set is
+updated by key — the asymptotically-right formulation for convergent
+graph algorithms at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bulk_iterate(
+    initial: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iterations: int,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+) -> DataFrame:
+    """Bulk iteration: feed the full result to the next step.
+
+    ``converged(prev, cur)`` may stop early (it runs an action — budget
+    one job per round for it, like Flink's convergence criterion).
+    """
+    cur = initial.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        nxt = step(cur, i).localCheckpoint(eager=True)
+        if converged is not None and converged(cur, nxt):
+            return nxt
+        cur = nxt
+    return cur
+
+
+def delta_iterate(
+    solution: DataFrame,
+    workset: DataFrame,
+    keys: Sequence[str],
+    step: Callable[[DataFrame, DataFrame, int], DataFrame],
+    max_iterations: int,
+) -> DataFrame:
+    """Delta iteration: ``step`` returns candidate updates (same schema
+    as ``solution``); rows that actually changed become the next workset
+    and are merged into the solution set by key.  Terminates when the
+    workset is empty (Flink's natural delta-iteration termination).
+    """
+    keys = list(keys)
+    solution = solution.localCheckpoint(eager=True)
+    workset = workset.localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        updates = step(solution, workset, i)
+        # changed = updates that differ from the current solution row
+        changed = updates.subtract(solution).localCheckpoint(eager=True)
+        if not changed.take(1):
+            break
+        solution = (
+            solution.alias("s")
+            .join(changed.alias("c"), keys, "left_anti")
+            .unionByName(changed)
+            .localCheckpoint(eager=True)
+        )
+        workset = changed
+    return solution
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 20
+) -> DataFrame:
+    """Label-propagation connected components — the canonical iteration
+    demo (Flink Gelly's ConnectedComponents example re-expressed).
+
+    Returns (vertex, component) where component = min vertex id reachable.
+    """
+    sym = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    labels = (
+        sym.select(F.col(src).alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+
+    def step(cur: DataFrame, _i: int) -> DataFrame:
+        neighbor_min = (
+            sym.join(cur, sym[src] == cur["vertex"])
+            .groupBy(F.col(dst).alias("vertex"))
+            .agg(F.min("component").alias("nc"))
+        )
+        return (
+            cur.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+
+    def converged(prev: DataFrame, cur: DataFrame) -> bool:
+        return cur.subtract(prev).take(1) == []
+
+    return bulk_iterate(labels, step, max_iterations, converged)

@@ -75,10 +75,16 @@ def ship_package(spark: SparkSession) -> None:
         with zipfile.ZipFile(zpath, "w") as z:
             for p in files:
                 z.write(p, os.path.join("flink_1_11_1_spark", os.path.relpath(p, pkg_dir)))
+    if zpath in _SHIPPED:
+        return
     try:
         spark.sparkContext.addPyFile(zpath)
+        _SHIPPED.add(zpath)
     except Exception:
         pass  # already added under this name — content-hash makes that safe
+
+
+_SHIPPED: set[str] = set()
 
 
 def configure(spark: SparkSession) -> SparkSession:

@@ -1,0 +1,217 @@
+"""Sources/sinks, multimodal plumbing, changelog adapters, iterations."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark import catalog
+from flink_1_11_1_spark.extensions import multimodal as mm
+from flink_1_11_1_spark.operators import iterate
+from flink_1_11_1_spark.sources import files as src
+from flink_1_11_1_spark.streaming import changelog, replay
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="srcsink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------- sources/sinks
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip_formats(spark, tmpdir, fmt):
+    df = catalog.load_table(spark, SF_SMOKE, "nation")
+    path = os.path.join(tmpdir, fmt)
+    src.write_table(df, path, fmt)
+    back = src.read_table(spark, path, fmt, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_write_prunes(spark, tmpdir):
+    orders = catalog.load_table(spark, SF_SMOKE, "orders")
+    path = os.path.join(tmpdir, "orders_part")
+    src.write_table(orders, path, "parquet", partition_by=["o_orderstatus"])
+    assert set(src.partition_values(spark, path, "o_orderstatus")) == {"F", "O", "P"}
+    back = src.read_table(spark, path, "parquet").where("o_orderstatus = 'F'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: only the o_orderstatus=F directory is scanned
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    assert back.count() == orders.where("o_orderstatus = 'F'").count()
+
+
+def test_csv_requires_schema(spark, tmpdir):
+    with pytest.raises(ValueError, match="explicit schema"):
+        src.read_table(spark, tmpdir, "csv")
+
+
+def test_streaming_file_sink_exactly_once(spark, tmpdir):
+    replay_dir = os.path.join(tmpdir, "replay")
+    replay.write_replay(spark, SF_SMOKE, replay_dir, parts=3, flush=False)
+    stream = replay.events_stream(spark, replay_dir, watermark=None)
+    out_dir = os.path.join(tmpdir, "out")
+    q = src.write_stream_files(
+        stream, out_dir, os.path.join(tmpdir, "ckpt"), "parquet"
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out_dir)
+    want = catalog.load_table(spark, SF_SMOKE, "events")
+    assert back.count() == want.count()
+    # committed-manifest present (exactly-once marker)
+    assert os.path.isdir(os.path.join(out_dir, "_spark_metadata"))
+
+
+def test_datagen_and_blackhole(spark, tmpdir):
+    q = src.to_blackhole(
+        src.datagen_stream(spark, 50), os.path.join(tmpdir, "bh_ckpt")
+    )
+    import time
+
+    time.sleep(2)
+    assert q.isActive
+    q.stop()
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def test_media_schema_and_decode(spark):
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = mm.attach_fake_media(docs)
+    assert media.schema.simpleString() == mm.MEDIA_SCHEMA.simpleString()
+    decoded = mm.decode_media(media)
+    assert decoded.schema.simpleString() == mm.DECODED_SCHEMA.simpleString()
+    rows = decoded.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.width == r.doc_id % 8 + 4 and r.height == r.doc_id % 5 + 4
+        assert len(r.features) == mm.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-5  # normalized histogram
+
+
+def test_media_decode_matches_local_reference(spark):
+    blob = mm.encode_fake_media(6, 4, 1, b"abcdef")
+    w, h, c, arr = mm._decode_payload(blob)
+    assert (w, h, c) == (6, 4, 1) and arr.shape == (4, 6, 1)
+    assert bytes(arr[0, :, 0]) == b"abcdef"
+
+
+def test_media_resize_and_frames(spark):
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = mm.attach_fake_media(docs)
+    small = mm.resize_media(media, 3, 2)
+    rows = small.collect()
+    assert all(r.meta.width == 3 and r.meta.height == 2 for r in rows)
+    redecoded = mm.decode_media(small).collect()
+    assert all(r.width == 3 and r.height == 2 for r in redecoded)
+    frames = mm.frame_sample(media, n_frames=2)
+    got = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in got)
+
+
+# ----------------------------------------------------------- changelog
+
+
+def test_changelog_batcher_emits_rowkinds(spark, tmpdir):
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    frames = [
+        ev.where("event_id < 300"),
+        ev.where("event_id >= 300 AND event_id < 600"),
+        ev.where("event_id >= 600"),
+    ]
+    rdir = os.path.join(tmpdir, "cl_replay")
+    replay.write_replay_frames(frames, rdir)
+    stream = replay.events_stream(spark, rdir, watermark=None)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    seen: list[tuple[str, tuple, tuple]] = []
+    batcher = changelog.ChangelogBatcher(
+        keys=["event_type"], on_change=lambda bid, ch: seen.extend(ch)
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(batcher)
+        .option("checkpointLocation", os.path.join(tmpdir, "cl_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kinds = {k for k, _, _ in seen}
+    assert "+I" in kinds and "+U" in kinds  # first batch inserts, later updates
+    # final upsert state equals the batch aggregate
+    final = {}
+    for kind, key, val in seen:
+        if kind == "-D":
+            final.pop(key, None)
+        else:
+            final[key] = val
+    want = {
+        (r.event_type,): (r.n,)
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == want
+
+
+# ----------------------------------------------------------- iterations
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 6), (7, 8), (8, 9), (9, 1)],
+        ["src", "dst"],
+    )
+    got = {
+        r.vertex: r.component
+        for r in iterate.connected_components(edges, max_iterations=15).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 7: 1, 8: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_delta_iterate_shortest_path(spark):
+    # single-source shortest hops from vertex 1 on a small chain+branch
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], ["src", "dst"]
+    )
+    inf = 10**9
+    vertices = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("dist", F.when(F.col("v") == 1, 0).otherwise(inf))
+    )
+    work = vertices.where("dist = 0")
+
+    def step(solution, workset, _i):
+        cand = (
+            edges.join(workset, edges["src"] == workset["v"])
+            .select(F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+        )
+        return (
+            solution.alias("s")
+            .join(cand.alias("c"), "v", "left")
+            .select(
+                "v",
+                F.least(F.col("s.dist"), F.coalesce(F.col("c.dist"), F.lit(inf))).alias(
+                    "dist"
+                ),
+            )
+        )
+
+    got = {
+        r.v: r.dist
+        for r in iterate.delta_iterate(
+            vertices, work, ["v"], step, max_iterations=10
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 3}
