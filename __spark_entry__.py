@@ -36,7 +36,7 @@ def _declared_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        qid: _declared_runner(sql) for qid, sql in declared.QUERIES.items()
+        qid: _declared_runner(declared.spark_text(qid)) for qid in declared.QUERIES
     }
     out.update(ext_registry.queries())
     return out

@@ -29,9 +29,9 @@ def main() -> None:
     catalog.register(spark, sf_dir)
 
     timings: dict[str, float] = {}
-    for qid, sql in declared.QUERIES.items():
+    for qid in declared.QUERIES:
         t0 = time.time()
-        spark.sql(sql).collect()
+        spark.sql(declared.spark_text(qid)).collect()
         timings[qid] = round(time.time() - t0, 3)
 
     for name, fn in registry.queries().items():

@@ -373,3 +373,33 @@ def oracle_text(sql: str) -> str:
     if body.upper().startswith("WITH "):
         return prefix + "WITH " + _EVENTS_CTE + ", " + body[5:]
     return prefix + "WITH " + _EVENTS_CTE + "\n" + body
+
+
+# Spark-side formulation overrides: semantically identical to the
+# declared text (the DuckDB oracle still runs the original), rewritten
+# where Catalyst's decorrelation picks a non-scalable physical plan.
+#
+# q39: the correlated scalar subquery decorrelates into a
+# BroadcastNestedLoopJoin carrying only the ts predicate — the
+# user-equality lands AFTER the join, so the intermediate is
+# |orders_sel| x |events| (50M rows at sf0.1, and growing at scale).
+# The rewrite states the user equi-join explicitly: broadcast-hash join
+# on user_id + in-join range filter, then max per order, then a left
+# join to restore NULL rows — the plan a 100 TB run needs.
+SPARK_OVERRIDES = {
+    "q39": """
+WITH o AS (SELECT o_orderkey, o_custkey % 150 u,
+                  timestamp '2024-01-15 00:00:00' + (o_orderkey % 14) * INTERVAL 1 DAY t
+           FROM orders WHERE o_orderkey < 500),
+m AS (SELECT o.o_orderkey, max(e.event_id) ev
+      FROM o JOIN events e ON e.user_id = o.u AND e.ts <= o.t
+      GROUP BY o.o_orderkey)
+SELECT o.o_orderkey, m.ev FROM o LEFT JOIN m ON m.o_orderkey = o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+}
+
+
+def spark_text(qid: str) -> str:
+    """Query text the Spark engine runs (declared text unless overridden)."""
+    return SPARK_OVERRIDES.get(qid, QUERIES[qid])

@@ -12,9 +12,8 @@ from .conftest import SF_SMOKE
 
 @pytest.mark.parametrize("qid", sorted(declared.QUERIES))
 def test_declared_query_matches_oracle(spark, duck, qid):
-    sql = declared.QUERIES[qid]
-    sc, sr = testing.run_spark(spark, SF_SMOKE, sql)
-    dc, dr = testing.run_duckdb(duck, declared.oracle_text(sql))
+    sc, sr = testing.run_spark(spark, SF_SMOKE, declared.spark_text(qid))
+    dc, dr = testing.run_duckdb(duck, declared.oracle_text(declared.QUERIES[qid]))
     ok, msg = testing.compare(sc, sr, dc, dr)
     assert ok, f"{qid}: {msg}"
 
