@@ -69,11 +69,44 @@ def _lit_escape(sep: str) -> str:
     return re.escape(sep)
 
 
+def collect_multiset(col: str, element_type: str = "string") -> Column:
+    """COLLECT aggregate → MULTISET convention (SURVEY.md §2.2): Spark
+    has no MULTISET type; the engine convention is ``map<value, count>``.
+    Implemented as a fold over one collect_list (order-independent, so
+    safe despite collect_list's nondeterministic ordering).
+    ``element_type`` is the element's DDL type (for the empty-map seed)."""
+    return F.expr(
+        f"""aggregate(
+              collect_list({col}),
+              cast(map() as map<{element_type}, int>),
+              (acc, x) -> map_concat(
+                  map_filter(acc, (k, c) -> NOT (k <=> x)),
+                  map(x, CASE WHEN map_contains_key(acc, x)
+                              THEN element_at(acc, x) + 1 ELSE 1 END)))"""
+    )
+
+
+def to_time_millis(ts: Column | str) -> Column:
+    """TIME type convention (SURVEY.md §2.2): Spark has no TIME; the
+    engine represents time-of-day as INT milliseconds since midnight."""
+    t = _c(ts)
+    return (
+        (F.hour(t) * 3600_000 + F.minute(t) * 60_000 + F.second(t) * 1000)
+        + (F.unix_micros(t) % 1_000_000) / 1000
+    ).cast("int")
+
+
 # ------------------------------------------------------- SQL registration
 
 _SQL_MACROS = {
     # name: (param list, body) — registered as SQL scalar UDFs
-    "SPLIT_INDEX": ("s STRING, sep STRING, i INT", "STRING", "get(split(s, sep, -1), i)"),
+    # sep is LITERAL in Flink; Spark split() takes a regex -> escape every
+    # non-alphanumeric char of sep before splitting
+    "SPLIT_INDEX": (
+        "s STRING, sep STRING, i INT",
+        "STRING",
+        r"get(split(s, regexp_replace(sep, '([^a-zA-Z0-9])', '\\\\$1'), -1), i)",
+    ),
     "RAND_INTEGER": ("n INT", "INT", "cast(floor(rand() * n) as int)"),
     "IS_ALPHA": ("s STRING", "BOOLEAN", "s rlike '^[A-Za-z]+$'"),
     "IS_DIGIT": ("s STRING", "BOOLEAN", "s rlike '^[0-9]+$'"),
@@ -83,11 +116,7 @@ _SQL_MACROS = {
 
 
 def register_flink_functions(spark: SparkSession) -> None:
-    """Register the Flink-only SQL names as temporary SQL functions.
-
-    Note: SPLIT_INDEX here treats ``sep`` as a regex (Spark split
-    semantics); use the python ``split_index`` for literal separators.
-    """
+    """Register the Flink-only SQL names as temporary SQL functions."""
     for name, (params, rtype, body) in _SQL_MACROS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "

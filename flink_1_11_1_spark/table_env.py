@@ -1,0 +1,111 @@
+"""TableEnvironment façade + declarative table specs (SURVEY.md §4).
+
+Reference parity:
+- ``TableEnvironment`` (flink-table-api-java api/TableEnvironment.java,
+  FLIP-84 ``executeSql``/``TableResult``): the single entry object users
+  hold.  Here it wraps a SparkSession — ``execute_sql`` IS ``spark.sql``
+  plus the engine's function registrations and catalog bootstrap; the
+  fluent Table API is the DataFrame itself (returned directly, no
+  wrapper — SURVEY.md §4.2: Spark's DataFrame *is* that layer).
+- ``TableSpec`` mirrors Flink DDL ``CREATE TABLE`` surface the SQL
+  parser stores in TableSchema: declared physical columns, COMPUTED
+  COLUMNS (``c AS expr``), and a WATERMARK spec
+  (``WATERMARK FOR ts AS ts - INTERVAL 'x'``).  ``load``/``stream``
+  apply computed columns as a projection fused into the scan;
+  ``stream`` additionally wires ``withWatermark`` — exactly how the
+  reference's StreamExecTableSourceScan applies both after the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import catalog as _catalog
+from . import functions as _functions
+from .session import configure, get_spark
+
+
+@dataclass
+class TableSpec:
+    """Declarative source table: path + format + computed columns +
+    watermark (the Flink DDL triple Spark has no single home for)."""
+
+    path: str
+    fmt: str = "parquet"
+    computed: dict[str, str] = field(default_factory=dict)  # name -> SQL expr
+    watermark_col: str | None = None
+    watermark_delay: str | None = None  # e.g. "10 minutes"
+    schema: str | None = None  # DDL string, required for csv/json
+
+    def _apply_computed(self, df: DataFrame) -> DataFrame:
+        for name, expr in self.computed.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        """Batch scan with computed columns projected."""
+        configure(spark)
+        r = spark.read.format(self.fmt)
+        if self.schema:
+            r = r.schema(self.schema)
+        return self._apply_computed(r.load(self.path))
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        """Streaming scan: computed columns + watermark applied
+        (StreamExecTableSourceScan + StreamExecWatermarkAssigner)."""
+        configure(spark)
+        r = spark.readStream.format(self.fmt)
+        schema = self.schema or spark.read.format(self.fmt).load(self.path).schema
+        df = self._apply_computed(r.schema(schema).load(self.path))
+        if self.watermark_col and self.watermark_delay:
+            df = df.withWatermark(self.watermark_col, self.watermark_delay)
+        return df
+
+
+def events_spec(sf_dir: str, watermark_delay: str = "10 minutes") -> TableSpec:
+    """The canonical events table as a DDL spec: the ns->ms timestamp is
+    a computed column, the watermark rides on it (FIXTURES.md)."""
+    return TableSpec(
+        path=f"{sf_dir}/events.parquet",
+        computed={"ts": "timestamp_millis(ts div 1000000)"},
+        watermark_col="ts",
+        watermark_delay=watermark_delay,
+    )
+
+
+class TableEnvironment:
+    """The engine's front door (Flink ``TableEnvironment`` shape)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = configure(spark)
+        _functions.register_flink_functions(self.spark)
+
+    @classmethod
+    def create(cls, master: str | None = None) -> TableEnvironment:
+        return cls(get_spark(master=master))
+
+    # -- catalog -------------------------------------------------------
+
+    def register_fixture_catalog(self, sf_dir: str) -> None:
+        _catalog.register(self.spark, sf_dir)
+
+    def create_temporary_view(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def create_table(self, name: str, spec: TableSpec) -> None:
+        spec.load(self.spark).createOrReplaceTempView(name)
+
+    def from_path(self, name: str) -> DataFrame:
+        """Table API entry: returns the DataFrame (the fluent layer)."""
+        return self.spark.table(name)
+
+    # -- execution -----------------------------------------------------
+
+    def execute_sql(self, sql: str) -> DataFrame:
+        """FLIP-84 executeSql: parse/plan/execute via Catalyst."""
+        return self.spark.sql(sql)
+
+    sql_query = execute_sql

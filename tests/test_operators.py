@@ -89,6 +89,12 @@ def test_flink_function_shims(spark):
     assert 0 <= row.r < 10 and row.pt is not None
     # Flink semantics: past-the-end index is NULL, not an ANSI error
     assert spark.sql("SELECT SPLIT_INDEX('x,y', ',', 5) s").first().s is None
+    # Flink semantics: separator is a LITERAL, incl. regex metachars
+    r2 = spark.sql(
+        "SELECT SPLIT_INDEX('x|y', '|', 1) a, SPLIT_INDEX('a.b.c', '.', 2) b, "
+        "SPLIT_INDEX('p$$q', '$$', 1) c"
+    ).first()
+    assert (r2.a, r2.b, r2.c) == ("y", "c", "q")
 
 
 def test_python_function_api(spark):
