@@ -1,0 +1,123 @@
+"""Dialect-pair declared entries for the SQL surface that has no single
+portable text (SURVEY.md §3.13 "declared-capability gaps"): lateral/UDTF
+explode (Correlate), array construction/access, ordered LISTAGG,
+TIMESTAMPADD/DIFF-style temporal arithmetic, and TF-IDF.  The Spark and
+DuckDB texts differ (explode vs UNNEST, 0- vs 1-based indexing,
+WITHIN GROUP vs ORDER-BY-in-aggregate) but compute identical results —
+that is exactly what the oracle contract verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+from . import registry
+
+
+def _sql_runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# --------------------------------------------- Correlate / lateral explode
+
+EXPLODE_SPARK = """
+SELECT token, count(*) n
+FROM (SELECT explode(split(trim(text), ' ')) token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+EXPLODE_DUCK = """
+SELECT token, count(*) n
+FROM (SELECT unnest(string_split(trim(text), ' ')) token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+# ------------------------------------------------- array construct/access
+
+ARRAY_SPARK = """
+SELECT l_orderkey, arr[0] first_el, element_at(arr, -1) last_el, size(arr) sz
+FROM (SELECT l_orderkey, array_sort(collect_list(l_linenumber)) arr
+      FROM lineitem GROUP BY l_orderkey)
+ORDER BY l_orderkey LIMIT 200
+"""
+
+ARRAY_DUCK = """
+SELECT l_orderkey, arr[1] AS first_el, arr[-1] AS last_el, len(arr) AS sz
+FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) arr
+      FROM lineitem GROUP BY l_orderkey)
+ORDER BY l_orderkey LIMIT 200
+"""
+
+
+# ------------------------------------------------------- ordered LISTAGG
+
+LISTAGG_SPARK = """
+SELECT c_nationkey, listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+FROM customer WHERE c_custkey < 300
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+LISTAGG_DUCK = """
+SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer WHERE c_custkey < 300
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# ------------------------------------------- TIMESTAMPADD / DIFF battery
+
+TEMPORAL_SPARK = """
+SELECT o_orderkey,
+       timestampadd(HOUR, 3, o_orderdate) plus3h,
+       datediff(date '2000-01-01', cast(o_orderdate as date)) dd,
+       date_format(o_orderdate, 'yyyy-MM') ym
+FROM orders ORDER BY o_orderkey LIMIT 200
+"""
+
+TEMPORAL_DUCK = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 HOUR AS plus3h,
+       datediff('day', cast(o_orderdate as date), date '2000-01-01') AS dd,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders ORDER BY o_orderkey LIMIT 200
+"""
+
+
+# ------------------------------------------------------------- TF-IDF
+
+TFIDF_SPARK = """
+WITH toks AS (SELECT doc_id, explode(split(trim(text), ' ')) term FROM documents),
+tf AS (SELECT doc_id, term, count(*) tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) dfreq FROM toks GROUP BY term),
+n AS (SELECT count(*) nd FROM documents),
+s AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.nd / df.dfreq), 4) score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rn FROM s)
+WHERE rn <= 3 AND doc_id < 50 ORDER BY doc_id, rn
+"""
+
+TFIDF_DUCK = """
+WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) term FROM documents),
+tf AS (SELECT doc_id, term, count(*) tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) dfreq FROM toks GROUP BY term),
+n AS (SELECT count(*) nd FROM documents),
+s AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.nd / df.dfreq), 4) score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) rn FROM s)
+WHERE rn <= 3 AND doc_id < 50 ORDER BY doc_id, rn
+"""
+
+
+registry.register("x_explode_correlate", _sql_runner(EXPLODE_SPARK), EXPLODE_DUCK)
+registry.register("x_array_ops", _sql_runner(ARRAY_SPARK), ARRAY_DUCK)
+registry.register("x_listagg_ordered", _sql_runner(LISTAGG_SPARK), LISTAGG_DUCK)
+registry.register("x_temporal_arith", _sql_runner(TEMPORAL_SPARK), TEMPORAL_DUCK)
+registry.register("x_text_tfidf", _sql_runner(TFIDF_SPARK), TFIDF_DUCK)

@@ -26,7 +26,7 @@ from .. import catalog
 
 
 def write_replay_frames(
-    frames: list[DataFrame], out_dir: str
+    frames: list[DataFrame], out_dir: str, start: int = 0
 ) -> list[str]:
     """Write explicit DataFrame chunks as sequential replay files.
 
@@ -39,7 +39,7 @@ def write_replay_frames(
 
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for i, chunk in enumerate(frames):
+    for i, chunk in enumerate(frames, start=start):
         staging = os.path.join(out_dir, f"_staging_{i}")
         chunk.coalesce(1).write.mode("overwrite").parquet(staging)
         part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
