@@ -74,9 +74,9 @@ def _process_events(
     for ev in events.itertuples():
         ts_us = int(ev.ts.value // 1000)  # pandas ns -> us
         max_seen = max(max_seen, ts_us)
-        if ev.event_type == "signup":
+        if ev.is_a:
             pending.append((int(ev.event_id), ts_us))
-        elif ev.event_type == "purchase":
+        elif ev.is_b:
             matched = [
                 (aid, ats) for aid, ats in pending if ats <= ts_us <= ats + horizon_us
             ]
@@ -99,7 +99,7 @@ def _process_events(
 def _sorted_batch(rows: Iterator[pd.DataFrame]) -> pd.DataFrame:
     parts = [p for p in rows if len(p)]
     if not parts:
-        return pd.DataFrame(columns=["user_id", "event_id", "event_type", "ts"])
+        return pd.DataFrame(columns=["user_id", "event_id", "is_a", "is_b", "ts"])
     return pd.concat(parts, ignore_index=True).sort_values(["ts", "event_id"])
 
 
@@ -179,31 +179,58 @@ def _match_stream_aip(events: DataFrame, horizon_s: int) -> DataFrame:
     )
 
 
-def match_stream(events: DataFrame, horizon_s: int = 3600) -> DataFrame:
+A_COND = "event_type = 'signup'"
+B_COND = "event_type = 'purchase'"
+
+
+def _with_flags(events: DataFrame, a_cond: str, b_cond: str) -> DataFrame:
+    """Predicate evaluation stays JVM-side: the stateful operator sees
+    only boolean flags (Flink's IterativeCondition, pre-evaluated)."""
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(a_cond).alias("is_a"),
+        F.expr(b_cond).alias("is_b"),
+    )
+
+
+def match_stream(
+    events: DataFrame,
+    horizon_s: int = 3600,
+    a_cond: str = A_COND,
+    b_cond: str = B_COND,
+) -> DataFrame:
     """Streaming A→B-within pattern over an events stream
-    (columns: user_id, event_id, event_type, ts)."""
+    (columns: user_id, event_id, ts + whatever the conditions read)."""
     from ..session import configure
 
     configure(events.sparkSession)  # ships this package to executors
+    flagged = _with_flags(events, a_cond, b_cond)
     if has_transform_with_state():
-        return _match_stream_tws(events, horizon_s)
-    return _match_stream_aip(events, horizon_s)
+        return _match_stream_tws(flagged, horizon_s)
+    return _match_stream_aip(flagged, horizon_s)
 
 
 # ----------------------------------------------------------- batch twin
 
 
-def match_batch(events: DataFrame, horizon_s: int = 3600) -> DataFrame:
+def match_batch(
+    events: DataFrame,
+    horizon_s: int = 3600,
+    a_cond: str = A_COND,
+    b_cond: str = B_COND,
+) -> DataFrame:
     """Identical pattern semantics as a batch plan (also the S6 oracle).
 
     Only caveat vs streaming: an A and B with *identical* ts match here
     regardless of event-id order, while the stream processes
     (ts, event_id)-ordered — absent in the fixtures.
     """
-    a = events.where("event_type = 'signup'").select(
+    a = events.where(a_cond).select(
         "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
     )
-    b = events.where("event_type = 'purchase'").select(
+    b = events.where(b_cond).select(
         F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
         F.col("ts").alias("b_ts"),
     )
