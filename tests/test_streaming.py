@@ -239,3 +239,66 @@ def test_capability_matrix():
         capability.validate("topn", "append")
     assert "update" in capability.supported_modes("agg")
     assert "append" not in capability.supported_modes("sort")
+
+
+# --------------------------------------------------- streaming OVER agg
+
+
+def test_streaming_running_sum_equals_batch(spark, replay_dir):
+    from pyspark.sql.window import Window
+
+    from flink_1_11_1_spark.streaming import over
+
+    stream = replay.events_stream(spark, replay_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    got, _ = replay.run_stream(over.running_sum(stream), "append", "s_over")
+    ev = _batch_events(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        ev.select("user_id", "event_id", F.sum("value").over(w).alias("running_sum"))
+        .collect()
+    )
+    got_m = {(r.user_id, r.event_id): round(r.running_sum, 6) for r in got if r.user_id >= 0}
+    want_m = {(r.user_id, r.event_id): round(r.running_sum, 6) for r in want}
+    assert got_m == want_m
+
+
+def test_foreach_batch_topn_revisions(spark, replay_dir):
+    from flink_1_11_1_spark.operators.rank import top_n
+    from flink_1_11_1_spark.streaming.over import ForeachBatchTopN
+
+    stream = replay.events_stream(spark, replay_dir, watermark=None).where(
+        "user_id >= 0"
+    )
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    snapshots = []
+    sink = ForeachBatchTopN(
+        [], [F.col("total").desc(), F.col("user_id")], 5,
+        lambda bid, rows: snapshots.append(rows),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"/tmp/topn_ckpt_{id(snapshots)}")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import shutil
+
+    shutil.rmtree(f"/tmp/topn_ckpt_{id(snapshots)}", ignore_errors=True)
+    assert len(snapshots) >= 2  # revisions over triggers
+    ev = _batch_events(spark)
+    want = top_n(
+        ev.groupBy("user_id").agg(F.sum("value").alias("total")),
+        [], [F.col("total").desc(), F.col("user_id")], 5,
+    ).collect()
+    final = snapshots[-1]
+    assert [(r.user_id, round(r.total, 6)) for r in final] == [
+        (r.user_id, round(r.total, 6)) for r in want
+    ]
