@@ -133,7 +133,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     """
     from pyspark.sql.window import Window
 
-    sh = shingles(docs, n)
+    # shingles are read 4x (freq, sizes, prefixes, verification); at
+    # fixture scale localCheckpoint materializes them once (lineage cut,
+    # GC-managed); at 100 TB the same role is a staged parquet write.
+    sh = shingles(docs, n).localCheckpoint(eager=False)
     freq = sh.groupBy("g").agg(F.count("*").alias("df"))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "g")
@@ -217,7 +220,7 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact-Jaccard verify."""
-    sh = shingles(docs, n)
+    sh = shingles(docs, n).localCheckpoint(eager=False)
     cand = lsh_candidates(minhash_signatures(sh))
     return (
         _pair_jaccard(cand, sh)

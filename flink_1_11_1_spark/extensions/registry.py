@@ -42,7 +42,8 @@ def _load() -> None:
     if _LOADED:
         return
     from . import dedup, similarity, sql_surface, text  # noqa: F401
-    from ..operators import declared_ops
+    from ..operators import declared_ops, declared_ops2
 
     declared_ops.register_all()
+    declared_ops2.register_all()
     _LOADED = True
