@@ -42,8 +42,9 @@ def _load() -> None:
     if _LOADED:
         return
     from . import dedup, similarity, sql_surface, text  # noqa: F401
-    from ..operators import declared_ops, declared_ops2
+    from ..operators import declared_ops, declared_ops2, declared_ops3
 
     declared_ops.register_all()
     declared_ops2.register_all()
+    declared_ops3.register_all()
     _LOADED = True

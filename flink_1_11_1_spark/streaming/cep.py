@@ -63,9 +63,14 @@ def _process_events(
     events: pd.DataFrame,
     pending: list[tuple[int, int]],
     horizon_us: int,
+    strict: bool = False,
 ) -> tuple[list[tuple], list[tuple[int, int]]]:
     """Pure NFA step: fold a (ts, event_id)-sorted batch into state.
 
+    ``strict=False``: followedBy (relaxed contiguity) — A stays pending
+    through unrelated events until its first B or horizon expiry.
+    ``strict=True``: next (strict contiguity) — any intervening event
+    that is not a B-match clears the pending A (Flink Pattern.next()).
     Returns (matches, new_pending); shared by both streaming backends
     so their semantics cannot drift.
     """
@@ -74,9 +79,7 @@ def _process_events(
     for ev in events.itertuples():
         ts_us = int(ev.ts.value // 1000)  # pandas ns -> us
         max_seen = max(max_seen, ts_us)
-        if ev.is_a:
-            pending.append((int(ev.event_id), ts_us))
-        elif ev.is_b:
+        if ev.is_b and pending:
             matched = [
                 (aid, ats) for aid, ats in pending if ats <= ts_us <= ats + horizon_us
             ]
@@ -92,6 +95,14 @@ def _process_events(
                 )
             drop = set(matched)
             pending = [(a, t) for a, t in pending if (a, t) not in drop]
+            if strict:
+                pending = []
+        elif ev.is_a:
+            pending = [(int(ev.event_id), ts_us)] if strict else pending + [
+                (int(ev.event_id), ts_us)
+            ]
+        elif strict:
+            pending = []  # non-matching event breaks strict contiguity
     pending = [(a, t) for a, t in pending if t + horizon_us >= max_seen]
     return out, pending
 
@@ -119,7 +130,7 @@ def has_transform_with_state() -> bool:
 # ------------------------------------------- backend: transformWithState
 
 
-def _match_stream_tws(events: DataFrame, horizon_s: int) -> DataFrame:
+def _match_stream_tws(events: DataFrame, horizon_s: int, strict: bool = False) -> DataFrame:
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     horizon_us = horizon_s * 1_000_000
@@ -131,7 +142,7 @@ def _match_stream_tws(events: DataFrame, horizon_s: int) -> DataFrame:
         def handleInputRows(self, key, rows, timerValues):
             events_pd = _sorted_batch(rows)
             pend = [(int(r[0]), int(r[1])) for r in self.pending.get()]
-            out, pend = _process_events(key[0], events_pd, pend, horizon_us)
+            out, pend = _process_events(key[0], events_pd, pend, horizon_us, strict)
             self.pending.clear()
             if pend:
                 self.pending.appendList(pend)
@@ -154,7 +165,7 @@ def _match_stream_tws(events: DataFrame, horizon_s: int) -> DataFrame:
 # --------------------------------------- backend: applyInPandasWithState
 
 
-def _match_stream_aip(events: DataFrame, horizon_s: int) -> DataFrame:
+def _match_stream_aip(events: DataFrame, horizon_s: int, strict: bool = False) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     horizon_us = horizon_s * 1_000_000
@@ -166,7 +177,7 @@ def _match_stream_aip(events: DataFrame, horizon_s: int) -> DataFrame:
             pend = list(zip(a_ids, a_tss))
         else:
             pend = []
-        out, pend = _process_events(key[0], events_pd, pend, horizon_us)
+        out, pend = _process_events(key[0], events_pd, pend, horizon_us, strict)
         if pend:
             state.update(([a for a, _ in pend], [t for _, t in pend]))
         elif state.exists:
@@ -200,6 +211,7 @@ def match_stream(
     horizon_s: int = 3600,
     a_cond: str = A_COND,
     b_cond: str = B_COND,
+    strict: bool = False,
 ) -> DataFrame:
     """Streaming A→B-within pattern over an events stream
     (columns: user_id, event_id, ts + whatever the conditions read)."""
@@ -208,8 +220,8 @@ def match_stream(
     configure(events.sparkSession)  # ships this package to executors
     flagged = _with_flags(events, a_cond, b_cond)
     if has_transform_with_state():
-        return _match_stream_tws(flagged, horizon_s)
-    return _match_stream_aip(flagged, horizon_s)
+        return _match_stream_tws(flagged, horizon_s, strict)
+    return _match_stream_aip(flagged, horizon_s, strict)
 
 
 # ----------------------------------------------------------- batch twin
@@ -220,6 +232,7 @@ def match_batch(
     horizon_s: int = 3600,
     a_cond: str = A_COND,
     b_cond: str = B_COND,
+    strict: bool = False,
 ) -> DataFrame:
     """Identical pattern semantics as a batch plan (also the S6 oracle).
 
@@ -227,6 +240,28 @@ def match_batch(
     regardless of event-id order, while the stream processes
     (ts, event_id)-ordered — absent in the fixtures.
     """
+    if strict:
+        # Pattern.next(): B must be the IMMEDIATELY following event of its
+        # key — lag over the full event sequence, not a pair join.
+        flagged = _with_flags(events, a_cond, b_cond)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = flagged.select(
+            "*",
+            F.lag("is_a").over(w).alias("_prev_a"),
+            F.lag("event_id").over(w).alias("_prev_id"),
+            F.lag("ts").over(w).alias("_prev_ts"),
+        )
+        return seq.where(
+            F.col("is_b")
+            & F.col("_prev_a")
+            & (F.col("ts") <= F.col("_prev_ts") + F.expr(f"INTERVAL {horizon_s} SECOND"))
+        ).select(
+            "user_id",
+            F.col("_prev_id").alias("a_id"),
+            F.col("event_id").alias("b_id"),
+            F.col("_prev_ts").alias("a_ts"),
+            F.col("ts").alias("b_ts"),
+        )
     a = events.where(a_cond).select(
         "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
     )

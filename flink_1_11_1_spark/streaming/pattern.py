@@ -48,27 +48,40 @@ class Pattern:
     a_cond: str
     b_cond: str | None = None
     horizon_s: int = 3600
+    strict: bool = False
 
     @staticmethod
     def begin(cond: str) -> Pattern:
         return Pattern(a_cond=cond)
 
     def followed_by(self, cond: str) -> Pattern:
+        """Relaxed contiguity: other events may occur between A and B."""
         if self.b_cond is not None:
             raise ValueError("CEP-lite supports exactly two states (A, B)")
-        return Pattern(self.a_cond, cond, self.horizon_s)
+        return Pattern(self.a_cond, cond, self.horizon_s, False)
+
+    def next_(self, cond: str) -> Pattern:
+        """Strict contiguity (Flink Pattern.next): B must be the
+        immediately-following event of the key."""
+        if self.b_cond is not None:
+            raise ValueError("CEP-lite supports exactly two states (A, B)")
+        return Pattern(self.a_cond, cond, self.horizon_s, True)
 
     def within(self, interval: str | int) -> Pattern:
-        return Pattern(self.a_cond, self.b_cond, _parse_interval(interval))
+        return Pattern(self.a_cond, self.b_cond, _parse_interval(interval), self.strict)
 
     def _check(self) -> None:
         if self.b_cond is None:
-            raise ValueError("pattern needs .followed_by(condition)")
+            raise ValueError("pattern needs .followed_by/.next_(condition)")
 
     def match_stream(self, events: DataFrame) -> DataFrame:
         self._check()
-        return cep.match_stream(events, self.horizon_s, self.a_cond, self.b_cond)
+        return cep.match_stream(
+            events, self.horizon_s, self.a_cond, self.b_cond, self.strict
+        )
 
     def match_batch(self, events: DataFrame) -> DataFrame:
         self._check()
-        return cep.match_batch(events, self.horizon_s, self.a_cond, self.b_cond)
+        return cep.match_batch(
+            events, self.horizon_s, self.a_cond, self.b_cond, self.strict
+        )

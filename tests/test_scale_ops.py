@@ -124,3 +124,118 @@ def test_pattern_api_validation():
         Pattern.begin("a").followed_by("b").followed_by("c")
     with pytest.raises(ValueError, match="unsupported interval"):
         Pattern.begin("a").followed_by("b").within("soon")
+
+
+def test_pattern_next_strict_contiguity(spark):
+    """next() matches only immediately-adjacent A,B per key."""
+    from flink_1_11_1_spark.streaming import cep
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    strict = cep.match_batch(
+        ev, 3600, "event_type = 'view'", "event_type = 'click'", strict=True
+    )
+    relaxed = cep.match_batch(
+        ev, 3600, "event_type = 'view'", "event_type = 'click'", strict=False
+    )
+    s_rows = {(r.user_id, r.a_id, r.b_id) for r in strict.collect()}
+    r_rows = {(r.user_id, r.a_id, r.b_id) for r in relaxed.collect()}
+    assert s_rows  # non-vacuous
+    assert s_rows <= r_rows  # strict is a subset of relaxed
+    # every strict match is truly adjacent: no event between a_id and b_id
+    all_ev = ev.select("user_id", "event_id", "ts").collect()
+    by_user = {}
+    for r in sorted(all_ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r.event_id)
+    for u, a, b in s_rows:
+        seq = by_user[u]
+        assert seq.index(b) == seq.index(a) + 1
+
+
+def test_pattern_next_stream_equals_batch(spark):
+    import tempfile
+
+    from flink_1_11_1_spark.streaming import cep, replay
+
+    d = tempfile.mkdtemp(prefix="strict_replay_")
+    try:
+        replay.write_replay(spark, SF_SMOKE, d, parts=4)
+        stream = replay.events_stream(spark, d).select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+        got, _ = replay.run_stream(
+            cep.match_stream(
+                stream, 3600, "event_type = 'view'", "event_type = 'click'", strict=True
+            ),
+            "append",
+            "strict_cep",
+        )
+        want = cep.match_batch(
+            catalog.load_table(spark, SF_SMOKE, "events"),
+            3600, "event_type = 'view'", "event_type = 'click'", strict=True,
+        ).collect()
+        # the flush sentinel (user -1) breaks no real key's contiguity
+        got_s = {(r.user_id, r.a_id, r.b_id) for r in got if r.user_id >= 0}
+        assert got_s == {(r.user_id, r.a_id, r.b_id) for r in want}
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_connected_streams_threshold_filter(spark):
+    """Control stream updates per-key thresholds; data filtered by the
+    threshold valid at each row's time.  Batch twin: as-of join."""
+    import tempfile
+
+    from flink_1_11_1_spark.operators import joins
+    from flink_1_11_1_spark.streaming import connect, replay
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    data = ev.select(
+        F.col("event_type").alias("key"), "ts", "event_id", "value"
+    )
+    # deterministic control rows: per event_type, thresholds at day 5/15
+    control = spark.createDataFrame(
+        [
+            (t, f"2024-01-{d:02d} 00:00:00", thr)
+            for t in ["click", "purchase", "error", "signup", "view"]
+            for d, thr in [(5, 40.0), (15, 70.0)]
+        ],
+        ["key", "ts_s", "threshold"],
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "threshold")
+
+    d1 = tempfile.mkdtemp(prefix="conn_c_")
+    d2 = tempfile.mkdtemp(prefix="conn_d_")
+    try:
+        replay.write_replay_frames([control], d1)
+        half = data.where("event_id < 500")
+        rest = data.where("event_id >= 500")
+        replay.write_replay_frames([half, rest], d2)
+        c_schema = spark.read.parquet(d1 + "/chunk_000.parquet").schema
+        d_schema = spark.read.parquet(d2 + "/chunk_000.parquet").schema
+        c_stream = spark.readStream.schema(c_schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(d1 + "/chunk_*.parquet")
+        d_stream = spark.readStream.schema(d_schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(d2 + "/chunk_*.parquet")
+        out = connect.dynamic_threshold_filter(c_stream, d_stream)
+        got, _ = replay.run_stream(out, "append", "conn_thr")
+        # batch twin: as-of join data -> latest control at-or-before ts
+        want = joins.asof_join(
+            data, control.withColumnRenamed("ts", "c_ts"),
+            on=["key"], left_time="ts", right_time="c_ts",
+            right_cols=["threshold"],
+        )
+        want_rows = want.where(
+            F.col("value") >= F.coalesce(F.col("threshold"), F.lit(float("-inf")))
+        ).collect()
+        assert {(r.key, r.event_id) for r in got} == {
+            (r.key, r.event_id) for r in want_rows
+        }
+        assert 0 < len(got) < data.count()  # filter actually filtered
+    finally:
+        import shutil
+
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
