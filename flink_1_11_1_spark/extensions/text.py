@@ -70,12 +70,15 @@ def lang_id_expr() -> str:
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
 
+# NOTE: use cast(... as double), never `* 1.0` — a `1.0` literal is
+# DECIMAL in Spark, and a DECIMAL(p,4) output renders '4.6250' where
+# DuckDB's DOUBLE renders '4.625' (cross-engine hash mismatch).
 STATS_SQL = f"""
 SELECT doc_id, lang, n_chars,
        {N_TOKENS} AS n_tokens,
-       round({N_ALPHA} * 1.0 / {N_TOKENS}, 4) AS avg_token_len,
-       round({_count_word('the')} * 1.0 / {N_TOKENS}, 4) AS stop_ratio,
-       CASE WHEN {N_TOKENS} >= 20 AND {N_ALPHA} * 1.0 / {N_TOKENS} >= 3.0
+       round(cast({N_ALPHA} as double) / {N_TOKENS}, 4) AS avg_token_len,
+       round(cast({_count_word('the')} as double) / {N_TOKENS}, 4) AS stop_ratio,
+       CASE WHEN {N_TOKENS} >= 20 AND cast({N_ALPHA} as double) / {N_TOKENS} >= 3.0
             THEN 'keep' ELSE 'drop' END AS quality_band
 FROM documents
 ORDER BY doc_id
