@@ -69,6 +69,15 @@ def _lit_escape(sep: str) -> str:
     return re.escape(sep)
 
 
+def overlaps(
+    a_start: Column | str, a_end: Column | str, b_start: Column | str, b_end: Column | str
+) -> Column:
+    """SQL-standard (a_start, a_end) OVERLAPS (b_start, b_end) — Flink
+    supports the literal syntax, Spark does not (found by the §3.10
+    inventory test); the semantics are this closed form."""
+    return (_c(a_start) <= _c(b_end)) & (_c(b_start) <= _c(a_end))
+
+
 def collect_multiset(col: str, element_type: str = "string") -> Column:
     """COLLECT aggregate → MULTISET convention (SURVEY.md §2.2): Spark
     has no MULTISET type; the engine convention is ``map<value, count>``.

@@ -252,3 +252,59 @@ def test_approx_count_distinct_extension(spark):
     approx = orders.agg(F.approx_count_distinct("o_custkey").alias("a")).first().a
     exact = orders.select("o_custkey").distinct().count()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_cdc_stream_end_to_end(spark, tmpdir):
+    """CDC envelopes through a real file stream: decode -> foreachBatch
+    materialize into an upsert dict -> final state equals the hand-known
+    outcome (the streaming ingestion path of debezium-json)."""
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    from flink_1_11_1_spark.operators import cdc
+
+    envs = [
+        (0, '{"before": null, "after": {"id": 1, "name": "a", "qty": 1}, "op": "c"}'),
+        (1, '{"before": null, "after": {"id": 2, "name": "b", "qty": 2}, "op": "c"}'),
+        (2, '{"before": {"id": 1, "name": "a", "qty": 1}, '
+            '"after": {"id": 1, "name": "a2", "qty": 5}, "op": "u"}'),
+        (3, '{"before": {"id": 2, "name": "b", "qty": 2}, "after": null, "op": "d"}'),
+        (4, '{"before": null, "after": {"id": 3, "name": "c", "qty": 9}, "op": "c"}'),
+    ]
+    df1 = spark.createDataFrame(envs[:3], ["seq", "value"])
+    df2 = spark.createDataFrame(envs[3:], ["seq", "value"])
+    from flink_1_11_1_spark.streaming import replay
+
+    rdir = os.path.join(tmpdir, "cdc_replay")
+    replay.write_replay_frames([df1, df2], rdir)
+    schema = spark.read.parquet(os.path.join(rdir, "chunk_000.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(rdir, "chunk_*.parquet"))
+    )
+    row_schema = (
+        StructType()
+        .add("id", IntegerType())
+        .add("name", StringType())
+        .add("qty", IntegerType())
+    )
+    decoded = cdc.debezium_decode(stream, "value", row_schema)
+
+    state = {}
+
+    def apply_batch(batch_df, batch_id):
+        for r in sorted(batch_df.collect(), key=lambda r: (r.seq, r.row_kind == "+U")):
+            if r.row_kind in ("+I", "+U"):
+                state[r.id] = (r.name, r.qty)
+            elif r.row_kind == "-D":
+                state.pop(r.id, None)
+
+    q = (
+        decoded.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(tmpdir, "cdc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert state == {1: ("a2", 5), 3: ("c", 9)}
