@@ -113,6 +113,32 @@ def interval_join(
     return left.join(right, cond, how)
 
 
+class StreamingLookupJoin:
+    """foreachBatch adapter for the streaming lookup join
+    (StreamExecLookupJoin with a periodically-refreshed dimension).
+
+    ``loader()`` is called once per micro-batch — the dimension snapshot
+    visible when the batch starts serves every row of the batch (the
+    documented batch-level contract replacing Flink's per-row lookup).
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(StreamingLookupJoin(loader, on_cond, sink_fn))
+             .start())
+    """
+
+    def __init__(self, loader, on, sink, how: str = "left"):
+        self.loader = loader
+        self.on = on
+        self.sink = sink
+        self.how = how
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        dim = self.loader()
+        self.sink(batch_id, lookup_join(batch_df, dim, self.on, self.how))
+
+
 def lookup_join(
     facts: DataFrame,
     dim: DataFrame,

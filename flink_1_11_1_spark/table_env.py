@@ -49,6 +49,8 @@ class TableSpec:
         """Batch scan with computed columns projected."""
         configure(spark)
         r = spark.read.format(self.fmt)
+        if self.fmt == "csv":
+            r = r.option("header", True)  # engine convention (sources.files)
         if self.schema:
             r = r.schema(self.schema)
         return self._apply_computed(r.load(self.path))
@@ -58,6 +60,8 @@ class TableSpec:
         (StreamExecTableSourceScan + StreamExecWatermarkAssigner)."""
         configure(spark)
         r = spark.readStream.format(self.fmt)
+        if self.fmt == "csv":
+            r = r.option("header", True)
         schema = self.schema or spark.read.format(self.fmt).load(self.path).schema
         df = self._apply_computed(r.schema(schema).load(self.path))
         if self.watermark_col and self.watermark_delay:

@@ -115,3 +115,100 @@ def test_ceil_to_unit(spark):
     )
     r = df.first()
     assert str(r.c1) == "2024-01-01 11:00:00" and str(r.c2) == "2024-01-01 10:00:00"
+
+
+def test_streaming_lookup_join_refreshes_dim(spark, tmp_path):
+    """The dimension is re-loaded per micro-batch: rows arriving in batch
+    1 see the UPDATED dim (Flink's periodically-refreshed lookup)."""
+    from flink_1_11_1_spark.streaming import replay
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    rdir = str(tmp_path / "lk_replay")
+    replay.write_replay_frames(
+        [ev.where("event_id < 500"), ev.where("event_id >= 500")], rdir
+    )
+    schema = spark.read.parquet(rdir + "/chunk_000.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir + "/chunk_*.parquet")
+    )
+
+    versions = iter(["v1", "v2", "v2", "v2"])  # one loader call per batch
+
+    def loader():
+        v = next(versions)
+        return spark.createDataFrame(
+            [(t, f"{t}-{v}") for t in ["click", "purchase", "error", "signup", "view"]],
+            ["event_type", "label"],
+        )
+
+    got = {}
+
+    def sink(batch_id, df):
+        got[batch_id] = [(r.event_id, r.label) for r in df.collect()]
+
+    q = (
+        stream.writeStream.foreachBatch(
+            joins.StreamingLookupJoin(loader, "event_type", sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "lk_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(got) >= 2
+    first_batch_labels = {lab for _, lab in got[0]}
+    last_batch_labels = {lab for _, lab in got[max(got)]}
+    assert all(lab.endswith("-v1") for lab in first_batch_labels)
+    assert all(lab.endswith("-v2") for lab in last_batch_labels)
+
+
+def test_to_upsert_stream_update_mode(spark, tmp_path):
+    from flink_1_11_1_spark.streaming import changelog, replay
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    rdir = str(tmp_path / "up_replay")
+    replay.write_replay_frames(
+        [ev.where("event_id < 500"), ev.where("event_id >= 500")], rdir
+    )
+    schema = spark.read.parquet(rdir + "/chunk_000.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir + "/chunk_*.parquet")
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = changelog.to_upsert_stream(
+        agg, str(tmp_path / "up_ckpt"), "memory", queryName="upsert_t"
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode: last revision per key equals the batch aggregate
+    rows = spark.sql("SELECT * FROM upsert_t").collect()
+    last = {}
+    for r in rows:  # memory sink appends revisions in trigger order
+        last[r.event_type] = r.n
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert last == want
+
+
+def test_table_spec_csv_with_schema(spark, tmp_path):
+    from flink_1_11_1_spark.table_env import TableSpec
+
+    nation = catalog.load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).csv(path)
+    spec = TableSpec(
+        path=path,
+        fmt="csv",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        computed={"region_bucket": "n_regionkey % 2"},
+    )
+    df = spec.load(spark)
+    assert df.count() == 25 and "region_bucket" in df.columns
