@@ -11,7 +11,11 @@ Engine: ``flink_1_11_1_spark`` (see SURVEY.md; the declared queries are
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # driver-cwd safety
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -41,7 +41,7 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import dedup, similarity, sql_surface, text, tpch_extra  # noqa: F401
+    from . import dedup, pipeline, similarity, sql_surface, text, tpch_extra  # noqa: F401
     from ..operators import declared_ops, declared_ops2, declared_ops3
 
     declared_ops.register_all()
