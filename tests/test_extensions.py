@@ -74,3 +74,17 @@ def test_brute_force_topk_is_exact(spark):
     rows = top.collect()
     assert len(rows) == 15
     assert all(-1.0001 <= r.sim <= 1.0001 for r in rows)
+
+
+def test_quantized_topk_recall(spark):
+    """int8 shortlist + exact re-rank recovers the exact top-1 on the
+    fixtures (deterministic, so this also guards x_ann_quantized's
+    shared oracle)."""
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where("vec_id < 50")
+    exact = {r.qid: r.nid for r in similarity.cosine_topk(q, emb, 1).collect()}
+    quant = {r.qid: r.nid for r in similarity.quantized_topk(q, emb, 1, 32).collect()}
+    assert quant == exact
+    # and the quantized arrays are genuinely tinyint (4x scan payload)
+    qdf = similarity.quantize_embeddings(emb)
+    assert dict(qdf.dtypes)["q"] == "array<tinyint>"
