@@ -131,3 +131,14 @@ def register_flink_functions(spark: SparkSession) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {rtype} RETURN {body}"
         )
+
+
+def single_value(col: Column | str) -> Column:
+    """SINGLE_VALUE aggregate (Flink SqlSingleValueAggFunction): the
+    group's one value; ERRORS if the group holds more than one distinct
+    value — Spark has no equivalent, composed from count+raise_error."""
+    c = _c(col)
+    return F.when(
+        F.count_distinct(c) > 1,
+        F.raise_error(F.lit("SINGLE_VALUE: more than one value in group")),
+    ).otherwise(F.max(c))

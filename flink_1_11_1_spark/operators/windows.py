@@ -100,3 +100,22 @@ def count_tumble(
     return df.withColumn(
         "count_window", ((F.row_number().over(w) - 1) / size).cast("long")
     )
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    size: str,
+) -> DataFrame:
+    """DataStream window join (JoinedStreams: ``a.join(b).where(key)
+    .window(TumblingEventTimeWindows.of(size))``): pairs that share the
+    key AND the tumbling window.  Realized as an equi-join on
+    (keys, window bucket) — one shuffle, no time-range residual.
+    """
+    lw = left.withColumn("_w", F.window(left_ts, size))
+    rw = right.withColumn("_w", F.window(right_ts, size))
+    out = lw.join(rw, [*keys, "_w"])
+    return out.withColumn("window_start", F.col("_w.start")).drop("_w")

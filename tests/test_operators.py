@@ -212,3 +212,33 @@ def test_table_spec_csv_with_schema(spark, tmp_path):
     )
     df = spec.load(spark)
     assert df.count() == 25 and "region_bucket" in df.columns
+
+
+def test_window_join(spark):
+    """DataStream window join: same key + same tumbling window."""
+    from flink_1_11_1_spark.operators import windows as W
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    a = ev.where("event_type = 'view'").select(
+        "user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    got = W.window_join(a, b, ["user_id"], "a_ts", "b_ts", "1 hour")
+    want = a.join(b, "user_id").where(
+        F.date_trunc("hour", "a_ts") == F.date_trunc("hour", "b_ts")
+    )
+    assert {(r.user_id, r.a_id, r.b_id) for r in got.collect()} == {
+        (r.user_id, r.a_id, r.b_id) for r in want.collect()
+    }
+    assert got.count() > 0
+
+
+def test_single_value_aggregate(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], ["k", "v"])
+    rows = df.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
+    assert {(r.k, r.sv) for r in rows} == {(1, "x"), (2, "y")}
+    bad = spark.createDataFrame([(1, "x"), (1, "z")], ["k", "v"])
+    with pytest.raises(Exception, match="SINGLE_VALUE"):
+        bad.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
