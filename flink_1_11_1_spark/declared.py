@@ -236,9 +236,11 @@ FROM part ORDER BY p_partkey LIMIT 200''',
     'q30': r'''
 -- Q30 math battery
 SELECT l_orderkey, l_linenumber, abs(-l_quantity) a, round(l_extendedprice, 1) r,
-       ceil(l_discount * 100) ce, floor(l_tax * 100) fl, round(mod(l_quantity, 7),0) md,
+       cast(ceil(l_discount * 100) as bigint) ce, cast(floor(l_tax * 100) as bigint) fl,
+       round(mod(l_quantity, 7),0) md,
        round(power(l_quantity, 2), 2) pw, round(sqrt(l_extendedprice), 4) sq,
-       round(ln(l_extendedprice), 4) lg, round(exp(l_discount), 4) ex, sign(l_quantity - 25) sg
+       round(ln(l_extendedprice), 4) lg, round(exp(l_discount), 4) ex,
+       cast(sign(l_quantity - 25) as double) sg
 FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber''',
     'q31': r'''
 -- Q31 date/time battery

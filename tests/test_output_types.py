@@ -22,3 +22,50 @@ def test_no_decimal_output_columns(spark):
         df = fn(spark, SF_SMOKE)
         offenders += [(name, c, t) for c, t in df.dtypes if "decimal" in t]
     assert not offenders, offenders
+
+
+def test_no_cross_engine_type_class_mismatch(spark, duck):
+    """Every oracle-backed entry must agree with DuckDB on the type
+    CLASS (int/float/str/ts/date/bool) of each output column — an
+    int-vs-float column (e.g. Spark ceil()->BIGINT vs DuckDB ->DOUBLE)
+    canonicalizes as '4' vs '4.0' under plausible comparers.  Integer
+    WIDTH differences (int vs bigint) are fine.  Planning-only."""
+    import __spark_entry__ as e
+
+    def duck_class(t):
+        t = t.upper()
+        if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT"):
+            return "int"
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            return "float"
+        if t == "VARCHAR":
+            return "str"
+        if t.startswith("TIMESTAMP"):
+            return "ts"
+        return {"DATE": "date", "BOOLEAN": "bool"}.get(t, t)
+
+    def spark_class(t):
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            return "int"
+        if t in ("double", "float"):
+            return "float"
+        if t == "string":
+            return "str"
+        if t.startswith("timestamp"):
+            return "ts"
+        return {"date": "date", "boolean": "bool"}.get(t, t)
+
+    qs, osql = e.queries(), e.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        if name not in osql:
+            continue
+        sd = dict(fn(spark, SF_SMOKE).dtypes)
+        dd = {
+            r[0]: r[1]
+            for r in duck.execute(f"DESCRIBE SELECT * FROM ({osql[name]})").fetchall()
+        }
+        for c, st in sd.items():
+            if c in dd and spark_class(st) != duck_class(dd[c]):
+                bad.append((name, c, st, dd[c]))
+    assert not bad, bad
