@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the hand-built operators.
+
+The reference has no systematic property-based testing (SURVEY.md §6.1
+— serializer matrices only); these go beyond it: randomized inputs vs
+pure-python reference implementations.  ``derandomize=True`` keeps CI
+deterministic; examples are kept small because each case is a Spark job.
+"""
+
+import bisect
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_1_11_1_spark.operators import cdc, joins, rank
+
+SMALL = settings(derandomize=True, max_examples=12, deadline=None)
+
+_keys = st.integers(min_value=0, max_value=3)
+_times = st.integers(min_value=0, max_value=50)
+
+
+@SMALL
+@given(
+    st.lists(
+        st.tuples(_keys, st.sampled_from(["+I", "+U", "-D"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_materialize_equals_python_fold(spark, changelog_rows):
+    rows = [
+        (seq, k, kind, val) for seq, (k, kind, val) in enumerate(changelog_rows)
+    ]
+    df = spark.createDataFrame(rows, ["seq", "k", "row_kind", "val"])
+    got = {
+        (r.k): r.val
+        for r in cdc.materialize(df, keys=["k"], seq_col="seq").collect()
+    }
+    ref: dict[int, int] = {}
+    for _seq, k, kind, val in rows:
+        ref[k] = (kind, val)
+    want = {k: v for k, (kind, v) in ref.items() if kind in ("+I", "+U")}
+    assert got == want
+
+
+@SMALL
+@given(
+    st.lists(st.tuples(_keys, _times), min_size=1, max_size=15),
+    st.lists(st.tuples(_keys, _times, st.integers(0, 9)), min_size=0, max_size=15),
+)
+def test_asof_join_equals_bisect_reference(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], ["lid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right_rows] or [(99, -1, 0)], ["k", "rt", "v"]
+    )
+    got = {
+        r.lid: r.v
+        for r in joins.asof_join(
+            left, right, on=["k"], left_time="t", right_time="rt",
+            right_cols=["v"], tie_break=["v"],
+        ).collect()
+    }
+    # python reference: per key, sorted (rt, v); match = last with rt <= t
+    by_key: dict[int, list] = {}
+    rr = right_rows or [(99, -1, 0)]
+    for k, t, v in sorted(rr, key=lambda r: (r[1], r[2])):
+        by_key.setdefault(k, []).append((t, v))
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        cands = by_key.get(k, [])
+        pos = bisect.bisect_right([c[0] for c in cands], t)
+        want[i] = cands[pos - 1][1] if pos else None
+    assert got == want
+
+
+@SMALL
+@given(
+    st.lists(st.tuples(_keys, st.integers(0, 99), st.integers(0, 99)), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=4),
+)
+def test_top_n_equals_python_sort(spark, rows, n):
+    df = spark.createDataFrame(
+        [(i, k, a, b) for i, (k, a, b) in enumerate(rows)], ["rid", "k", "a", "b"]
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.k, r.rn): r.rid
+        for r in rank.top_n(
+            df, ["k"], [F.col("a").desc(), F.col("b"), F.col("rid")], n
+        ).collect()
+    }
+    by_key: dict[int, list] = {}
+    for i, (k, a, b) in enumerate(rows):
+        by_key.setdefault(k, []).append((-a, b, i))
+    want = {}
+    for k, items in by_key.items():
+        for rn, (_, _, rid) in enumerate(sorted(items)[:n], start=1):
+            want[(k, rn)] = rid
+    assert got == want
