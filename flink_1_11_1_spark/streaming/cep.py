@@ -281,3 +281,31 @@ def match_batch(
         .where("rn = 1")
         .select("user_id", "a_id", "b_id", "a_ts", "b_ts")
     )
+
+
+# ------------------------------------------------- oneOrMore quantifier
+
+
+def match_one_or_more(
+    events: DataFrame,
+    horizon_s: int = 3600,
+    a_cond: str = A_COND,
+    b_cond: str = B_COND,
+) -> DataFrame:
+    """``Pattern.begin(A).oneOrMore().followedBy(B).within(t)`` (greedy):
+    each B event closes over ALL pending A's within its horizon.
+
+    Derivation: under the engine's relaxed-contiguity semantics every
+    pending A matches its first B — so the A-set a B collects is exactly
+    the group of (A, B) pairs sharing that B.  Batch realization: group
+    ``match_batch`` by (key, b_id).  Streaming: all pairs for one B are
+    emitted in a single processor invocation, so the same groupBy inside
+    ``foreachBatch`` over ``match_stream`` output is exact.
+    """
+    pairs = match_batch(events, horizon_s, a_cond, b_cond)
+    return pairs.groupBy("user_id", "b_id").agg(
+        F.count("*").alias("n_a"),
+        F.min("a_id").alias("first_a"),
+        F.max("a_id").alias("last_a"),
+        F.max("b_ts").alias("b_ts"),
+    )

@@ -85,3 +85,10 @@ class Pattern:
         return cep.match_batch(
             events, self.horizon_s, self.a_cond, self.b_cond, self.strict
         )
+
+
+def one_or_more_match_batch(
+    events: DataFrame, a_cond: str, b_cond: str, within: str | int
+) -> DataFrame:
+    """Fluent-adjacent helper for the oneOrMore quantifier (greedy A+)."""
+    return cep.match_one_or_more(events, _parse_interval(within), a_cond, b_cond)

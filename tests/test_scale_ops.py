@@ -239,3 +239,22 @@ def test_connected_streams_threshold_filter(spark):
 
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_one_or_more_quantifier(spark):
+    """Greedy A+ followedBy B: every B's A-set = the pairs sharing it,
+    and n_a sums to the total pair count."""
+    from flink_1_11_1_spark.streaming import cep
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    pairs = cep.match_batch(ev, 3600, "event_type = 'view'", "event_type = 'click'")
+    grouped = cep.match_one_or_more(
+        ev, 3600, "event_type = 'view'", "event_type = 'click'"
+    )
+    g = {(r.user_id, r.b_id): (r.n_a, r.first_a, r.last_a) for r in grouped.collect()}
+    p = pairs.collect()
+    assert sum(n for n, _, _ in g.values()) == len(p)
+    for (u, b), (n, fa, la) in g.items():
+        mine = sorted(r.a_id for r in p if r.user_id == u and r.b_id == b)
+        assert len(mine) == n and mine[0] == fa and mine[-1] == la
+    assert len(g) > 0
