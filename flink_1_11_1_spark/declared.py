@@ -145,7 +145,7 @@ FROM part p ORDER BY p_partkey LIMIT 100''',
 -- Q15 agg battery: distinct agg, FILTER clause, count_if, stddev/var
 SELECT o_orderpriority, count(*) n, count(DISTINCT o_custkey) nd,
        count(*) FILTER (WHERE o_orderstatus = 'F') nf,
-       count_if(o_totalprice > 100000) big,
+       cast(count_if(o_totalprice > 100000) as bigint) big,
        round(stddev_samp(o_totalprice),2) sd, round(var_pop(o_totalprice),2) vp,
        round(min(o_totalprice),2) mn, round(max(o_totalprice),2) mx
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority''',
@@ -289,7 +289,7 @@ WITH marked AS (
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
   FROM events),
  sess AS (SELECT user_id, ts, value,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts) sid
+                 cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) as bigint) sid
           FROM marked)
 SELECT user_id, sid, count(*) n, round(sum(value), 2) sv,
        cast(date_trunc('second', min(ts)) as string) sstart

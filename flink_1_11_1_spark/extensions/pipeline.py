@@ -49,7 +49,7 @@ quality AS (
   SELECT *, {lang_id_expr()} AS pred_lang FROM dedup
   WHERE {N_TOKENS} >= 20 AND cast({N_ALPHA} as double) / {N_TOKENS} >= 3.0
 )
-SELECT pred_lang, count(*) n_docs, sum({N_TOKENS}) n_tokens
+SELECT pred_lang, count(*) n_docs, cast(sum({N_TOKENS}) as bigint) n_tokens
 FROM quality GROUP BY pred_lang ORDER BY pred_lang
 """
 

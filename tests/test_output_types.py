@@ -34,7 +34,7 @@ def test_no_cross_engine_type_class_mismatch(spark, duck):
 
     def duck_class(t):
         t = t.upper()
-        if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT"):
+        if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
             return "int"
         if t in ("DOUBLE", "FLOAT", "REAL"):
             return "float"
@@ -68,4 +68,21 @@ def test_no_cross_engine_type_class_mismatch(spark, duck):
         for c, st in sd.items():
             if c in dd and spark_class(st) != duck_class(dd[c]):
                 bad.append((name, c, st, dd[c]))
+    assert not bad, bad
+
+
+def test_no_hugeint_oracle_columns(duck):
+    """No oracle may emit HUGEINT (int128): DuckDB widens sum(BIGINT) /
+    count_if to HUGEINT, which Spark has no counterpart for and which the
+    driver's hasher renders differently from BIGINT — the q15/q36/
+    x_pipeline_clean hash failures of rounds 1-2.  Every integer aggregate
+    in a shared query text must be wrapped in cast(... as bigint).
+    Planning-only (DESCRIBE)."""
+    import __spark_entry__ as e
+
+    bad = []
+    for name, sql in e.oracle_sql().items():
+        for col, typ, *_ in duck.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall():
+            if "HUGEINT" in typ.upper():
+                bad.append((name, col, typ))
     assert not bad, bad
