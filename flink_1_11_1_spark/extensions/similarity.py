@@ -205,16 +205,24 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization: q = round(v/scale),
     scale = max|v|/127.  4x less scan bandwidth — at 100 TB the
     embedding scan is memory-bound, so this is the cheap 4x.
-    JVM expressions only (tinyint arrays + a float scale)."""
+    JVM expressions only (tinyint arrays + a float scale).
+
+    All-zero vectors get scale=0 and an all-zero q (the divisor is
+    guarded) — without the guard 0/0 yields NaN which ANSI mode turns
+    into a cast error, silently corrupting the shortlist."""
     return emb.select(
         "vec_id",
         "label",
+        "embedding",
         F.expr(
             "aggregate(embedding, cast(0 as float), (m, x) -> greatest(m, abs(x))) / 127.0"
         ).alias("scale"),
+    ).select(
+        "vec_id",
+        "label",
+        "scale",
         F.expr(
-            "transform(embedding, x -> cast(round(x / (aggregate(embedding, "
-            "cast(0 as float), (m, y) -> greatest(m, abs(y))) / 127.0)) as tinyint))"
+            "transform(embedding, x -> cast(round(x / if(scale = 0.0, 1.0, scale)) as tinyint))"
         ).alias("q"),
     )
 

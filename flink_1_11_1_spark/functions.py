@@ -135,10 +135,12 @@ def register_flink_functions(spark: SparkSession) -> None:
 
 def single_value(col: Column | str) -> Column:
     """SINGLE_VALUE aggregate (Flink SqlSingleValueAggFunction): the
-    group's one value; ERRORS if the group holds more than one distinct
-    value — Spark has no equivalent, composed from count+raise_error."""
+    group's one value; ERRORS if the group holds more than one ROW —
+    including duplicate values and multiple NULLs, matching Flink's
+    row-count (not distinct-value) gate.  Composed from count+raise_error
+    since Spark has no equivalent."""
     c = _c(col)
     return F.when(
-        F.count_distinct(c) > 1,
-        F.raise_error(F.lit("SINGLE_VALUE: more than one value in group")),
+        F.count(F.lit(1)) > 1,
+        F.raise_error(F.lit("SINGLE_VALUE: more than one row in group")),
     ).otherwise(F.max(c))

@@ -81,12 +81,15 @@ def asof_join(
         .withColumn("_match", F.last("_asof_payload", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
-    out = matched.select(
+    if how == "inner":
+        # the match marker is the struct itself: a right row's payload
+        # struct is non-null even when every payload FIELD is null, so
+        # filtering on a payload column would drop legitimately-matched
+        # rows whose first right column happens to be NULL
+        matched = matched.where(F.col("_match").isNotNull())
+    return matched.select(
         *l_cols, *[F.col(f"_match.{c}").alias(c) for c in right_cols]
     )
-    if how == "inner":
-        out = out.where(F.col(right_cols[0]).isNotNull())
-    return out
 
 
 def interval_join(

@@ -88,3 +88,16 @@ def test_quantized_topk_recall(spark):
     # and the quantized arrays are genuinely tinyint (4x scan payload)
     qdf = similarity.quantize_embeddings(emb)
     assert dict(qdf.dtypes)["q"] == "array<tinyint>"
+
+
+def test_quantize_all_zero_vector_guarded(spark):
+    """An all-zero embedding must quantize to all-zero int8 with scale 0
+    — not NaN / a divide-by-zero error corrupting the shortlist
+    (regression: scale = max|v|/127 was used as divisor unguarded)."""
+    emb = spark.createDataFrame(
+        [(1, "z", [0.0, 0.0, 0.0]), (2, "a", [1.0, -2.0, 0.5])],
+        "vec_id bigint, label string, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
+    assert rows[1].scale == 0.0 and rows[1].q == [0, 0, 0]
+    assert rows[2].q[1] in (-127, 127) or abs(rows[2].q[1]) == 127

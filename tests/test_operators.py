@@ -58,6 +58,21 @@ def test_asof_join_no_match_is_null(spark):
     assert inner == []
 
 
+def test_asof_join_inner_keeps_null_payload_match(spark):
+    """Inner mode must keep a matched row whose first right payload
+    column is NULL — the match marker is the payload struct, not any
+    one field (regression: isNotNull on right_cols[0] dropped these)."""
+    left = spark.createDataFrame([(1, 20)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, None, "kept")], "k int, t2 int, v string, w string"
+    )
+    inner = joins.asof_join(
+        left, right, on=["k"], left_time="t", right_time="t2",
+        right_cols=["v", "w"], how="inner",
+    ).collect()
+    assert len(inner) == 1 and inner[0].v is None and inner[0].w == "kept"
+
+
 def test_canal_decode(spark):
     schema = (
         StructType()
@@ -236,9 +251,17 @@ def test_window_join(spark):
 
 
 def test_single_value_aggregate(spark):
-    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], ["k", "v"])
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
     rows = df.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
     assert {(r.k, r.sv) for r in rows} == {(1, "x"), (2, "y")}
     bad = spark.createDataFrame([(1, "x"), (1, "z")], ["k", "v"])
     with pytest.raises(Exception, match="SINGLE_VALUE"):
         bad.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
+    # Flink's SqlSingleValueAggFunction errors on >1 ROW, not >1 distinct
+    # value: duplicate values and multiple NULLs must both raise
+    dup = spark.createDataFrame([(1, "x"), (1, "x")], ["k", "v"])
+    with pytest.raises(Exception, match="SINGLE_VALUE"):
+        dup.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
+    nn = spark.createDataFrame([(1, None), (1, None)], "k int, v string")
+    with pytest.raises(Exception, match="SINGLE_VALUE"):
+        nn.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
