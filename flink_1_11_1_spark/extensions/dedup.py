@@ -237,10 +237,19 @@ SIM_BANDS = 4  # 16 bits each; hamming<=3 pairs share >=1 band (pigeonhole)
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc from xxhash64 token hashes (JVM-side)."""
+    """64-bit SimHash per doc from md5-derived token hashes (JVM-side).
+
+    The token hash is the lower 64 bits of md5(w) interpreted signed
+    (hex chars 17..32) — chosen over xxhash64 because md5 is bit-identical
+    in DuckDB, making the whole pipeline cross-engine oracle-checkable.
+    (xxhash64 is ~3x faster per token; swap back if oracle portability is
+    ever not needed.)"""
     toks = (
         docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
-        .select("doc_id", F.xxhash64("w").alias("h"))
+        .select(
+            "doc_id",
+            F.expr("cast(conv(substring(md5(w), 17, 16), 16, -10) as bigint)").alias("h"),
+        )
     )
     bit_votes = [
         F.sum(F.when(F.expr(f"(h >> {i}) & 1 = 1"), 1).otherwise(-1)).alias(f"b{i}")
@@ -294,6 +303,70 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of the full SimHash pipeline (closed-form oracle).
+
+    Token hash = lower 64 bits of md5(w) signed — built by folding the 16
+    hex nibbles in HUGEINT, then two's-complement to BIGINT; identical to
+    Spark's ``conv(substring(md5(w),17,16),16,-10)``.  Bit votes, band
+    keys, and the hamming verify mirror ``simhash_pairs`` exactly.  The
+    token split is on single spaces (the documents corpus contract)."""
+    vote_cols = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    # bit weights as integer literals: 2^63 parses as HUGEINT in DuckDB,
+    # so the sum is HUGEINT; two's-complement converts to signed BIGINT
+    recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(SIMHASH_BITS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sh, {b} AS band, (sh >> {b * 16}) & 65535 AS bk FROM sig"
+        for b in range(SIM_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+th AS (
+  SELECT doc_id,
+         (CASE WHEN u >= 9223372036854775808::HUGEINT
+               THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::HUGEINT,
+               list_transform(range(17, 33),
+                 i -> (strpos('0123456789abcdef', substring(md5(w), i, 1)) - 1)::HUGEINT)),
+             (a, x) -> a * 16 + x) AS u
+    FROM toks)
+),
+votes AS (
+  SELECT doc_id,
+    {vote_cols}
+  FROM th GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         (CASE WHEN usum >= 9223372036854775808::HUGEINT
+               THEN usum - 18446744073709551616::HUGEINT ELSE usum END)::BIGINT AS sh
+  FROM (SELECT doc_id, {recombine} AS usum FROM votes)
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sha, b.sh AS shb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT da, db, bit_count(xor(sha, shb)) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+ORDER BY da, db
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -316,4 +389,4 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 registry.register("x_dedup_exact", _exact, EXACT_SQL)
 registry.register("x_dedup_jaccard", _jaccard, JACCARD_ORACLE)
 registry.register("x_dedup_minhash", _minhash, JACCARD_ORACLE)  # see module docstring
-registry.register("x_dedup_simhash", _simhash)  # rows-only: xxhash64 not portable
+registry.register("x_dedup_simhash", _simhash, _simhash_oracle_sql())

@@ -163,6 +163,23 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB closed-form oracle: the same polynomial fold, expressed as a
+# list_reduce over per-character code points in HUGEINT (acc*257+c stays
+# < 2^69 < 2^127, then mod 2^61-1 back down).  The corpus contract is
+# ASCII lowercase single-spaced text (asserted for every sf in tests),
+# where code points == UTF-8 bytes, so this equals the byte-wise UDF.
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(0::HUGEINT,
+      list_transform(range(1, length(t) + 1),
+        i -> ord(substring(t, i, 1))::HUGEINT)),
+    (acc, x) -> (acc * {_BASE} + x) % {_MOD}) AS BIGINT) AS fp
+FROM (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS t
+      FROM documents)
+ORDER BY doc_id
+"""
+
 registry.register("x_text_stats", text_stats, STATS_SQL)
 registry.register("x_text_langid", lang_id, LANGID_SQL)
-registry.register("x_text_fingerprint", fingerprints)  # rows-only: UDF hash
+registry.register("x_text_fingerprint", fingerprints, FINGERPRINT_ORACLE)

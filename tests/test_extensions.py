@@ -21,6 +21,21 @@ def test_extension_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_corpus_ascii_contract():
+    """The fingerprint/simhash oracles equate DuckDB code points with the
+    UDF's UTF-8 bytes — valid only while the documents corpus is ASCII,
+    lowercase, single-spaced.  Assert that contract for every sf dir."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = (
+            pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        assert all(t.isascii() and t == t.lower() and t == " ".join(t.split()) for t in texts), sf
+
+
 def test_minhash_equals_exact_jaccard(spark):
     docs = catalog.load_table(spark, SF_SMOKE, "documents")
     exact = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
