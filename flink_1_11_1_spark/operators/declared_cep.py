@@ -1,0 +1,125 @@
+"""Oracle-backed declared entries for the general CEP NFA
+(streaming/nfa.py): quantifier + optional patterns whose deterministic
+greedy semantics are portably expressible as DuckDB SQL.
+
+Each entry runs the real NFA engine (applyInPandas fold) — NOT a bespoke
+SQL plan — and the oracle derives the same matches relationally:
+- x_cep_times_df: click.times(2).consecutive() → purchase within 48h —
+  adjacent-pair candidates via lag(), first purchase via a correlated
+  min-(ts,id) subquery.
+- x_cep_optional_df: signup → optional click → purchase within 72h —
+  the optional middle state is the first click strictly between the
+  signup and the completing purchase in (ts, event_id) order.
+
+Reference parity: flink-cep pattern/Pattern.java times()/consecutive()/
+optional(); nfa/NFA.java relaxed/strict contiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..extensions import registry
+from ..streaming import nfa
+
+_E = (
+    "SELECT event_id, cast(date_trunc('milliseconds', ts) as timestamp) AS ts, "
+    "user_id, event_type FROM events"
+)
+
+
+def cep_times_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive clicks then a purchase within 48h (NO_SKIP)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'click'")
+        .times(2)
+        .consecutive()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("48 hours")
+    )
+    m = pat.match_batch(ev)
+    return m.select(
+        "user_id",
+        F.expr("get(ids, 0)").alias("a1_id"),
+        F.expr("get(ids, 1)").alias("a2_id"),
+        nfa.first_id("b").alias("b_id"),
+    ).orderBy("user_id", "a1_id")
+
+
+CEP_TIMES_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS pt,
+         lag(event_id) OVER w AS pid,
+         lag(ts) OVER w AS pts
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+cand AS (
+  SELECT user_id, pid AS a1_id, event_id AS a2_id, pts AS start_ts,
+         ts AS a2_ts
+  FROM seq WHERE event_type = 'click' AND pt = 'click'),
+m AS (
+  SELECT c.user_id, c.a1_id, c.a2_id,
+         (SELECT p.event_id FROM e p
+           WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+             AND (p.ts > c.a2_ts OR (p.ts = c.a2_ts AND p.event_id > c.a2_id))
+             AND p.ts <= c.start_ts + INTERVAL 48 HOUR
+           ORDER BY p.ts, p.event_id LIMIT 1) AS b_id
+  FROM cand c)
+SELECT user_id, a1_id, a2_id, b_id FROM m WHERE b_id IS NOT NULL
+ORDER BY user_id, a1_id
+"""
+
+
+def cep_optional_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → optional click → purchase within 72h (NO_SKIP)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "event_type = 'click'")
+        .optional()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("72 hours")
+    )
+    m = pat.match_batch(ev)
+    return m.select(
+        "user_id",
+        nfa.first_id("a").alias("a_id"),
+        nfa.first_id("m").alias("m_id"),
+        nfa.first_id("b").alias("b_id"),
+    ).orderBy("user_id", "a_id")
+
+
+CEP_OPTIONAL_ORACLE = f"""
+WITH e AS ({_E}),
+a AS (SELECT user_id, event_id AS a_id, ts AS a_ts FROM e
+      WHERE event_type = 'signup'),
+m AS (
+  SELECT a.user_id, a.a_id, a.a_ts,
+         (SELECT p.event_id FROM e p
+           WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+             AND (p.ts > a.a_ts OR (p.ts = a.a_ts AND p.event_id > a.a_id))
+             AND p.ts <= a.a_ts + INTERVAL 72 HOUR
+           ORDER BY p.ts, p.event_id LIMIT 1) AS b_id
+  FROM a),
+mb AS (
+  SELECT m.user_id, m.a_id, m.a_ts, m.b_id,
+         (SELECT p.ts FROM e p WHERE p.event_id = m.b_id) AS b_ts
+  FROM m WHERE m.b_id IS NOT NULL)
+SELECT user_id, a_id,
+       (SELECT c.event_id FROM e c
+         WHERE c.user_id = mb.user_id AND c.event_type = 'click'
+           AND (c.ts > mb.a_ts OR (c.ts = mb.a_ts AND c.event_id > mb.a_id))
+           AND (c.ts < mb.b_ts OR (c.ts = mb.b_ts AND c.event_id < mb.b_id))
+         ORDER BY c.ts, c.event_id LIMIT 1) AS m_id,
+       b_id
+FROM mb ORDER BY user_id, a_id
+"""
+
+
+def register_all() -> None:
+    registry.register("x_cep_times_df", cep_times_clicks, CEP_TIMES_ORACLE)
+    registry.register("x_cep_optional_df", cep_optional_funnel, CEP_OPTIONAL_ORACLE)

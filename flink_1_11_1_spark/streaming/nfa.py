@@ -1,0 +1,362 @@
+"""General CEP NFA: quantifiers, contiguity, horizon, AFTER MATCH SKIP
+(SURVEY.md §3.11 — the breadth tier above cep.py's two-state CEP-lite).
+
+Reference parity: flink-libraries/flink-cep pattern/Pattern.java
+(``times``/``timesOrMore``/``oneOrMore``/``optional``/``next``/
+``consecutive``) and nfa/NFA.java + aftermatch/AfterMatchSkipStrategy
+(NO_SKIP / SKIP_TO_NEXT / SKIP_PAST_LAST_EVENT).  SQL MATCH_RECOGNIZE
+lowers onto this engine (extensions/match_recognize.py).
+
+Semantic contract (deterministic greedy subset — documented deltas vs
+Flink's branching NFA):
+- A pattern is a sequence of states; each state has a SQL condition, a
+  count range [min, max] (``max=None`` = unbounded), an edge-contiguity
+  flag (``strict_in`` = Flink ``next()``), and an internal-contiguity
+  flag (``consecutive`` = Flink ``consecutive()``).
+- Events are folded per key in (ts, event_id) order.  For each event and
+  each live partial match, transitions are tried in GREEDY priority:
+  extend the current state (if its count can still grow) else advance to
+  the first later state whose condition holds, skipping optional states.
+  One path per partial — no branching; alternatives surface as separate
+  partials started at later events (NO_SKIP starts a new partial at
+  every state-0 match).
+- ``consecutive``: an intervening non-matching event kills the partial
+  while the state is below ``min``, and freezes the state (no further
+  extends) once ``min`` is reached.  ``strict_in``: an event that
+  neither extends the previous state nor enters this one kills the
+  partial outright.
+- ``within(horizon)``: a partial whose first event is older than
+  ``event.ts - horizon`` is dropped before processing the event.
+- The final state must have ``min == max`` (bounded) — completion is
+  emitted the moment its count reaches ``min``.
+- AFTER MATCH SKIP applies at emission, oldest-start first:
+  ``past_last`` drops every other live partial and suppresses starts at
+  the completing event; ``to_next`` drops only partials sharing the
+  match's first event; ``no_skip`` drops nothing.
+
+State at 100 TB: partials per key are bounded by the horizon (every
+fold prunes expired partials), so streaming state is O(events within
+horizon per key), the same bound Flink's relative-time cleanup gives.
+Predicates are evaluated JVM-side once (boolean flag columns); the fold
+sees only flags — no Python expression evaluation in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, replace
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .pattern import _parse_interval
+
+NFA_MATCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+        StructField("labels", ArrayType(StringType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("tss", ArrayType(TimestampType())),
+    ]
+)
+
+_NFA_STATE_SCHEMA = StructType([StructField("partials", ArrayType(StringType()))])
+
+
+@dataclass(frozen=True)
+class State:
+    name: str
+    cond: str
+    min_count: int = 1
+    max_count: int | None = 1  # None = unbounded
+    strict_in: bool = False  # Flink next(): edge contiguity into this state
+    consecutive: bool = False  # Flink consecutive(): contiguity between repeats
+
+
+@dataclass(frozen=True)
+class PatternSeq:
+    """Fluent builder mirroring flink-cep pattern/Pattern.java."""
+
+    states: tuple[State, ...] = ()
+    horizon_s: int = 3600
+    skip: str = "no_skip"  # no_skip | to_next | past_last
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def begin(name: str, cond: str) -> "PatternSeq":
+        return PatternSeq(states=(State(name, cond),))
+
+    def followed_by(self, name: str, cond: str) -> "PatternSeq":
+        return replace(self, states=self.states + (State(name, cond),))
+
+    def next_(self, name: str, cond: str) -> "PatternSeq":
+        return replace(self, states=self.states + (State(name, cond, strict_in=True),))
+
+    # -- quantifiers (apply to the LAST added state) -------------------
+    def _mod_last(self, **kw) -> "PatternSeq":
+        return replace(self, states=self.states[:-1] + (replace(self.states[-1], **kw),))
+
+    def times(self, n: int, m: int | None = None) -> "PatternSeq":
+        return self._mod_last(min_count=n, max_count=n if m is None else m)
+
+    def times_or_more(self, n: int) -> "PatternSeq":
+        return self._mod_last(min_count=n, max_count=None)
+
+    def one_or_more(self) -> "PatternSeq":
+        return self.times_or_more(1)
+
+    def optional(self) -> "PatternSeq":
+        return self._mod_last(min_count=0)
+
+    def consecutive(self) -> "PatternSeq":
+        return self._mod_last(consecutive=True)
+
+    def within(self, interval: str | int) -> "PatternSeq":
+        return replace(self, horizon_s=_parse_interval(interval))
+
+    def after_match_skip(self, strategy: str) -> "PatternSeq":
+        if strategy not in ("no_skip", "to_next", "past_last"):
+            raise ValueError(f"unknown skip strategy {strategy!r}")
+        return replace(self, skip=strategy)
+
+    # -- validation ----------------------------------------------------
+    def _check(self) -> None:
+        if len(self.states) < 1:
+            raise ValueError("empty pattern")
+        last = self.states[-1]
+        if last.min_count < 1 or last.max_count != last.min_count:
+            raise ValueError(
+                "final state must be bounded with min == max >= 1 "
+                "(completion is emitted when its count is reached)"
+            )
+
+    # -- execution ------------------------------------------------------
+    def match_batch(self, events: DataFrame, key: str = "user_id") -> DataFrame:
+        self._check()
+        flagged = _with_flags(events, self.states, key)
+        spec = _spec(self)
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out, _ = _fold_events(int(pdf[key].iloc[0]), pdf, [], spec)
+            return _out_frame(out)
+
+        return flagged.groupBy(key).applyInPandas(fold, NFA_MATCH_SCHEMA)
+
+    def match_stream(self, events: DataFrame, key: str = "user_id") -> DataFrame:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        from ..session import configure
+
+        self._check()
+        configure(events.sparkSession)
+        flagged = _with_flags(events, self.states, key)
+        spec = _spec(self)
+
+        def fn(k, rows, state: GroupState):
+            parts = [p for p in rows if len(p)]
+            pdf = (
+                pd.concat(parts, ignore_index=True).sort_values(["ts", "event_id"])
+                if parts
+                else pd.DataFrame()
+            )
+            pend = [json.loads(s) for s in state.get[0]] if state.exists else []
+            out, pend = _fold_events(k[0], pdf, pend, spec)
+            if pend:
+                state.update(([json.dumps(p) for p in pend],))
+            elif state.exists:
+                state.remove()
+            if out:
+                yield _out_frame(out)
+
+        return flagged.groupBy(key).applyInPandasWithState(
+            fn, NFA_MATCH_SCHEMA, _NFA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+
+
+# ---------------------------------------------------------------- core
+
+
+def _with_flags(events: DataFrame, states: tuple[State, ...], key: str) -> DataFrame:
+    """One boolean flag column per state, evaluated JVM-side."""
+    return events.select(
+        F.col(key),
+        "event_id",
+        "ts",
+        *[F.expr(s.cond).alias(f"f{i}") for i, s in enumerate(states)],
+    )
+
+
+def _spec(p: PatternSeq) -> dict:
+    """Plain-dict pattern spec (picklable into executor closures)."""
+    return {
+        "states": [
+            (s.name, s.min_count, s.max_count, s.strict_in, s.consecutive)
+            for s in p.states
+        ],
+        "horizon_us": p.horizon_s * 1_000_000,
+        "skip": p.skip,
+    }
+
+
+def _fold_events(
+    key: int, events: pd.DataFrame, partials: list[dict], spec: dict
+) -> tuple[list[tuple], list[dict]]:
+    """Fold a (ts, event_id)-sorted batch into partial-match state.
+
+    A partial is a JSON-able dict: si (state index), cnt (count in
+    current state), closed (state frozen by a consecutive-break),
+    labels/ids/tss (collected events; tss in epoch micros), start
+    (first-event micros), sid (start event id, for to_next).
+    Returns (completed matches, surviving partials) — shared by the
+    batch and streaming backends so semantics cannot drift.
+    """
+    states = spec["states"]
+    horizon = spec["horizon_us"]
+    skip = spec["skip"]
+    n_states = len(states)
+    flag_cols = [f"f{i}" for i in range(n_states)]
+    out: list[tuple] = []
+
+    for ev in events.itertuples(index=False):
+        ts_us = int(ev.ts.value // 1000)
+        eid = int(ev.event_id)
+        flags = [bool(getattr(ev, c)) for c in flag_cols]
+        partials = [p for p in partials if ts_us <= p["start"] + horizon]
+        survivors: list[dict] = []
+        completed: list[dict] = []
+        suppress_start = False
+        for p in partials:
+            si = p["si"]
+            name, mn, mx, strict_in, consec = states[si]
+            # greedy: extend current state first
+            if flags[si] and not p["closed"] and (mx is None or p["cnt"] < mx):
+                p["cnt"] += 1
+                p["labels"].append(name)
+                p["ids"].append(eid)
+                p["tss"].append(ts_us)
+                if si == n_states - 1 and p["cnt"] == mn:
+                    completed.append(p)
+                else:
+                    survivors.append(p)
+                continue
+            # advance: first later state whose flag holds, skipping optionals
+            advanced = False
+            if p["cnt"] >= mn:
+                j = si + 1
+                while j < n_states:
+                    jname, jmn, jmx, jstrict, jconsec = states[j]
+                    if flags[j]:
+                        p.update(si=j, cnt=1, closed=False)
+                        p["labels"].append(jname)
+                        p["ids"].append(eid)
+                        p["tss"].append(ts_us)
+                        if j == n_states - 1 and jmn == 1:
+                            completed.append(p)
+                        else:
+                            survivors.append(p)
+                        advanced = True
+                        break
+                    if jmn == 0:
+                        j += 1
+                        continue
+                    break
+            if advanced:
+                continue
+            # neither extended nor advanced: contiguity kill rules
+            if consec and p["cnt"] < mn:
+                continue  # broken repeat chain below min — dead
+            if consec:
+                p["closed"] = True  # min reached: freeze, may still advance
+            nxt = si + 1
+            if p["cnt"] >= mn and nxt < n_states and states[nxt][3]:
+                continue  # strict_in edge violated — dead
+            survivors.append(p)
+        # emission order: oldest start first (stable by start event id)
+        completed.sort(key=lambda p: (p["start"], p["sid"]))
+        emitted_past_last = False
+        for p in completed:
+            if emitted_past_last:
+                continue  # consumed by a past_last skip
+            out.append(
+                (
+                    key,
+                    pd.Timestamp(p["start"] * 1000),
+                    pd.Timestamp(p["tss"][-1] * 1000),
+                    list(p["labels"]),
+                    list(p["ids"]),
+                    [pd.Timestamp(t * 1000) for t in p["tss"]],
+                )
+            )
+            if skip == "past_last":
+                survivors = []
+                suppress_start = True
+                emitted_past_last = True
+            elif skip == "to_next":
+                survivors = [s for s in survivors if s["sid"] != p["sid"]]
+        partials = survivors
+        # NO_SKIP (and to_next) start a new partial at every state-0 match
+        if flags[0] and not suppress_start:
+            name0, mn0, mx0, _, _ = states[0]
+            p0 = {
+                "si": 0,
+                "cnt": 1,
+                "closed": False,
+                "labels": [name0],
+                "ids": [eid],
+                "tss": [ts_us],
+                "start": ts_us,
+                "sid": eid,
+            }
+            if n_states == 1 and mn0 == 1:
+                out.append(
+                    (
+                        key,
+                        pd.Timestamp(ts_us * 1000),
+                        pd.Timestamp(ts_us * 1000),
+                        [name0],
+                        [eid],
+                        [pd.Timestamp(ts_us * 1000)],
+                    )
+                )
+            else:
+                partials.append(p0)
+    return out, partials
+
+
+def _out_frame(out: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        out, columns=["user_id", "start_ts", "end_ts", "labels", "ids", "tss"]
+    )
+
+
+# ------------------------------------------------- measure helpers
+
+
+def first_id(label: str):
+    """Event id of the FIRST event matched by ``label`` (null if none)."""
+    return F.expr(f"get(ids, array_position(labels, '{label}') - 1)")
+
+
+def last_id(label: str):
+    """Event id of the LAST event matched by ``label`` (null if none)."""
+    return F.expr(
+        "element_at(filter(arrays_zip(labels, ids), x -> x.labels = "
+        f"'{label}'), -1).ids"
+    )
+
+
+def label_count(label: str):
+    return F.expr(f"size(filter(labels, x -> x = '{label}'))")

@@ -1,0 +1,197 @@
+"""General CEP NFA semantics (streaming/nfa.py): quantifiers,
+contiguity, AFTER MATCH SKIP — hand fixtures with known match sets,
+plus stream-equals-batch parity on replayed events."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark import catalog
+from flink_1_11_1_spark.streaming import nfa, replay
+
+from .conftest import SF_SMOKE
+
+
+def _events(spark, rows):
+    """rows: (event_id, seconds-offset, type) for a single user 1."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(1, eid, base + dt.timedelta(seconds=s), t) for eid, s, t in rows],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+
+def _matches(df):
+    return [(r.ids, r.labels) for r in df.orderBy("start_ts", "end_ts").collect()]
+
+
+def test_times_consecutive_breaks_on_intervening(spark):
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .times(2)
+        .consecutive()
+        .followed_by("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    # A1 A2 B  -> match; A3 X A4 B -> chain broken, no match
+    ev = _events(
+        spark,
+        [(1, 0, "A"), (2, 10, "A"), (3, 20, "B"),
+         (4, 100, "A"), (5, 110, "X"), (6, 120, "A"), (7, 130, "B")],
+    )
+    got = _matches(pat.match_batch(ev))
+    assert got == [([1, 2, 3], ["a", "a", "b"])]
+
+
+def test_times_relaxed_allows_intervening(spark):
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .times(2)
+        .followed_by("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    ev = _events(spark, [(1, 0, "A"), (2, 10, "X"), (3, 20, "A"), (4, 30, "B")])
+    got = _matches(pat.match_batch(ev))
+    assert got == [([1, 3, 4], ["a", "a", "b"])]
+
+
+def test_times_or_more_greedy(spark):
+    """A.timesOrMore(2) B over [A1 A2 A3 B]: the A1-start collects all
+    three A's (greedy); the A2-start collects two; the A3-start never
+    reaches min -> 2 matches under NO_SKIP."""
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .times_or_more(2)
+        .followed_by("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    ev = _events(spark, [(1, 0, "A"), (2, 10, "A"), (3, 20, "A"), (4, 30, "B")])
+    got = _matches(pat.match_batch(ev))
+    assert got == [([1, 2, 3, 4], ["a", "a", "a", "b"]),
+                   ([2, 3, 4], ["a", "a", "b"])]
+
+
+def test_optional_state_skipped_and_taken(spark):
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .followed_by("m", "event_type = 'M'")
+        .optional()
+        .followed_by("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    ev = _events(
+        spark,
+        [(1, 0, "A"), (2, 10, "B"),      # skipped
+         (3, 100, "A"), (4, 110, "M"), (5, 120, "B")],  # taken
+    )
+    got = _matches(pat.match_batch(ev))
+    assert got == [([1, 2], ["a", "b"]), ([3, 4, 5], ["a", "m", "b"])]
+
+
+def test_next_strict_contiguity_kills(spark):
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .next_("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    ev = _events(
+        spark,
+        [(1, 0, "A"), (2, 10, "X"), (3, 20, "B"),   # broken
+         (4, 100, "A"), (5, 110, "B")],              # immediate -> match
+    )
+    got = _matches(pat.match_batch(ev))
+    assert got == [([4, 5], ["a", "b"])]
+
+
+def test_after_match_skip_past_last(spark):
+    """[A1 A2 B1 B2]: NO_SKIP emits (A1,B1) and (A2,B1); PAST_LAST emits
+    only the oldest match and clears state, so B2 finds nothing."""
+    rows = [(1, 0, "A"), (2, 10, "A"), (3, 20, "B"), (4, 30, "B")]
+    base = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .followed_by("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    no_skip = _matches(base.match_batch(_events(spark, rows)))
+    assert no_skip == [([1, 3], ["a", "b"]), ([2, 3], ["a", "b"])]
+    past = _matches(
+        base.after_match_skip("past_last").match_batch(_events(spark, rows))
+    )
+    assert past == [([1, 3], ["a", "b"])]
+
+
+def test_after_match_skip_to_next_equals_no_skip_here(spark):
+    """Deterministic-greedy folding never holds two partials with the
+    same start event, so TO_NEXT degenerates to NO_SKIP (documented)."""
+    rows = [(1, 0, "A"), (2, 10, "A"), (3, 20, "B")]
+    base = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .followed_by("b", "event_type = 'B'")
+        .within("1 hour")
+    )
+    assert _matches(base.match_batch(_events(spark, rows))) == _matches(
+        base.after_match_skip("to_next").match_batch(_events(spark, rows))
+    )
+
+
+def test_within_horizon_expires(spark):
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .followed_by("b", "event_type = 'B'")
+        .within("1 minute")
+    )
+    ev = _events(spark, [(1, 0, "A"), (2, 61, "B"), (3, 100, "A"), (4, 150, "B")])
+    got = _matches(pat.match_batch(ev))
+    assert got == [([3, 4], ["a", "b"])]
+
+
+def test_unbounded_final_state_rejected():
+    with pytest.raises(ValueError, match="final state"):
+        nfa.PatternSeq.begin("a", "true").one_or_more().match_batch(None)
+
+
+def test_nfa_equals_cep_lite_on_fixture(spark):
+    """The general NFA restricted to A followedBy B within t must equal
+    cep.match_batch (the proven CEP-lite operator) on real events."""
+    from flink_1_11_1_spark.streaming import cep
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    lite = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in cep.match_batch(ev, horizon_s=3600).collect()
+    }
+    pat = (
+        nfa.PatternSeq.begin("a", cep.A_COND)
+        .followed_by("b", cep.B_COND)
+        .within("1 hour")
+    )
+    got = {
+        (r.user_id, r.ids[0], r.ids[1]) for r in pat.match_batch(ev).collect()
+    }
+    assert got == lite
+
+
+def test_s8_nfa_stream_equals_batch(spark, tmp_path):
+    """Streaming NFA (applyInPandasWithState, partials carried across
+    micro-batches) equals the batch fold on replayed events."""
+    d = str(tmp_path / "replay")
+    replay.write_replay(spark, SF_SMOKE, d, parts=6)
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'click'")
+        .times(2)
+        .consecutive()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("48 hours")
+    )
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select("user_id", "event_id", "ts", "event_type")),
+        "append",
+        "s8_nfa",
+    )
+    batch = pat.match_batch(catalog.load_table(spark, SF_SMOKE, "events")).collect()
+    key = lambda rows: {(r.user_id, tuple(r.ids)) for r in rows}  # noqa: E731
+    assert key(got) == key(batch)
+    assert len(batch) > 0
