@@ -42,10 +42,17 @@ def _load() -> None:
     if _LOADED:
         return
     from . import dedup, pipeline, similarity, sql_surface, text, tpch_extra  # noqa: F401
-    from ..operators import declared_cep, declared_ops, declared_ops2, declared_ops3
+    from ..operators import (
+        declared_cep,
+        declared_mr,
+        declared_ops,
+        declared_ops2,
+        declared_ops3,
+    )
 
     declared_ops.register_all()
     declared_ops2.register_all()
     declared_ops3.register_all()
     declared_cep.register_all()
+    declared_mr.register_all()
     _LOADED = True

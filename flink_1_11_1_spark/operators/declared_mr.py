@@ -1,0 +1,148 @@
+"""Oracle-backed declared entries for the SQL MATCH_RECOGNIZE front door
+(extensions/match_recognize.py → streaming/nfa.py).
+
+Each entry executes real MATCH_RECOGNIZE SQL text through the parser and
+NFA engine; the oracle derives the identical match set relationally in
+DuckDB (which has no MATCH_RECOGNIZE):
+
+- x_mr_next: PATTERN (A B) — click immediately followed by purchase,
+  WITHIN 7 days, SKIP PAST LAST ROW; oracle = lead() adjacency.  Also
+  exercises the event_id join-back measure (B.value).
+- x_mr_plus: PATTERN (V+ P) — maximal run of views immediately followed
+  by a purchase; oracle = last-non-view frontier (gaps-and-islands).
+  Greedy + PAST LAST ROW ⇒ exactly one maximal match per purchase.
+- x_mr_optional: PATTERN (A B? C) — signup, optional click, purchase on
+  consecutive rows; oracle = two-step lead() case analysis.
+
+Reference parity: flink-table-planner-blink StreamExecMatch.scala
+(MATCH_RECOGNIZE lowering), flink-cep nfa/NFA.java (strict contiguity:
+SQL pattern concatenation is Flink ``next()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..extensions import registry
+from ..extensions.match_recognize import match_recognize
+
+_E = (
+    "SELECT event_id, cast(date_trunc('milliseconds', ts) as timestamp) AS ts, "
+    "user_id, event_type, value FROM events"
+)
+
+
+MR_NEXT_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id,
+           LAST(B.ts) AS b_ts, LAST(B.value) AS b_value
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+)
+"""
+
+
+def mr_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_NEXT_SQL, sf_dir).orderBy("user_id", "a_id")
+
+
+MR_NEXT_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+         lead(ts) OVER w AS nts, lead(value) OVER w AS nv
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS a_id, nid AS b_id, nts AS b_ts, nv AS b_value
+FROM seq
+WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL 7 DAY
+ORDER BY user_id, a_id
+"""
+
+
+MR_PLUS_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(V.event_id) AS v_first, COUNT(V.*) AS n_views,
+           LAST(P.event_id) AS p_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V+ P)
+  DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+)
+"""
+
+
+def mr_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_PLUS_SQL, sf_dir).orderBy("user_id", "v_first")
+
+
+MR_PLUS_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM e),
+x AS (
+  SELECT user_id, event_id, event_type, rn,
+         coalesce(max(CASE WHEN event_type <> 'view' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lastnv
+  FROM seq),
+p AS (
+  SELECT user_id, event_id AS p_id, rn, lastnv,
+         cast(rn - lastnv - 1 AS bigint) AS n_views
+  FROM x WHERE event_type = 'purchase' AND rn - lastnv - 1 >= 1)
+SELECT p.user_id, s.event_id AS v_first, p.n_views, p.p_id
+FROM p JOIN seq s ON s.user_id = p.user_id AND s.rn = p.lastnv + 1
+ORDER BY p.user_id, v_first
+"""
+
+
+MR_OPTIONAL_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, FIRST(B.event_id) AS m_id,
+           FIRST(C.event_id) AS c_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B? C)
+  DEFINE A AS A.event_type = 'signup', B AS B.event_type = 'click',
+         C AS C.event_type = 'purchase'
+)
+"""
+
+
+def mr_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_OPTIONAL_SQL, sf_dir).orderBy("user_id", "a_id")
+
+
+MR_OPTIONAL_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS i1,
+         lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS i2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS a_id,
+       CASE WHEN t1 = 'click' AND t2 = 'purchase' THEN i1 END AS m_id,
+       CASE WHEN t1 = 'purchase' THEN i1
+            WHEN t1 = 'click' AND t2 = 'purchase' THEN i2 END AS c_id
+FROM seq
+WHERE event_type = 'signup'
+  AND (t1 = 'purchase' OR (t1 = 'click' AND t2 = 'purchase'))
+ORDER BY user_id, a_id
+"""
+
+
+def register_all() -> None:
+    registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
+    registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
+    registry.register("x_mr_optional", mr_optional, MR_OPTIONAL_ORACLE)

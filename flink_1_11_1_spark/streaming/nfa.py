@@ -351,9 +351,13 @@ def first_id(label: str):
 
 
 def last_id(label: str):
-    """Event id of the LAST event matched by ``label`` (null if none)."""
+    """Event id of the LAST event matched by ``label`` (null if none).
+
+    ``try_element_at`` (not ``element_at``): under ANSI mode the latter
+    raises on the empty filter result an ``optional()`` state produces.
+    """
     return F.expr(
-        "element_at(filter(arrays_zip(labels, ids), x -> x.labels = "
+        "try_element_at(filter(arrays_zip(labels, ids), x -> x.labels = "
         f"'{label}'), -1).ids"
     )
 

@@ -1,0 +1,141 @@
+"""SQL MATCH_RECOGNIZE front door (extensions/match_recognize.py):
+parser subset, lowering onto the NFA, measures incl. join-back."""
+
+import datetime as dt
+
+import pytest
+
+from flink_1_11_1_spark.extensions.match_recognize import (
+    _parse_quant,
+    match_recognize,
+)
+
+
+def _events(spark, rows):
+    """rows: (event_id, seconds-offset, type, value) for user 1."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(1, eid, base + dt.timedelta(seconds=s), t, float(v)) for eid, s, t, v in rows],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def test_quantifier_parse():
+    assert _parse_quant("A") == ("A", 1, 1)
+    assert _parse_quant("A+") == ("A", 1, None)
+    assert _parse_quant("A*") == ("A", 0, None)
+    assert _parse_quant("A?") == ("A", 0, 1)
+    assert _parse_quant("A{2}") == ("A", 2, 2)
+    assert _parse_quant("A{2,}") == ("A", 2, None)
+    assert _parse_quant("A{1,3}") == ("A", 1, 3)
+    with pytest.raises(ValueError):
+        _parse_quant("A++")
+
+
+_MR = """
+SELECT * FROM ev MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, COUNT(B.*) AS n_b,
+           LAST(B.event_id) AS b_last, FIRST(C.event_id) AS c_id,
+           LAST(C.value) AS c_value
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B+ C)
+  WITHIN INTERVAL '1' HOUR
+  DEFINE A AS A.event_type = 'A', B AS B.event_type = 'B',
+         C AS C.event_type = 'C'
+)
+"""
+
+
+def test_pattern_plus_with_joinback_measure(spark):
+    ev = _events(
+        spark,
+        [(1, 0, "A", 1), (2, 10, "B", 2), (3, 20, "B", 3), (4, 30, "C", 4),
+         (5, 100, "A", 5), (6, 110, "X", 6), (7, 120, "C", 7)],
+    )
+    rows = match_recognize(spark, _MR, events=ev).collect()
+    assert len(rows) == 1  # second A dies at X (strict contiguity)
+    r = rows[0]
+    assert (r.a_id, r.n_b, r.b_last, r.c_id, r.c_value) == (1, 2, 3, 4, 4.0)
+
+
+def test_optional_unmatched_measure_is_null(spark):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_id, FIRST(B.event_id) AS m_id,
+               FIRST(C.event_id) AS c_id
+      PATTERN (A B? C)
+      DEFINE A AS A.event_type = 'A', B AS B.event_type = 'B',
+             C AS C.event_type = 'C'
+    )
+    """
+    ev = _events(spark, [(1, 0, "A", 0), (2, 10, "C", 0),
+                         (3, 100, "A", 0), (4, 110, "B", 0), (5, 120, "C", 0)])
+    got = sorted(
+        (r.a_id, r.m_id, r.c_id) for r in match_recognize(spark, sql, events=ev).collect()
+    )
+    assert got == [(1, None, 2), (3, 4, 5)]
+
+
+def test_cross_variable_define_rejected(spark):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(A.event_id) AS a_id
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'A', B AS B.value > A.value
+    )
+    """
+    with pytest.raises(ValueError, match="cross-variable"):
+        match_recognize(spark, sql, events=_events(spark, [(1, 0, "A", 1)]))
+
+
+def test_all_rows_per_match_rejected(spark):
+    sql = _MR.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    with pytest.raises(ValueError, match="ALL ROWS"):
+        match_recognize(spark, sql, events=_events(spark, [(1, 0, "A", 1)]))
+
+
+def test_missing_define_rejected(spark):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(A.event_id) AS a_id
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'A'
+    )
+    """
+    with pytest.raises(ValueError, match="no DEFINE"):
+        match_recognize(spark, sql, events=_events(spark, [(1, 0, "A", 1)]))
+
+
+def test_skip_to_next_overlapping_runs(spark):
+    # A A C with PATTERN (A+ C): past_last -> one maximal match;
+    # to_next -> both the 2-A and the 1-A suffix match.
+    base = [(1, 0, "A", 0), (2, 10, "A", 0), (3, 20, "C", 0)]
+    sql_past = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_first, COUNT(A.*) AS n_a
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+ C)
+      DEFINE A AS A.event_type = 'A', C AS C.event_type = 'C'
+    )
+    """
+    sql_next = sql_past.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+    past = match_recognize(spark, sql_past, events=_events(spark, base)).collect()
+    nxt = match_recognize(spark, sql_next, events=_events(spark, base)).collect()
+    assert sorted((r.a_first, r.n_a) for r in past) == [(1, 2)]
+    assert sorted((r.a_first, r.n_a) for r in nxt) == [(1, 2), (2, 1)]
+
+
+def test_streaming_joinback_rejected(spark, tmp_path):
+    ev = _events(spark, [(1, 0, "A", 1)])
+    p = str(tmp_path / "ev")
+    ev.write.parquet(p)
+    stream = spark.readStream.schema(ev.schema).parquet(p)
+    with pytest.raises(ValueError, match="streaming MATCH_RECOGNIZE"):
+        match_recognize(spark, _MR, events=stream)
