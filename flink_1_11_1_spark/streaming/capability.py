@@ -43,6 +43,10 @@ _MATRIX: dict[tuple[str, str], str | None] = {
         "StreamingJoinOperator with retraction). Bound it with a time "
         "condition + watermarks, or compute per-batch via foreachBatch."
     ),
+    # semi/anti lower onto streaming/semi_anti.py (horizon-bounded
+    # append rendering of StreamingSemiAntiJoinOperator)
+    ("join_semi", "append"): None,
+    ("join_anti", "append"): None,
     ("dedup", "append"): None,
     ("topn", "append"): (
         "Streaming Top-N revises earlier output (retract stream). Use "

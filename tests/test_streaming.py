@@ -302,3 +302,35 @@ def test_foreach_batch_topn_revisions(spark, replay_dir):
     assert [(r.user_id, round(r.total, 6)) for r in final] == [
         (r.user_id, round(r.total, 6)) for r in want
     ]
+
+
+# ------------------------------------- S9: streaming semi / anti join
+
+
+@pytest.mark.parametrize("mode", ["semi", "anti"])
+def test_s9_streaming_semi_anti_equals_batch(spark, replay_dir, mode):
+    """Append-only semi/anti join vs the batch EXISTS / NOT EXISTS twin
+    (StreamingSemiAntiJoinOperator parity on replayed append streams)."""
+    from flink_1_11_1_spark.streaming import semi_anti
+
+    stream = replay.events_stream(spark, replay_dir)
+    left = stream.where("event_type = 'view'")
+    right = stream.where("event_type = 'purchase'")
+    out = semi_anti.streaming_semi_anti_join(left, right, mode, "1 hour")
+    got, _ = replay.run_stream(out, "append", f"s9_{mode}")
+    got_ids = sorted(r.event_id for r in got)
+
+    ev = _batch_events(spark)
+    ev.createOrReplaceTempView("s9_events")
+    op = "EXISTS" if mode == "semi" else "NOT EXISTS"
+    want = spark.sql(
+        f"""
+        SELECT l.event_id FROM s9_events l
+        WHERE l.event_type = 'view' AND {op} (
+          SELECT 1 FROM s9_events r
+          WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+            AND r.ts <= l.ts + INTERVAL 1 HOUR)
+        """
+    ).collect()
+    assert got_ids == sorted(r.event_id for r in want)
+    assert got_ids  # non-degenerate fixture
