@@ -144,6 +144,42 @@ def _hyperplanes(seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((N_PLANES, DIM)).tolist()
 
 
+def _plane_dots_expr(vec_col: str = "v") -> str:
+    """array<double> of the raw hyperplane projections (one per plane)."""
+    planes = _hyperplanes()
+    dots = []
+    for p in planes:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+        dots.append(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        )
+    return "array(" + ", ".join(dots) + ")"
+
+
+_BUCKET_FROM_DOTS = (
+    "aggregate(zip_with(_dots, sequence(0, {n}), (d, i) -> "
+    "if(d >= 0D, shiftleft(1, i), 0)), 0, (a, x) -> a + x)"
+).format(n=N_PLANES - 1)
+
+# probe buckets = own bucket + all 1- and 2-bit flips among the
+# ``probes`` lowest-|projection| planes (classic multi-probe LSH: the
+# near-margin bits are the likeliest to differ for a true neighbor, and
+# the size-≤2 perturbation subsets cover the overwhelming mass of the
+# neighbor-bucket distribution). 1 + m + C(m,2) buckets for m probes.
+_PROBES_FROM_DOTS = (
+    "concat(array(_bucket), "
+    "transform(_lowbits, i -> _bucket ^ shiftleft(1, i)), "
+    "flatten(transform(_lowbits, (i, ii) -> "
+    "transform(slice(_lowbits, ii + 2, {probes}), "
+    "j -> _bucket ^ shiftleft(1, i) ^ shiftleft(1, j)))))"
+)
+
+_LOWBITS_FROM_DOTS = (
+    "slice(transform(array_sort(zip_with(_dots, sequence(0, {n}), "
+    "(d, i) -> struct(abs(d) AS m, i AS i))), s -> s.i), 1, {probes})"
+)
+
+
 def lsh_bucket_col(vec_col: str = "v") -> F.Column:
     """Sign-bit signature of the random-hyperplane projections."""
     planes = _hyperplanes()
@@ -155,18 +191,38 @@ def lsh_bucket_col(vec_col: str = "v") -> F.Column:
     return F.expr(" + ".join(bits)).alias("bucket")
 
 
-def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 1) -> DataFrame:
+def ann_lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 1, probes: int = 0
+) -> DataFrame:
     """Approximate top-k: exact re-rank within shared LSH bucket.
 
-    Recall is measured against ``cosine_topk`` in tests; at scale,
-    multi-probe (flip lowest-margin bits) widens candidates without a
-    corpus-wide shuffle.
+    ``probes`` > 0 enables multi-probe: each query additionally searches
+    the buckets reached by flipping its ``probes`` lowest-margin sign
+    bits — candidate volume grows ~(probes+1)× while the corpus still
+    hashes each row to exactly ONE bucket and never re-shuffles, so the
+    query side (broadcast, exploded) pays the whole widening cost.
+    Recall is measured against ``cosine_topk`` in tests.
     """
     q = _with_vec(queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("va"), lsh_bucket_col("v")
-    )
-    c = _with_vec(corpus).select(
-        F.col("vec_id").alias("nid"), F.col("v").alias("vb"), lsh_bucket_col("v")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("va"),
+        F.expr(_plane_dots_expr("v")).alias("_dots"),
+    ).withColumn("_bucket", F.expr(_BUCKET_FROM_DOTS))
+    if probes > 0:
+        q = q.withColumn(
+            "_lowbits",
+            F.expr(_LOWBITS_FROM_DOTS.format(n=N_PLANES - 1, probes=probes)),
+        ).select(
+            "qid",
+            "va",
+            F.explode(
+                F.expr(_PROBES_FROM_DOTS.format(probes=probes))
+            ).alias("bucket"),
+        )
+    else:
+        q = q.select("qid", "va", F.col("_bucket").alias("bucket"))
+    c = _with_vec(corpus, "vb").select(
+        F.col("vec_id").alias("nid"), "vb", lsh_bucket_col("vb")
     )
     pairs = (
         c.join(F.broadcast(q), ["bucket"])
@@ -188,7 +244,7 @@ def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     return (
-        ann_lsh_topk(emb.where("vec_id < 50"), emb, k=1)
+        ann_lsh_topk(emb.where("vec_id < 50"), emb, k=1, probes=2)
         .select("qid", "nid", F.round("sim", 4).alias("s"))
         .orderBy("qid")
     )

@@ -116,3 +116,31 @@ def test_quantize_all_zero_vector_guarded(spark):
     rows = {r.vec_id: r for r in similarity.quantize_embeddings(emb).collect()}
     assert rows[1].scale == 0.0 and rows[1].q == [0, 0, 0]
     assert rows[2].q[1] in (-127, 127) or abs(rows[2].q[1]) == 127
+
+
+def test_multiprobe_lsh_recall(spark):
+    """Multi-probe (1- and 2-bit flips of the lowest-margin planes)
+    recovers >=0.95 of exact top-1 on planted near-duplicates, where
+    single-probe LSH misses ~half (margin bits differ under noise).
+    The corpus still hashes to one bucket per row — only the broadcast
+    query side widens."""
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.where("vec_id < 50").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x + 0.08d * sin(x * 13d) as float))"
+        ).alias("embedding"),
+        "label",
+    )
+    exact = {r.qid: r.nid for r in similarity.cosine_topk(q, emb, 1).collect()}
+
+    def recall(probes):
+        lsh = {
+            r.qid: r.nid
+            for r in similarity.ann_lsh_topk(q, emb, 1, probes=probes).collect()
+        }
+        return sum(1 for k in exact if lsh.get(k) == exact[k]) / len(exact)
+
+    r0, r6 = recall(0), recall(6)
+    assert r6 >= 0.95
+    assert r6 > r0  # probing genuinely widens (r0 ~ 0.5 here)
