@@ -41,6 +41,14 @@ def main() -> None:
 
     total = round(time.time() - t_start, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    conf = spark.sparkContext.getConf()
+    config = {
+        "master": conf.get("spark.master"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "driver_memory": conf.get("spark.driver.memory", "default"),
+        "spark_version": spark.version,
+    }
     print(
         json.dumps(
             {
@@ -49,6 +57,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "config": config,
             }
         )
     )
