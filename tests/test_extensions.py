@@ -118,6 +118,22 @@ def test_quantize_all_zero_vector_guarded(spark):
     assert rows[2].q[1] in (-127, 127) or abs(rows[2].q[1]) == 127
 
 
+def test_cosine_near_dup_planted(spark):
+    """A planted noisy copy (cosine ~0.999 to its source) must surface
+    as a near-dup pair through the banded-LSH candidate path."""
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    planted = emb.where("vec_id = 7").select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x + 0.01d as float))").alias(
+            "embedding"
+        ),
+        "label",
+    )
+    pairs = dedup.cosine_near_dup_pairs(emb.unionByName(planted), threshold=0.95)
+    got = {(r.da, r.db): r.c for r in pairs.collect()}
+    assert (7, 900007) in got and got[(7, 900007)] >= 0.99
+
+
 def test_multiprobe_lsh_recall(spark):
     """Multi-probe (1- and 2-bit flips of the lowest-margin planes)
     recovers >=0.95 of exact top-1 on planted near-duplicates, where
