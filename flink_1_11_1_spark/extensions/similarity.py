@@ -333,3 +333,111 @@ def _ann_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (deterministic) fixtures — measured recall 1.0 at sf0.01/sf0.001 —
 # and the re-rank stage recomputes the exact double cosine.
 registry.register("x_ann_quantized", _ann_quant, ANN_TOP1_ORACLE)
+
+
+# ------------------------------------------------- IVF (inverted file)
+
+IVF_CENTROID_MOD = 32  # centroids = corpus rows with vec_id % 32 == 0
+IVF_NPROBE = 4
+
+_COS_SIM = (
+    f"{_DOT} / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))"
+    " * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x)))"
+)
+
+
+def _ivf_assign(side: DataFrame, centroids: DataFrame, n_cells: int) -> DataFrame:
+    """(vec_id, v, cell, rn): nearest-centroid ranks by spherical
+    (cosine) distance; deterministic ties by centroid id.  The centroid
+    table is tiny and broadcast — assignment is a map-only stage, the
+    corpus never shuffles to get its cell."""
+    sim = side.join(F.broadcast(centroids), F.lit(True)).select(
+        "vec_id",
+        "va",
+        "cid",
+        F.expr(_COS_SIM.replace("vb", "vc")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return sim.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n_cells)
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 1, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF-flat ANN: corpus rows live in their nearest-centroid cell;
+    each query probes its ``nprobe`` nearest cells and exact-reranks
+    only those cells' members.
+
+    Centroids are a deterministic corpus sample (``vec_id % 32 == 0``) —
+    the standard IVF baseline when a trained coarse quantizer isn't
+    warranted; swap in k-means centroids without touching the plan
+    shape.  At 100 TB: assignment is map-only (broadcast centroids),
+    candidates shuffle once on cell id, candidate volume is
+    ``corpus * nprobe / n_cells``.  Fully deterministic, so the driver
+    oracle replays the exact same assignment in SQL.
+    """
+    cent = _with_vec(corpus, "vc").select(
+        F.col("vec_id").alias("cid"), "vc"
+    ).where(F.col("cid") % IVF_CENTROID_MOD == 0)
+    c_assign = (
+        _ivf_assign(
+            _with_vec(corpus, "va"), cent, 1
+        ).select(F.col("vec_id").alias("nid"), F.col("va").alias("vb"), F.col("cid").alias("cell"))
+    )
+    q_probe = _ivf_assign(
+        _with_vec(queries, "va"), cent, nprobe
+    ).select(F.col("vec_id").alias("qid"), "va", F.col("cid").alias("cell"))
+    pairs = (
+        c_assign.join(F.broadcast(q_probe), ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.expr(_DOT).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_topk(emb.where("vec_id < 50"), emb, k=1)
+        .select("qid", "nid", F.round("sim", 4).alias("s"))
+        .orderBy("qid")
+    )
+
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+# Replays the deterministic IVF pipeline (same centroids, same argmax,
+# same probes, same rerank) rather than brute force: IVF is approximate
+# by construction, so ground truth for the *operator* is its own
+# declared semantics; recall vs exact top-1 is asserted in tests.
+ANN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+c AS (SELECT vec_id cid, v vc FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+ca AS (
+  SELECT vec_id nid, v vb, cid cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_IVF_COS.format(a='e.v', b='c.vc')} DESC, c.cid) rn
+    FROM e, c) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id qid, v va, cid cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_IVF_COS.format(a='e.v', b='c.vc')} DESC, c.cid) rn
+    FROM e, c WHERE e.vec_id < 50) WHERE rn <= {IVF_NPROBE}
+),
+p AS (
+  SELECT qid, nid, {_IVF_COS.format(a='va', b='vb')} sim
+  FROM qp JOIN ca USING (cell) WHERE qid <> nid
+)
+SELECT qid, nid, round(sim, 4) s
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM p)
+WHERE rn = 1 ORDER BY qid
+"""
+
+registry.register("x_ann_ivf", _ann_ivf, ANN_IVF_ORACLE)
