@@ -87,12 +87,131 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-07-01'
 """
 
+# The shapes below cover the TPC-H subquery battery — correlated scalar
+# subqueries, [NOT] EXISTS, [NOT] IN, HAVING-filtered IN, and the
+# decorrelation work Catalyst must do for each (RewriteCorrelatedScalarQuery,
+# RewritePredicateSubquery → semi/anti join).  Adapted to this schema:
+# no partsupp, no commit/receipt dates (shipdate-vs-orderdate stands in),
+# no c_phone (the customer-number suffix stands in for Q22's cntrycode).
+
+Q2_SHAPE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) bal
+FROM customer c
+WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""
+
+Q4_SHAPE = """
+SELECT o_orderpriority, cast(count(*) as bigint) order_count
+FROM orders
+WHERE o_orderdate >= timestamp '1996-01-01' AND o_orderdate < timestamp '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+Q12_SHAPE = """
+SELECT l_returnflag,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) high_line_count,
+       cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+Q13_SHAPE = """
+SELECT c_count, cast(count(*) as bigint) custdist
+FROM (SELECT c_custkey, cast(count(o_orderkey) as bigint) c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_SHAPE = """
+WITH revenue AS (
+  SELECT l_suppkey supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+Q16_SHAPE = """
+SELECT p_brand, p_type, p_size, cast(count(DISTINCT l_suppkey) as bigint) supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q17_SHAPE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12' AND p_type = 'PROMO'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+Q18_SHAPE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) total,
+       round(sum(l_quantity), 2) qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY total DESC, o_orderkey LIMIT 100
+"""
+
+Q21_SHAPE = """
+SELECT s_name, cast(count(*) as bigint) numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+     JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+Q22_SHAPE = """
+SELECT cntrycode, cast(count(*) as bigint) numcust, round(sum(c_acctbal), 2) totacctbal
+FROM (SELECT substring(c_name, 18, 1) cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE substring(c_name, 18, 1) IN ('0', '1', '2', '3', '4')
+        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT'))
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
 _SHAPES = {
+    "x_tpch_q2": Q2_SHAPE,
+    "x_tpch_q4": Q4_SHAPE,
     "x_tpch_q5": Q5_SHAPE,
     "x_tpch_q7": Q7_SHAPE,
     "x_tpch_q8": Q8_SHAPE,
     "x_tpch_q10": Q10_SHAPE,
+    "x_tpch_q12": Q12_SHAPE,
+    "x_tpch_q13": Q13_SHAPE,
     "x_tpch_q14": Q14_SHAPE,
+    "x_tpch_q15": Q15_SHAPE,
+    "x_tpch_q16": Q16_SHAPE,
+    "x_tpch_q17": Q17_SHAPE,
+    "x_tpch_q18": Q18_SHAPE,
+    "x_tpch_q21": Q21_SHAPE,
+    "x_tpch_q22": Q22_SHAPE,
 }
 
 
