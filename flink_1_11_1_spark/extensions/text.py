@@ -180,6 +180,40 @@ FROM (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS t
 ORDER BY doc_id
 """
 
+# --- token counting: whitespace + BPE-ish regex + chars/4 estimate ----
+
+# BPE-style pretokenizer (ASCII-lowercase corpus contract): letter runs
+# are one token, digits split per character, punctuation runs split per
+# character — the shape of GPT-2's pretokenizer minus case/unicode
+# classes.  Plain alternation + char classes only, so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three token-count estimators per document, all JVM expressions:
+    whitespace tokens, BPE-ish regex tokens, and the chars/4 budget
+    heuristic.  At 100 TB this is a map-only scan — no shuffle, no
+    Python."""
+    catalog.register(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT doc_id,
+               cast({N_TOKENS} as bigint) AS n_ws_tokens,
+               cast(regexp_count(text, '{_BPE_RE}') as bigint) AS n_re_tokens,
+               cast(ceil(cast({N_ALPHA} as double) / 4.0) as bigint) AS n_bpe_est
+        FROM documents ORDER BY doc_id
+    """)
+
+
+TOKENS_ORACLE = f"""
+SELECT doc_id,
+       cast({N_TOKENS} as bigint) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '{_BPE_RE}')) as bigint) AS n_re_tokens,
+       cast(ceil(cast({N_ALPHA} as double) / 4.0) as bigint) AS n_bpe_est
+FROM documents ORDER BY doc_id
+"""
+
 registry.register("x_text_stats", text_stats, STATS_SQL)
+registry.register("x_text_tokens", token_counts, TOKENS_ORACLE)
 registry.register("x_text_langid", lang_id, LANGID_SQL)
 registry.register("x_text_fingerprint", fingerprints, FINGERPRINT_ORACLE)
