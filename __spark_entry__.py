@@ -47,6 +47,12 @@ _DRIVER_GREEN_HISTORY = {
     *(f"q{i:02d}" for i in range(1, 43) if i not in (15, 36)),
     "x_dedup_exact", "x_dedup_jaccard", "x_dedup_minhash",
     "x_text_stats", "x_text_langid",
+    # round-3 greens (CORRECTNESS_r03.json) — the only 13 rows that
+    # survived the testdata ts-encoding change; now rotated to the back.
+    "x_ann_ivf", "x_ann_quantized", "x_ann_top1", "x_cdc_debezium",
+    "x_connected_components", "x_count_window_df", "x_dedup_cosine",
+    "x_dedup_simhash", "x_knn_label", "x_lookup_join",
+    "x_pipeline_clean", "x_salted_agg", "x_topn_df",
 }
 
 

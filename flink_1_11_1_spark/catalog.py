@@ -6,7 +6,8 @@ DDL (flink-table/flink-table-common/.../catalog/Catalog.java,
 flink-table/flink-sql-parser ddl/SqlCreateTable).  Here the "DDL" is a
 loader that registers the ten driver-generated parquet tables as temp
 views, applying the one *computed column* the contract requires
-(``events.ts``: INT64 nanos → ms-floored TimestampType) — the Spark
+(``events.ts``: physical ns-long or µs-timestamp → ms-floored
+TimestampType) — the Spark
 analogue of a Flink computed-column + watermark spec on a source table.
 
 Scale: views are plain parquet scans — predicate/projection pushdown and
@@ -40,15 +41,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ts_norm_sql(dt) -> str:
+    """SQL expr normalizing events.ts to ms-floored TimestampType.
+
+    The driver has shipped events.parquet in two physical encodings across
+    rounds: INT64 TIMESTAMP(NANOS) (read as BIGINT under nanosAsLong=true)
+    and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  The contract is
+    encoding-independent: ms-floored TimestampType, matching the DuckDB
+    oracle's ``date_trunc('milliseconds', ts)`` view of the same file.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(dt, LongType):
+        return "timestamp_millis(ts div 1000000)"
+    return "date_trunc('MILLISECOND', cast(ts as timestamp))"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table as a DataFrame."""
     configure(spark)  # nanosAsLong/UTC must hold on driver-owned sessions too
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as BIGINT nanoseconds (nanosAsLong=true).  Contract:
-        # floor to milliseconds, expose as TimestampType (µs precision,
-        # ms-aligned) so Spark and the DuckDB oracle see identical values.
-        df = df.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        # Contract: ts exposed as ms-floored TimestampType regardless of
+        # the parquet physical encoding (see ts_norm_sql) so Spark and the
+        # DuckDB oracle compare identical values.
+        df = df.withColumn("ts", F.expr(ts_norm_sql(df.schema["ts"].dataType)))
     return df
 
 

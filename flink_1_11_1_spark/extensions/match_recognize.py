@@ -25,16 +25,25 @@ to the scanned events, so the join-back adds one shuffle of the match
 set only — scale-safe at 100 TB).
 
 Documented deltas (the NFA's deterministic-greedy contract):
-- DEFINE conditions must be row-local (``B.price > A.price``-style
-  cross-variable references raise ValueError — the NFA evaluates flags
-  per event, JVM-side, before the fold).
+- Cross-variable DEFINE conditions (``B.price > A.price``,
+  ``C.v > LAST(A.v)`` — Flink IterativeCondition) are supported: the
+  condition is compiled to a per-(event, partial) predicate evaluated
+  inside the fold, with ``Var.col`` = LAST-bound row of that variable
+  (Flink's SQL default).  Row-local conditions stay JVM-evaluated flag
+  columns.  Referenced columns must be numeric/string/bool (state is
+  JSON-serialized on the streaming backend); ``ts`` is not referenceable
+  cross-variable (use event_id ordering or WITHIN).
 - Quantified variables are greedy without backtracking: DEFINE
   conditions of adjacent pattern variables should be mutually exclusive
   (true for the event_type-dispatch shape virtually all funnels use).
 - The last pattern variable must be exactly quantified ({n} or bare),
   as completion is emitted the moment it is satisfied (same restriction
   Flink documents for greedy-final-variable).
-- ALL ROWS PER MATCH and SKIP TO [FIRST|LAST] VAR are not implemented.
+- ALL ROWS PER MATCH emits one row per matched event (key, event_id,
+  ts, classifier + measures); measures use FINAL semantics (Flink's
+  running-semantics delta is documented), and the echoed input columns
+  beyond ts/event_id come from the caller joining back on event_id.
+- SKIP TO [FIRST|LAST] VAR is not implemented.
 """
 
 from __future__ import annotations
@@ -57,7 +66,7 @@ _CLAUSE_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<key>\w+)\s+"
     r"ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+"
     r"MEASURES\s+(?P<measures>.*?)\s+"
-    r"(?:ONE\s+ROW\s+PER\s+MATCH\s+)?"
+    r"(?:(?P<permatch>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
@@ -121,16 +130,48 @@ def _parse_quant(tok: str) -> tuple[str, int, int | None]:
 
 
 def _row_local(cond: str, variables: list[str], this: str) -> str:
-    """Strip ``THIS.`` prefixes; reject cross-variable references."""
-    for v in variables:
-        if v == this:
-            continue
-        if re.search(rf"\b{v}\.", cond):
-            raise ValueError(
-                f"cross-variable reference {v}.* in DEFINE {this} — the NFA "
-                "evaluates conditions row-locally (documented subset)"
-            )
+    """Strip ``THIS.`` prefixes of a row-local condition."""
     return re.sub(rf"\b{this}\.", "", cond)
+
+
+_FNREF_RE = re.compile(r"\b(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", re.IGNORECASE)
+_REF_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+
+
+def _xvar_refs(cond: str, variables: list[str], this: str) -> tuple[bool, set[str]]:
+    """(has-cross-variable-reference, referenced value columns)."""
+    refs: set[tuple[str, str]] = set()
+    for _fn, var, col in _FNREF_RE.findall(cond):
+        refs.add((var, col))
+    for var, col in _REF_RE.findall(cond):
+        if var in variables:
+            refs.add((var, col))
+    cross = any(v != this for v, _ in refs)
+    return cross, {c for _, c in refs}
+
+
+def _to_python(cond: str, variables: list[str], this: str) -> str:
+    """Compile a cross-variable DEFINE to the NFA's Python predicate form
+    (EV["col"] / FIRST("V","c") / LAST("V","c") — see State.py_cond)."""
+    expr = _FNREF_RE.sub(
+        lambda m: f'{m.group(1).upper()}("{m.group(2)}","{m.group(3)}")', cond
+    )
+
+    def repl(m: re.Match) -> str:
+        var, col = m.group(1), m.group(2)
+        if var == this or var.upper() == "THIS":
+            return f'EV["{col}"]'
+        if var in variables:
+            return f'LAST("{var}","{col}")'  # bare Var.col = Flink LAST default
+        return m.group(0)
+
+    expr = _REF_RE.sub(repl, expr)
+    expr = expr.replace("<>", "!=")
+    expr = re.sub(r"(?<![<>!=])=(?!=)", "==", expr)
+    expr = re.sub(r"\bAND\b", "and", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bOR\b", "or", expr, flags=re.IGNORECASE)
+    expr = re.sub(r"\bNOT\b", "not", expr, flags=re.IGNORECASE)
+    return expr
 
 
 def _first_ts(label: str):
@@ -164,8 +205,7 @@ def match_recognize(
     c = _CLAUSE_RE.match(body.strip())
     if not c:
         raise ValueError("unparseable MATCH_RECOGNIZE body (see module doc)")
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE):
-        raise ValueError("ALL ROWS PER MATCH is not implemented")
+    all_rows = (c.group("permatch") or "ONE ROW").upper().startswith("ALL")
 
     key = c.group("key")
     order = [o.strip() for o in c.group("order").split(",")]
@@ -179,15 +219,25 @@ def match_recognize(
     if len(set(variables)) != len(variables):
         raise ValueError("repeated pattern variables are not supported")
 
-    # defines → row-local conditions
+    # defines → row-local (JVM flag) or cross-variable (fold predicate)
     defines: dict[str, str] = {}
+    xconds: dict[str, tuple[str, tuple[str, ...]]] = {}
     for d in _split_top(c.group("define")):
         dm = re.match(r"(?P<var>\w+)\s+AS\s+(?P<cond>.+)$", d, re.IGNORECASE | re.DOTALL)
         if not dm:
             raise ValueError(f"unparseable DEFINE {d!r}")
-        defines[dm.group("var")] = _row_local(
-            dm.group("cond").strip(), variables, dm.group("var")
-        )
+        var, cond = dm.group("var"), dm.group("cond").strip()
+        cross, cols = _xvar_refs(cond, variables, var)
+        if cross:
+            if "ts" in cols:
+                raise ValueError(
+                    "cross-variable DEFINE may not reference ts (JSON state); "
+                    "bound event times are available as WITHIN/horizon"
+                )
+            defines[var] = "true"  # full predicate moves to the fold
+            xconds[var] = (_to_python(cond, variables, var), tuple(sorted(cols)))
+        else:
+            defines[var] = _row_local(cond, variables, var)
     missing = [v for v in variables if v not in defines]
     if missing:
         raise ValueError(f"PATTERN variables with no DEFINE: {missing}")
@@ -196,9 +246,14 @@ def match_recognize(
     # row-contiguity → strict_in edges + consecutive repeats
     pat = nfa.PatternSeq.begin(seq[0][0], defines[seq[0][0]])
     pat = pat._mod_last(min_count=seq[0][1], max_count=seq[0][2], consecutive=True)
+    if seq[0][0] in xconds:
+        expr0, cols0 = xconds[seq[0][0]]
+        pat = pat.where_iterative(expr0, *cols0)
     for var, lo, hi in seq[1:]:
         pat = pat.next_(var, defines[var])
         pat = pat._mod_last(min_count=lo, max_count=hi, consecutive=True)
+        if var in xconds:
+            pat = pat.where_iterative(xconds[var][0], *xconds[var][1])
     skip = (c.group("skip") or "PAST LAST ROW").upper()
     pat = pat.after_match_skip(
         "past_last" if skip.startswith("PAST") else "to_next"
@@ -253,7 +308,23 @@ def match_recognize(
             "streaming MATCH_RECOGNIZE measures are limited to ts/event_id/"
             "COUNT (join-back to the source needs a bounded side)"
         )
-    res = out.select(*cols)
+    if all_rows:
+        # One output row per matched event: explode the per-match arrays
+        # into (event_id, ts, classifier), FINAL-semantics measures ride
+        # along.  Pure projection + generator — stateless, scale-safe.
+        sel = out.select(*cols, "labels", "ids", "tss")
+        carried = sel.columns[:-3]
+        res = sel.select(
+            *carried,
+            F.posexplode(F.arrays_zip("ids", "labels", "tss")).alias("_pos", "_ev"),
+        ).select(
+            *carried,
+            F.col("_ev.ids").alias("event_id"),
+            F.col("_ev.tss").alias("ts"),
+            F.col("_ev.labels").alias("classifier"),
+        )
+    else:
+        res = out.select(*cols)
     for tmp, spec in joinbacks:
         alias, col = spec.split(":")
         side = events.select(

@@ -196,8 +196,105 @@ FROM (SELECT substring(c_name, 18, 1) cntrycode, c_acctbal, c_custkey
 GROUP BY cntrycode ORDER BY cntrycode
 """
 
+# Round-4 additions: the seven shapes that complete the 22-query battery
+# (Q1/Q3/Q6/Q9/Q11/Q19/Q20).  Same adaptation rules: partsupp-dependent
+# queries (Q9/Q11/Q20) substitute p_retailprice-based cost/value terms and
+# the lineitem-derived supplier↔part relation.
+
+Q1_SHAPE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) sum_qty,
+       round(sum(l_extendedprice), 2) sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) sum_charge,
+       round(avg(l_quantity), 4) avg_qty,
+       round(avg(l_extendedprice), 4) avg_price,
+       round(avg(l_discount), 4) avg_disc,
+       cast(count(*) as bigint) count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+Q3_SHAPE = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1996-06-15' AND l_shipdate > timestamp '1996-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+Q6_SHAPE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) revenue
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+"""
+
+Q9_SHAPE = """
+SELECT nation, o_year, round(sum(amount), 2) sum_profit
+FROM (SELECT n_name nation, extract(year from o_orderdate) o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+Q11_SHAPE = """
+SELECT part_key, round(part_value, 2) val
+FROM (SELECT l_partkey part_key, sum(l_quantity * p_retailprice) part_value
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey IN (0, 1, 2)
+      GROUP BY l_partkey) pv
+WHERE part_value > (SELECT 0.002 * sum(l_quantity * p_retailprice)
+                    FROM lineitem JOIN part ON p_partkey = l_partkey
+                         JOIN supplier ON s_suppkey = l_suppkey
+                    WHERE s_nationkey IN (0, 1, 2))
+ORDER BY val DESC, part_key
+"""
+
+Q19_SHAPE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+Q20_SHAPE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey
+                    FROM lineitem JOIN part ON p_partkey = l_partkey
+                    WHERE p_name LIKE '%widget%'
+                      AND l_shipdate >= timestamp '1996-01-01'
+                      AND l_shipdate < timestamp '1997-01-01'
+                    GROUP BY l_suppkey, l_partkey
+                    HAVING sum(l_quantity) > 40)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+ORDER BY s_suppkey
+"""
+
 _SHAPES = {
+    "x_tpch_q1": Q1_SHAPE,
     "x_tpch_q2": Q2_SHAPE,
+    "x_tpch_q3": Q3_SHAPE,
+    "x_tpch_q6": Q6_SHAPE,
+    "x_tpch_q9": Q9_SHAPE,
+    "x_tpch_q11": Q11_SHAPE,
+    "x_tpch_q19": Q19_SHAPE,
+    "x_tpch_q20": Q20_SHAPE,
     "x_tpch_q4": Q4_SHAPE,
     "x_tpch_q5": Q5_SHAPE,
     "x_tpch_q7": Q7_SHAPE,

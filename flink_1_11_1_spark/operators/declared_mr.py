@@ -13,6 +13,11 @@ DuckDB (which has no MATCH_RECOGNIZE):
   Greedy + PAST LAST ROW ⇒ exactly one maximal match per purchase.
 - x_mr_optional: PATTERN (A B? C) — signup, optional click, purchase on
   consecutive rows; oracle = two-step lead() case analysis.
+- x_mr_xvar: cross-variable DEFINE (B.value > A.value — Flink
+  IterativeCondition, evaluated per-partial inside the fold); oracle =
+  lead() value comparison.
+- x_mr_allrows: ALL ROWS PER MATCH — one row per matched event with
+  CLASSIFIER; oracle = UNION ALL of the A-row and B-row renderings.
 
 Reference parity: flink-table-planner-blink StreamExecMatch.scala
 (MATCH_RECOGNIZE lowering), flink-cep nfa/NFA.java (strict contiguity:
@@ -142,7 +147,79 @@ ORDER BY user_id, a_id
 """
 
 
+MR_XVAR_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click',
+         B AS B.event_type = 'purchase' AND B.value > A.value
+)
+"""
+
+
+def mr_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_XVAR_SQL, sf_dir).orderBy("user_id", "a_id")
+
+
+MR_XVAR_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+         lead(ts) OVER w AS nts, lead(value) OVER w AS nv
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS a_id, nid AS b_id
+FROM seq
+WHERE event_type = 'click' AND nt = 'purchase' AND nv > value
+  AND nts <= ts + INTERVAL 7 DAY
+ORDER BY user_id, a_id
+"""
+
+
+MR_ALLROWS_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+)
+"""
+
+
+def mr_allrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_ALLROWS_SQL, sf_dir).orderBy(
+        "user_id", "a_id", "event_id"
+    )
+
+
+MR_ALLROWS_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+         lead(ts) OVER w AS nts
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT * FROM seq
+      WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL 7 DAY)
+SELECT user_id, event_id AS a_id, event_id, ts, 'A' AS classifier FROM m
+UNION ALL
+SELECT user_id, event_id AS a_id, nid AS event_id, nts AS ts, 'B' AS classifier FROM m
+ORDER BY user_id, a_id, event_id
+"""
+
+
 def register_all() -> None:
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
     registry.register("x_mr_optional", mr_optional, MR_OPTIONAL_ORACLE)
+    registry.register("x_mr_xvar", mr_xvar, MR_XVAR_ORACLE)
+    registry.register("x_mr_allrows", mr_allrows, MR_ALLROWS_ORACLE)

@@ -37,8 +37,14 @@ Flink's branching NFA):
 State at 100 TB: partials per key are bounded by the horizon (every
 fold prunes expired partials), so streaming state is O(events within
 horizon per key), the same bound Flink's relative-time cleanup gives.
-Predicates are evaluated JVM-side once (boolean flag columns); the fold
-sees only flags — no Python expression evaluation in the hot path.
+Row-local predicates are evaluated JVM-side once (boolean flag
+columns); the fold sees only flags.  Cross-variable conditions
+(``State.py_cond`` — Flink IterativeCondition,
+pattern/conditions/IterativeCondition.java) are the exception: they
+need the partial's bound rows, so they run per (event, partial) inside
+the fold — the same place Flink evaluates them (NFA.computeNextStates
+calls the condition with the partial's ``ConditionContext``), with the
+JVM flag as a cheap prefilter where a row-local conjunct exists.
 """
 
 from __future__ import annotations
@@ -83,6 +89,12 @@ class State:
     max_count: int | None = 1  # None = unbounded
     strict_in: bool = False  # Flink next(): edge contiguity into this state
     consecutive: bool = False  # Flink consecutive(): contiguity between repeats
+    # Cross-variable condition (Flink IterativeCondition): a Python
+    # expression over EV["col"] (current event), FIRST/LAST("Var","col")
+    # (bound rows of earlier variables) and COUNT_VAR("Var"), evaluated
+    # per (event, partial) inside the fold.  ``cond`` stays the JVM-side
+    # row-local prefilter ("true" when nothing is row-local).
+    py_cond: str | None = None
 
 
 @dataclass(frozen=True)
@@ -92,6 +104,10 @@ class PatternSeq:
     states: tuple[State, ...] = ()
     horizon_s: int = 3600
     skip: str = "no_skip"  # no_skip | to_next | past_last
+    # Columns carried into the fold (and bound per matched event) so
+    # py_cond cross-variable predicates can read them.  Numeric / string
+    # / bool columns only (state is JSON-serialized for streaming).
+    value_cols: tuple[str, ...] = ()
 
     # -- construction -------------------------------------------------
     @staticmethod
@@ -123,6 +139,19 @@ class PatternSeq:
     def consecutive(self) -> "PatternSeq":
         return self._mod_last(consecutive=True)
 
+    def where_iterative(self, py_cond: str, *value_cols: str) -> "PatternSeq":
+        """Attach a cross-variable condition to the LAST added state
+        (Flink ``IterativeCondition`` — pattern/conditions/
+        IterativeCondition.java): a Python expression over ``EV["col"]``,
+        ``FIRST("Var","col")``, ``LAST("Var","col")``, ``COUNT_VAR("Var")``.
+        ``value_cols`` lists the event columns the expression reads."""
+        merged = tuple(dict.fromkeys(self.value_cols + value_cols))
+        return replace(
+            self,
+            states=self.states[:-1] + (replace(self.states[-1], py_cond=py_cond),),
+            value_cols=merged,
+        )
+
     def within(self, interval: str | int) -> "PatternSeq":
         return replace(self, horizon_s=_parse_interval(interval))
 
@@ -145,7 +174,7 @@ class PatternSeq:
     # -- execution ------------------------------------------------------
     def match_batch(self, events: DataFrame, key: str = "user_id") -> DataFrame:
         self._check()
-        flagged = _with_flags(events, self.states, key)
+        flagged = _with_flags(events, self.states, key, self.value_cols)
         spec = _spec(self)
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -162,7 +191,7 @@ class PatternSeq:
 
         self._check()
         configure(events.sparkSession)
-        flagged = _with_flags(events, self.states, key)
+        flagged = _with_flags(events, self.states, key, self.value_cols)
         spec = _spec(self)
 
         def fn(k, rows, state: GroupState):
@@ -189,13 +218,20 @@ class PatternSeq:
 # ---------------------------------------------------------------- core
 
 
-def _with_flags(events: DataFrame, states: tuple[State, ...], key: str) -> DataFrame:
-    """One boolean flag column per state, evaluated JVM-side."""
+def _with_flags(
+    events: DataFrame,
+    states: tuple[State, ...],
+    key: str,
+    value_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One boolean flag column per state, evaluated JVM-side; value
+    columns (cross-variable condition operands) ride along as ``v_<col>``."""
     return events.select(
         F.col(key),
         "event_id",
         "ts",
         *[F.expr(s.cond).alias(f"f{i}") for i, s in enumerate(states)],
+        *[F.col(c).alias(f"v_{c}") for c in value_cols],
     )
 
 
@@ -206,9 +242,44 @@ def _spec(p: PatternSeq) -> dict:
             (s.name, s.min_count, s.max_count, s.strict_in, s.consecutive)
             for s in p.states
         ],
+        "py_conds": [
+            compile(s.py_cond, f"<py_cond:{s.name}>", "eval") if s.py_cond else None
+            for s in p.states
+        ],
+        "value_cols": list(p.value_cols),
         "horizon_us": p.horizon_s * 1_000_000,
         "skip": p.skip,
     }
+
+
+def _bind_val(p: dict, var: str, col: str, first: bool):
+    """FIRST/LAST-bound value of ``col`` for pattern variable ``var``."""
+    labels, vals = p["labels"], p.get("vals", ())
+    rng = range(len(labels)) if first else range(len(labels) - 1, -1, -1)
+    for i in rng:
+        if labels[i] == var:
+            return vals[i].get(col)
+    return None
+
+
+def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
+    """Evaluate a compiled cross-variable condition for (partial, event).
+
+    Comparisons against an unbound variable (no row of that label yet →
+    None operand) are False, matching Flink's IterativeCondition contract
+    where ``ctx.getEventsForPattern`` of an empty group yields nothing.
+    """
+    pp = p if p is not None else {"labels": [], "vals": []}
+    env = {
+        "EV": evvals,
+        "FIRST": lambda var, col: _bind_val(pp, var, col, True),
+        "LAST": lambda var, col: _bind_val(pp, var, col, False),
+        "COUNT_VAR": lambda var: pp["labels"].count(var),
+    }
+    try:
+        return bool(eval(code, {"__builtins__": {}}, env))
+    except TypeError:  # None operand in comparison/arithmetic → unbound var
+        return False
 
 
 def _fold_events(
@@ -226,14 +297,30 @@ def _fold_events(
     states = spec["states"]
     horizon = spec["horizon_us"]
     skip = spec["skip"]
+    py_conds = spec.get("py_conds") or [None] * len(states)
+    value_cols = spec.get("value_cols") or []
     n_states = len(states)
     flag_cols = [f"f{i}" for i in range(n_states)]
     out: list[tuple] = []
+
+    def _plain(v):
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if hasattr(v, "item"):  # numpy scalar → JSON-serializable python
+            return v.item()
+        return str(v)
 
     for ev in events.itertuples(index=False):
         ts_us = int(ev.ts.value // 1000)
         eid = int(ev.event_id)
         flags = [bool(getattr(ev, c)) for c in flag_cols]
+        evvals = {c: _plain(getattr(ev, f"v_{c}")) for c in value_cols}
+
+        def _ok(j: int, p: dict | None) -> bool:
+            if not flags[j]:
+                return False
+            code = py_conds[j]
+            return code is None or _py_cond_ok(code, p, evvals)
         partials = [p for p in partials if ts_us <= p["start"] + horizon]
         survivors: list[dict] = []
         completed: list[dict] = []
@@ -242,11 +329,12 @@ def _fold_events(
             si = p["si"]
             name, mn, mx, strict_in, consec = states[si]
             # greedy: extend current state first
-            if flags[si] and not p["closed"] and (mx is None or p["cnt"] < mx):
+            if not p["closed"] and (mx is None or p["cnt"] < mx) and _ok(si, p):
                 p["cnt"] += 1
                 p["labels"].append(name)
                 p["ids"].append(eid)
                 p["tss"].append(ts_us)
+                p.setdefault("vals", []).append(evvals)
                 if si == n_states - 1 and p["cnt"] == mn:
                     completed.append(p)
                 else:
@@ -258,11 +346,12 @@ def _fold_events(
                 j = si + 1
                 while j < n_states:
                     jname, jmn, jmx, jstrict, jconsec = states[j]
-                    if flags[j]:
+                    if _ok(j, p):
                         p.update(si=j, cnt=1, closed=False)
                         p["labels"].append(jname)
                         p["ids"].append(eid)
                         p["tss"].append(ts_us)
+                        p.setdefault("vals", []).append(evvals)
                         if j == n_states - 1 and jmn == 1:
                             completed.append(p)
                         else:
@@ -308,7 +397,7 @@ def _fold_events(
                 survivors = [s for s in survivors if s["sid"] != p["sid"]]
         partials = survivors
         # NO_SKIP (and to_next) start a new partial at every state-0 match
-        if flags[0] and not suppress_start:
+        if not suppress_start and _ok(0, None):
             name0, mn0, mx0, _, _ = states[0]
             p0 = {
                 "si": 0,
@@ -317,6 +406,7 @@ def _fold_events(
                 "labels": [name0],
                 "ids": [eid],
                 "tss": [ts_us],
+                "vals": [evvals],
                 "start": ts_us,
                 "sid": eid,
             }

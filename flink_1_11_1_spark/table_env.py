@@ -70,11 +70,22 @@ class TableSpec:
 
 
 def events_spec(sf_dir: str, watermark_delay: str = "10 minutes") -> TableSpec:
-    """The canonical events table as a DDL spec: the ns->ms timestamp is
-    a computed column, the watermark rides on it (FIXTURES.md)."""
+    """The canonical events table as a DDL spec: the ms-floored timestamp
+    is a computed column, the watermark rides on it (FIXTURES.md).  The
+    computed expr adapts to the parquet physical encoding (ns-as-long vs
+    µs timestamp) by probing the file footer — no Spark session needed."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    phys = str(pq.read_schema(path).field("ts").type)
+    expr = (
+        "timestamp_millis(ts div 1000000)"
+        if phys == "int64"
+        else "date_trunc('MILLISECOND', cast(ts as timestamp))"
+    )
     return TableSpec(
-        path=f"{sf_dir}/events.parquet",
-        computed={"ts": "timestamp_millis(ts div 1000000)"},
+        path=path,
+        computed={"ts": expr},
         watermark_col="ts",
         watermark_delay=watermark_delay,
     )

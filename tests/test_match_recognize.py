@@ -80,23 +80,57 @@ def test_optional_unmatched_measure_is_null(spark):
     assert got == [(1, None, 2), (3, 4, 5)]
 
 
-def test_cross_variable_define_rejected(spark):
+def test_cross_variable_define(spark):
+    """B AS B.value > A.value (IterativeCondition): only the pair whose
+    purchase value exceeds the click value matches."""
     sql = """
     SELECT * FROM ev MATCH_RECOGNIZE (
-      PARTITION BY user_id ORDER BY ts
-      MEASURES FIRST(A.event_id) AS a_id
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
       PATTERN (A B)
-      DEFINE A AS A.event_type = 'A', B AS B.value > A.value
+      DEFINE A AS A.event_type = 'A',
+             B AS B.event_type = 'B' AND B.value > A.value
     )
     """
-    with pytest.raises(ValueError, match="cross-variable"):
-        match_recognize(spark, sql, events=_events(spark, [(1, 0, "A", 1)]))
+    ev = _events(
+        spark,
+        [(1, 0, "A", 5), (2, 10, "B", 9),   # 9 > 5 → match
+         (3, 100, "A", 5), (4, 110, "B", 3)],  # 3 < 5 → no match
+    )
+    got = sorted((r.a_id, r.b_id) for r in match_recognize(spark, sql, events=ev).collect())
+    assert got == [(1, 2)]
 
 
-def test_all_rows_per_match_rejected(spark):
+def test_cross_variable_first_ref(spark):
+    """C AS C.value > FIRST(A.value) with A{2}: compares against the
+    first bound A row, not the last."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_id, LAST(C.event_id) AS c_id
+      PATTERN (A{2} C)
+      DEFINE A AS A.event_type = 'A',
+             C AS C.event_type = 'C' AND C.value > FIRST(A.value)
+    )
+    """
+    # A(7) A(1) C(5): 5 > FIRST=7 false → dead; A(2) A(9) C(5): 5 > 2 → match
+    ev = _events(spark, [(1, 0, "A", 7), (2, 10, "A", 1), (3, 20, "C", 5),
+                         (4, 100, "A", 2), (5, 110, "A", 9), (6, 120, "C", 5)])
+    got = sorted((r.a_id, r.c_id) for r in match_recognize(spark, sql, events=ev).collect())
+    assert got == [(4, 6)]
+
+
+def test_all_rows_per_match(spark):
     sql = _MR.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-    with pytest.raises(ValueError, match="ALL ROWS"):
-        match_recognize(spark, sql, events=_events(spark, [(1, 0, "A", 1)]))
+    ev = _events(
+        spark,
+        [(1, 0, "A", 1), (2, 10, "B", 2), (3, 20, "B", 3), (4, 30, "C", 4)],
+    )
+    rows = match_recognize(spark, sql, events=ev).orderBy("event_id").collect()
+    assert [(r.event_id, r.classifier) for r in rows] == [
+        (1, "A"), (2, "B"), (3, "B"), (4, "C")
+    ]
+    assert {r.a_id for r in rows} == {1}  # FINAL-semantics measure on every row
 
 
 def test_missing_define_rejected(spark):

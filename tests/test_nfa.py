@@ -173,6 +173,50 @@ def test_nfa_equals_cep_lite_on_fixture(spark):
     assert got == lite
 
 
+def test_iterative_condition_batch(spark):
+    """where_iterative: B binds only when its value exceeds the bound A's."""
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, base, "A", 5.0),
+         (1, 2, base + dt.timedelta(seconds=10), "B", 9.0),
+         (1, 3, base + dt.timedelta(seconds=100), "A", 5.0),
+         (1, 4, base + dt.timedelta(seconds=110), "B", 3.0)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'A'")
+        .followed_by("b", "event_type = 'B'")
+        .where_iterative('EV["value"] > LAST("a","value")', "value")
+        .within("1 hour")
+    )
+    got = _matches(pat.match_batch(ev))
+    assert got == [([1, 2], ["a", "b"])]
+
+
+def test_s8_nfa_stream_equals_batch_iterative(spark, tmp_path):
+    """Streaming parity for cross-variable (IterativeCondition) patterns:
+    the partial's bound values survive the JSON state round-trip."""
+    d = str(tmp_path / "replay_iter")
+    replay.write_replay(spark, SF_SMOKE, d, parts=4)
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'click'")
+        .followed_by("b", "event_type = 'purchase'")
+        .where_iterative('EV["value"] > LAST("a","value")', "value")
+        .within("48 hours")
+    )
+    sel = ["user_id", "event_id", "ts", "event_type", "value"]
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select(*sel)), "append", "s8_nfa_iter"
+    )
+    batch = pat.match_batch(
+        catalog.load_table(spark, SF_SMOKE, "events").select(*sel)
+    ).collect()
+    key = lambda rows: {(r.user_id, tuple(r.ids)) for r in rows}  # noqa: E731
+    assert key(got) == key(batch)
+    assert len(batch) > 0
+
+
 def test_s8_nfa_stream_equals_batch(spark, tmp_path):
     """Streaming NFA (applyInPandasWithState, partials carried across
     micro-batches) equals the batch fold on replayed events."""
