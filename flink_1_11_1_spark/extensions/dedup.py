@@ -438,20 +438,30 @@ def cosine_near_dup_pairs(
         .select(F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db"))
         .distinct()
     )
+    # Norms are per-vector: compute them once in the vector projection,
+    # not per candidate pair (the verify join evaluates its select over
+    # |candidates| rows — recomputing two 128-dim norms there tripled
+    # the higher-order-function work per pair).
     v = emb.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    norm = "sqrt(aggregate({v}, 0D, (a, x) -> a + x * x))"
+    ).withColumn("n", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
     return (
-        cand.join(v.select(F.col("vec_id").alias("da"), F.col("v").alias("va")), "da")
-        .join(v.select(F.col("vec_id").alias("db"), F.col("v").alias("vb")), "db")
+        cand.join(
+            v.select(F.col("vec_id").alias("da"), F.col("v").alias("va"),
+                     F.col("n").alias("na")),
+            "da",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("db"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb")),
+            "db",
+        )
         .select(
             "da",
             "db",
-            (
-                F.expr(_COS_DOT.format(a="va", b="vb"))
-                / (F.expr(norm.format(v="va")) * F.expr(norm.format(v="vb")))
-            ).alias("sim"),
+            (F.expr(_COS_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))).alias(
+                "sim"
+            ),
         )
         .where(F.col("sim") >= threshold)
         .select("da", "db", F.round("sim", 4).alias("c"))

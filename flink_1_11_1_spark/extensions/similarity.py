@@ -44,11 +44,18 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
 
     The query side is broadcast — at 100 TB the corpus never shuffles.
     """
+    # Norms are per-vector: computed once per side, not per pair (the
+    # pair select runs |q|×|corpus| times — only the dot belongs there).
     q = _with_vec(queries).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("va")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("va"),
+        F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)")).alias("qnorm"),
     )
     c = _with_vec(corpus).select(
-        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"), F.col("v").alias("vb")
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("vb"),
+        F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)")).alias("cnorm"),
     )
     return (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
@@ -56,13 +63,7 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
             "qid",
             "nid",
             "nlabel",
-            (
-                F.expr(_DOT)
-                / (
-                    F.sqrt(F.expr("aggregate(va, 0D, (a, x) -> a + x * x)"))
-                    * F.sqrt(F.expr("aggregate(vb, 0D, (a, x) -> a + x * x)"))
-                )
-            ).alias("sim"),
+            (F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm"))).alias("sim"),
         )
     )
 
@@ -222,12 +223,22 @@ def ann_lsh_topk(
     else:
         q = q.select("qid", "va", F.col("_bucket").alias("bucket"))
     c = _with_vec(corpus, "vb").select(
-        F.col("vec_id").alias("nid"), "vb", lsh_bucket_col("vb")
+        F.col("vec_id").alias("nid"),
+        "vb",
+        lsh_bucket_col("vb"),
+        F.sqrt(F.expr("aggregate(vb, 0D, (a, x) -> a + x * x)")).alias("cnorm"),
     )
+    qn = q.withColumn(
+        "qnorm", F.sqrt(F.expr("aggregate(va, 0D, (a, x) -> a + x * x)"))
+    )
+    # exact cosine re-rank (same metric as cosine_topk / the exact oracle
+    # — a bucket that contains the true top-1 therefore returns it)
     pairs = (
-        c.join(F.broadcast(q), ["bucket"])
+        c.join(F.broadcast(qn), ["bucket"])
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.expr(_DOT).alias("sim"))
+        .select(
+            "qid", "nid", (F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm"))).alias("sim")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
@@ -340,22 +351,26 @@ registry.register("x_ann_quantized", _ann_quant, ANN_TOP1_ORACLE)
 IVF_CENTROID_MOD = 32  # centroids = corpus rows with vec_id % 32 == 0
 IVF_NPROBE = 4
 
-_COS_SIM = (
-    f"{_DOT} / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))"
-    " * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x)))"
-)
-
-
 def _ivf_assign(side: DataFrame, centroids: DataFrame, n_cells: int) -> DataFrame:
     """(vec_id, v, cell, rn): nearest-centroid ranks by spherical
     (cosine) distance; deterministic ties by centroid id.  The centroid
     table is tiny and broadcast — assignment is a map-only stage, the
-    corpus never shuffles to get its cell."""
-    sim = side.join(F.broadcast(centroids), F.lit(True)).select(
+    corpus never shuffles to get its cell.  Norms hoisted per side (the
+    per-(row×centroid) select computes only the dot)."""
+    s = side.withColumn(
+        "_sn", F.sqrt(F.expr("aggregate(va, 0D, (a, x) -> a + x * x)"))
+    )
+    c = centroids.withColumn(
+        "_cn", F.sqrt(F.expr("aggregate(vc, 0D, (a, x) -> a + x * x)"))
+    )
+    sim = s.join(F.broadcast(c), F.lit(True)).select(
         "vec_id",
         "va",
         "cid",
-        F.expr(_COS_SIM.replace("vb", "vc")).alias("csim"),
+        (
+            F.expr("aggregate(zip_with(va, vc, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (F.col("_sn") * F.col("_cn"))
+        ).alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
     return sim.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= n_cells)
