@@ -19,6 +19,7 @@ expression fused into the scan stage by WholeStageCodegen.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,10 +70,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Which sf_dir each live session currently has registered.  The views
+# are engine-owned and the parquet fixtures immutable, so re-running
+# register() with the SAME sf_dir is a no-op; a DIFFERENT sf_dir always
+# re-registers (alternating sf_dirs in one session must never serve
+# stale views — probed in the verify skill).  Keyed weakly so dropped
+# sessions don't pin memory.
+_REGISTERED: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def register(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
-    """Register all canonical views on the session. Idempotent."""
+    """Register all canonical views on the session. Idempotent (cached
+    per session until the requested sf_dir changes)."""
     configure(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if _REGISTERED.get(spark) == sf_dir:
+        return spark
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[spark] = sf_dir
     return spark

@@ -33,6 +33,11 @@ Documented deltas (the NFA's deterministic-greedy contract):
   columns.  Referenced columns must be numeric/string/bool (state is
   JSON-serialized on the streaming backend); ``ts`` is not referenceable
   cross-variable (use event_id ordering or WITHIN).
+- PREV(V.col[, n]) in DEFINE (row-relative navigation) lowers onto a
+  ``lag(col, n) OVER (PARTITION BY key ORDER BY ts, event_id)``
+  pre-pass — batch only, may only navigate the defining variable's own
+  rows, and may not be mixed with cross-variable references in one
+  DEFINE.
 - Quantified variables are greedy without backtracking: DEFINE
   conditions of adjacent pattern variables should be mutually exclusive
   (true for the event_type-dispatch shape virtually all funnels use).
@@ -134,6 +139,8 @@ def _row_local(cond: str, variables: list[str], this: str) -> str:
     return re.sub(rf"\b{this}\.", "", cond)
 
 
+_PREV_RE = re.compile(r"\bPREV\s*\(\s*(\w+)\.(\w+)(?:\s*,\s*(\d+))?\s*\)", re.IGNORECASE)
+
 _FNREF_RE = re.compile(r"\b(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", re.IGNORECASE)
 _REF_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
 
@@ -219,15 +226,38 @@ def match_recognize(
     if len(set(variables)) != len(variables):
         raise ValueError("repeated pattern variables are not supported")
 
-    # defines → row-local (JVM flag) or cross-variable (fold predicate)
+    # defines → row-local (JVM flag) or cross-variable (fold predicate).
+    # PREV(V.col[, n]) — Flink's row-relative navigation — substitutes a
+    # lag() column computed JVM-side before the fold, so the condition
+    # stays row-local (one extra window sort on the key partitioning the
+    # NFA shuffles on anyway).
     defines: dict[str, str] = {}
     xconds: dict[str, tuple[str, tuple[str, ...]]] = {}
+    prev_cols: set[tuple[str, int]] = set()
     for d in _split_top(c.group("define")):
         dm = re.match(r"(?P<var>\w+)\s+AS\s+(?P<cond>.+)$", d, re.IGNORECASE | re.DOTALL)
         if not dm:
             raise ValueError(f"unparseable DEFINE {d!r}")
         var, cond = dm.group("var"), dm.group("cond").strip()
+
+        def _subst_prev(m: re.Match) -> str:
+            pvar, pcol, pn = m.group(1), m.group(2), int(m.group(3) or 1)
+            if pvar != var:
+                raise ValueError(
+                    "PREV may only navigate the defining variable's own rows "
+                    f"(PREV({pvar}.{pcol}) in DEFINE {var})"
+                )
+            prev_cols.add((pcol, pn))
+            return f"_prev{pn}_{pcol}"
+
+        had_prev = bool(_PREV_RE.search(cond))
+        cond = _PREV_RE.sub(_subst_prev, cond)
         cross, cols = _xvar_refs(cond, variables, var)
+        if cross and had_prev:
+            raise ValueError(
+                f"DEFINE {var} mixes PREV with cross-variable references — "
+                "unsupported (PREV is a row-local lag substitution)"
+            )
         if cross:
             if "ts" in cols:
                 raise ValueError(
@@ -269,6 +299,17 @@ def match_recognize(
             if sf_dir is not None
             else spark.table(table)
         )
+    if prev_cols:
+        if events.isStreaming:
+            raise ValueError(
+                "PREV in DEFINE needs a bounded input (it lowers onto a lag() "
+                "pre-pass; streams would need the keyed-state backend to buffer)"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy("ts", "event_id")
+        for pcol, pn in sorted(prev_cols):
+            events = events.withColumn(f"_prev{pn}_{pcol}", F.lag(pcol, pn).over(w))
     if events.isStreaming:
         out = pat.match_stream(events, key=key)
     else:

@@ -18,6 +18,9 @@ DuckDB (which has no MATCH_RECOGNIZE):
   lead() value comparison.
 - x_mr_allrows: ALL ROWS PER MATCH — one row per matched event with
   CLASSIFIER; oracle = UNION ALL of the A-row and B-row renderings.
+- x_mr_prev: PREV(D.value) navigation — three consecutive value drops,
+  PATTERN (D{3}) SKIP PAST LAST ROW; oracle = gaps-and-islands over the
+  lag-compare flag with ordinal%3 match ends.
 
 Reference parity: flink-table-planner-blink StreamExecMatch.scala
 (MATCH_RECOGNIZE lowering), flink-cep nfa/NFA.java (strict contiguity:
@@ -217,9 +220,54 @@ ORDER BY user_id, a_id, event_id
 """
 
 
+MR_PREV_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(D.event_id) AS d_first, LAST(D.event_id) AS d_last
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (D{3})
+  DEFINE D AS D.value < PREV(D.value)
+)
+"""
+
+
+def mr_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_PREV_SQL, sf_dir).orderBy("user_id", "d_first")
+
+
+# Three consecutive drops, non-overlapping greedy-from-oldest (PAST LAST
+# ROW): within each maximal run of "value < previous value" rows, the
+# matches end at run-ordinal 3, 6, 9, …  Rendered relationally as
+# gaps-and-islands over the lag-compare flag.
+MR_PREV_ORACLE = f"""
+WITH e AS ({_E}),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END d,
+         row_number() OVER w rn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) island
+  FROM s WHERE d = 1),
+ord AS (
+  SELECT user_id, event_id, rn, island,
+         row_number() OVER (PARTITION BY user_id, island ORDER BY rn) k
+  FROM runs)
+SELECT a.user_id, a.event_id AS d_first, b.event_id AS d_last
+FROM ord b JOIN ord a
+  ON a.user_id = b.user_id AND a.island = b.island AND a.k = b.k - 2
+WHERE b.k % 3 = 0
+ORDER BY a.user_id, d_first
+"""
+
+
 def register_all() -> None:
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
     registry.register("x_mr_optional", mr_optional, MR_OPTIONAL_ORACLE)
     registry.register("x_mr_xvar", mr_xvar, MR_XVAR_ORACLE)
     registry.register("x_mr_allrows", mr_allrows, MR_ALLROWS_ORACLE)
+    registry.register("x_mr_prev", mr_prev, MR_PREV_ORACLE)

@@ -225,12 +225,18 @@ def _with_flags(
     value_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One boolean flag column per state, evaluated JVM-side; value
-    columns (cross-variable condition operands) ride along as ``v_<col>``."""
+    columns (cross-variable condition operands) ride along as ``v_<col>``.
+    Flags are null-coalesced to false (SQL ternary logic: a condition
+    over a NULL operand — e.g. a lag() at the partition head — does not
+    match), keeping the Arrow flag columns non-nullable booleans."""
     return events.select(
         F.col(key),
         "event_id",
         "ts",
-        *[F.expr(s.cond).alias(f"f{i}") for i, s in enumerate(states)],
+        *[
+            F.coalesce(F.expr(s.cond), F.lit(False)).alias(f"f{i}")
+            for i, s in enumerate(states)
+        ],
         *[F.col(c).alias(f"v_{c}") for c in value_cols],
     )
 

@@ -133,6 +133,40 @@ def test_all_rows_per_match(spark):
     assert {r.a_id for r in rows} == {1}  # FINAL-semantics measure on every row
 
 
+def test_prev_navigation(spark):
+    """PREV(D.value) lag pre-pass: three consecutive drops, greedy
+    non-overlapping under PAST LAST ROW."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(D.event_id) AS d_first, LAST(D.event_id) AS d_last
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (D{3})
+      DEFINE D AS D.value < PREV(D.value)
+    )
+    """
+    # values 9 8 7 6 5 4 3: drops at ids 2..7 (six) → matches (2,4), (5,7)
+    ev = _events(spark, [(i, i * 10, "X", 10 - i) for i in range(1, 8)])
+    got = sorted(
+        (r.d_first, r.d_last) for r in match_recognize(spark, sql, events=ev).collect()
+    )
+    assert got == [(2, 4), (5, 7)]
+
+
+def test_prev_cross_variable_mix_rejected(spark):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FIRST(A.event_id) AS a_id
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'A',
+             B AS B.value > A.value AND B.value < PREV(B.value)
+    )
+    """
+    with pytest.raises(ValueError, match="mixes PREV"):
+        match_recognize(spark, sql, events=_events(spark, [(1, 0, "A", 1)]))
+
+
 def test_missing_define_rejected(spark):
     sql = """
     SELECT * FROM ev MATCH_RECOGNIZE (
