@@ -55,3 +55,47 @@ FROM quality GROUP BY pred_lang ORDER BY pred_lang
 
 
 registry.register("x_pipeline_clean", pipeline_summary, PIPELINE_ORACLE)
+
+
+# ------------------------------------------------ deterministic sampling
+
+_SPARK_BUCKET = (
+    "cast(conv(substring(md5(concat(cast(doc_id as string), '{salt}')), 1, 8),"
+    " 16, 10) as bigint) % 100"
+)
+
+# DuckDB lacks hex→int casts; fold the 8 nibbles (same trick as the
+# SimHash oracle).  Both engines hash the identical decimal string, so
+# the buckets agree bit-for-bit.
+_DUCK_BUCKET = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), "
+    "i -> (strpos('0123456789abcdef', "
+    "substring(md5(doc_id::VARCHAR || '{salt}'), i, 1)) - 1)::BIGINT)), "
+    "(a, x) -> a * 16 + x) % 100"
+)
+
+
+def hash_sample(docs: DataFrame, pct: int = 10, salt: str = "") -> DataFrame:
+    """Reproducible content-stable sample: md5-bucket the key, keep
+    buckets < pct.  The training-data curation primitive Spark's
+    ``TABLESAMPLE``/``sample()`` cannot give you — those are
+    partition-dependent, so reruns and engines disagree; a key hash is
+    stable across engines, partitionings and reruns, and ``salt``
+    yields disjoint resamples.  Map-only (no shuffle): the predicate
+    rides the scan."""
+    return docs.where(F.expr(_SPARK_BUCKET.format(salt=salt)) < pct)
+
+
+def _sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, pct=10).select("doc_id", "lang").orderBy("doc_id")
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_DUCK_BUCKET.format(salt="")} AS bucket FROM documents)
+WHERE bucket < 10 ORDER BY doc_id
+"""
+
+
+registry.register("x_sample_hash", _sample, SAMPLE_ORACLE)

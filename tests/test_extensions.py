@@ -188,3 +188,22 @@ def test_multiprobe_lsh_recall(spark):
     r0, r6 = recall(0), recall(6)
     assert r6 >= 0.95
     assert r6 > r0  # probing genuinely widens (r0 ~ 0.5 here)
+
+
+def test_hash_sample_deterministic_and_salted(spark):
+    """Content-stable sampling: same key set on every run/partitioning;
+    salted resamples behave like independent draws."""
+    from flink_1_11_1_spark.extensions import pipeline
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    a = {r.doc_id for r in pipeline.hash_sample(docs, 10).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in pipeline.hash_sample(docs.repartition(7), 10).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count() * 0.2  # stable + roughly 10%
+    salted = {
+        r.doc_id
+        for r in pipeline.hash_sample(docs, 10, "r1").select("doc_id").collect()
+    }
+    assert salted != a  # a different, reproducible draw
