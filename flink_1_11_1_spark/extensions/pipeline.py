@@ -99,3 +99,77 @@ WHERE bucket < 10 ORDER BY doc_id
 
 
 registry.register("x_sample_hash", _sample, SAMPLE_ORACLE)
+
+
+# ------------------------------------------------ token-budget packing
+
+def pack_batches(docs: DataFrame, budget: int = 2000, shards: int = 8) -> DataFrame:
+    """Greedy token-budget sequence packing: within each shard (hash of
+    the key — the parallelism unit), docs are taken in doc_id order and
+    appended to the current batch until the budget would overflow, which
+    starts the next batch.  The classic training-batch assembly step.
+
+    A running greedy reset is inherently a stateful scan — not
+    expressible with window functions — so this is the documented
+    applyInPandas case (task brief: custom operator tier (b)).  State is
+    two scalars per shard; each shard's scan is linear and shards give
+    the parallelism, so at 100 TB you size ``shards`` to the cluster,
+    not the data.  Output: (doc_id, shard, tok, batch_id).
+    """
+    d = docs.select(
+        "doc_id",
+        F.expr(N_TOKENS).cast("long").alias("tok"),
+        (F.col("doc_id") % shards).alias("shard"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        acc, b, out = 0, 0, []
+        for tok in pdf["tok"]:
+            if acc and acc + tok > budget:
+                b, acc = b + 1, 0
+            acc += int(tok)
+            out.append(b)
+        pdf["batch_id"] = out
+        return pdf[["doc_id", "shard", "tok", "batch_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "doc_id long, tok long, shard long, batch_id long"
+    )
+
+
+def _pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        pack_batches(docs)
+        .groupBy("shard", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+        )
+        .orderBy("shard", "batch_id")
+    )
+
+
+# The greedy reset is a linear recurrence — rendered in DuckDB as a
+# recursive CTE stepping one row per shard per iteration (bounded by
+# max rows-per-shard; fine at oracle scale).
+PACK_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 8 AS shard, cast({N_TOKENS} as bigint) AS tok,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) rn
+  FROM documents),
+packed AS (
+  SELECT shard, rn, doc_id, tok, 0::BIGINT AS batch_id, tok AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.tok,
+         CASE WHEN p.acc + d.tok > 2000 THEN p.batch_id + 1 ELSE p.batch_id END,
+         CASE WHEN p.acc + d.tok > 2000 THEN d.tok ELSE p.acc + d.tok END
+  FROM d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+SELECT shard, batch_id, cast(count(*) as bigint) n_docs, cast(sum(tok) as bigint) n_tokens
+FROM packed GROUP BY shard, batch_id ORDER BY shard, batch_id
+"""
+
+
+registry.register("x_pack_batches", _pack, PACK_ORACLE)

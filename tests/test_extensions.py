@@ -207,3 +207,28 @@ def test_hash_sample_deterministic_and_salted(spark):
         for r in pipeline.hash_sample(docs, 10, "r1").select("doc_id").collect()
     }
     assert salted != a  # a different, reproducible draw
+
+
+def test_pack_batches_budget_and_stability(spark):
+    """Every batch fits the budget (unless a single doc overflows it),
+    batches are contiguous in doc_id order, and the assignment is
+    partitioning-independent."""
+    from flink_1_11_1_spark.extensions import pipeline
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    out = pipeline.pack_batches(docs, budget=2000).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r.shard, r.batch_id), []).append(r)
+    for rows in by_batch.values():
+        total = sum(r.tok for r in rows)
+        assert total <= 2000 or len(rows) == 1
+    # batches partition each shard's doc_id order contiguously
+    for shard in {r.shard for r in out}:
+        seq = sorted((r.doc_id, r.batch_id) for r in out if r.shard == shard)
+        bids = [b for _, b in seq]
+        assert bids == sorted(bids)
+    stable = pipeline.pack_batches(docs.repartition(5), budget=2000).collect()
+    assert {(r.doc_id, r.batch_id) for r in stable} == {
+        (r.doc_id, r.batch_id) for r in out
+    }
