@@ -41,7 +41,15 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import dedup, pipeline, similarity, sql_surface, text, tpch_extra  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        pipeline,
+        similarity,
+        sketch,
+        sql_surface,
+        text,
+        tpch_extra,
+    )
     from ..operators import (
         declared_cep,
         declared_mr,

@@ -232,3 +232,19 @@ def test_pack_batches_budget_and_stability(spark):
     assert {(r.doc_id, r.batch_id) for r in stable} == {
         (r.doc_id, r.batch_id) for r in out
     }
+
+
+def test_kmv_sketch_accuracy(spark):
+    """KMV estimate lands within 3 standard errors (1/sqrt(k-2)) of the
+    true distinct count once the group has more than k distinct keys;
+    below k it degrades to the exact count."""
+    from flink_1_11_1_spark.extensions import sketch
+
+    rows = sketch.kmv_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    tol = 3.0 / (sketch.K - 2) ** 0.5
+    for r in rows:
+        if r.n_exact < sketch.K:
+            assert r.est_kmv == float(r.n_exact)
+        else:
+            assert abs(r.est_kmv - r.n_exact) / r.n_exact <= tol
