@@ -18,7 +18,9 @@ this module does the same lowering onto PatternSeq.  Supported subset
     )
 
 Measures: FIRST(V.col) / LAST(V.col) / V.col (= LAST, Flink's default
-for ONE ROW PER MATCH) / COUNT(V.*).  ``ts`` and ``event_id`` come
+for ONE ROW PER MATCH) / COUNT(V.*) / MATCH_NUMBER() (per-partition
+match ordinal, batch) / CLASSIFIER() (ALL ROWS PER MATCH only).
+``ts`` and ``event_id`` come
 straight from the match arrays; any other column is resolved with an
 event_id equi-join back to the source table (matches are small relative
 to the scanned events, so the join-back adds one shuffle of the match
@@ -318,7 +320,35 @@ def match_recognize(
     # measures
     cols = [F.col("user_id").alias(key)] if key == "user_id" else [F.col(key)]
     joinbacks: list[tuple[str, str]] = []  # (tmp id col, measure alias->source col)
+    _classifier_alias: str | None = None
     for i, mtext in enumerate(_split_top(c.group("measures"))):
+        mn = re.match(
+            r"^MATCH_NUMBER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", mtext.strip(), re.IGNORECASE
+        )
+        if mn:
+            # sequential match numbering per partition, oldest start
+            # first (Flink MATCH_NUMBER(): per-key ordinal)
+            if events.isStreaming:
+                raise ValueError("MATCH_NUMBER() needs a bounded input (window pass)")
+            from pyspark.sql.window import Window
+
+            wmn = Window.partitionBy(key).orderBy(
+                F.col("start_ts"), F.expr("get(ids, 0)")
+            )
+            cols.append(
+                F.row_number().over(wmn).cast("bigint").alias(mn.group("alias"))
+            )
+            continue
+        cl = re.match(
+            r"^CLASSIFIER\s*\(\s*\)\s+AS\s+(?P<alias>\w+)$", mtext.strip(), re.IGNORECASE
+        )
+        if cl:
+            if not all_rows:
+                raise ValueError(
+                    "CLASSIFIER() needs ALL ROWS PER MATCH (per-row label)"
+                )
+            _classifier_alias = cl.group("alias")  # renamed after explode
+            continue
         mm = _MEASURE_RE.match(mtext.strip())
         if not mm:
             raise ValueError(f"unsupported measure {mtext!r}")
@@ -362,7 +392,7 @@ def match_recognize(
             *carried,
             F.col("_ev.ids").alias("event_id"),
             F.col("_ev.tss").alias("ts"),
-            F.col("_ev.labels").alias("classifier"),
+            F.col("_ev.labels").alias(_classifier_alias or "classifier"),
         )
     else:
         res = out.select(*cols)

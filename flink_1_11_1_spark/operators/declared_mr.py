@@ -188,7 +188,8 @@ MR_ALLROWS_SQL = """
 SELECT * FROM events MATCH_RECOGNIZE (
   PARTITION BY user_id
   ORDER BY ts, event_id
-  MEASURES FIRST(A.event_id) AS a_id
+  MEASURES FIRST(A.event_id) AS a_id, MATCH_NUMBER() AS mn,
+           CLASSIFIER() AS classifier
   ALL ROWS PER MATCH
   AFTER MATCH SKIP PAST LAST ROW
   PATTERN (A B)
@@ -211,11 +212,14 @@ seq AS (
          lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
          lead(ts) OVER w AS nts
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-m AS (SELECT * FROM seq
+m AS (SELECT *,
+        cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             as bigint) AS mn
+      FROM seq
       WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL 7 DAY)
-SELECT user_id, event_id AS a_id, event_id, ts, 'A' AS classifier FROM m
+SELECT user_id, event_id AS a_id, mn, event_id, ts, 'A' AS classifier FROM m
 UNION ALL
-SELECT user_id, event_id AS a_id, nid AS event_id, nts AS ts, 'B' AS classifier FROM m
+SELECT user_id, event_id AS a_id, mn, nid AS event_id, nts AS ts, 'B' AS classifier FROM m
 ORDER BY user_id, a_id, event_id
 """
 
