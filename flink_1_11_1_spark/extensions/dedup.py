@@ -510,8 +510,73 @@ def _cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(catalog.load_table(spark, sf_dir, "embeddings"))
 
 
+# ---------------------------------------- near-dup cluster resolution
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dup resolution: MinHash-LSH pairs → connected
+    components → canonical survivor (min doc_id per cluster).
+
+    The full 100 TB dedup decision pipeline in one composition: LSH
+    bounds the candidate volume, exact Jaccard verifies, label
+    propagation (operators/iterate.connected_components — per-round
+    lineage truncation) resolves transitive duplicate chains, and
+    ``keep`` marks each cluster's canonical representative the way a
+    training-data pipeline actually consumes dedup output.
+    """
+    from ..operators.iterate import connected_components
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    edges = pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    cc = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Oracle: the exact-Jaccard edge set (identical to the LSH+verify output
+# — x_dedup_minhash shares JACCARD_ORACLE on that basis), then connected
+# components as a recursive label-propagation CTE: every reachable label
+# propagates, min per vertex = component root.
+CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) t(i)
+), cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id da, b.doc_id db, count(*) c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jpairs AS (
+  SELECT da, db FROM p JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5
+), edges AS (
+  SELECT da s, db d FROM jpairs UNION ALL SELECT db s, da d FROM jpairs
+), cc AS (
+  SELECT doc_id AS vertex, doc_id AS comp FROM documents
+  UNION
+  SELECT e.d AS vertex, cc.comp FROM cc JOIN edges e ON e.s = cc.vertex
+)
+SELECT vertex AS doc_id, cast(min(comp) as bigint) AS cluster,
+       cast(CASE WHEN vertex = min(comp) THEN 1 ELSE 0 END as int) AS keep
+FROM cc GROUP BY vertex ORDER BY doc_id
+"""
+
+
 registry.register("x_dedup_exact", _exact, EXACT_SQL)
 registry.register("x_dedup_jaccard", _jaccard, JACCARD_ORACLE)
 registry.register("x_dedup_minhash", _minhash, JACCARD_ORACLE)  # see module docstring
 registry.register("x_dedup_simhash", _simhash, _simhash_oracle_sql())
 registry.register("x_dedup_cosine", _cosine, COSINE_ORACLE)
+registry.register("x_dedup_clusters", dedup_clusters, CLUSTERS_ORACLE)

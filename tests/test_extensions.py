@@ -248,3 +248,22 @@ def test_kmv_sketch_accuracy(spark):
             assert r.est_kmv == float(r.n_exact)
         else:
             assert abs(r.est_kmv - r.n_exact) / r.n_exact <= tol
+
+
+def test_dedup_clusters_semantics(spark):
+    """Cluster root is the min doc_id, exactly one keep per cluster, and
+    every verified near-dup pair lands in one cluster."""
+    from flink_1_11_1_spark.extensions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    rows = dedup_clusters(spark, SF_SMOKE).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for root, members in by_cluster.items():
+        assert root == min(m.doc_id for m in members)
+        assert sum(m.keep for m in members) == 1
+        assert next(m for m in members if m.keep).doc_id == root
+    cluster_of = {r.doc_id: r.cluster for r in rows}
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    for p in minhash_lsh_pairs(docs).collect():
+        assert cluster_of[p.da] == cluster_of[p.db]
