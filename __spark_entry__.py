@@ -56,6 +56,12 @@ _DRIVER_GREEN_HISTORY = {
 }
 
 
+# Unproven entries exceeding the 50-row driver window are deferred in
+# this order: shared-text TPC-H shapes first (one SQL string runs on
+# both engines, so a driver row adds the least new information).
+_DEFER_FIRST = ("x_tpch_q12", "x_tpch_q13", "x_tpch_q14")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -63,8 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(ext_registry.queries())
     fresh = {k: v for k, v in out.items() if k not in _DRIVER_GREEN_HISTORY}
+    deferred = {k: fresh.pop(k) for k in _DEFER_FIRST if k in fresh}
     proven = {k: v for k, v in out.items() if k in _DRIVER_GREEN_HISTORY}
-    return {**fresh, **proven}
+    return {**fresh, **deferred, **proven}
 
 
 def oracle_sql() -> dict[str, str]:
