@@ -83,3 +83,32 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert joined.count() == fact.where("o_orderstatus = 'F'").count()
+
+
+def test_tpch_battery_no_nested_loop_joins(spark):
+    """Every TPC-H-shape plan must resolve to hash joins (broadcast or
+    shuffled) — a BroadcastNestedLoopJoin or CartesianProduct in any of
+    the 22 shapes means a predicate failed to become an equi-join key
+    and would be quadratic at scale."""
+    from flink_1_11_1_spark.extensions import tpch_extra
+
+    catalog.register(spark, SF_SMOKE)
+    for name, sql in tpch_extra._SHAPES.items():
+        df = spark.sql(sql)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q9_broadcasts_all_dims(spark):
+    """The widest shape (5-way join) must broadcast its dimension sides;
+    the lineitem fact side must never broadcast."""
+    from flink_1_11_1_spark.extensions import tpch_extra
+
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(tpch_extra._SHAPES["x_tpch_q9"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
