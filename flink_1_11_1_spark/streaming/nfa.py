@@ -306,8 +306,10 @@ def _fold_events(
     py_conds = spec.get("py_conds") or [None] * len(states)
     value_cols = spec.get("value_cols") or []
     n_states = len(states)
-    flag_cols = [f"f{i}" for i in range(n_states)]
     out: list[tuple] = []
+    n_events = len(events)
+    if not n_events:
+        return out, partials
 
     def _plain(v):
         if v is None or isinstance(v, (int, float, str, bool)):
@@ -316,17 +318,31 @@ def _fold_events(
             return v.item()
         return str(v)
 
-    for ev in events.itertuples(index=False):
-        ts_us = int(ev.ts.value // 1000)
-        eid = int(ev.event_id)
-        flags = [bool(getattr(ev, c)) for c in flag_cols]
-        evvals = {c: _plain(getattr(ev, f"v_{c}")) for c in value_cols}
+    # Column extraction once per batch (the per-row itertuples/getattr
+    # path dominated fold time at 100k-event scale).  Flag columns are
+    # non-nullable booleans by construction (_with_flags coalesces).
+    # normalize to ns first: pandas may hold datetime64[us] depending on
+    # the Arrow conversion path, and a bare astype(int64) would then be
+    # µs already (off by 1000 after the //1000)
+    ts_arr = (events["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
+    eid_arr = events["event_id"].astype("int64").tolist()
+    flag_arrs = [events[f"f{i}"].astype(bool).tolist() for i in range(n_states)]
+    val_arrs = {c: events[f"v_{c}"].tolist() for c in value_cols}
+
+    for ei in range(n_events):
+        ts_us = ts_arr[ei]
+        eid = eid_arr[ei]
+        flags = [fa[ei] for fa in flag_arrs]
+        evvals = {c: _plain(val_arrs[c][ei]) for c in value_cols}
 
         def _ok(j: int, p: dict | None) -> bool:
             if not flags[j]:
                 return False
             code = py_conds[j]
             return code is None or _py_cond_ok(code, p, evvals)
+
+        if not partials and not flags[0]:
+            continue  # nothing live and nothing can start — skip fast
         partials = [p for p in partials if ts_us <= p["start"] + horizon]
         survivors: list[dict] = []
         completed: list[dict] = []
