@@ -101,6 +101,58 @@ WHERE bucket < 10 ORDER BY doc_id
 registry.register("x_sample_hash", _sample, SAMPLE_ORACLE)
 
 
+# -------------------------------------------- weighted sampling (E-S)
+
+_ES_KEY_SPARK = (
+    "ln(cast(conv(substring(md5(concat(cast(doc_id as string), '{salt}')), 1, 13),"
+    " 16, 10) as double) / 4503599627370496.0) / {w}"
+)
+_ES_KEY_DUCK = (
+    "ln(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 14), "
+    "i -> (strpos('0123456789abcdef', "
+    "substring(md5(doc_id::VARCHAR || '{salt}'), i, 1)) - 1)::BIGINT)), "
+    "(a, x) -> a * 16 + x) / 4503599627370496.0) / {w}"
+)
+
+
+def weighted_sample(docs: DataFrame, k: int = 20, weight: str = "n_chars",
+                    salt: str = "") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis, "Weighted random sampling with a reservoir",
+    IPL 2006): priority = u^(1/w) with u = the doc's md5-uniform;
+    take the k largest — equivalently the k largest ln(u)/w.
+
+    Spark's physical plan is TakeOrderedAndProject (per-partition top-k,
+    merge of k-element heaps) — scale-safe with no global sort.  The
+    selected SET is cross-engine stable: JVM ``Math.log`` and libm
+    ``ln`` differ by <=2 ulp (~1e-16 relative), while selection-boundary
+    key gaps on real data are ~1e-3 relative (asserted in tests), so
+    only doc identities (never key values) are exposed.
+    """
+    key = _ES_KEY_SPARK.format(salt=salt, w=weight)
+    return (
+        docs.select("doc_id", weight, F.expr(key).alias("_k"))
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(k)
+        .drop("_k")
+    )
+
+
+def _wsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=20).orderBy("doc_id")
+
+
+WSAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars, {_ES_KEY_DUCK.format(salt="", w="n_chars")} AS k
+  FROM documents ORDER BY k DESC, doc_id LIMIT 20) t
+ORDER BY doc_id
+"""
+
+registry.register("x_sample_weighted", _wsample, WSAMPLE_ORACLE)
+
+
 # ------------------------------------------------ token-budget packing
 
 def pack_batches(docs: DataFrame, budget: int = 2000, shards: int = 8) -> DataFrame:

@@ -267,3 +267,25 @@ def test_dedup_clusters_semantics(spark):
     docs = catalog.load_table(spark, SF_SMOKE, "documents")
     for p in minhash_lsh_pairs(docs).collect():
         assert cluster_of[p.da] == cluster_of[p.db]
+
+
+def test_weighted_sample_margin_and_bias(spark):
+    """The selection boundary's key gap must dwarf cross-libm ln noise
+    (<=2 ulp), and heavier docs must be overrepresented vs a uniform
+    sample of the same size."""
+    from flink_1_11_1_spark.extensions import pipeline
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    key = pipeline._ES_KEY_SPARK.format(salt="", w="n_chars")
+    ks = sorted((r[0] for r in docs.select(F.expr(key)).collect()), reverse=True)
+    gap = (ks[19] - ks[20]) / abs(ks[19])
+    assert gap > 1e-9  # ulp noise is ~1e-16 relative
+
+    n = docs.count()
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    sample = pipeline.weighted_sample(docs, k=50)
+    mean_sample = sample.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_all  # weight-proportional selection
+
+    again = {r.doc_id for r in pipeline.weighted_sample(docs, k=50).collect()}
+    assert again == {r.doc_id for r in sample.collect()}  # deterministic
