@@ -53,13 +53,31 @@ _DRIVER_GREEN_HISTORY = {
     "x_connected_components", "x_count_window_df", "x_dedup_cosine",
     "x_dedup_simhash", "x_knn_label", "x_lookup_join",
     "x_pipeline_clean", "x_salted_agg", "x_topn_df",
+    # round-4 greens (CORRECTNESS_r04.json: 47 hash-green rows) — the
+    # only r04 non-greens were x_tpch_q10 (half-cent, fixed round 5),
+    # x_tpch_q13/q14 (deferred past the window) and the two rows-only
+    # entries; those stay FIRST in the round-5 window.
+    "q15", "q36",
+    "x_dedup_clusters", "x_text_tokens", "x_text_fingerprint",
+    "x_sample_hash", "x_sample_weighted", "x_pack_batches",
+    "x_sketch_kmv", "x_explode_correlate", "x_array_ops",
+    "x_listagg_ordered", "x_temporal_arith", "x_text_tfidf",
+    *(f"x_tpch_q{i}" for i in range(1, 23) if i not in (10, 13, 14)),
+    "x_asof_join_df", "x_interval_join_df", "x_dedup_first_df",
+    "x_tumble_df", "x_hop_df", "x_session_df",
+    "x_cep_times_df", "x_cep_optional_df",
+    "x_mr_next", "x_mr_plus", "x_mr_optional", "x_mr_xvar",
+    "x_mr_allrows", "x_mr_prev",
 }
 
 
 # Unproven entries exceeding the 50-row driver window are deferred in
 # this order: shared-text TPC-H shapes first (one SQL string runs on
 # both engines, so a driver row adds the least new information).
-_DEFER_FIRST = ("x_tpch_q12", "x_tpch_q13", "x_tpch_q14")
+# Round 5: nothing needs deferring — the unproven set (x_tpch_q10/q13/
+# q14, x_ann_lsh_top1, x_multimodal_decode + new round-5 entries) fits
+# the 50-entry window with room to spare.
+_DEFER_FIRST: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

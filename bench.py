@@ -49,18 +49,41 @@ def main() -> None:
         "driver_memory": conf.get("spark.driver.memory", "default"),
         "spark_version": spark.version,
     }
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "config": config,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "config": config,
+    }
+    # Full result (all timings + config) goes to a repo-committed file;
+    # stdout gets ONE compact line that must survive the driver's
+    # 2000-char stdout-tail capture (BENCH_r01–r04 all truncated
+    # mid-JSON → `parsed: null`).  If the full line is too long, drop
+    # the fastest sub-second timings (recoverable from the detail file)
+    # until it fits, and record how many were elided.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    budget = 1900
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        slim = dict(result)
+        slim.pop("config")
+        kept = dict(timings)
+        headline = {"q03", "q05", "q22", "q34"}  # BASELINE.md shape rows
+        for name, _ in sorted(timings.items(), key=lambda kv: kv[1]):
+            if len(json.dumps({**slim, "queries": kept}, separators=(",", ":"))) <= budget - 60:
+                break
+            if kept.get(name, 9.9) < 1.0 and name not in headline:
+                del kept[name]
+        slim["queries"] = kept
+        slim["queries_elided"] = len(timings) - len(kept)
+        slim["detail_file"] = "BENCH_DETAIL.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

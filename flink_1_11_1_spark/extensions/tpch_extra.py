@@ -68,7 +68,7 @@ FROM all_nations GROUP BY o_year ORDER BY o_year
 
 Q10_SHAPE = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+       round(round(sum(l_extendedprice * (1 - l_discount)), 4), 2) revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
      JOIN lineitem ON l_orderkey = o_orderkey
      JOIN nation ON c_nationkey = n_nationkey
