@@ -79,12 +79,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _REGISTERED: WeakKeyDictionary = WeakKeyDictionary()
 
 
-def register(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
+def register(
+    spark: SparkSession, sf_dir: str | None = None, *, force: bool = False
+) -> SparkSession:
     """Register all canonical views on the session. Idempotent (cached
-    per session until the requested sf_dir changes)."""
+    per session until the requested sf_dir changes).
+
+    The cache trusts that nobody shadows the ten canonical view names
+    in-session: a caller that does ``createOrReplaceTempView("events",
+    derived_df)`` must pass ``force=True`` on the next register() (or
+    use a different name) — otherwise the cache would silently serve
+    the foreign view instead of restoring the canonical one.
+    """
     configure(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    if _REGISTERED.get(spark) == sf_dir:
+    if not force and _REGISTERED.get(spark) == sf_dir:
         return spark
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

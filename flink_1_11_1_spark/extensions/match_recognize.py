@@ -148,23 +148,52 @@ _REF_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
 
 
 def _xvar_refs(cond: str, variables: list[str], this: str) -> tuple[bool, set[str]]:
-    """(has-cross-variable-reference, referenced value columns)."""
+    """(needs-fold-evaluation, referenced value columns).
+
+    Any FIRST/LAST(...) navigation — including same-variable forms like
+    ``B AS B.value > FIRST(B.value)`` (a valid Flink IterativeCondition)
+    — must go to the fold: the row-local path would strip it to an
+    aggregate the flag projection cannot evaluate.
+    """
     refs: set[tuple[str, str]] = set()
+    has_nav = False
     for _fn, var, col in _FNREF_RE.findall(cond):
         refs.add((var, col))
+        has_nav = True
     for var, col in _REF_RE.findall(cond):
         if var in variables:
             refs.add((var, col))
-    cross = any(v != this for v, _ in refs)
+    cross = has_nav or any(v != this for v, _ in refs)
     return cross, {c for _, c in refs}
 
 
 def _to_python(cond: str, variables: list[str], this: str) -> str:
     """Compile a cross-variable DEFINE to the NFA's Python predicate form
-    (EV["col"] / FIRST("V","c") / LAST("V","c") — see State.py_cond)."""
-    expr = _FNREF_RE.sub(
-        lambda m: f'{m.group(1).upper()}("{m.group(2)}","{m.group(3)}")', cond
-    )
+    (EV["col"] / FIRST("V","c") / LAST("V","c") — see State.py_cond).
+
+    Same-variable navigation follows SQL MATCH_RECOGNIZE running
+    semantics (the candidate row is the last row of the match prefix):
+    ``LAST(B.c)`` inside DEFINE B is the current row; ``FIRST(B.c)`` is
+    the first accepted B row, or the current row when none is bound yet.
+    """
+
+    def fnrepl(m: re.Match) -> str:
+        fn, var, col = m.group(1).upper(), m.group(2), m.group(3)
+        if var not in variables:
+            raise ValueError(
+                f"DEFINE {this}: {fn}({var}.{col}) references unknown "
+                f"pattern variable {var!r} (known: {variables})"
+            )
+        if var == this:
+            if fn == "LAST":
+                return f'EV["{col}"]'
+            return (
+                f'(FIRST("{var}","{col}") if FIRST("{var}","{col}") '
+                f'is not None else EV["{col}"])'
+            )
+        return f'{fn}("{var}","{col}")'
+
+    expr = _FNREF_RE.sub(fnrepl, cond)
 
     def repl(m: re.Match) -> str:
         var, col = m.group(1), m.group(2)
@@ -180,6 +209,20 @@ def _to_python(cond: str, variables: list[str], this: str) -> str:
     expr = re.sub(r"\bAND\b", "and", expr, flags=re.IGNORECASE)
     expr = re.sub(r"\bOR\b", "or", expr, flags=re.IGNORECASE)
     expr = re.sub(r"\bNOT\b", "not", expr, flags=re.IGNORECASE)
+    # Compile-time guard: every dotted reference must have resolved to
+    # EV/FIRST/LAST above.  A leftover ``X.col`` (alias not a pattern
+    # variable) would otherwise surface as a bare NameError mid-fold on
+    # an executor, with no query context.
+    leftover = [
+        f"{v}.{c}"
+        for v, c in _REF_RE.findall(expr)
+        if v not in ("EV",) and not v.isdigit()
+    ]
+    if leftover:
+        raise ValueError(
+            f"DEFINE {this}: unresolved reference(s) {leftover} — "
+            f"known pattern variables: {variables}"
+        )
     return expr
 
 
@@ -254,6 +297,18 @@ def match_recognize(
 
         had_prev = bool(_PREV_RE.search(cond))
         cond = _PREV_RE.sub(_subst_prev, cond)
+        unknown = sorted(
+            {
+                f"{v}.{c}"
+                for v, c in _REF_RE.findall(cond)
+                if v not in variables and v.upper() != "THIS"
+            }
+        )
+        if unknown:
+            raise ValueError(
+                f"DEFINE {var}: reference(s) {unknown} do not resolve to a "
+                f"pattern variable (known: {variables})"
+            )
         cross, cols = _xvar_refs(cond, variables, var)
         if cross and had_prev:
             raise ValueError(

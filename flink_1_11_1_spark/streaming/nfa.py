@@ -268,24 +268,54 @@ def _bind_val(p: dict, var: str, col: str, first: bool):
     return None
 
 
+class _NoneTracking(dict):
+    """EV namespace that records whether a null value was read, so a
+    TypeError can be attributed to SQL-null semantics vs a genuine bug."""
+
+    def __init__(self, vals: dict):
+        super().__init__(vals)
+        self.saw_none = False
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)  # missing column → KeyError (genuine)
+        if v is None:
+            self.saw_none = True
+        return v
+
+
 def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
     """Evaluate a compiled cross-variable condition for (partial, event).
 
-    Comparisons against an unbound variable (no row of that label yet →
-    None operand) are False, matching Flink's IterativeCondition contract
-    where ``ctx.getEventsForPattern`` of an empty group yields nothing.
+    Comparisons against an unbound variable (no row of that label yet)
+    or a null event value are False, matching Flink's IterativeCondition
+    contract and SQL ternary logic.  A TypeError with NO null operand in
+    play (e.g. comparing a string column to a number) is a genuine
+    condition bug and is re-raised with the compiled condition's name
+    (``<py_cond:VAR>``) in the traceback rather than silently treated as
+    a non-match.
     """
     pp = p if p is not None else {"labels": [], "vals": []}
+    ev = _NoneTracking(evvals)
+    saw_none = [False]
+
+    def _bind(var: str, col: str, first: bool):
+        v = _bind_val(pp, var, col, first)
+        if v is None:
+            saw_none[0] = True
+        return v
+
     env = {
-        "EV": evvals,
-        "FIRST": lambda var, col: _bind_val(pp, var, col, True),
-        "LAST": lambda var, col: _bind_val(pp, var, col, False),
+        "EV": ev,
+        "FIRST": lambda var, col: _bind(var, col, True),
+        "LAST": lambda var, col: _bind(var, col, False),
         "COUNT_VAR": lambda var: pp["labels"].count(var),
     }
     try:
         return bool(eval(code, {"__builtins__": {}}, env))
-    except TypeError:  # None operand in comparison/arithmetic → unbound var
-        return False
+    except TypeError:
+        if ev.saw_none or saw_none[0]:
+            return False  # null operand → no match (SQL ternary)
+        raise
 
 
 def _fold_events(

@@ -78,9 +78,16 @@ def events_spec(sf_dir: str, watermark_delay: str = "10 minutes") -> TableSpec:
 
     path = f"{sf_dir}/events.parquet"
     phys = str(pq.read_schema(path).field("ts").type)
+    # Spark under legacy.parquet.nanosAsLong=true reads BOTH a plain
+    # INT64 column and an INT64 TIMESTAMP(NANOS) column (pyarrow:
+    # "timestamp[ns]") as BIGINT nanos — either footer type must take
+    # the ns-as-long branch.  Anything else (timestamp[us]/[ms]) is a
+    # real Spark TimestampType.  catalog.ts_norm_sql branches on the
+    # Spark-read LongType and is the authority; this probe mirrors it
+    # for the session-free DDL path.
     expr = (
         "timestamp_millis(ts div 1000000)"
-        if phys == "int64"
+        if phys == "int64" or phys.startswith("timestamp[ns")
         else "date_trunc('MILLISECOND', cast(ts as timestamp))"
     )
     return TableSpec(
