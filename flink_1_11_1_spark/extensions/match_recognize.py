@@ -277,7 +277,7 @@ def match_recognize(
     # stays row-local (one extra window sort on the key partitioning the
     # NFA shuffles on anyway).
     defines: dict[str, str] = {}
-    xconds: dict[str, tuple[str, tuple[str, ...]]] = {}
+    xconds: dict[str, tuple[str, tuple[str, ...], str]] = {}
     prev_cols: set[tuple[str, int]] = set()
     for d in _split_top(c.group("define")):
         dm = re.match(r"(?P<var>\w+)\s+AS\s+(?P<cond>.+)$", d, re.IGNORECASE | re.DOTALL)
@@ -322,7 +322,11 @@ def match_recognize(
                     "bound event times are available as WITHIN/horizon"
                 )
             defines[var] = "true"  # full predicate moves to the fold
-            xconds[var] = (_to_python(cond, variables, var), tuple(sorted(cols)))
+            xconds[var] = (
+                _to_python(cond, variables, var),
+                tuple(sorted(cols)),
+                cond,  # raw SQL, for the native lowering's offset instantiation
+            )
         else:
             defines[var] = _row_local(cond, variables, var)
     missing = [v for v in variables if v not in defines]
@@ -334,13 +338,14 @@ def match_recognize(
     pat = nfa.PatternSeq.begin(seq[0][0], defines[seq[0][0]])
     pat = pat._mod_last(min_count=seq[0][1], max_count=seq[0][2], consecutive=True)
     if seq[0][0] in xconds:
-        expr0, cols0 = xconds[seq[0][0]]
-        pat = pat.where_iterative(expr0, *cols0)
+        expr0, cols0, raw0 = xconds[seq[0][0]]
+        pat = pat.where_iterative(expr0, *cols0, sql_cond=raw0)
     for var, lo, hi in seq[1:]:
         pat = pat.next_(var, defines[var])
         pat = pat._mod_last(min_count=lo, max_count=hi, consecutive=True)
         if var in xconds:
-            pat = pat.where_iterative(xconds[var][0], *xconds[var][1])
+            expr_v, cols_v, raw_v = xconds[var]
+            pat = pat.where_iterative(expr_v, *cols_v, sql_cond=raw_v)
     skip = (c.group("skip") or "PAST LAST ROW").upper()
     pat = pat.after_match_skip(
         "past_last" if skip.startswith("PAST") else "to_next"

@@ -95,6 +95,11 @@ class State:
     # per (event, partial) inside the fold.  ``cond`` stays the JVM-side
     # row-local prefilter ("true" when nothing is row-local).
     py_cond: str | None = None
+    # Original SQL text of a cross-variable condition (``Var.col`` /
+    # FIRST/LAST(Var.col) references).  Optional: when present, the
+    # native lowering (nfa_lowering.py) can instantiate the condition at
+    # static offsets instead of falling back to the Python fold.
+    sql_cond: str | None = None
 
 
 @dataclass(frozen=True)
@@ -139,16 +144,22 @@ class PatternSeq:
     def consecutive(self) -> "PatternSeq":
         return self._mod_last(consecutive=True)
 
-    def where_iterative(self, py_cond: str, *value_cols: str) -> "PatternSeq":
+    def where_iterative(
+        self, py_cond: str, *value_cols: str, sql_cond: str | None = None
+    ) -> "PatternSeq":
         """Attach a cross-variable condition to the LAST added state
         (Flink ``IterativeCondition`` — pattern/conditions/
         IterativeCondition.java): a Python expression over ``EV["col"]``,
         ``FIRST("Var","col")``, ``LAST("Var","col")``, ``COUNT_VAR("Var")``.
-        ``value_cols`` lists the event columns the expression reads."""
+        ``value_cols`` lists the event columns the expression reads.
+        ``sql_cond`` optionally carries the equivalent SQL text
+        (``Var.col`` references) so eligible patterns can lower to a
+        native window-function plan instead of the Python fold."""
         merged = tuple(dict.fromkeys(self.value_cols + value_cols))
         return replace(
             self,
-            states=self.states[:-1] + (replace(self.states[-1], py_cond=py_cond),),
+            states=self.states[:-1]
+            + (replace(self.states[-1], py_cond=py_cond, sql_cond=sql_cond),),
             value_cols=merged,
         )
 
@@ -172,9 +183,23 @@ class PatternSeq:
             )
 
     # -- execution ------------------------------------------------------
-    def match_batch(self, events: DataFrame, key: str = "user_id") -> DataFrame:
+    def match_batch(
+        self, events: DataFrame, key: str = "user_id", lowering: bool = True
+    ) -> DataFrame:
+        """Bounded match.  Eligible patterns lower to a native Catalyst
+        window-function plan (nfa_lowering.py) — JVM-vectorized, no
+        Python in the hot path; the general case runs the keyed fold.
+        ``lowering=False`` forces the fold (used by equivalence tests)."""
         self._check()
         flagged = _with_flags(events, self.states, key, self.value_cols)
+        if lowering:
+            from .nfa_lowering import try_lower_batch
+
+            lowered = try_lower_batch(
+                flagged, self.states, key, self.value_cols, self.horizon_s, self.skip
+            )
+            if lowered is not None:
+                return lowered
         spec = _spec(self)
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,627 @@
+"""Native Catalyst lowering for common CEP/MATCH_RECOGNIZE shapes.
+
+The general NFA fold (nfa.py) walks events one at a time in Python
+inside ``applyInPandas`` — scale-*correct* (keyed, horizon-bounded) but
+~100× slower per event than vectorized JVM execution, and a single hot
+key serializes.  Flink pays the same per-event cost in Java
+(flink-cep nfa/NFA.java, lowered unconditionally by
+flink-table-planner-blink StreamExecMatch.scala); our equivalent
+currency is whole-stage-codegen'd window functions, so patterns whose
+deterministic-greedy semantics are expressible relationally are lowered
+to native plans here and never enter Python.
+
+Four lowering tiers (``eligible_tier`` returns which, or None →
+caller falls back to the NFA fold; every tier emits the exact
+``NFA_MATCH_SCHEMA`` row set the fold would, verified by randomized
+fold-equivalence tests in tests/test_nfa_lowering.py):
+
+- **A — contiguous fixed-length**: every state's count is bounded and
+  transitions are strict (SQL pattern concatenation).  All greedy count
+  vectors are enumerated (product of [min,max] ranges, capped) and each
+  becomes a conjunction over ``lead()`` columns: state flags at their
+  offsets, greedy-consistency negations (a state below max must FAIL at
+  the next offset, a skipped optional must FAIL where the next state
+  matched), and the WITHIN bound as ``lead(ts, L-1) <= ts + horizon``.
+  Vectors are mutually exclusive by construction, so matches are the
+  filter's rows.  Cross-variable DEFINEs participate via static offset
+  instantiation of their SQL text (FIRST/LAST resolve to fixed offsets
+  per vector).  AFTER MATCH SKIP: no_skip/to_next always (one
+  deterministic partial per start row); past_last additionally requires
+  a static no-overlap proof — ``max(state0)==1`` and state 0's
+  equality-literal conjunct contradicting every later state's (a row
+  inside a match can then never start another).
+- **B — homogeneous run** ``D{n}`` under past_last: gaps-and-islands
+  over the flag column; within each maximal run the fold emits matches
+  ending at run ordinals n, 2n, … (requires effectively-unbounded
+  WITHIN — mid-run expiry would shift the lattice).
+- **C — greedy-plus run then tail** ``V{m,} T1..Tk`` under past_last:
+  the classic frontier rendering — ``max`` of the last non-V position
+  as a running window, V-runs grouped per frontier, tail matched by
+  lead() at the first row after the run.  Requires V's literal to
+  contradict each tail literal (the run cannot silently continue) and
+  effectively-unbounded WITHIN.
+- **D — relaxed funnel**: a consecutive block ``A{n}`` followed by at
+  most one optional and one required state with relaxed contiguity
+  (Flink ``followedBy``), under no_skip/to_next.  "Next matching event
+  after the block" is a ``min(struct(ts,event_id)) OVER (ROWS BETWEEN 1
+  FOLLOWING AND UNBOUNDED FOLLOWING)`` column; the optional binds iff
+  its next occurrence precedes the required one's (their literals must
+  be contradictory so one event cannot satisfy both, which also pins
+  the required binding independent of the optional).
+
+Reference parity note: Flink has no such fast path — it is the
+Spark-first answer to the same operator contract, with the NFA kept for
+the general case (cross-variable + unbounded mixes, bounded-horizon
+runs, past_last with possible overlap, arbitrary relaxed chains).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Caps on the tier-A enumeration: beyond these the unrolled plan stops
+# being obviously better than the fold (and the expression tree grows).
+_MAX_VECTORS = 16
+_MAX_LEN = 12
+
+# WITHIN horizons at or above this are "effectively unbounded" (the SQL
+# front door uses 36500 days when the clause is absent).
+_UNBOUNDED_S = 10 * 365 * 86400
+
+_SQL_KEYWORDS = {
+    "AND", "OR", "NOT", "IS", "NULL", "TRUE", "FALSE", "BETWEEN",
+    "IN", "LIKE", "CASE", "WHEN", "THEN", "ELSE", "END", "DIV",
+}
+
+_FNREF_RE = re.compile(r"\b(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)", re.IGNORECASE)
+_DOTREF_RE = re.compile(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b")
+_EQ_LIT_RE = re.compile(r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*'([^']*)'\s*$")
+
+
+def _segments(text: str):
+    """Split into (is_quoted, chunk) pairs, single-quoted SQL strings
+    kept intact so rewrites never touch literals."""
+    res: list[tuple[bool, str]] = []
+    buf: list[str] = []
+    quoted = False
+    for ch in text:
+        buf.append(ch)
+        if ch == "'":
+            if quoted:
+                res.append((True, "".join(buf)))
+                buf = []
+            else:
+                if len(buf) > 1:
+                    res.append((False, "".join(buf[:-1])))
+                buf = ["'"]
+            quoted = not quoted
+    if buf:
+        res.append((quoted, "".join(buf)))
+    return res
+
+
+def _sub_outside_quotes(text: str, fn) -> str:
+    return "".join(chunk if q else fn(chunk) for q, chunk in _segments(text))
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split on top-level AND (outside quotes and parens)."""
+    parts, depth, cur = [], 0, []
+    i, n = 0, len(cond)
+    quoted = False
+    while i < n:
+        ch = cond[i]
+        if ch == "'":
+            quoted = not quoted
+        elif not quoted:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and cond[i : i + 3].upper() == "AND":
+                before = cond[i - 1] if i else " "
+                after = cond[i + 3] if i + 3 < n else " "
+                if not (before.isalnum() or before == "_") and not (
+                    after.isalnum() or after == "_"
+                ):
+                    parts.append("".join(cur))
+                    cur = []
+                    i += 3
+                    continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _literal_conjuncts(cond: str, this: str | None) -> dict[str, str]:
+    """``col -> literal`` for top-level ``col = 'lit'`` conjuncts that
+    constrain the CURRENT row (bare or ``this``-prefixed refs only)."""
+    out: dict[str, str] = {}
+    for part in _split_top_and(cond):
+        m = _EQ_LIT_RE.match(part)
+        if m and (m.group(1) is None or m.group(1) == this or m.group(1) == "THIS"):
+            out[m.group(2)] = m.group(3)
+    return out
+
+
+def _contradictory(a: dict[str, str], b: dict[str, str]) -> bool:
+    return any(c in b and b[c] != lit for c, lit in a.items())
+
+
+def _state_literals(s) -> dict[str, str]:
+    src = s.sql_cond if s.py_cond is not None else s.cond
+    if src is None:
+        return {}
+    return _literal_conjuncts(src, this=s.name)
+
+
+class _Leads:
+    """Registry of lead() columns needed by the generated expressions."""
+
+    def __init__(self):
+        self.need: dict[tuple[str, int], str] = {}
+
+    def ref(self, src: str, off: int) -> str:
+        if off == 0:
+            return f"`{src}`"
+        name = f"_L_{src}_{off}"
+        self.need[(src, off)] = name
+        return f"`{name}`"
+
+    def attach(self, df: DataFrame, w) -> DataFrame:
+        if not self.need:
+            return df
+        return df.select(
+            "*",
+            *[
+                F.lead(src, off).over(w).alias(name)
+                for (src, off), name in sorted(self.need.items())
+            ],
+        )
+
+
+def _val_src(col: str, value_cols: tuple[str, ...]) -> str | None:
+    if col in value_cols:
+        return f"v_{col}"
+    if col in ("event_id",):
+        return col
+    return None  # ts and arbitrary cols are not carried into the fold frame
+
+
+def _instantiate(
+    sql_cond: str,
+    this: str,
+    ev_off: int,
+    bound: dict[str, list[int]],
+    leads: _Leads,
+    value_cols: tuple[str, ...],
+) -> str | None:
+    """Rewrite a DEFINE's SQL text to lead() refs for a fixed layout.
+
+    ``bound`` maps variable -> offsets accepted BEFORE the event being
+    tested (same-variable: earlier repetitions only).  Returns None when
+    the condition is statically false (navigation of an unbound
+    variable), or raises _Unlowerable when a reference cannot be mapped.
+    """
+    false = []
+
+    def ref(col: str, off: int) -> str:
+        src = _val_src(col, value_cols)
+        if src is None:
+            raise _Unlowerable(f"column {col} not carried for cross-variable eval")
+        return leads.ref(src, off)
+
+    def fnrepl(m: re.Match) -> str:
+        fn, var, col = m.group(1).upper(), m.group(2), m.group(3)
+        offs = bound.get(var, [])
+        if var == this:
+            # SQL running semantics: candidate row is the last row so far
+            if fn == "LAST" or not offs:
+                return ref(col, ev_off)
+            return ref(col, offs[0])
+        if not offs:
+            false.append(True)
+            return "NULL"
+        return ref(col, offs[0] if fn == "FIRST" else offs[-1])
+
+    def dotrepl(m: re.Match) -> str:
+        var, col = m.group(1), m.group(2)
+        if var == this or var.upper() == "THIS":
+            return ref(col, ev_off)
+        offs = bound.get(var)
+        if offs is None:
+            raise _Unlowerable(f"unknown variable {var}")
+        if not offs:
+            false.append(True)
+            return "NULL"
+        return ref(col, offs[-1])  # bare Var.col = Flink LAST default
+
+    def rewrite(chunk: str) -> str:
+        chunk = _FNREF_RE.sub(fnrepl, chunk)
+        return _DOTREF_RE.sub(dotrepl, chunk)
+
+    out = _sub_outside_quotes(sql_cond, rewrite)
+    if false:
+        return None
+    # validate: no stray identifiers survive (they would resolve against
+    # the raw frame and silently change semantics)
+    probe = re.sub(r"`[^`]*`", " ", out)
+    probe = re.sub(r"'[^']*'", " ", probe)
+    for tok in re.finditer(r"\b([A-Za-z_]\w*)\b\s*(\()?", probe):
+        name, is_fn = tok.group(1), tok.group(2)
+        if is_fn or name.upper() in _SQL_KEYWORDS or name.upper() == "INTERVAL":
+            continue
+        raise _Unlowerable(f"unmapped identifier {name!r} in cross-variable DEFINE")
+    return out
+
+
+class _Unlowerable(Exception):
+    pass
+
+
+# --------------------------------------------------------------- tiers
+
+
+def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
+    """Which lowering applies to this pattern (None → NFA fold)."""
+    if len({s.name for s in states}) != len(states):
+        return None
+    unbounded = horizon_s >= _UNBOUNDED_S
+    s0 = states[0]
+    contiguous = all(s.strict_in for s in states[1:])
+    multirep_consecutive = all(
+        s.consecutive for s in states if s.max_count is None or s.max_count > 1
+    )
+    conds_lowerable = all(s.py_cond is None or s.sql_cond is not None for s in states)
+    last = states[-1]
+    if last.min_count != last.max_count or last.min_count < 1:
+        return None  # _check() rejects these anyway
+
+    if contiguous and multirep_consecutive and conds_lowerable:
+        if all(s.max_count is not None for s in states):
+            total = sum(s.max_count for s in states)
+            nvec = 1
+            for i, s in enumerate(states):
+                lo = max(1, s.min_count) if i == 0 else s.min_count
+                nvec *= s.max_count - lo + 1
+            if total <= _MAX_LEN and nvec <= _MAX_VECTORS:
+                if skip in ("no_skip", "to_next"):
+                    return "A"
+                # past_last: single-row matches are emitted unconditionally
+                # by the fold's start block
+                if len(states) == 1 and s0.min_count == s0.max_count == 1:
+                    return "A"
+                if len(states) == 1:
+                    if unbounded and s0.consecutive and s0.py_cond is None:
+                        return "B"
+                    return None
+                lit0 = _state_literals(s0)
+                if s0.max_count == 1 and all(
+                    _contradictory(lit0, _state_literals(s)) for s in states[1:]
+                ):
+                    return "A"
+            return None
+        # unbounded first state, fixed {1} tail → frontier
+        if (
+            len(states) >= 2
+            and s0.max_count is None
+            and s0.consecutive
+            and all(s.min_count == s.max_count == 1 for s in states[1:])
+            and all(s.py_cond is None for s in states)
+            and skip == "past_last"
+            and unbounded
+        ):
+            lit0 = _state_literals(s0)
+            if all(_contradictory(lit0, _state_literals(s)) for s in states[1:]):
+                return "C"
+        return None
+
+    # relaxed funnel: consecutive block + ≤1 optional + required final
+    if (
+        len(states) >= 2
+        and s0.min_count == s0.max_count
+        and s0.min_count >= 1
+        and (s0.min_count == 1 or s0.consecutive)
+        and all(not s.strict_in for s in states[1:])
+        and all(s.max_count == 1 for s in states[1:])
+        and all(s.min_count == 0 for s in states[1:-1])
+        and len(states[1:-1]) <= 1
+        and all(s.py_cond is None for s in states)
+        and skip in ("no_skip", "to_next")
+    ):
+        if len(states) == 3 and not _contradictory(
+            _state_literals(states[1]), _state_literals(states[2])
+        ):
+            return None
+        return "D"
+    return None
+
+
+def try_lower_batch(
+    flagged: DataFrame,
+    states,
+    key: str,
+    value_cols: tuple[str, ...],
+    horizon_s: int,
+    skip: str,
+) -> DataFrame | None:
+    tier = eligible_tier(states, horizon_s, skip)
+    if tier is None:
+        return None
+    try:
+        if tier == "A":
+            return _lower_fixed(flagged, states, key, value_cols, horizon_s)
+        if tier == "B":
+            return _lower_run(flagged, states[0], key)
+        if tier == "C":
+            return _lower_plus_tail(flagged, states, key)
+        return _lower_funnel(flagged, states, key, horizon_s)
+    except _Unlowerable:
+        return None
+
+
+def _out_select(df: DataFrame, key: str, exprs: dict[str, str]) -> DataFrame:
+    return df.select(
+        F.col(key).alias("user_id"),
+        F.expr(exprs["start_ts"]).alias("start_ts"),
+        F.expr(exprs["end_ts"]).alias("end_ts"),
+        F.expr(exprs["labels"]).alias("labels"),
+        F.expr(exprs["ids"]).alias("ids"),
+        F.expr(exprs["tss"]).alias("tss"),
+    )
+
+
+def _case(branches: list[tuple[str, str]]) -> str:
+    if len(branches) == 1:
+        return branches[0][1]
+    arms = " ".join(f"WHEN {c} THEN {e}" for c, e in branches)
+    return f"CASE {arms} END"
+
+
+def _lower_fixed(
+    flagged: DataFrame, states, key: str, value_cols, horizon_s: int
+) -> DataFrame:
+    """Tier A: enumerate greedy count vectors over lead() columns."""
+    leads = _Leads()
+    n = len(states)
+    ranges = [
+        range(max(1, s.min_count) if i == 0 else s.min_count, s.max_count + 1)
+        for i, s in enumerate(states)
+    ]
+
+    def full_cond(i: int, off: int, bound: dict[str, list[int]]) -> str | None:
+        s = states[i]
+        if s.py_cond is None:
+            return leads.ref(f"f{i}", off)
+        return _instantiate(s.sql_cond, s.name, off, bound, leads, value_cols)
+
+    branches: list[tuple[str, dict]] = []
+    for vec in itertools.product(*ranges):
+        offsets: list[list[int]] = []
+        pos = 0
+        for cnt in vec:
+            offsets.append(list(range(pos, pos + cnt)))
+            pos += cnt
+        L = pos
+        conds: list[str] = []
+        dead = False
+
+        def bound_before(off: int) -> dict[str, list[int]]:
+            return {
+                states[i].name: [o for o in offsets[i] if o < off] for i in range(n)
+            }
+
+        # state conditions at their assigned offsets
+        for i in range(n):
+            for o in offsets[i]:
+                c = full_cond(i, o, bound_before(o))
+                if c is None:
+                    dead = True
+                    break
+                conds.append(c)
+            if dead:
+                break
+        if dead:
+            continue
+        # greedy-consistency negations
+        for i in range(n - 1):
+            if not offsets[i]:
+                # skipped optional: must fail where the next state matched
+                p = next(offsets[j][0] for j in range(i + 1, n) if offsets[j])
+                c = full_cond(i, p, bound_before(p))
+                if c is not None:
+                    conds.append(f"NOT coalesce({c}, false)")
+                continue
+            if vec[i] < states[i].max_count:
+                p = offsets[i][-1] + 1  # the next state's first row
+                c = full_cond(i, p, bound_before(p))
+                if c is not None:
+                    conds.append(f"NOT coalesce({c}, false)")
+        if horizon_s < _UNBOUNDED_S and L > 1:
+            conds.append(
+                f"{leads.ref('ts', L - 1)} <= ts + INTERVAL {horizon_s} SECOND"
+            )
+        labels = ", ".join(
+            f"'{states[i].name}'" for i in range(n) for _ in offsets[i]
+        )
+        ids = ", ".join(leads.ref("event_id", o) for o in range(L))
+        tss = ", ".join(leads.ref("ts", o) for o in range(L))
+        branches.append(
+            (
+                " AND ".join(f"({c})" for c in conds),
+                {
+                    "end_ts": leads.ref("ts", L - 1),
+                    "labels": f"array({labels})",
+                    "ids": f"array({ids})",
+                    "tss": f"array({tss})",
+                },
+            )
+        )
+    if not branches:
+        raise _Unlowerable("all count vectors statically dead")
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    enriched = leads.attach(flagged, w)
+    any_cond = " OR ".join(f"({c})" for c, _ in branches)
+    out = enriched.filter(F.expr(any_cond))
+    return _out_select(
+        out,
+        key,
+        {
+            "start_ts": "ts",
+            "end_ts": _case([(c, e["end_ts"]) for c, e in branches]),
+            "labels": _case([(c, e["labels"]) for c, e in branches]),
+            "ids": _case([(c, e["ids"]) for c, e in branches]),
+            "tss": _case([(c, e["tss"]) for c, e in branches]),
+        },
+    )
+
+
+def _lower_run(flagged: DataFrame, s0, key: str) -> DataFrame:
+    """Tier B: D{n} past_last — islands of the flag, match ends at run
+    ordinals n, 2n, … (the fold's oldest-first non-overlap lattice)."""
+    n = s0.min_count
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    d = flagged.withColumn("_rn", F.row_number().over(w)).filter("f0")
+    wf = Window.partitionBy(key).orderBy("_rn")
+    d = d.withColumn("_island", F.col("_rn") - F.row_number().over(wf))
+    wi = Window.partitionBy(key, "_island").orderBy("_rn")
+    d = d.withColumn("_k", F.row_number().over(wi)).select(
+        "*",
+        *[F.lag(c, i).over(wi).alias(f"_G_{c}_{i}") for c in ("event_id", "ts") for i in range(1, n)],
+    )
+    d = d.filter(F.col("_k") % n == 0)
+    ids = ", ".join(
+        [f"`_G_event_id_{i}`" for i in range(n - 1, 0, -1)] + ["`event_id`"]
+    )
+    tss = ", ".join([f"`_G_ts_{i}`" for i in range(n - 1, 0, -1)] + ["`ts`"])
+    labels = ", ".join(f"'{s0.name}'" for _ in range(n))
+    return _out_select(
+        d,
+        key,
+        {
+            "start_ts": f"`_G_ts_{n - 1}`",
+            "end_ts": "ts",
+            "labels": f"array({labels})",
+            "ids": f"array({ids})",
+            "tss": f"array({tss})",
+        },
+    )
+
+
+def _lower_plus_tail(flagged: DataFrame, states, key: str) -> DataFrame:
+    """Tier C: V{m,} T1..Tk past_last — frontier of the last non-V row
+    delimits maximal V-runs; the tail is checked by lead() at the first
+    row after the run; arrays come from one bounded groupBy per run."""
+    s0, tail = states[0], states[1:]
+    m = max(1, s0.min_count)
+    k = len(tail)
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    frontier = F.max(F.when(~F.col("f0"), F.struct("ts", "event_id"))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = flagged.withColumn(
+        "_fr_id", F.coalesce(frontier.getField("event_id"), F.lit(-1))
+    )
+    runs = (
+        d.filter("f0")
+        .groupBy(key, "_fr_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("_vrows"),
+            F.count(F.lit(1)).alias("_nv"),
+        )
+        .filter(F.col("_nv") >= m)
+    )
+    leads = _Leads()
+    tail_conds = [leads.ref(f"f{j + 1}", j) for j in range(k)]
+    tail_ids = [leads.ref("event_id", j) for j in range(k)]
+    tail_tss = [leads.ref("ts", j) for j in range(k)]
+    cand = leads.attach(d, w).filter(
+        F.expr(" AND ".join(f"({c})" for c in tail_conds))
+    )
+    j = cand.join(runs, on=[key, "_fr_id"])
+    tail_labels = ", ".join("'" + s.name + "'" for s in tail)
+    labels = f"concat(transform(_vrows, x -> '{s0.name}'), array({tail_labels}))"
+    return _out_select(
+        j,
+        key,
+        {
+            "start_ts": "element_at(_vrows, 1).ts",
+            "end_ts": tail_tss[-1],
+            "labels": labels,
+            "ids": f"concat(transform(_vrows, x -> x.event_id), array({', '.join(tail_ids)}))",
+            "tss": f"concat(transform(_vrows, x -> x.ts), array({', '.join(tail_tss)}))",
+        },
+    )
+
+
+def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataFrame:
+    """Tier D: A{n} block + optional M + required B, relaxed contiguity,
+    no_skip — next-occurrence structs bound M/B after the block end."""
+    s0 = states[0]
+    n = s0.min_count
+    opt = states[1] if len(states) == 3 else None
+    req = states[-1]
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    wfol = w.rowsBetween(1, Window.unboundedFollowing)
+    d = flagged
+    nxt_cols = {}
+    for s in ([opt] if opt else []) + [req]:
+        idx = states.index(s)
+        cname = f"_nxt_{idx}"
+        d = d.withColumn(
+            cname,
+            F.min(F.when(F.col(f"f{idx}"), F.struct("ts", "event_id"))).over(wfol),
+        )
+        nxt_cols[s.name] = cname
+    # shift next-occurrence info to the block's start row
+    leads = _Leads()
+    block_conds = [leads.ref("f0", o) for o in range(n)]
+    block_ids = [leads.ref("event_id", o) for o in range(n)]
+    block_tss = [leads.ref("ts", o) for o in range(n)]
+    b_ref = (
+        leads.ref(nxt_cols[req.name], n - 1) if n > 1 else f"`{nxt_cols[req.name]}`"
+    )
+    conds = list(block_conds) + [f"{b_ref} IS NOT NULL"]
+    if horizon_s < _UNBOUNDED_S:
+        conds.append(f"{b_ref}.ts <= ts + INTERVAL {horizon_s} SECOND")
+    if opt is not None:
+        m_ref = (
+            leads.ref(nxt_cols[opt.name], n - 1) if n > 1 else f"`{nxt_cols[opt.name]}`"
+        )
+        m_bound = f"({m_ref} IS NOT NULL AND {m_ref} < {b_ref})"
+    d = leads.attach(d, w).filter(F.expr(" AND ".join(f"({c})" for c in conds)))
+    blk_labels = ", ".join(f"'{s0.name}'" for _ in range(n))
+    if opt is None:
+        labels = f"array({blk_labels}, '{req.name}')"
+        ids = f"array({', '.join(block_ids)}, {b_ref}.event_id)"
+        tss = f"array({', '.join(block_tss)}, {b_ref}.ts)"
+    else:
+        labels = (
+            f"concat(array({blk_labels}), CASE WHEN {m_bound} THEN "
+            f"array('{opt.name}', '{req.name}') ELSE array('{req.name}') END)"
+        )
+        ids = (
+            f"concat(array({', '.join(block_ids)}), CASE WHEN {m_bound} THEN "
+            f"array({m_ref}.event_id, {b_ref}.event_id) ELSE array({b_ref}.event_id) END)"
+        )
+        tss = (
+            f"concat(array({', '.join(block_tss)}), CASE WHEN {m_bound} THEN "
+            f"array({m_ref}.ts, {b_ref}.ts) ELSE array({b_ref}.ts) END)"
+        )
+    return _out_select(
+        d,
+        key,
+        {
+            "start_ts": "ts",
+            "end_ts": f"{b_ref}.ts",
+            "labels": labels,
+            "ids": ids,
+            "tss": tss,
+        },
+    )

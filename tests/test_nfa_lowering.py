@@ -1,0 +1,211 @@
+"""Native-lowering correctness: every eligible tier must produce the
+exact row set of the Python NFA fold (the semantic reference), and
+ineligible shapes must fall back to the fold rather than mis-lower.
+
+The randomized frames deliberately include timestamp ties, null values,
+runs of repeated types, and users with no matches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_1_11_1_spark.streaming import nfa
+from flink_1_11_1_spark.streaming.nfa_lowering import eligible_tier
+
+
+def _events(spark, seed: int, n: int = 240, users: int = 6):
+    rng = random.Random(seed)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=rng.randrange(0, n // 2)),  # ties likely
+                rng.randrange(1, users + 1),
+                rng.choice(["click", "view", "purchase", "signup", "click", "view"]),
+                None if rng.random() < 0.1 else round(rng.uniform(0, 100), 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+def _canon(df):
+    return sorted(
+        (r.user_id, r.start_ts, r.end_ts, tuple(r.labels), tuple(r.ids), tuple(r.tss))
+        for r in df.collect()
+    )
+
+
+def _xvar_pattern():
+    return (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "true")
+        .where_iterative(
+            'EV["event_type"] == \'purchase\' and EV["value"] > LAST("A","value")',
+            "value",
+            "event_type",
+            sql_cond="B.event_type = 'purchase' AND B.value > A.value",
+        )
+        .after_match_skip("past_last")
+        .within("2 days")
+    )
+
+
+_PATTERNS = {
+    "A_ab_past_last": (
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("1 day"),
+        "A",
+    ),
+    "A_ab_to_next": (
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'purchase'")
+        .after_match_skip("to_next")
+        .within("1 day"),
+        "A",
+    ),
+    "A_optional_middle": (
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'signup'")
+        .next_("B", "event_type = 'click'")
+        .optional()
+        .next_("C", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("36500 days"),
+        "A",
+    ),
+    "A_counted_range": (
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'view'")
+        .times(1, 2)
+        .consecutive()
+        .next_("B", "event_type = 'purchase'")
+        .after_match_skip("no_skip")
+        .within("36500 days"),
+        "A",
+    ),
+    "A_single_row": (
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'signup'")
+        .after_match_skip("past_last")
+        .within("36500 days"),
+        "A",
+    ),
+    "A_xvar": (_xvar_pattern, "A"),
+    "B_run3_past_last": (
+        lambda: nfa.PatternSeq.begin("D", "value < _prev1_value")
+        .times(3)
+        .consecutive()
+        .after_match_skip("past_last")
+        .within("36500 days"),
+        "B",
+    ),
+    "A_run2_no_skip": (
+        lambda: nfa.PatternSeq.begin("D", "event_type = 'view'")
+        .times(2)
+        .consecutive()
+        .after_match_skip("no_skip")
+        .within("36500 days"),
+        "A",
+    ),
+    "C_plus_tail": (
+        lambda: nfa.PatternSeq.begin("V", "event_type = 'view'")
+        .one_or_more()
+        .consecutive()
+        .next_("P", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("36500 days"),
+        "C",
+    ),
+    "D_block_then_required": (
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'click'")
+        .times(2)
+        .consecutive()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("12 hours"),
+        "D",
+    ),
+    "D_optional_funnel": (
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "event_type = 'click'")
+        .optional()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("1 day"),
+        "D",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PATTERNS))
+@pytest.mark.parametrize("seed", [7, 23])
+def test_lowering_equals_fold(spark, name, seed):
+    build, expected_tier = _PATTERNS[name]
+    pat = build()
+    assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == expected_tier
+    ev = _events(spark, seed)
+    if name.startswith("B_run"):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = ev.withColumn("_prev1_value", F.lag("value", 1).over(w))
+    fast = pat.match_batch(ev)
+    # the lowered plan must not contain a Python stage
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False))
+
+
+def test_ineligible_shapes_fall_back():
+    # past_last without contradicting literals → overlap possible → fold
+    p1 = (
+        nfa.PatternSeq.begin("A", "value > 50")
+        .next_("B", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("1 day")
+    )
+    assert eligible_tier(p1.states, p1.horizon_s, p1.skip) is None
+    # two required relaxed states need join chaining → fold
+    p2 = (
+        nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "event_type = 'click'")
+        .followed_by("b", "event_type = 'purchase'")
+        .within("1 day")
+    )
+    assert eligible_tier(p2.states, p2.horizon_s, p2.skip) is None
+    # bounded-horizon homogeneous run under past_last → expiry shifts
+    # the match lattice → fold
+    p3 = (
+        nfa.PatternSeq.begin("D", "event_type = 'view'")
+        .times(3)
+        .consecutive()
+        .after_match_skip("past_last")
+        .within("1 hour")
+    )
+    assert eligible_tier(p3.states, p3.horizon_s, p3.skip) is None
+    # cross-variable condition without SQL text → fold
+    p4 = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'purchase'")
+        .where_iterative('EV["value"] > LAST("A","value")', "value")
+        .after_match_skip("to_next")
+        .within("1 day")
+    )
+    assert eligible_tier(p4.states, p4.horizon_s, p4.skip) is None
+
+
+def test_fallback_still_executes(spark):
+    ev = _events(spark, 5, n=120)
+    p = (
+        nfa.PatternSeq.begin("A", "value > 50")
+        .next_("B", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("1 day")
+    )
+    assert _canon(p.match_batch(ev)) == _canon(p.match_batch(ev, lowering=False))
