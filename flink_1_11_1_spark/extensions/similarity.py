@@ -261,9 +261,59 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle_sql(probes: int = 2) -> str:
+    """Closed-form DuckDB replay of the multi-probe LSH pipeline.
+
+    The hyperplanes are seed-fixed floats, so bucket assignment, the
+    lowest-|projection| probe bits, and the exact re-rank are all
+    deterministic — the same treatment _simhash_oracle_sql gives the
+    md5-fold (dedup.py).  Both engines evaluate identical double
+    dot-products (list_dot_product vs aggregate/zip_with fold — the
+    bit-comparability contract already proven by ANN_TOP1_ORACLE), so
+    sign bits and margin ordering agree exactly.
+    """
+    planes = _hyperplanes()
+    arrs = [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arrs[i]}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    margins = ", ".join(
+        f"struct_pack(m := abs(list_dot_product(v, {arrs[i]})), i := {i})"
+        for i in range(N_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+cb AS (SELECT vec_id nid, v vb, ({bucket})::INT bucket FROM e),
+qb AS (
+  SELECT vec_id qid, v va, ({bucket})::INT bucket,
+         list_sort([{margins}]) ms
+  FROM e WHERE vec_id < 50),
+pr AS (
+  SELECT qid, va, unnest([bucket,
+           xor(bucket, 1 << ms[1].i),
+           xor(bucket, 1 << ms[2].i),
+           xor(xor(bucket, 1 << ms[1].i), 1 << ms[2].i)]) bucket
+  FROM qb),
+p AS (
+  SELECT qid, nid,
+         list_dot_product(va, vb) /
+           (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) sim
+  FROM pr JOIN cb USING (bucket) WHERE qid <> nid)
+SELECT qid, nid, round(sim, 4) s
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rn FROM p)
+WHERE rn = 1 ORDER BY qid
+"""
+
+
 registry.register("x_ann_top1", _ann, ANN_TOP1_ORACLE)
 registry.register("x_knn_label", _knn, KNN_ORACLE)
-registry.register("x_ann_lsh_top1", _ann_lsh)  # rows-only: approximate by design
+# Approximate by design, but deterministic end-to-end: the oracle
+# replays the declared pipeline (same planes, same probes, same rerank);
+# recall vs exact top-1 is asserted separately in tests.
+registry.register("x_ann_lsh_top1", _ann_lsh, _lsh_oracle_sql())
 
 
 # ------------------------------------------- int8 quantized scan path

@@ -54,16 +54,50 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end (rows-only: fake codec + python
-    stage): synthesize media, decode, emit per-item stats."""
+    """Multimodal pipeline end-to-end: synthesize media, decode via the
+    real mapInPandas stage, emit per-item stats.  The fake codec is a
+    pure function of (doc_id, text bytes), so the oracle below replays
+    it relationally: width/height from the header formula, mean
+    intensity as the zero-padded byte sum of the w*h payload window.
+    The mean is cast float64→float32 by the Arrow schema before
+    rounding — both sides round the float32-quantized double so values
+    are bit-comparable."""
     docs = catalog.load_table(spark, sf_dir, "documents").where("doc_id < 100")
     decoded = mm.decode_media(mm.attach_fake_media(docs))
     return decoded.select(
-        "doc_id", "width", "height", F.round("mean_intensity", 4).alias("mi")
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_intensity").cast("double"), 4).alias("mi"),
     ).orderBy("doc_id")
+
+
+# hex-nibble byte extraction: DuckDB reads the payload BLOB two hex
+# chars per byte; the fake codec pads short payloads with zero bytes
+# (sum unchanged, divisor stays w*h).
+MULTIMODAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 8 + 4)::INT w, (doc_id % 5 + 4)::INT h,
+         encode(text) payload
+  FROM documents WHERE doc_id < 100),
+c AS (
+  SELECT doc_id, w, h, w * h AS n,
+         substring(hex(payload), 1, 2 * w * h) hx,
+         least(w * h, octet_length(payload)) m
+  FROM d),
+s AS (
+  SELECT doc_id, w, h, n,
+         list_sum(list_transform(range(m), i ->
+           (strpos('0123456789ABCDEF', hx[2 * i + 1]) - 1) * 16 +
+           (strpos('0123456789ABCDEF', hx[2 * i + 2]) - 1))) total
+  FROM c)
+SELECT doc_id, w AS width, h AS height,
+       round(cast(cast(total AS DOUBLE) / n AS REAL)::DOUBLE, 4) mi
+FROM s ORDER BY doc_id
+"""
 
 
 def register_all() -> None:
     registry.register("x_lookup_join", lookup_customers, LOOKUP_ORACLE)
     registry.register("x_salted_agg", salted_order_stats, SALTED_ORACLE)
-    registry.register("x_multimodal_decode", multimodal_features)  # rows-only: fake codec
+    registry.register("x_multimodal_decode", multimodal_features, MULTIMODAL_ORACLE)
