@@ -50,7 +50,11 @@ Documented deltas (the NFA's deterministic-greedy contract):
   ts, classifier + measures); measures use FINAL semantics (Flink's
   running-semantics delta is documented), and the echoed input columns
   beyond ts/event_id come from the caller joining back on event_id.
-- SKIP TO [FIRST|LAST] VAR is not implemented.
+- AFTER MATCH SKIP supports PAST LAST ROW, TO NEXT ROW, and
+  TO FIRST/LAST <VAR> (Flink AfterMatchSkipStrategy): partials whose
+  start precedes the first/last VAR event of an emitted match are
+  pruned; a match with no VAR row prunes nothing (delta from Flink's
+  optional throw-on-miss).
 """
 
 from __future__ import annotations
@@ -74,7 +78,8 @@ _CLAUSE_RE = re.compile(
     r"ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+"
     r"MEASURES\s+(?P<measures>.*?)\s+"
     r"(?:(?P<permatch>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
-    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)\s+)?"
+    r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+    r"|TO\s+FIRST\s+\w+|TO\s+LAST\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.*)$",
@@ -346,10 +351,22 @@ def match_recognize(
         if var in xconds:
             expr_v, cols_v, raw_v = xconds[var]
             pat = pat.where_iterative(expr_v, *cols_v, sql_cond=raw_v)
-    skip = (c.group("skip") or "PAST LAST ROW").upper()
-    pat = pat.after_match_skip(
-        "past_last" if skip.startswith("PAST") else "to_next"
-    )
+    skip_raw = c.group("skip") or "PAST LAST ROW"
+    su = re.sub(r"\s+", " ", skip_raw.upper())
+    if su.startswith("PAST"):
+        strategy = "past_last"
+    elif su.startswith("TO NEXT"):
+        strategy = "to_next"
+    else:
+        sm = re.match(r"TO\s+(FIRST|LAST)\s+(\w+)", skip_raw, re.IGNORECASE)
+        var = sm.group(2)
+        if var not in variables:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {sm.group(1).upper()} {var}: "
+                f"{var} is not a pattern variable ({variables})"
+            )
+        strategy = ("to_first:" if sm.group(1).upper() == "FIRST" else "to_last:") + var
+    pat = pat.after_match_skip(strategy)
     if c.group("within_n"):
         pat = pat.within(f"{c.group('within_n')} {c.group('within_unit')}")
     else:

@@ -21,6 +21,10 @@ DuckDB (which has no MATCH_RECOGNIZE):
 - x_mr_prev: PREV(D.value) navigation — three consecutive value drops,
   PATTERN (D{3}) SKIP PAST LAST ROW; oracle = gaps-and-islands over the
   lag-compare flag with ordinal%3 match ends.
+- x_mr_skip_to_last: the same D{3} shape under AFTER MATCH SKIP TO
+  LAST D — matching restarts AT the previous match's last row, so
+  match ends stride n-1 within each run (ordinals 3, 5, 7, …) and
+  adjacent matches overlap on one row.
 
 Reference parity: flink-table-planner-blink StreamExecMatch.scala
 (MATCH_RECOGNIZE lowering), flink-cep nfa/NFA.java (strict contiguity:
@@ -268,6 +272,53 @@ ORDER BY a.user_id, d_first
 """
 
 
+MR_SKIP_TO_LAST_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(D.event_id) AS d_first, LAST(D.event_id) AS d_last
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST D
+  PATTERN (D{3})
+  DEFINE D AS D.value < PREV(D.value)
+)
+"""
+
+
+def mr_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_SKIP_TO_LAST_SQL, sf_dir).orderBy(
+        "user_id", "d_first"
+    )
+
+
+# SKIP TO LAST D restarts matching AT the previous match's last row
+# (flink-cep aftermatch/AfterMatchSkipStrategy SKIP_TO_LAST), so within
+# each maximal run of "value < previous value" rows the match ends fall
+# at run ordinals 3, 5, 7, … — stride n-1 = 2, overlapping on one row —
+# versus PAST LAST ROW's disjoint 3, 6, 9 (x_mr_prev, same DEFINE).
+MR_SKIP_TO_LAST_ORACLE = f"""
+WITH e AS ({_E}),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END d,
+         row_number() OVER w rn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) island
+  FROM s WHERE d = 1),
+ord AS (
+  SELECT user_id, event_id, rn, island,
+         row_number() OVER (PARTITION BY user_id, island ORDER BY rn) k
+  FROM runs)
+SELECT a.user_id, a.event_id AS d_first, b.event_id AS d_last
+FROM ord b JOIN ord a
+  ON a.user_id = b.user_id AND a.island = b.island AND a.k = b.k - 2
+WHERE b.k >= 3 AND (b.k - 3) % 2 = 0
+ORDER BY a.user_id, d_first
+"""
+
+
 def register_all() -> None:
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
@@ -275,3 +326,4 @@ def register_all() -> None:
     registry.register("x_mr_xvar", mr_xvar, MR_XVAR_ORACLE)
     registry.register("x_mr_allrows", mr_allrows, MR_ALLROWS_ORACLE)
     registry.register("x_mr_prev", mr_prev, MR_PREV_ORACLE)
+    registry.register("x_mr_skip_to_last", mr_skip_to_last, MR_SKIP_TO_LAST_ORACLE)

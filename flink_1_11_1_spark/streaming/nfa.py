@@ -32,7 +32,12 @@ Flink's branching NFA):
 - AFTER MATCH SKIP applies at emission, oldest-start first:
   ``past_last`` drops every other live partial and suppresses starts at
   the completing event; ``to_next`` drops only partials sharing the
-  match's first event; ``no_skip`` drops nothing.
+  match's first event; ``no_skip`` drops nothing; ``to_first:<VAR>`` /
+  ``to_last:<VAR>`` (Flink SKIP_TO_FIRST/SKIP_TO_LAST) drop partials
+  whose start precedes the first/last event the match mapped to VAR —
+  matching resumes from that event (events are never re-consumed, so
+  the infinite-loop case Flink guards against cannot arise; a match
+  with no VAR row prunes nothing).
 
 State at 100 TB: partials per key are bounded by the horizon (every
 fold prunes expired partials), so streaming state is O(events within
@@ -167,8 +172,18 @@ class PatternSeq:
         return replace(self, horizon_s=_parse_interval(interval))
 
     def after_match_skip(self, strategy: str) -> "PatternSeq":
-        if strategy not in ("no_skip", "to_next", "past_last"):
+        """``no_skip`` | ``to_next`` | ``past_last`` |
+        ``to_first:<VAR>`` | ``to_last:<VAR>`` (Flink
+        AfterMatchSkipStrategy SKIP_TO_FIRST/SKIP_TO_LAST: on emission,
+        partials whose start precedes the FIRST/LAST event the match
+        mapped to VAR are pruned; matching resumes from that event.
+        If the match bound no VAR row — an unmatched optional — nothing
+        is pruned, a documented delta from Flink's elbow-throw option)."""
+        mode = strategy.partition(":")[0]
+        if mode not in ("no_skip", "to_next", "past_last", "to_first", "to_last"):
             raise ValueError(f"unknown skip strategy {strategy!r}")
+        if mode in ("to_first", "to_last") and ":" not in strategy:
+            raise ValueError(f"{mode} needs a variable: '{mode}:<VAR>'")
         return replace(self, skip=strategy)
 
     # -- validation ----------------------------------------------------
@@ -452,10 +467,14 @@ def _fold_events(
             survivors.append(p)
         # emission order: oldest start first (stable by start event id)
         completed.sort(key=lambda p: (p["start"], p["sid"]))
+        skip_mode, _, skip_var = skip.partition(":")
         emitted_past_last = False
+        min_start: tuple[int, int] | None = None  # to_first/to_last prune ref
         for p in completed:
             if emitted_past_last:
                 continue  # consumed by a past_last skip
+            if min_start is not None and (p["start"], p["sid"]) < min_start:
+                continue  # pruned by an earlier skip-to emission
             out.append(
                 (
                     key,
@@ -466,12 +485,21 @@ def _fold_events(
                     [pd.Timestamp(t * 1000) for t in p["tss"]],
                 )
             )
-            if skip == "past_last":
+            if skip_mode == "past_last":
                 survivors = []
                 suppress_start = True
                 emitted_past_last = True
-            elif skip == "to_next":
+            elif skip_mode == "to_next":
                 survivors = [s for s in survivors if s["sid"] != p["sid"]]
+            elif skip_mode in ("to_first", "to_last"):
+                idxs = [i for i, l in enumerate(p["labels"]) if l == skip_var]
+                if idxs:
+                    i = idxs[0] if skip_mode == "to_first" else idxs[-1]
+                    ref = (p["tss"][i], p["ids"][i])
+                    if min_start is None or ref > min_start:
+                        min_start = ref
+        if min_start is not None:
+            survivors = [s for s in survivors if (s["start"], s["sid"]) >= min_start]
         partials = survivors
         # NO_SKIP (and to_next) start a new partial at every state-0 match
         if not suppress_start and _ok(0, None):

@@ -291,21 +291,30 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
                 lo = max(1, s.min_count) if i == 0 else s.min_count
                 nvec *= s.max_count - lo + 1
             if total <= _MAX_LEN and nvec <= _MAX_VECTORS:
-                if skip in ("no_skip", "to_next"):
+                mode, _, svar = skip.partition(":")
+                if mode in ("no_skip", "to_next"):
                     return "A"
-                # past_last: single-row matches are emitted unconditionally
-                # by the fold's start block
+                # single-row matches are emitted by the fold's start
+                # block, which no skip strategy touches
                 if len(states) == 1 and s0.min_count == s0.max_count == 1:
                     return "A"
                 if len(states) == 1:
-                    if unbounded and s0.consecutive and s0.py_cond is None:
-                        return "B"
+                    # homogeneous run D{n}, n >= 2
+                    if mode == "to_first" or (mode == "to_last" and svar != s0.name):
+                        # ref = match start / absent var → prunes nothing;
+                        # every live partial is younger than the emitting
+                        # match, so this is no_skip
+                        return "A"
+                    if mode in ("past_last", "to_last"):
+                        if unbounded and s0.consecutive and s0.py_cond is None:
+                            return "B"
                     return None
-                lit0 = _state_literals(s0)
-                if s0.max_count == 1 and all(
-                    _contradictory(lit0, _state_literals(s)) for s in states[1:]
-                ):
-                    return "A"
+                if mode == "past_last":
+                    lit0 = _state_literals(s0)
+                    if s0.max_count == 1 and all(
+                        _contradictory(lit0, _state_literals(s)) for s in states[1:]
+                    ):
+                        return "A"
             return None
         # unbounded first state, fixed {1} tail → frontier
         if (
@@ -358,7 +367,7 @@ def try_lower_batch(
         if tier == "A":
             return _lower_fixed(flagged, states, key, value_cols, horizon_s)
         if tier == "B":
-            return _lower_run(flagged, states[0], key)
+            return _lower_run(flagged, states[0], key, skip.partition(":")[0])
         if tier == "C":
             return _lower_plus_tail(flagged, states, key)
         return _lower_funnel(flagged, states, key, horizon_s)
@@ -482,9 +491,11 @@ def _lower_fixed(
     )
 
 
-def _lower_run(flagged: DataFrame, s0, key: str) -> DataFrame:
-    """Tier B: D{n} past_last — islands of the flag, match ends at run
-    ordinals n, 2n, … (the fold's oldest-first non-overlap lattice)."""
+def _lower_run(flagged: DataFrame, s0, key: str, mode: str = "past_last") -> DataFrame:
+    """Tier B: D{n} homogeneous runs — islands of the flag.  Under
+    past_last the fold emits matches ending at run ordinals n, 2n, …;
+    under to_last:<D> the next partial restarts AT the previous match's
+    last row, so ends fall at n, n+(n-1), n+2(n-1), …"""
     n = s0.min_count
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     d = flagged.withColumn("_rn", F.row_number().over(w)).filter("f0")
@@ -495,7 +506,10 @@ def _lower_run(flagged: DataFrame, s0, key: str) -> DataFrame:
         "*",
         *[F.lag(c, i).over(wi).alias(f"_G_{c}_{i}") for c in ("event_id", "ts") for i in range(1, n)],
     )
-    d = d.filter(F.col("_k") % n == 0)
+    if mode == "past_last":
+        d = d.filter(F.col("_k") % n == 0)
+    else:  # to_last: stride n-1 from the first full window
+        d = d.filter((F.col("_k") >= n) & ((F.col("_k") - n) % (n - 1) == 0))
     ids = ", ".join(
         [f"`_G_event_id_{i}`" for i in range(n - 1, 0, -1)] + ["`event_id`"]
     )

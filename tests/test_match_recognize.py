@@ -207,3 +207,52 @@ def test_streaming_joinback_rejected(spark, tmp_path):
     stream = spark.readStream.schema(ev.schema).parquet(p)
     with pytest.raises(ValueError, match="streaming MATCH_RECOGNIZE"):
         match_recognize(spark, _MR, events=stream)
+
+
+def test_skip_to_parse_and_validation(spark):
+    bad = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO FIRST Z
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'A', B AS B.event_type = 'B'
+    )
+    """
+    ev = _events(spark, [(1, 0, "A", 1.0), (2, 5, "B", 1.0)])
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        match_recognize(spark, bad, events=ev)
+
+
+def test_s10_sql_front_door_stream_equals_batch(spark, tmp_path):
+    """The SQL MATCH_RECOGNIZE front door on a STREAMING source routes
+    to the keyed-state NFA backend (StreamExecMatch's streaming-first
+    contract) and must equal the batch twin of the same SQL text."""
+    from flink_1_11_1_spark.streaming import replay
+
+    from .conftest import SF_SMOKE
+
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      WITHIN INTERVAL '2' DAY
+      DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+    )
+    """
+    d = str(tmp_path / "replay_mr_sql")
+    replay.write_replay(spark, SF_SMOKE, d, parts=4)
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        match_recognize(spark, sql, events=stream), "append", "s10_mr_sql"
+    )
+    batch = match_recognize(spark, sql, sf_dir=SF_SMOKE).collect()
+    key = lambda rows: {(r.user_id, r.a_id, r.b_id) for r in rows}  # noqa: E731
+    assert key(got) == key(batch)
+    assert len(batch) > 0

@@ -239,3 +239,86 @@ def test_s8_nfa_stream_equals_batch(spark, tmp_path):
     key = lambda rows: {(r.user_id, tuple(r.ids)) for r in rows}  # noqa: E731
     assert key(got) == key(batch)
     assert len(batch) > 0
+
+def test_skip_to_first_last_hand_computed(spark):
+    """AFTER MATCH SKIP TO FIRST/LAST VAR vs hand-computed match sets.
+
+    Relaxed a→b with two a's sharing one b: no_skip emits both matches;
+    to_last:b prunes the younger match at the older one's emission (its
+    start precedes the bound b event); to_first:a prunes nothing here.
+    """
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, base, "x", 0.0),
+         (1, 2, base + dt.timedelta(seconds=10), "x", 0.0),
+         (1, 3, base + dt.timedelta(seconds=20), "y", 0.0)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+
+    def ids(skip):
+        pat = (
+            nfa.PatternSeq.begin("a", "event_type = 'x'")
+            .followed_by("b", "event_type = 'y'")
+            .within("1 hour")
+            .after_match_skip(skip)
+        )
+        return sorted(tuple(r.ids) for r in pat.match_batch(ev).collect())
+
+    assert ids("no_skip") == [(1, 3), (2, 3)]
+    assert ids("to_last:b") == [(1, 3)]
+    assert ids("to_first:a") == [(1, 3), (2, 3)]
+
+
+def test_skip_to_last_run_stride(spark):
+    """D{3} over a 6-long run: past_last ends at ordinals 3,6 (disjoint);
+    to_last:D ends at 3,5 (overlapping on the shared last row)."""
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, base + dt.timedelta(seconds=10 * i), "e", float(10 - i))
+         for i in range(7)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    evp = ev.withColumn("_prev1_value", F.lag("value", 1).over(w))
+
+    def ids(skip, lowering):
+        pat = (
+            nfa.PatternSeq.begin("D", "value < _prev1_value")
+            .times(3)
+            .consecutive()
+            .within("36500 days")
+            .after_match_skip(skip)
+        )
+        return sorted(
+            tuple(r.ids) for r in pat.match_batch(evp, lowering=lowering).collect()
+        )
+
+    for low in (True, False):
+        assert ids("past_last", low) == [(1, 2, 3), (4, 5, 6)], low
+        assert ids("to_last:D", low) == [(1, 2, 3), (3, 4, 5)], low
+        assert ids("to_first:D", low) == [
+            (1, 2, 3), (2, 3, 4), (3, 4, 5), (4, 5, 6)
+        ], low
+
+
+def test_skip_to_unmatched_optional_prunes_nothing(spark):
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, base, "x", 0.0),
+         (1, 2, base + dt.timedelta(seconds=5), "x", 0.0),
+         (1, 3, base + dt.timedelta(seconds=9), "y", 0.0)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'x'")
+        .followed_by("m", "event_type = 'z'")
+        .optional()
+        .followed_by("b", "event_type = 'y'")
+        .within("1 hour")
+        .after_match_skip("to_last:m")  # m never matches → no pruning
+    )
+    got = sorted(tuple(r.ids) for r in pat.match_batch(ev).collect())
+    assert got == [(1, 3), (2, 3)]

@@ -109,6 +109,22 @@ _PATTERNS = {
         .within("36500 days"),
         "B",
     ),
+    "B_run3_to_last": (
+        lambda: nfa.PatternSeq.begin("D", "value < _prev1_value")
+        .times(3)
+        .consecutive()
+        .after_match_skip("to_last:D")
+        .within("36500 days"),
+        "B",
+    ),
+    "A_run3_to_first": (
+        lambda: nfa.PatternSeq.begin("D", "value < _prev1_value")
+        .times(3)
+        .consecutive()
+        .after_match_skip("to_first:D")
+        .within("36500 days"),
+        "A",
+    ),
     "A_run2_no_skip": (
         lambda: nfa.PatternSeq.begin("D", "event_type = 'view'")
         .times(2)
@@ -152,7 +168,7 @@ def test_lowering_equals_fold(spark, name, seed):
     pat = build()
     assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == expected_tier
     ev = _events(spark, seed)
-    if name.startswith("B_run"):
+    if "run3" in name:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         ev = ev.withColumn("_prev1_value", F.lag("value", 1).over(w))
     fast = pat.match_batch(ev)
