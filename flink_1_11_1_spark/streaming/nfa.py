@@ -113,7 +113,16 @@ class PatternSeq:
 
     states: tuple[State, ...] = ()
     horizon_s: int = 3600
-    skip: str = "no_skip"  # no_skip | to_next | past_last
+    skip: str = "no_skip"  # no_skip | to_next | past_last | to_first:V | to_last:V
+    # Hard bound on live partials per key.  The horizon already bounds
+    # state to O(events-within-horizon per key), but a single hot key
+    # (one user with 10^9 events inside the horizon) would still grow
+    # the pool and serialize the fold; at capacity, NEW partial starts
+    # are rejected (existing partials keep progressing, so in-flight
+    # matches are unaffected) and the rejection count is surfaced as an
+    # executor-log warning.  Flink has no such guard — its NFA state
+    # grows with the same horizon bound (nfa/sharedbuffer).
+    max_partials: int = 100_000
     # Columns carried into the fold (and bound per matched event) so
     # py_cond cross-variable predicates can read them.  Numeric / string
     # / bool columns only (state is JSON-serialized for streaming).
@@ -170,6 +179,12 @@ class PatternSeq:
 
     def within(self, interval: str | int) -> "PatternSeq":
         return replace(self, horizon_s=_parse_interval(interval))
+
+    def with_max_partials(self, n: int) -> "PatternSeq":
+        """Override the per-key live-partial cap (see field doc)."""
+        if n < 1:
+            raise ValueError("max_partials must be >= 1")
+        return replace(self, max_partials=n)
 
     def after_match_skip(self, strategy: str) -> "PatternSeq":
         """``no_skip`` | ``to_next`` | ``past_last`` |
@@ -295,6 +310,7 @@ def _spec(p: PatternSeq) -> dict:
         "value_cols": list(p.value_cols),
         "horizon_us": p.horizon_s * 1_000_000,
         "skip": p.skip,
+        "max_partials": p.max_partials,
     }
 
 
@@ -373,6 +389,8 @@ def _fold_events(
     states = spec["states"]
     horizon = spec["horizon_us"]
     skip = spec["skip"]
+    max_partials = spec.get("max_partials") or 100_000
+    rejected_starts = 0
     py_conds = spec.get("py_conds") or [None] * len(states)
     value_cols = spec.get("value_cols") or []
     n_states = len(states)
@@ -526,8 +544,20 @@ def _fold_events(
                         [pd.Timestamp(ts_us * 1000)],
                     )
                 )
-            else:
+            elif len(partials) < max_partials:
                 partials.append(p0)
+            else:
+                rejected_starts += 1  # hot-key guard: pool at capacity
+    if rejected_starts:
+        import warnings
+
+        warnings.warn(
+            f"NFA key {key}: live-partial cap {max_partials} hit — "
+            f"{rejected_starts} new partial start(s) rejected this batch "
+            "(bound WITHIN tighter or raise with_max_partials)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return out, partials
 
 

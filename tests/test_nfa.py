@@ -322,3 +322,39 @@ def test_skip_to_unmatched_optional_prunes_nothing(spark):
     )
     got = sorted(tuple(r.ids) for r in pat.match_batch(ev).collect())
     assert got == [(1, 3), (2, 3)]
+
+
+def test_hot_key_partial_cap(spark):
+    """At the live-partial cap, NEW starts are rejected (bounded state);
+    existing partials keep progressing so in-flight matches complete."""
+    import warnings as _w
+
+    base = dt.datetime(2024, 1, 1)
+    # 10 'a' rows then one 'b': no_skip would hold 10 partials; cap 3
+    rows = [(1, i, base + dt.timedelta(seconds=i), "a", 0.0) for i in range(10)]
+    rows.append((1, 99, base + dt.timedelta(seconds=99), "b", 0.0))
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'a'")
+        .followed_by("b", "event_type = 'b'")
+        .within("1 hour")
+    )
+    full = sorted(tuple(r.ids) for r in pat.match_batch(ev).collect())
+    assert len(full) == 10
+    capped_pat = pat.with_max_partials(3)
+    import pandas as pd
+
+    from flink_1_11_1_spark.streaming.nfa import _fold_events, _spec, _with_flags
+
+    pdf = _with_flags(ev, capped_pat.states, "user_id").toPandas().sort_values(
+        ["ts", "event_id"]
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out, pend = _fold_events(1, pdf, [], _spec(capped_pat))
+    # first 3 starts kept, 7 rejected, each kept one completes on 'b'
+    assert len(out) == 3 and len(pend) == 0
+    assert any("live-partial cap" in str(w.message) for w in caught)
