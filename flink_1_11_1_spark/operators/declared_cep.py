@@ -120,6 +120,55 @@ FROM mb ORDER BY user_id, a_id
 """
 
 
+def cep_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase, relaxed contiguity, within 72h
+    (NO_SKIP) — the classic 3-step funnel.  Round 5: lowers to the
+    tier-D join-chain plan (next-occurrence structs + one equi-join
+    per extra hop), no Python stage."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("b", "event_type = 'click'")
+        .followed_by("c", "event_type = 'purchase'")
+        .within("72 hours")
+    )
+    m = pat.match_batch(ev)
+    return m.select(
+        "user_id",
+        F.expr("get(ids, 0)").alias("a_id"),
+        F.expr("get(ids, 1)").alias("b_id"),
+        F.expr("get(ids, 2)").alias("c_id"),
+    ).orderBy("user_id", "a_id")
+
+
+# greedy chain = first click after the signup, then first purchase
+# after that click; the WITHIN bound applies to the completing event
+# (expiry would have killed the partial before any later completion).
+CEP_FUNNEL3_ORACLE = f"""
+WITH e AS ({_E}),
+a AS (SELECT user_id, event_id a_id, ts a_ts FROM e WHERE event_type = 'signup'),
+ab AS (
+  SELECT a.user_id, a.a_id, a.a_ts,
+         (SELECT struct_pack(i := b.event_id, t := b.ts) FROM e b
+           WHERE b.user_id = a.user_id AND b.event_type = 'click'
+             AND (b.ts > a.a_ts OR (b.ts = a.a_ts AND b.event_id > a.a_id))
+           ORDER BY b.ts, b.event_id LIMIT 1) AS b
+  FROM a),
+abc AS (
+  SELECT user_id, a_id, a_ts, b.i b_id,
+         (SELECT struct_pack(i := c.event_id, t := c.ts) FROM e c
+           WHERE c.user_id = ab.user_id AND c.event_type = 'purchase'
+             AND (c.ts > ab.b.t OR (c.ts = ab.b.t AND c.event_id > ab.b.i))
+           ORDER BY c.ts, c.event_id LIMIT 1) AS c
+  FROM ab WHERE b IS NOT NULL)
+SELECT user_id, a_id, b_id, c.i c_id
+FROM abc
+WHERE c IS NOT NULL AND c.t <= a_ts + INTERVAL 72 HOUR
+ORDER BY user_id, a_id
+"""
+
+
 def register_all() -> None:
     registry.register("x_cep_times_df", cep_times_clicks, CEP_TIMES_ORACLE)
     registry.register("x_cep_optional_df", cep_optional_funnel, CEP_OPTIONAL_ORACLE)
+    registry.register("x_cep_funnel3", cep_funnel3, CEP_FUNNEL3_ORACLE)

@@ -331,7 +331,9 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
                 return "C"
         return None
 
-    # relaxed funnel: consecutive block + ≤1 optional + required final
+    # relaxed funnel: consecutive block, then EITHER ≤1 optional + one
+    # required final (no-join path) OR a chain of ≤4 required states
+    # (one equi-join per extra hop)
     if (
         len(states) >= 2
         and s0.min_count == s0.max_count
@@ -339,16 +341,18 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         and (s0.min_count == 1 or s0.consecutive)
         and all(not s.strict_in for s in states[1:])
         and all(s.max_count == 1 for s in states[1:])
-        and all(s.min_count == 0 for s in states[1:-1])
-        and len(states[1:-1]) <= 1
         and all(s.py_cond is None for s in states)
         and skip in ("no_skip", "to_next")
     ):
-        if len(states) == 3 and not _contradictory(
-            _state_literals(states[1]), _state_literals(states[2])
-        ):
-            return None
-        return "D"
+        mids = states[1:-1]
+        if all(s.min_count == 0 for s in mids) and len(mids) <= 1:
+            if len(states) == 3 and not _contradictory(
+                _state_literals(states[1]), _state_literals(states[2])
+            ):
+                return None
+            return "D"
+        if all(s.min_count == 1 for s in states[1:]) and len(states[1:]) <= 4:
+            return "D"
     return None
 
 
@@ -575,10 +579,19 @@ def _lower_plus_tail(flagged: DataFrame, states, key: str) -> DataFrame:
 
 
 def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataFrame:
-    """Tier D: A{n} block + optional M + required B, relaxed contiguity,
-    no_skip — next-occurrence structs bound M/B after the block end."""
+    """Tier D: A{n} block + relaxed tail, no_skip.
+
+    Two shapes (see eligible_tier): optional M + required B resolves
+    from next-occurrence structs at the block end with no join; a chain
+    of required states resolves hop-by-hop — each binding after the
+    first needs the next-occurrence info AT the previous binding's row,
+    one (key, event_id) equi-join per extra hop.  Every hop is a plain
+    shuffle join on the keyed row id — no Python, no driver state."""
     s0 = states[0]
     n = s0.min_count
+    tail = states[1:]
+    if len(tail) >= 2 and all(s.min_count == 1 for s in tail):
+        return _lower_funnel_chain(flagged, states, key, horizon_s)
     opt = states[1] if len(states) == 3 else None
     req = states[-1]
     w = Window.partitionBy(key).orderBy("ts", "event_id")
@@ -637,5 +650,82 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
             "labels": labels,
             "ids": ids,
             "tss": tss,
+        },
+    )
+
+
+def _lower_funnel_chain(
+    flagged: DataFrame, states, key: str, horizon_s: int
+) -> DataFrame:
+    """Tier D join-chain: A{n} then required relaxed states s1..sk.
+
+    Greedy binding is "first s1 after the block, then first s2 after
+    s1, …" — exactly a chain of next-occurrence lookups.  s1 comes from
+    a lead at the start row; each later hop joins the candidate's
+    previous binding back to the per-row next-occurrence column."""
+    s0 = states[0]
+    n = s0.min_count
+    tail = states[1:]
+    k = len(tail)
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    wfol = w.rowsBetween(1, Window.unboundedFollowing)
+    d = flagged
+    for j in range(1, k + 1):
+        d = d.withColumn(
+            f"_nxt_{j}",
+            F.min(F.when(F.col(f"f{j}"), F.struct("ts", "event_id"))).over(wfol),
+        )
+    leads = _Leads()
+    block_conds = [leads.ref("f0", o) for o in range(n)]
+    block_ids = [leads.ref("event_id", o) for o in range(n)]
+    block_tss = [leads.ref("ts", o) for o in range(n)]
+    h1 = leads.ref("_nxt_1", n - 1) if n > 1 else "`_nxt_1`"
+    enriched = leads.attach(d, w)
+    cand = enriched.filter(
+        F.expr(" AND ".join(f"({c})" for c in block_conds + [f"{h1} IS NOT NULL"]))
+    ).select(
+        F.col(key).alias("_k"),
+        F.col("ts").alias("_start_ts"),
+        *[F.expr(e).alias(f"_blk_id_{o}") for o, e in enumerate(block_ids)],
+        *[F.expr(e).alias(f"_blk_ts_{o}") for o, e in enumerate(block_tss)],
+        F.expr(h1).alias("_h1"),
+    )
+    # hop j: next-occurrence of s_j AT the previous binding's row
+    hop_src = d.select(
+        F.col(key).alias("_hk"),
+        F.col("event_id").alias("_heid"),
+        *[F.col(f"_nxt_{j}").alias(f"_hnxt_{j}") for j in range(2, k + 1)],
+    )
+    for j in range(2, k + 1):
+        cand = (
+            cand.join(
+                hop_src.select("_hk", "_heid", F.col(f"_hnxt_{j}").alias(f"_h{j}")),
+                (F.col("_k") == F.col("_hk"))
+                & (F.col(f"_h{j - 1}.event_id") == F.col("_heid")),
+                "inner",
+            )
+            .drop("_hk", "_heid")
+            .filter(F.col(f"_h{j}").isNotNull())
+        )
+    if horizon_s < _UNBOUNDED_S:
+        cand = cand.filter(
+            F.expr(f"`_h{k}`.ts <= _start_ts + INTERVAL {horizon_s} SECOND")
+        )
+    blk_labels = ", ".join(f"'{s0.name}'" for _ in range(n))
+    tail_labels = ", ".join(f"'{s.name}'" for s in tail)
+    hops = ["`_h1`"] + [f"`_h{j}`" for j in range(2, k + 1)]
+    return _out_select(
+        cand,
+        "_k",
+        {
+            "start_ts": "_start_ts",
+            "end_ts": f"{hops[-1]}.ts",
+            "labels": f"array({blk_labels}, {tail_labels})",
+            "ids": "array("
+            + ", ".join([f"`_blk_id_{o}`" for o in range(n)] + [f"{h}.event_id" for h in hops])
+            + ")",
+            "tss": "array("
+            + ", ".join([f"`_blk_ts_{o}`" for o in range(n)] + [f"{h}.ts" for h in hops])
+            + ")",
         },
     )

@@ -150,6 +150,29 @@ _PATTERNS = {
         .within("12 hours"),
         "D",
     ),
+    "D_chain3": (
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("b", "event_type = 'click'")
+        .followed_by("c", "event_type = 'purchase'")
+        .within("1 day"),
+        "D",
+    ),
+    "D_chain_overlapping_flags": (
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("b", "value > 30")
+        .followed_by("c", "value > 60")
+        .within("1 day"),
+        "D",
+    ),
+    "D_chain4_block2": (
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'click'")
+        .times(2)
+        .consecutive()
+        .followed_by("b", "event_type = 'view'")
+        .followed_by("c", "event_type = 'purchase'")
+        .within("2 days"),
+        "D",
+    ),
     "D_optional_funnel": (
         lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
         .followed_by("m", "event_type = 'click'")
@@ -187,11 +210,14 @@ def test_ineligible_shapes_fall_back():
         .within("1 day")
     )
     assert eligible_tier(p1.states, p1.horizon_s, p1.skip) is None
-    # two required relaxed states need join chaining → fold
+    # optional mixed INTO a required chain → fold (the no-join optional
+    # argument needs the required final to be the only required state)
     p2 = (
         nfa.PatternSeq.begin("a", "event_type = 'signup'")
         .followed_by("m", "event_type = 'click'")
-        .followed_by("b", "event_type = 'purchase'")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .followed_by("c", "event_type = 'purchase'")
         .within("1 day")
     )
     assert eligible_tier(p2.states, p2.horizon_s, p2.skip) is None
