@@ -225,3 +225,117 @@ FROM packed GROUP BY shard, batch_id ORDER BY shard, batch_id
 
 
 registry.register("x_pack_batches", _pack, PACK_ORACLE)
+
+
+# --------------------------------------------- stratified hash sampling
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_pct: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixture knob of a
+    training pipeline (e.g. keep 20% of English, 5% of zh, 10% of the
+    rest).  Same md5-bucket predicate as ``hash_sample`` with a
+    per-stratum threshold, so it stays map-only (no shuffle, rides the
+    scan), content-stable across reruns/engines/partitionings, and
+    strata stay mutually consistent: a doc kept at 5% is also kept at
+    any higher rate (nested samples — threshold monotonicity)."""
+    rates = rates or {}
+    arms = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {p}" for s, p in sorted(rates.items())
+    )
+    rate = f"CASE {arms} ELSE {default_pct} END" if arms else str(default_pct)
+    return docs.where(F.expr(f"{_SPARK_BUCKET.format(salt=salt)} < ({rate})"))
+
+
+def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, rates={"en": 20, "zh": 5}, default_pct=10)
+    return (
+        out.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_ORACLE = f"""
+SELECT lang, count(*) n_docs
+FROM (SELECT lang, {_DUCK_BUCKET.format(salt="")} AS bucket FROM documents)
+WHERE bucket < (CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 5 ELSE 10 END)
+GROUP BY lang ORDER BY lang
+"""
+
+registry.register("x_sample_stratified", _stratified, STRATIFIED_ORACLE)
+
+
+# ------------------------------------------------- document chunking
+
+CHUNK_SIZE = 40
+CHUNK_STRIDE = 30  # size 40, overlap 10
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window preparation step of a training pipeline.  Pure
+    Catalyst: tokenize once (split + filter empties), explode a
+    ``sequence`` of window starts, slice the token array per chunk.
+    One generator, no shuffle, no Python — at 100 TB this pipelines
+    into the scan exactly like any projection.
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("_toks"),
+        )
+        .where(F.expr("size(_toks) > 0"))
+        .select(
+            "doc_id",
+            F.expr(f"explode(sequence(0, size(_toks) - 1, {stride}))").alias("_start"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.expr(f"slice(_toks, _start + 1, {size})").alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr("size(_chunk)").cast("long").alias("n_chunk_tokens"),
+            F.expr("array_join(_chunk, ' ')").alias("chunk_text"),
+        )
+    )
+
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.load_table(spark, sf_dir, "documents").where("doc_id < 200")
+    return (
+        chunk_documents(docs)
+        .select("doc_id", "chunk_id", "n_chunk_tokens", F.md5("chunk_text").alias("fp"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# DuckDB replay: same tokenization (regex split, empties dropped),
+# window starts via range(0, n, stride), 1-based inclusive list slice.
+CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') toks
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) st
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, (st // {CHUNK_STRIDE})::BIGINT chunk_id,
+       len(toks[st + 1 : least(st + {CHUNK_SIZE}, len(toks))])::BIGINT n_chunk_tokens,
+       md5(array_to_string(toks[st + 1 : least(st + {CHUNK_SIZE}, len(toks))], ' ')) fp
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+registry.register("x_doc_chunks", _chunks, CHUNK_ORACLE)

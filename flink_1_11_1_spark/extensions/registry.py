@@ -44,6 +44,7 @@ def _load() -> None:
     from . import (  # noqa: F401
         dedup,
         pipeline,
+        retrieval,
         similarity,
         sketch,
         sql_surface,

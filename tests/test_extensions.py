@@ -289,3 +289,72 @@ def test_weighted_sample_margin_and_bias(spark):
 
     again = {r.doc_id for r in pipeline.weighted_sample(docs, k=50).collect()}
     assert again == {r.doc_id for r in sample.collect()}  # deterministic
+
+
+# ---------------------------------------- round-5 pipeline additions
+
+
+def test_stratified_sample_nested_and_consistent(spark):
+    """Thresholds are monotone: the 5% stratum sample is a subset of
+    what a 20% rate would keep, and rates apply per stratum."""
+    from flink_1_11_1_spark.extensions.pipeline import stratified_sample
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    lo = {r.doc_id for r in stratified_sample(docs, rates={}, default_pct=5).collect()}
+    hi = {r.doc_id for r in stratified_sample(docs, rates={}, default_pct=20).collect()}
+    assert lo < hi
+    mixed = stratified_sample(docs, rates={"en": 100}, default_pct=0)
+    assert {r.lang for r in mixed.select("lang").distinct().collect()} == {"en"}
+
+
+def test_chunking_covers_and_overlaps(spark):
+    from flink_1_11_1_spark.extensions.pipeline import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").where("doc_id < 20")
+    chunks = chunk_documents(docs).collect()
+    toks = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id",
+            "size(filter(split(lower(text), '\\\\s+'), x -> x != '')) n",
+        ).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = toks[doc_id]
+        # every token covered: chunk i spans [i*stride, i*stride + size)
+        assert len(rows) == (n - 1) // CHUNK_STRIDE + 1
+        assert all(r.n_chunk_tokens <= CHUNK_SIZE for r in rows)
+        covered = rows[-1].chunk_id * CHUNK_STRIDE + rows[-1].n_chunk_tokens
+        assert covered == n
+        # consecutive chunks overlap by size - stride tokens (full chunks)
+        for a, b in zip(rows, rows[1:]):
+            if a.n_chunk_tokens == CHUNK_SIZE:
+                assert b.chunk_id * CHUNK_STRIDE < a.chunk_id * CHUNK_STRIDE + CHUNK_SIZE
+
+
+def test_bm25_hand_computed(spark):
+    """Three tiny docs, one query term family — exact hand calculation."""
+    import math
+
+    from flink_1_11_1_spark.extensions.retrieval import B, K1, bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "join join scan"), (2, "join filter"), (3, "scan filter merge")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms=("join",)).collect()}
+    n, sumlen = 3, 8
+    avgdl = sumlen / n
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return round(round(idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl)), 7), 4)
+    assert got == {1: s(2, 3), 2: s(1, 2)}  # doc 3 has no hit
