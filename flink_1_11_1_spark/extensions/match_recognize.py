@@ -89,7 +89,8 @@ _CLAUSE_RE = re.compile(
 _QUANT_RE = re.compile(r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?$")
 
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<fn>FIRST|LAST|COUNT)\s*\(\s*)?(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)?"
+    r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*)?"
+    r"(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)?"
     r"\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE,
 )
@@ -397,6 +398,7 @@ def match_recognize(
     # measures
     cols = [F.col("user_id").alias(key)] if key == "user_id" else [F.col(key)]
     joinbacks: list[tuple[str, str]] = []  # (tmp id col, measure alias->source col)
+    aggbacks: list[tuple[str, str, str, str]] = []  # (fn, var, col, alias)
     _classifier_alias: str | None = None
     for i, mtext in enumerate(_split_top(c.group("measures"))):
         mn = re.match(
@@ -437,6 +439,21 @@ def match_recognize(
             if col != "*":
                 raise ValueError("COUNT measure must be COUNT(V.*)")
             cols.append(nfa.label_count(var).cast("bigint").alias(alias))
+        elif fn in ("SUM", "AVG", "MIN", "MAX"):
+            # aggregate over ALL rows the match mapped to var (Flink's
+            # aggregate measures): resolved after matching via a
+            # match-id + explode + event_id join + re-aggregate — one
+            # bounded shuffle over the (small) match set.
+            if col in ("*", "ts"):
+                raise ValueError(f"{fn} measure needs a value column ({fn}({var}.{col}))")
+            if events.isStreaming:
+                raise ValueError(
+                    "streaming MATCH_RECOGNIZE measures are limited to "
+                    "ts/event_id/COUNT (aggregates need a bounded join-back)"
+                )
+            if all_rows:
+                raise ValueError("aggregate measures need ONE ROW PER MATCH")
+            aggbacks.append((fn.lower(), var, col, alias))
         elif col == "ts":
             cols.append((_first_ts(var) if fn == "FIRST" else _last_ts(var)).alias(alias))
         elif col == "event_id":
@@ -472,6 +489,9 @@ def match_recognize(
             F.col("_ev.labels").alias(_classifier_alias or "classifier"),
         )
     else:
+        if aggbacks:
+            out = out.withColumn("_mid", F.monotonically_increasing_id())
+            cols.append(F.col("_mid"))
         res = out.select(*cols)
     for tmp, spec in joinbacks:
         alias, col = spec.split(":")
@@ -479,4 +499,31 @@ def match_recognize(
             F.col("event_id").alias(f"{tmp}_k"), F.col(col).alias(alias)
         )
         res = res.join(side, res[tmp] == side[f"{tmp}_k"], "left").drop(tmp, f"{tmp}_k")
+    for fn, var, col, alias in aggbacks:
+        pairs = (
+            out.select("_mid", F.explode(F.expr("arrays_zip(ids, labels)")).alias("_z"))
+            .where(F.col("_z.labels") == var)
+            .select("_mid", F.col("_z.ids").alias("_eid"))
+        )
+        vals = events.select(F.col("event_id").alias("_eid"), F.col(col).alias("_v"))
+        # SUM/AVG accumulate in DECIMAL(28,10): double accumulation is
+        # shuffle-order-dependent (non-associative), so the same query
+        # could hash differently run to run; exact decimal sums are
+        # order-free and cross-engine identical, cast back to double
+        # once.  (1e-10 quantization of genuinely irrational inputs is
+        # the documented price.)
+        if fn == "sum":
+            expr = "cast(sum(cast(_v as decimal(28,10))) as double)"
+        elif fn == "avg":
+            expr = "cast(sum(cast(_v as decimal(28,10))) as double) / count(_v)"
+        else:
+            expr = f"{fn}(_v)"
+        agg = (
+            pairs.join(vals, "_eid")
+            .groupBy("_mid")
+            .agg(F.expr(expr).alias(alias))
+        )
+        res = res.join(agg, "_mid", "left")
+    if aggbacks:
+        res = res.drop("_mid")
     return res

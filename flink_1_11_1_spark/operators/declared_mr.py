@@ -34,6 +34,7 @@ SQL pattern concatenation is Flink ``next()``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..extensions import registry
 from ..extensions.match_recognize import match_recognize
@@ -319,6 +320,61 @@ ORDER BY a.user_id, d_first
 """
 
 
+MR_AGG_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(V.event_id) AS v_first, SUM(V.value) AS v_sum,
+           AVG(V.value) AS v_avg, LAST(P.event_id) AS p_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V+ P)
+  DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+)
+"""
+
+
+def mr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate measures (Flink SUM/AVG over a quantified variable's
+    rows), resolved via match-id explode + event_id join.  The measure
+    layer accumulates in DECIMAL(28,10) (order-free, cross-engine
+    exact), so no rounding is needed here at all."""
+    out = match_recognize(spark, MR_AGG_SQL, sf_dir)
+    return out.select(
+        "user_id", "v_first", "v_sum", "v_avg", "p_id"
+    ).orderBy("user_id", "v_first")
+
+
+MR_AGG_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, cast(date_trunc('milliseconds', ts) as timestamp) AS ts,
+         user_id, event_type, value FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM e),
+x AS (
+  SELECT user_id, event_id, event_type, value, rn,
+         coalesce(max(CASE WHEN event_type <> 'view' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lastnv
+  FROM seq),
+p AS (
+  SELECT user_id, event_id AS p_id, rn, lastnv
+  FROM x WHERE event_type = 'purchase' AND rn - lastnv - 1 >= 1),
+agg AS (
+  SELECT p.user_id, p.p_id, p.lastnv,
+         sum(s.value::DECIMAL(28,10))::DOUBLE v_sum,
+         sum(s.value::DECIMAL(28,10))::DOUBLE / count(s.value) v_avg
+  FROM p JOIN seq s
+    ON s.user_id = p.user_id AND s.rn > p.lastnv AND s.rn < p.rn
+  GROUP BY 1, 2, 3)
+SELECT a.user_id, f.event_id AS v_first, a.v_sum, a.v_avg, a.p_id
+FROM agg a JOIN seq f ON f.user_id = a.user_id AND f.rn = a.lastnv + 1
+ORDER BY a.user_id, v_first
+"""
+
+
 def register_all() -> None:
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
@@ -327,3 +383,4 @@ def register_all() -> None:
     registry.register("x_mr_allrows", mr_allrows, MR_ALLROWS_ORACLE)
     registry.register("x_mr_prev", mr_prev, MR_PREV_ORACLE)
     registry.register("x_mr_skip_to_last", mr_skip_to_last, MR_SKIP_TO_LAST_ORACLE)
+    registry.register("x_mr_agg", mr_agg, MR_AGG_ORACLE)

@@ -256,3 +256,49 @@ def test_s10_sql_front_door_stream_equals_batch(spark, tmp_path):
     key = lambda rows: {(r.user_id, r.a_id, r.b_id) for r in rows}  # noqa: E731
     assert key(got) == key(batch)
     assert len(batch) > 0
+
+
+def test_aggregate_measures_hand_computed(spark):
+    """SUM/AVG/MIN/MAX over a quantified variable's rows (Flink
+    aggregate measures), decimal-exact accumulation."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES SUM(B.value) AS s, AVG(B.value) AS m,
+               MIN(B.value) AS lo, MAX(B.value) AS hi,
+               LAST(C.event_id) AS c_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B+ C)
+      DEFINE A AS A.event_type = 'A', B AS B.event_type = 'B',
+             C AS C.event_type = 'C'
+    )
+    """
+    ev = _events(
+        spark,
+        [(1, 0, "A", 1.0), (2, 5, "B", 2.5), (3, 9, "B", 4.0), (4, 12, "C", 9.0)],
+    )
+    rows = match_recognize(spark, sql, events=ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.s, r.m, r.lo, r.hi, r.c_id) == (6.5, 3.25, 2.5, 4.0, 4)
+
+
+def test_aggregate_measures_streaming_rejected(spark, tmp_path):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES SUM(B.value) AS s
+      ONE ROW PER MATCH
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'A', B AS B.event_type = 'B'
+    )
+    """
+    ev = _events(spark, [(1, 0, "A", 1.0)])
+    p = str(tmp_path / "mr_agg_stream")
+    ev.write.parquet(p)
+    stream = spark.readStream.schema(ev.schema).parquet(p)
+    with pytest.raises(ValueError, match="bounded join-back"):
+        match_recognize(spark, sql, events=stream)
