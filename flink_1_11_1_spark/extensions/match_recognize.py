@@ -47,9 +47,11 @@ Documented deltas (the NFA's deterministic-greedy contract):
   as completion is emitted the moment it is satisfied (same restriction
   Flink documents for greedy-final-variable).
 - ALL ROWS PER MATCH emits one row per matched event (key, event_id,
-  ts, classifier + measures); measures use FINAL semantics (Flink's
-  running-semantics delta is documented), and the echoed input columns
-  beyond ts/event_id come from the caller joining back on event_id.
+  ts, classifier + measures); bare measures use FINAL semantics (delta:
+  the SQL/Flink default there is RUNNING), and an explicit ``RUNNING``
+  prefix gives per-row prefix semantics for FIRST/LAST(V.ts|event_id)
+  and COUNT(V.*).  Echoed input columns beyond ts/event_id come from
+  the caller joining back on event_id.
 - AFTER MATCH SKIP supports PAST LAST ROW, TO NEXT ROW, and
   TO FIRST/LAST <VAR> (Flink AfterMatchSkipStrategy): partials whose
   start precedes the first/last VAR event of an emitted match are
@@ -89,7 +91,8 @@ _CLAUSE_RE = re.compile(
 _QUANT_RE = re.compile(r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?$")
 
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*)?"
+    r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
+    r"(?:(?P<fn>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*)?"
     r"(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)?"
     r"\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE,
@@ -399,6 +402,7 @@ def match_recognize(
     cols = [F.col("user_id").alias(key)] if key == "user_id" else [F.col(key)]
     joinbacks: list[tuple[str, str]] = []  # (tmp id col, measure alias->source col)
     aggbacks: list[tuple[str, str, str, str]] = []  # (fn, var, col, alias)
+    runbacks: list[tuple[str, str, str, str]] = []  # RUNNING (fn, var, col, alias)
     _classifier_alias: str | None = None
     for i, mtext in enumerate(_split_top(c.group("measures"))):
         mn = re.match(
@@ -432,9 +436,25 @@ def match_recognize(
         if not mm:
             raise ValueError(f"unsupported measure {mtext!r}")
         fn = (mm.group("fn") or "LAST").upper()
+        sem = (mm.group("sem") or "FINAL").upper()
         var, col, alias = mm.group("var"), mm.group("col"), mm.group("alias")
         if var not in variables:
             raise ValueError(f"measure references unknown variable {var}")
+        if sem == "RUNNING":
+            # per-row prefix semantics (the SQL/Flink default for ALL
+            # ROWS PER MATCH; here explicit — the bare form stays FINAL,
+            # a documented delta): evaluated post-explode over the
+            # match-prefix slice.
+            if not all_rows:
+                raise ValueError("RUNNING measures need ALL ROWS PER MATCH")
+            if fn not in ("FIRST", "LAST", "COUNT") or (
+                fn != "COUNT" and col not in ("ts", "event_id")
+            ):
+                raise ValueError(
+                    "RUNNING supports FIRST/LAST(V.ts|event_id) and COUNT(V.*)"
+                )
+            runbacks.append((fn, var, col, alias))
+            continue
         if fn == "COUNT":
             if col != "*":
                 raise ValueError("COUNT measure must be COUNT(V.*)")
@@ -475,15 +495,33 @@ def match_recognize(
         )
     if all_rows:
         # One output row per matched event: explode the per-match arrays
-        # into (event_id, ts, classifier), FINAL-semantics measures ride
-        # along.  Pure projection + generator — stateless, scale-safe.
-        sel = out.select(*cols, "labels", "ids", "tss")
-        carried = sel.columns[:-3]
-        res = sel.select(
+        # into (event_id, ts, classifier).  FINAL measures ride along
+        # unchanged; RUNNING measures are evaluated per output row over
+        # the match-prefix slice of the zipped arrays.  Still pure
+        # projection + generator — stateless, scale-safe.
+        sel = out.select(
+            *cols, F.expr("arrays_zip(ids, labels, tss)").alias("_z")
+        )
+        carried = sel.columns[:-1]
+        ex = sel.select(
             *carried,
-            F.posexplode(F.arrays_zip("ids", "labels", "tss")).alias("_pos", "_ev"),
-        ).select(
+            "_z",
+            F.posexplode("_z").alias("_pos", "_ev"),
+        )
+        run_cols = []
+        for fn, var, col, alias in runbacks:
+            prefix = f"filter(slice(_z, 1, _pos + 1), x -> x.labels = '{var}')"
+            if fn == "COUNT":
+                run_cols.append(F.expr(f"size({prefix})").cast("bigint").alias(alias))
+            else:
+                fld = "ids" if col == "event_id" else "tss"
+                at = "1" if fn == "FIRST" else "-1"
+                run_cols.append(
+                    F.expr(f"try_element_at({prefix}, {at}).{fld}").alias(alias)
+                )
+        res = ex.select(
             *carried,
+            *run_cols,
             F.col("_ev.ids").alias("event_id"),
             F.col("_ev.tss").alias("ts"),
             F.col("_ev.labels").alias(_classifier_alias or "classifier"),

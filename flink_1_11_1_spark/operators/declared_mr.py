@@ -320,6 +320,48 @@ ORDER BY a.user_id, d_first
 """
 
 
+MR_ALLROWS_RUNNING_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, RUNNING LAST(B.event_id) AS b_seen,
+           RUNNING COUNT(B.*) AS nb, CLASSIFIER() AS classifier
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+)
+"""
+
+
+def mr_allrows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING measure semantics (the SQL/Flink default for ALL ROWS):
+    each output row sees only the match prefix up to itself — on the
+    A row the B measures are NULL/0, on the B row they are bound."""
+    return match_recognize(spark, MR_ALLROWS_RUNNING_SQL, sf_dir).orderBy(
+        "user_id", "a_id", "event_id"
+    )
+
+
+MR_ALLROWS_RUNNING_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nt, lead(event_id) OVER w AS nid,
+         lead(ts) OVER w AS nts
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (SELECT * FROM seq
+      WHERE event_type = 'click' AND nt = 'purchase' AND nts <= ts + INTERVAL 7 DAY)
+SELECT user_id, event_id AS a_id, NULL::BIGINT b_seen, 0::BIGINT nb,
+       event_id, ts, 'A' AS classifier FROM m
+UNION ALL
+SELECT user_id, event_id AS a_id, nid b_seen, 1::BIGINT nb,
+       nid AS event_id, nts AS ts, 'B' AS classifier FROM m
+ORDER BY user_id, a_id, event_id
+"""
+
+
 MR_AGG_SQL = """
 SELECT * FROM events MATCH_RECOGNIZE (
   PARTITION BY user_id
@@ -384,3 +426,6 @@ def register_all() -> None:
     registry.register("x_mr_prev", mr_prev, MR_PREV_ORACLE)
     registry.register("x_mr_skip_to_last", mr_skip_to_last, MR_SKIP_TO_LAST_ORACLE)
     registry.register("x_mr_agg", mr_agg, MR_AGG_ORACLE)
+    registry.register(
+        "x_mr_allrows_running", mr_allrows_running, MR_ALLROWS_RUNNING_ORACLE
+    )

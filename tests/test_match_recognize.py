@@ -302,3 +302,45 @@ def test_aggregate_measures_streaming_rejected(spark, tmp_path):
     stream = spark.readStream.schema(ev.schema).parquet(p)
     with pytest.raises(ValueError, match="bounded join-back"):
         match_recognize(spark, sql, events=stream)
+
+
+def test_running_measures_hand_computed(spark):
+    """RUNNING semantics: each ALL-ROWS output row sees only the match
+    prefix — on the V rows of V+ P, COUNT grows and P is unbound."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES RUNNING COUNT(V.*) AS nv, RUNNING LAST(P.event_id) AS p_seen,
+               CLASSIFIER() AS classifier
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V{2} P)
+      DEFINE V AS V.event_type = 'V', P AS P.event_type = 'P'
+    )
+    """
+    ev = _events(spark, [(1, 0, "V", 0.0), (2, 5, "V", 0.0), (3, 9, "P", 0.0)])
+    rows = sorted(
+        match_recognize(spark, sql, events=ev).collect(), key=lambda r: r.event_id
+    )
+    assert [(r.event_id, r.nv, r.p_seen, r.classifier) for r in rows] == [
+        (1, 1, None, "V"),
+        (2, 2, None, "V"),
+        (3, 2, 3, "P"),
+    ]
+
+
+def test_running_requires_all_rows(spark):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES RUNNING COUNT(V.*) AS nv
+      ONE ROW PER MATCH
+      PATTERN (V P)
+      DEFINE V AS V.event_type = 'V', P AS P.event_type = 'P'
+    )
+    """
+    ev = _events(spark, [(1, 0, "V", 0.0)])
+    with pytest.raises(ValueError, match="ALL ROWS"):
+        match_recognize(spark, sql, events=ev)
