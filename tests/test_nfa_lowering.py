@@ -101,6 +101,40 @@ _PATTERNS = {
         "A",
     ),
     "A_xvar": (_xvar_pattern, "A"),
+    "A_xvar_quantified": (
+        # cross-variable condition on a counted state: every repetition
+        # instantiates against the bound A row and its own offset
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "true")
+        .times(1, 2)
+        .consecutive()
+        .where_iterative(
+            'EV["event_type"] == \'view\' and EV["value"] > LAST("A","value")',
+            "value",
+            "event_type",
+            sql_cond="B.event_type = 'view' AND B.value > A.value",
+        )
+        .next_("C", "event_type = 'purchase'")
+        .after_match_skip("no_skip")
+        .within("2 days"),
+        "A",
+    ),
+    "A_xvar_same_var_first": (
+        # same-variable FIRST navigation: rep 0 falls back to the
+        # current row (SQL running semantics), rep 1 binds rep 0
+        lambda: nfa.PatternSeq.begin("B", "true")
+        .times(2)
+        .consecutive()
+        .where_iterative(
+            '(FIRST("B","value") if FIRST("B","value") is not None '
+            'else EV["value"]) <= EV["value"]',
+            "value",
+            sql_cond="B.value >= FIRST(B.value)",
+        )
+        .after_match_skip("to_next")
+        .within("1 day"),
+        "A",
+    ),
     "B_run3_past_last": (
         lambda: nfa.PatternSeq.begin("D", "value < _prev1_value")
         .times(3)
