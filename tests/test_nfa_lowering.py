@@ -285,3 +285,57 @@ def test_fallback_still_executes(spark):
         .within("1 day")
     )
     assert _canon(p.match_batch(ev)) == _canon(p.match_batch(ev, lowering=False))
+
+
+def test_fuzzed_patterns_equal_fold(spark):
+    """Randomized pattern shapes (quantifiers × contiguity × skip ×
+    horizon): every ELIGIBLE one must equal the fold; ineligible ones
+    must at least execute on the fold.  Complements the hand-picked
+    matrix with shapes nobody thought to write down."""
+    rng = random.Random(2026)
+    ev = _events(spark, 11, n=160, users=4).cache()
+    ev.count()
+    types = ["click", "view", "purchase", "signup"]
+    conds = [lambda t: f"event_type = '{t}'", lambda t: "value > 50", lambda t: "value < 30"]
+    checked = eligible = 0
+    for trial in range(24):
+        n_states = rng.choice([1, 2, 2, 3])
+        strict = rng.random() < 0.5
+        pat = None
+        used = rng.sample(types, n_states)
+        for i in range(n_states):
+            cond = rng.choice(conds)(used[i])
+            if i == 0:
+                pat = nfa.PatternSeq.begin(f"S{i}", cond)
+            else:
+                pat = (pat.next_ if strict else pat.followed_by)(f"S{i}", cond)
+            last = i == n_states - 1
+            q = rng.random()
+            if last:
+                if q < 0.3:
+                    pat = pat.times(2).consecutive()
+            elif q < 0.2:
+                pat = pat.times(1, 2).consecutive()
+            elif q < 0.35:
+                pat = pat.optional()
+            elif q < 0.45:
+                pat = pat.one_or_more().consecutive()
+        skip = rng.choice(
+            ["no_skip", "to_next", "past_last", "to_first:S0", "to_last:S0"]
+        )
+        horizon = rng.choice(["2 hours", "1 day", "36500 days"])
+        pat = pat.after_match_skip(skip).within(horizon)
+        tier = eligible_tier(pat.states, pat.horizon_s, pat.skip)
+        slow = _canon(pat.match_batch(ev, lowering=False))
+        checked += 1
+        if tier is not None:
+            eligible += 1
+            fast = _canon(pat.match_batch(ev))
+            assert fast == slow, (
+                f"trial {trial}: tier {tier} diverged for "
+                f"{[(s.name, s.cond, s.min_count, s.max_count, s.strict_in, s.consecutive) for s in pat.states]} "
+                f"skip={skip} horizon={horizon}"
+            )
+    ev.unpersist()
+    # the generator must actually exercise the lowering a fair amount
+    assert eligible >= 8, (checked, eligible)
