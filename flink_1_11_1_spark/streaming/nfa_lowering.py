@@ -40,14 +40,17 @@ fold-equivalence tests in tests/test_nfa_lowering.py):
   lead() at the first row after the run.  Requires V's literal to
   contradict each tail literal (the run cannot silently continue) and
   effectively-unbounded WITHIN.
-- **D — relaxed funnel**: a consecutive block ``A{n}`` followed by at
-  most one optional and one required state with relaxed contiguity
+- **D — relaxed funnel**: a consecutive block ``A{n}`` followed by a
+  chain of (optional?, required) segments with relaxed contiguity
   (Flink ``followedBy``), under no_skip/to_next.  "Next matching event
-  after the block" is a ``min(struct(ts,event_id)) OVER (ROWS BETWEEN 1
-  FOLLOWING AND UNBOUNDED FOLLOWING)`` column; the optional binds iff
-  its next occurrence precedes the required one's (their literals must
-  be contradictory so one event cannot satisfy both, which also pins
-  the required binding independent of the optional).
+  after position p" is a ``min(struct(ts,event_id)) OVER (ROWS BETWEEN
+  1 FOLLOWING AND UNBOUNDED FOLLOWING)`` column; the first segment
+  reads it via lead() at the start row, each later segment joins the
+  previous required binding back to the per-row columns (one keyed
+  equi-join per extra segment).  A segment's optional binds iff its
+  next occurrence precedes the required one's (their literals must be
+  contradictory so one event cannot satisfy both, which also pins the
+  required binding independent of the optional).
 
 Reference parity note: Flink has no such fast path — it is the
 Spark-first answer to the same operator contract, with the NFA kept for
@@ -331,9 +334,12 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
                 return "C"
         return None
 
-    # relaxed funnel: consecutive block, then EITHER ≤1 optional + one
-    # required final (no-join path) OR a chain of ≤4 required states
-    # (one equi-join per extra hop)
+    # relaxed funnel: consecutive block, then a chain of segments —
+    # each (optional?, required) with at most one optional per segment;
+    # every optional must contradict its following required (one event
+    # may otherwise satisfy both flags, and greedy binds the optional
+    # first, which the no-join next-occurrence formula cannot express).
+    # One (key, event_id) equi-join per segment after the first.
     if (
         len(states) >= 2
         and s0.min_count == s0.max_count
@@ -343,17 +349,32 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         and all(s.max_count == 1 for s in states[1:])
         and all(s.py_cond is None for s in states)
         and skip in ("no_skip", "to_next")
+        and len(states[1:]) <= 5
+        and states[-1].min_count == 1
     ):
-        mids = states[1:-1]
-        if all(s.min_count == 0 for s in mids) and len(mids) <= 1:
-            if len(states) == 3 and not _contradictory(
-                _state_literals(states[1]), _state_literals(states[2])
-            ):
-                return None
-            return "D"
-        if all(s.min_count == 1 for s in states[1:]) and len(states[1:]) <= 4:
+        segs = _segments_of(states[1:])
+        if segs is not None and all(
+            opt is None or _contradictory(_state_literals(opt), _state_literals(req))
+            for opt, req in segs
+        ):
             return "D"
     return None
+
+
+def _segments_of(tail) -> list[tuple[object, object]] | None:
+    """Parse a relaxed tail into (optional|None, required) segments;
+    None when two optionals are adjacent (unsupported)."""
+    segs = []
+    pending_opt = None
+    for s in tail:
+        if s.min_count == 0:
+            if pending_opt is not None:
+                return None
+            pending_opt = s
+        else:
+            segs.append((pending_opt, s))
+            pending_opt = None
+    return None if pending_opt is not None else segs
 
 
 def try_lower_batch(
@@ -579,153 +600,125 @@ def _lower_plus_tail(flagged: DataFrame, states, key: str) -> DataFrame:
 
 
 def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataFrame:
-    """Tier D: A{n} block + relaxed tail, no_skip.
+    """Tier D: A{n} block + relaxed segments, no_skip/to_next.
 
-    Two shapes (see eligible_tier): optional M + required B resolves
-    from next-occurrence structs at the block end with no join; a chain
-    of required states resolves hop-by-hop — each binding after the
-    first needs the next-occurrence info AT the previous binding's row,
-    one (key, event_id) equi-join per extra hop.  Every hop is a plain
-    shuffle join on the keyed row id — no Python, no driver state."""
+    The tail is a sequence of (optional?, required) segments.  Within a
+    segment starting at position p: required = first flag_r row after p
+    (a next-occurrence struct); the optional binds iff its first
+    occurrence after p precedes the required one (their literals
+    contradict, so one event can never satisfy both, and the optional
+    binding provably does not move the required one).  The first
+    segment reads its next-occurrence structs via lead() at the match's
+    start row; each later segment joins the previous required binding
+    back to the per-row struct columns — one (key, event_id) equi-join
+    per extra segment.  No Python, no driver state; every stage is a
+    keyed shuffle."""
     s0 = states[0]
     n = s0.min_count
-    tail = states[1:]
-    if len(tail) >= 2 and all(s.min_count == 1 for s in tail):
-        return _lower_funnel_chain(flagged, states, key, horizon_s)
-    opt = states[1] if len(states) == 3 else None
-    req = states[-1]
+    segs = _segments_of(states[1:])
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     wfol = w.rowsBetween(1, Window.unboundedFollowing)
     d = flagged
-    nxt_cols = {}
-    for s in ([opt] if opt else []) + [req]:
+    nxt = {}  # state name -> per-row next-occurrence column
+    for s in states[1:]:
         idx = states.index(s)
         cname = f"_nxt_{idx}"
         d = d.withColumn(
             cname,
             F.min(F.when(F.col(f"f{idx}"), F.struct("ts", "event_id"))).over(wfol),
         )
-        nxt_cols[s.name] = cname
-    # shift next-occurrence info to the block's start row
+        nxt[s.name] = cname
+
+    # segment 1: next-occurrence info shifted to the match's start row
     leads = _Leads()
     block_conds = [leads.ref("f0", o) for o in range(n)]
-    block_ids = [leads.ref("event_id", o) for o in range(n)]
-    block_tss = [leads.ref("ts", o) for o in range(n)]
-    b_ref = (
-        leads.ref(nxt_cols[req.name], n - 1) if n > 1 else f"`{nxt_cols[req.name]}`"
-    )
-    conds = list(block_conds) + [f"{b_ref} IS NOT NULL"]
-    if horizon_s < _UNBOUNDED_S:
-        conds.append(f"{b_ref}.ts <= ts + INTERVAL {horizon_s} SECOND")
-    if opt is not None:
-        m_ref = (
-            leads.ref(nxt_cols[opt.name], n - 1) if n > 1 else f"`{nxt_cols[opt.name]}`"
+    block_ids = [F.expr(leads.ref("event_id", o)) for o in range(n)]
+    block_tss = [F.expr(leads.ref("ts", o)) for o in range(n)]
+    opt0, req0 = segs[0]
+    seg1_cols = [nxt[req0.name]] + ([nxt[opt0.name]] if opt0 else [])
+    seg1_ref = {
+        c: (leads.ref(c, n - 1) if n > 1 else f"`{c}`") for c in seg1_cols
+    }
+    cand = (
+        leads.attach(d, w)
+        .filter(F.expr(" AND ".join(f"({c})" for c in block_conds)))
+        .select(
+            F.col(key).alias("_k"),
+            F.col("ts").alias("_start_ts"),
+            *[c.alias(f"_blk_id_{o}") for o, c in enumerate(block_ids)],
+            *[c.alias(f"_blk_ts_{o}") for o, c in enumerate(block_tss)],
+            F.expr(seg1_ref[nxt[req0.name]]).alias("_r1"),
+            *(
+                [F.expr(seg1_ref[nxt[opt0.name]]).alias("_o1")]
+                if opt0
+                else []
+            ),
         )
-        m_bound = f"({m_ref} IS NOT NULL AND {m_ref} < {b_ref})"
-    d = leads.attach(d, w).filter(F.expr(" AND ".join(f"({c})" for c in conds)))
-    blk_labels = ", ".join(f"'{s0.name}'" for _ in range(n))
-    if opt is None:
-        labels = f"array({blk_labels}, '{req.name}')"
-        ids = f"array({', '.join(block_ids)}, {b_ref}.event_id)"
-        tss = f"array({', '.join(block_tss)}, {b_ref}.ts)"
-    else:
-        labels = (
-            f"concat(array({blk_labels}), CASE WHEN {m_bound} THEN "
-            f"array('{opt.name}', '{req.name}') ELSE array('{req.name}') END)"
-        )
-        ids = (
-            f"concat(array({', '.join(block_ids)}), CASE WHEN {m_bound} THEN "
-            f"array({m_ref}.event_id, {b_ref}.event_id) ELSE array({b_ref}.event_id) END)"
-        )
-        tss = (
-            f"concat(array({', '.join(block_tss)}), CASE WHEN {m_bound} THEN "
-            f"array({m_ref}.ts, {b_ref}.ts) ELSE array({b_ref}.ts) END)"
-        )
-    return _out_select(
-        d,
-        key,
-        {
-            "start_ts": "ts",
-            "end_ts": f"{b_ref}.ts",
-            "labels": labels,
-            "ids": ids,
-            "tss": tss,
-        },
+        .filter(F.col("_r1").isNotNull())
     )
 
-
-def _lower_funnel_chain(
-    flagged: DataFrame, states, key: str, horizon_s: int
-) -> DataFrame:
-    """Tier D join-chain: A{n} then required relaxed states s1..sk.
-
-    Greedy binding is "first s1 after the block, then first s2 after
-    s1, …" — exactly a chain of next-occurrence lookups.  s1 comes from
-    a lead at the start row; each later hop joins the candidate's
-    previous binding back to the per-row next-occurrence column."""
-    s0 = states[0]
-    n = s0.min_count
-    tail = states[1:]
-    k = len(tail)
-    w = Window.partitionBy(key).orderBy("ts", "event_id")
-    wfol = w.rowsBetween(1, Window.unboundedFollowing)
-    d = flagged
-    for j in range(1, k + 1):
-        d = d.withColumn(
-            f"_nxt_{j}",
-            F.min(F.when(F.col(f"f{j}"), F.struct("ts", "event_id"))).over(wfol),
-        )
-    leads = _Leads()
-    block_conds = [leads.ref("f0", o) for o in range(n)]
-    block_ids = [leads.ref("event_id", o) for o in range(n)]
-    block_tss = [leads.ref("ts", o) for o in range(n)]
-    h1 = leads.ref("_nxt_1", n - 1) if n > 1 else "`_nxt_1`"
-    enriched = leads.attach(d, w)
-    cand = enriched.filter(
-        F.expr(" AND ".join(f"({c})" for c in block_conds + [f"{h1} IS NOT NULL"]))
-    ).select(
-        F.col(key).alias("_k"),
-        F.col("ts").alias("_start_ts"),
-        *[F.expr(e).alias(f"_blk_id_{o}") for o, e in enumerate(block_ids)],
-        *[F.expr(e).alias(f"_blk_ts_{o}") for o, e in enumerate(block_tss)],
-        F.expr(h1).alias("_h1"),
-    )
-    # hop j: next-occurrence of s_j AT the previous binding's row
+    # later segments: join the previous required binding to its row
     hop_src = d.select(
         F.col(key).alias("_hk"),
         F.col("event_id").alias("_heid"),
-        *[F.col(f"_nxt_{j}").alias(f"_hnxt_{j}") for j in range(2, k + 1)],
+        *[F.col(nxt[s.name]).alias(f"_hn_{s.name}") for opt, req in segs[1:] for s in ([opt] if opt else []) + [req]],
     )
-    for j in range(2, k + 1):
+    for j, (opt, req) in enumerate(segs[1:], start=2):
+        sel = ["_hk", "_heid", F.col(f"_hn_{req.name}").alias(f"_r{j}")]
+        if opt:
+            sel.append(F.col(f"_hn_{opt.name}").alias(f"_o{j}"))
         cand = (
             cand.join(
-                hop_src.select("_hk", "_heid", F.col(f"_hnxt_{j}").alias(f"_h{j}")),
+                hop_src.select(*sel),
                 (F.col("_k") == F.col("_hk"))
-                & (F.col(f"_h{j - 1}.event_id") == F.col("_heid")),
+                & (F.col(f"_r{j - 1}.event_id") == F.col("_heid")),
                 "inner",
             )
             .drop("_hk", "_heid")
-            .filter(F.col(f"_h{j}").isNotNull())
+            .filter(F.col(f"_r{j}").isNotNull())
         )
+    k_segs = len(segs)
     if horizon_s < _UNBOUNDED_S:
         cand = cand.filter(
-            F.expr(f"`_h{k}`.ts <= _start_ts + INTERVAL {horizon_s} SECOND")
+            F.expr(f"`_r{k_segs}`.ts <= _start_ts + INTERVAL {horizon_s} SECOND")
         )
+
+    # assemble match arrays: block + per-segment conditional pieces
     blk_labels = ", ".join(f"'{s0.name}'" for _ in range(n))
-    tail_labels = ", ".join(f"'{s.name}'" for s in tail)
-    hops = ["`_h1`"] + [f"`_h{j}`" for j in range(2, k + 1)]
+    lab_parts = [f"array({blk_labels})"]
+    id_parts = ["array(" + ", ".join(f"`_blk_id_{o}`" for o in range(n)) + ")"]
+    ts_parts = ["array(" + ", ".join(f"`_blk_ts_{o}`" for o in range(n)) + ")"]
+    for j, (opt, req) in enumerate(segs, start=1):
+        if opt is None:
+            lab_parts.append(f"array('{req.name}')")
+            id_parts.append(f"array(`_r{j}`.event_id)")
+            ts_parts.append(f"array(`_r{j}`.ts)")
+        else:
+            bound = f"(`_o{j}` IS NOT NULL AND `_o{j}` < `_r{j}`)"
+            lab_parts.append(
+                f"CASE WHEN {bound} THEN array('{opt.name}', '{req.name}') "
+                f"ELSE array('{req.name}') END"
+            )
+            id_parts.append(
+                f"CASE WHEN {bound} THEN array(`_o{j}`.event_id, `_r{j}`.event_id) "
+                f"ELSE array(`_r{j}`.event_id) END"
+            )
+            ts_parts.append(
+                f"CASE WHEN {bound} THEN array(`_o{j}`.ts, `_r{j}`.ts) "
+                f"ELSE array(`_r{j}`.ts) END"
+            )
+
+    def _concat(parts):
+        return parts[0] if len(parts) == 1 else "concat(" + ", ".join(parts) + ")"
+
     return _out_select(
         cand,
         "_k",
         {
             "start_ts": "_start_ts",
-            "end_ts": f"{hops[-1]}.ts",
-            "labels": f"array({blk_labels}, {tail_labels})",
-            "ids": "array("
-            + ", ".join([f"`_blk_id_{o}`" for o in range(n)] + [f"{h}.event_id" for h in hops])
-            + ")",
-            "tss": "array("
-            + ", ".join([f"`_blk_ts_{o}`" for o in range(n)] + [f"{h}.ts" for h in hops])
-            + ")",
+            "end_ts": f"`_r{k_segs}`.ts",
+            "labels": _concat(lab_parts),
+            "ids": _concat(id_parts),
+            "tss": _concat(ts_parts),
         },
     )

@@ -207,6 +207,29 @@ _PATTERNS = {
         .within("2 days"),
         "D",
     ),
+    "D_optional_mid_chain": (
+        # optional INSIDE the chain: a → m?(click) → b(view) → c(purchase)
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "event_type = 'click'")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .followed_by("c", "event_type = 'purchase'")
+        .within("2 days"),
+        "D",
+    ),
+    "D_two_segment_optionals": (
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .times(2)
+        .consecutive()
+        .followed_by("m1", "event_type = 'click'")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .followed_by("m2", "event_type = 'click'")
+        .optional()
+        .followed_by("c", "event_type = 'purchase'")
+        .within("3 days"),
+        "D",
+    ),
     "D_optional_funnel": (
         lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
         .followed_by("m", "event_type = 'click'")
@@ -244,17 +267,28 @@ def test_ineligible_shapes_fall_back():
         .within("1 day")
     )
     assert eligible_tier(p1.states, p1.horizon_s, p1.skip) is None
-    # optional mixed INTO a required chain → fold (the no-join optional
-    # argument needs the required final to be the only required state)
+    # optional whose literal does NOT contradict its following required
+    # (one event could satisfy both flags; greedy binds the optional
+    # first, which the next-occurrence formula cannot express) → fold
     p2 = (
         nfa.PatternSeq.begin("a", "event_type = 'signup'")
-        .followed_by("m", "event_type = 'click'")
+        .followed_by("m", "value > 50")
         .optional()
         .followed_by("b", "event_type = 'view'")
-        .followed_by("c", "event_type = 'purchase'")
         .within("1 day")
     )
     assert eligible_tier(p2.states, p2.horizon_s, p2.skip) is None
+    # two adjacent optionals (later-occurrence rebinding) → fold
+    p2b = (
+        nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m1", "event_type = 'click'")
+        .optional()
+        .followed_by("m2", "event_type = 'view'")
+        .optional()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("1 day")
+    )
+    assert eligible_tier(p2b.states, p2b.horizon_s, p2b.skip) is None
     # bounded-horizon homogeneous run under past_last → expiry shifts
     # the match lattice → fold
     p3 = (
