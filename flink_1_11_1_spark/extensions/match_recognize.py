@@ -398,8 +398,8 @@ def match_recognize(
     else:
         out = pat.match_batch(events, key=key)
 
-    # measures
-    cols = [F.col("user_id").alias(key)] if key == "user_id" else [F.col(key)]
+    # measures (the match frame's key column keeps its source name/type)
+    cols = [F.col(key)]
     joinbacks: list[tuple[str, str]] = []  # (tmp id col, measure alias->source col)
     aggbacks: list[tuple[str, str, str, str]] = []  # (fn, var, col, alias)
     runbacks: list[tuple[str, str, str, str]] = []  # RUNNING (fn, var, col, alias)

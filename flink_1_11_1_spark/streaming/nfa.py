@@ -72,16 +72,22 @@ from pyspark.sql.types import (
 
 from .pattern import _parse_interval
 
-NFA_MATCH_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("start_ts", TimestampType()),
-        StructField("end_ts", TimestampType()),
-        StructField("labels", ArrayType(StringType())),
-        StructField("ids", ArrayType(LongType())),
-        StructField("tss", ArrayType(TimestampType())),
-    ]
-)
+def match_schema(key: str = "user_id", key_type=None) -> StructType:
+    """Match output schema: the key column keeps ITS name and type (any
+    groupable type — bigint user ids, string session ids, …)."""
+    return StructType(
+        [
+            StructField(key, key_type or LongType()),
+            StructField("start_ts", TimestampType()),
+            StructField("end_ts", TimestampType()),
+            StructField("labels", ArrayType(StringType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("tss", ArrayType(TimestampType())),
+        ]
+    )
+
+
+NFA_MATCH_SCHEMA = match_schema()  # the canonical user_id-keyed shape
 
 _NFA_STATE_SCHEMA = StructType([StructField("partials", ArrayType(StringType()))])
 
@@ -231,13 +237,14 @@ class PatternSeq:
             if lowered is not None:
                 return lowered
         spec = _spec(self)
+        schema = match_schema(key, events.schema[key].dataType)
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["ts", "event_id"])
-            out, _ = _fold_events(int(pdf[key].iloc[0]), pdf, [], spec)
-            return _out_frame(out)
+            out, _ = _fold_events(pdf[key].iloc[0], pdf, [], spec)
+            return _out_frame(out, key)
 
-        return flagged.groupBy(key).applyInPandas(fold, NFA_MATCH_SCHEMA)
+        return flagged.groupBy(key).applyInPandas(fold, schema)
 
     def match_stream(self, events: DataFrame, key: str = "user_id") -> DataFrame:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -248,6 +255,7 @@ class PatternSeq:
         configure(events.sparkSession)
         flagged = _with_flags(events, self.states, key, self.value_cols)
         spec = _spec(self)
+        schema = match_schema(key, events.schema[key].dataType)
 
         def fn(k, rows, state: GroupState):
             parts = [p for p in rows if len(p)]
@@ -263,10 +271,10 @@ class PatternSeq:
             elif state.exists:
                 state.remove()
             if out:
-                yield _out_frame(out)
+                yield _out_frame(out, key)
 
         return flagged.groupBy(key).applyInPandasWithState(
-            fn, NFA_MATCH_SCHEMA, _NFA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            fn, schema, _NFA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
 
 
@@ -561,9 +569,9 @@ def _fold_events(
     return out, partials
 
 
-def _out_frame(out: list[tuple]) -> pd.DataFrame:
+def _out_frame(out: list[tuple], key: str = "user_id") -> pd.DataFrame:
     return pd.DataFrame(
-        out, columns=["user_id", "start_ts", "end_ts", "labels", "ids", "tss"]
+        out, columns=[key, "start_ts", "end_ts", "labels", "ids", "tss"]
     )
 
 

@@ -400,9 +400,11 @@ def try_lower_batch(
         return None
 
 
-def _out_select(df: DataFrame, key: str, exprs: dict[str, str]) -> DataFrame:
+def _out_select(
+    df: DataFrame, key: str, exprs: dict[str, str], out_key: str | None = None
+) -> DataFrame:
     return df.select(
-        F.col(key).alias("user_id"),
+        F.col(key).alias(out_key or key),
         F.expr(exprs["start_ts"]).alias("start_ts"),
         F.expr(exprs["end_ts"]).alias("end_ts"),
         F.expr(exprs["labels"]).alias("labels"),
@@ -721,4 +723,5 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
             "ids": _concat(id_parts),
             "tss": _concat(ts_parts),
         },
+        out_key=key,
     )

@@ -358,3 +358,25 @@ def test_hot_key_partial_cap(spark):
     # first 3 starts kept, 7 rejected, each kept one completes on 'b'
     assert len(out) == 3 and len(pend) == 0
     assert any("live-partial cap" in str(w.message) for w in caught)
+
+
+def test_string_key_pattern(spark):
+    """Non-user_id, non-bigint partition keys (e.g. string session ids)
+    work on both the fold and the lowered path with the key's own
+    name/type in the output schema."""
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("s1", 1, base, "click", 0.0),
+         ("s1", 2, base + dt.timedelta(seconds=5), "purchase", 0.0),
+         ("s2", 3, base + dt.timedelta(seconds=2), "click", 0.0)],
+        "session string, event_id long, ts timestamp, event_type string, value double",
+    )
+    pat = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("1 hour")
+    )
+    for lowering in (True, False):
+        got = pat.match_batch(ev, key="session", lowering=lowering).collect()
+        assert [(r.session, tuple(r.ids)) for r in got] == [("s1", (1, 2))], lowering
