@@ -38,8 +38,10 @@ fold-equivalence tests in tests/test_nfa_lowering.py):
   the classic frontier rendering — ``max`` of the last non-V position
   as a running window, V-runs grouped per frontier, tail matched by
   lead() at the first row after the run.  Requires V's literal to
-  contradict each tail literal (the run cannot silently continue) and
-  effectively-unbounded WITHIN.
+  contradict each tail literal (the run cannot silently continue).  A
+  bounded WITHIN is a filter over the run group: expiry is monotone in
+  event time, so the surviving prefix at completion is exactly the run
+  rows within horizon of the tail end.
 - **D — relaxed funnel**: a consecutive block ``A{n}`` followed by a
   chain of (optional?, required) segments with relaxed contiguity
   (Flink ``followedBy``), under no_skip/to_next.  "Next matching event
@@ -319,7 +321,10 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
                     ):
                         return "A"
             return None
-        # unbounded first state, fixed {1} tail → frontier
+        # unbounded first state, fixed {1} tail → frontier.  A bounded
+        # WITHIN is fine: expiry is monotone in event time, so the
+        # surviving run prefix at completion is exactly the rows within
+        # horizon of the tail end — a filter over the run group.
         if (
             len(states) >= 2
             and s0.max_count is None
@@ -327,7 +332,6 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
             and all(s.min_count == s.max_count == 1 for s in states[1:])
             and all(s.py_cond is None for s in states)
             and skip == "past_last"
-            and unbounded
         ):
             lit0 = _state_literals(s0)
             if all(_contradictory(lit0, _state_literals(s)) for s in states[1:]):
@@ -394,7 +398,7 @@ def try_lower_batch(
         if tier == "B":
             return _lower_run(flagged, states[0], key, skip.partition(":")[0])
         if tier == "C":
-            return _lower_plus_tail(flagged, states, key)
+            return _lower_plus_tail(flagged, states, key, horizon_s)
         return _lower_funnel(flagged, states, key, horizon_s)
     except _Unlowerable:
         return None
@@ -555,10 +559,15 @@ def _lower_run(flagged: DataFrame, s0, key: str, mode: str = "past_last") -> Dat
     )
 
 
-def _lower_plus_tail(flagged: DataFrame, states, key: str) -> DataFrame:
+def _lower_plus_tail(
+    flagged: DataFrame, states, key: str, horizon_s: int = _UNBOUNDED_S
+) -> DataFrame:
     """Tier C: V{m,} T1..Tk past_last — frontier of the last non-V row
     delimits maximal V-runs; the tail is checked by lead() at the first
-    row after the run; arrays come from one bounded groupBy per run."""
+    row after the run; arrays come from one bounded groupBy per run.
+    Under a bounded WITHIN, the fold's expiry leaves exactly the run
+    rows within horizon of the tail end (the oldest surviving partial
+    wins), so the match prefix is a filter over the run group."""
     s0, tail = states[0], states[1:]
     m = max(1, s0.min_count)
     k = len(tail)
@@ -569,14 +578,8 @@ def _lower_plus_tail(flagged: DataFrame, states, key: str) -> DataFrame:
     d = flagged.withColumn(
         "_fr_id", F.coalesce(frontier.getField("event_id"), F.lit(-1))
     )
-    runs = (
-        d.filter("f0")
-        .groupBy(key, "_fr_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("_vrows"),
-            F.count(F.lit(1)).alias("_nv"),
-        )
-        .filter(F.col("_nv") >= m)
+    runs = d.filter("f0").groupBy(key, "_fr_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("_vrows0"),
     )
     leads = _Leads()
     tail_conds = [leads.ref(f"f{j + 1}", j) for j in range(k)]
@@ -586,6 +589,18 @@ def _lower_plus_tail(flagged: DataFrame, states, key: str) -> DataFrame:
         F.expr(" AND ".join(f"({c})" for c in tail_conds))
     )
     j = cand.join(runs, on=[key, "_fr_id"])
+    if horizon_s < _UNBOUNDED_S:
+        # rows whose partial survived until the tail end
+        j = j.withColumn(
+            "_vrows",
+            F.expr(
+                f"filter(_vrows0, x -> x.ts >= {tail_tss[-1]} "
+                f"- INTERVAL {horizon_s} SECOND)"
+            ),
+        )
+    else:
+        j = j.withColumn("_vrows", F.col("_vrows0"))
+    j = j.filter(F.expr(f"size(_vrows) >= {m}"))
     tail_labels = ", ".join("'" + s.name + "'" for s in tail)
     labels = f"concat(transform(_vrows, x -> '{s0.name}'), array({tail_labels}))"
     return _out_select(

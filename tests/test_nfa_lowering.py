@@ -167,6 +167,17 @@ _PATTERNS = {
         .within("36500 days"),
         "A",
     ),
+    "C_plus_tail_bounded_within": (
+        # expiry trims the run prefix: only rows within horizon of the
+        # tail end survive to be part of the match
+        lambda: nfa.PatternSeq.begin("V", "event_type = 'view'")
+        .one_or_more()
+        .consecutive()
+        .next_("P", "event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("40 minutes"),
+        "C",
+    ),
     "C_plus_tail": (
         lambda: nfa.PatternSeq.begin("V", "event_type = 'view'")
         .one_or_more()
