@@ -93,7 +93,7 @@ _QUANT_RE = re.compile(r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?$")
 _MEASURE_RE = re.compile(
     r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
     r"(?:(?P<fn>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*)?"
-    r"(?P<var>\w+)\.(?P<col>\w+|\*)\s*\)?"
+    r"(?P<var>\w+)\.(?P<col>\w+|\*)(?:\s*,\s*(?P<off>\d+))?\s*\)?"
     r"\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE,
 )
@@ -438,8 +438,14 @@ def match_recognize(
         fn = (mm.group("fn") or "LAST").upper()
         sem = (mm.group("sem") or "FINAL").upper()
         var, col, alias = mm.group("var"), mm.group("col"), mm.group("alias")
+        off = int(mm.group("off") or 0)
         if var not in variables:
             raise ValueError(f"measure references unknown variable {var}")
+        if off and (fn not in ("FIRST", "LAST") or sem == "RUNNING"):
+            raise ValueError(
+                "a logical offset needs FINAL FIRST/LAST (got "
+                f"{sem} {fn}({var}.{col}, {off}))"
+            )
         if sem == "RUNNING":
             # per-row prefix semantics (the SQL/Flink default for ALL
             # ROWS PER MATCH; here explicit — the bare form stays FINAL,
@@ -475,17 +481,28 @@ def match_recognize(
                 raise ValueError("aggregate measures need ONE ROW PER MATCH")
             aggbacks.append((fn.lower(), var, col, alias))
         elif col == "ts":
-            cols.append((_first_ts(var) if fn == "FIRST" else _last_ts(var)).alias(alias))
+            if off:
+                cols.append(nfa.nav(var, "tss", fn == "FIRST", off).alias(alias))
+            else:
+                cols.append(
+                    (_first_ts(var) if fn == "FIRST" else _last_ts(var)).alias(alias)
+                )
         elif col == "event_id":
-            cols.append(
-                (nfa.first_id(var) if fn == "FIRST" else nfa.last_id(var)).alias(alias)
-            )
+            if off:
+                cols.append(nfa.nav(var, "ids", fn == "FIRST", off).alias(alias))
+            else:
+                cols.append(
+                    (nfa.first_id(var) if fn == "FIRST" else nfa.last_id(var)).alias(alias)
+                )
         else:
             # resolve via event_id join-back against the source table
             tmp = f"_mrid_{i}"
-            cols.append(
-                (nfa.first_id(var) if fn == "FIRST" else nfa.last_id(var)).alias(tmp)
+            idexpr = (
+                nfa.nav(var, "ids", fn == "FIRST", off)
+                if off
+                else (nfa.first_id(var) if fn == "FIRST" else nfa.last_id(var))
             )
+            cols.append(idexpr.alias(tmp))
             joinbacks.append((tmp, f"{alias}:{col}"))
 
     if events.isStreaming and joinbacks:

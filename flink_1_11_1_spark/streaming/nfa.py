@@ -597,3 +597,14 @@ def last_id(label: str):
 
 def label_count(label: str):
     return F.expr(f"size(filter(labels, x -> x = '{label}'))")
+
+
+def nav(label: str, field: str, first: bool, off: int = 0):
+    """Logical-offset navigation (Flink FIRST/LAST(V.col, n)): the
+    (n+1)-th row mapped to ``label`` from the start (FIRST) or end
+    (LAST); NULL when out of range.  ``field`` is ids or tss."""
+    pos = 1 + off if first else -(1 + off)
+    return F.expr(
+        f"try_element_at(filter(arrays_zip(labels, {field}), "
+        f"x -> x.labels = '{label}'), {pos}).{field}"
+    )

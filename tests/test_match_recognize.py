@@ -344,3 +344,47 @@ def test_running_requires_all_rows(spark):
     ev = _events(spark, [(1, 0, "V", 0.0)])
     with pytest.raises(ValueError, match="ALL ROWS"):
         match_recognize(spark, sql, events=ev)
+
+
+def test_logical_offset_navigation(spark):
+    """FIRST/LAST(V.col, n): the (n+1)-th mapped row from either end;
+    NULL out of range (Flink logical offsets)."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES FIRST(V.event_id) AS v1, FIRST(V.event_id, 1) AS v2,
+               LAST(V.event_id, 1) AS v_penult, LAST(V.event_id, 5) AS v_oob,
+               LAST(V.value, 2) AS v3_val, LAST(P.event_id) AS p_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V{3} P)
+      DEFINE V AS V.event_type = 'V', P AS P.event_type = 'P'
+    )
+    """
+    ev = _events(
+        spark,
+        [(1, 0, "V", 1.5), (2, 4, "V", 2.5), (3, 8, "V", 3.5), (4, 12, "P", 9.0)],
+    )
+    rows = match_recognize(spark, sql, events=ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.v1, r.v2, r.v_penult, r.v_oob, r.v3_val, r.p_id) == (
+        1, 2, 2, None, 1.5, 4
+    )
+
+
+def test_logical_offset_rejects_running_and_aggregates(spark):
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES SUM(V.value, 1) AS s
+      ONE ROW PER MATCH
+      PATTERN (V P)
+      DEFINE V AS V.event_type = 'V', P AS P.event_type = 'P'
+    )
+    """
+    ev = _events(spark, [(1, 0, "V", 0.0)])
+    with pytest.raises(ValueError, match="logical offset"):
+        match_recognize(spark, sql, events=ev)
