@@ -362,6 +362,51 @@ ORDER BY user_id, a_id, event_id
 """
 
 
+MR_OFFSETS_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(V.event_id) AS v1, FIRST(V.event_id, 1) AS v2,
+           LAST(V.event_id, 1) AS v_penult, LAST(P.event_id) AS p_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V+ P)
+  DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+)
+"""
+
+
+def mr_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-offset navigation (FIRST/LAST(V.col, n)) over the V+ run:
+    second row from the start and from the end, NULL on 1-row runs."""
+    return match_recognize(spark, MR_OFFSETS_SQL, sf_dir).orderBy("user_id", "v1")
+
+
+MR_OFFSETS_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM e),
+x AS (
+  SELECT user_id, event_id, event_type, rn,
+         coalesce(max(CASE WHEN event_type <> 'view' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lastnv
+  FROM seq),
+p AS (
+  SELECT user_id, event_id AS p_id, rn, lastnv, rn - lastnv - 1 AS nv
+  FROM x WHERE event_type = 'purchase' AND rn - lastnv - 1 >= 1)
+SELECT p.user_id, f1.event_id AS v1, f2.event_id AS v2,
+       pen.event_id AS v_penult, p.p_id
+FROM p
+JOIN seq f1 ON f1.user_id = p.user_id AND f1.rn = p.lastnv + 1
+LEFT JOIN seq f2 ON f2.user_id = p.user_id AND f2.rn = p.lastnv + 2 AND p.nv >= 2
+LEFT JOIN seq pen ON pen.user_id = p.user_id AND pen.rn = p.rn - 2 AND p.nv >= 2
+ORDER BY p.user_id, v1
+"""
+
+
 MR_AGG_SQL = """
 SELECT * FROM events MATCH_RECOGNIZE (
   PARTITION BY user_id
@@ -429,3 +474,4 @@ def register_all() -> None:
     registry.register(
         "x_mr_allrows_running", mr_allrows_running, MR_ALLROWS_RUNNING_ORACLE
     )
+    registry.register("x_mr_offsets", mr_offsets, MR_OFFSETS_ORACLE)
