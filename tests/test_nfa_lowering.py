@@ -85,6 +85,19 @@ _PATTERNS = {
         .within("36500 days"),
         "A",
     ),
+    "A_two_optionals": (
+        # both optionals skippable, independently or together — all four
+        # count vectors enumerate, with negations at the advance row
+        lambda: nfa.PatternSeq.begin("A", "event_type = 'signup'")
+        .next_("B", "event_type = 'click'")
+        .optional()
+        .next_("C", "event_type = 'view'")
+        .optional()
+        .next_("D", "event_type = 'purchase'")
+        .after_match_skip("no_skip")
+        .within("36500 days"),
+        "A",
+    ),
     "A_counted_range": (
         lambda: nfa.PatternSeq.begin("A", "event_type = 'view'")
         .times(1, 2)
