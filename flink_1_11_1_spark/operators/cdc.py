@@ -68,7 +68,9 @@ def canal_decode(df: DataFrame, value_col: str, row_schema: StructType) -> DataF
         .add("type", "string")
     )
     parsed = df.withColumn("_env", F.from_json(F.col(value_col), env))
+    passthrough = [c for c in df.columns if c != value_col]
     exploded = parsed.select(
+        *passthrough,
         "_env.type",
         F.posexplode_outer("_env.data").alias("_i", "_row"),
         F.col("_env.old").alias("_old"),
@@ -94,8 +96,8 @@ def canal_decode(df: DataFrame, value_col: str, row_schema: StructType) -> DataF
             F.struct(F.lit("+U").alias("row_kind"), F.col("_row").alias("row")),
         ),
     )
-    return exploded.select(F.explode(pieces).alias("_p")).select(
-        F.col("_p.row_kind").alias("row_kind"), F.col("_p.row.*")
+    return exploded.select(*passthrough, F.explode(pieces).alias("_p")).select(
+        *passthrough, F.col("_p.row_kind").alias("row_kind"), F.col("_p.row.*")
     )
 
 

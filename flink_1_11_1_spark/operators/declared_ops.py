@@ -229,6 +229,45 @@ ORDER BY id
 """
 
 
+_CANAL_ENVELOPES = [
+    '{"data": [{"id": 1, "name": "iron", "qty": 5}, '
+    '{"id": 2, "name": "steel", "qty": 7}], "old": null, "type": "INSERT"}',
+    '{"data": [{"id": 1, "name": "iron", "qty": 6}], '
+    '"old": [{"qty": 5}], "type": "UPDATE"}',
+    '{"data": [{"id": 2, "name": "steel", "qty": 7}], "old": null, "type": "DELETE"}',
+    '{"data": [{"id": 3, "name": "copper", "qty": 9}], "old": null, "type": "INSERT"}',
+]
+
+
+def cdc_canal_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canal-json decode + changelog materialization: partial-field
+    ``old`` arrays merge over data for -U, then the upsert fold yields
+    final state per key (CanalJsonDeserializationSchema parity)."""
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    row_schema = (
+        StructType()
+        .add("id", IntegerType())
+        .add("name", StringType())
+        .add("qty", IntegerType())
+    )
+    src = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_CANAL_ENVELOPES)], ["seq", "value"]
+    )
+    decoded = cdc.canal_decode(src, "value", row_schema)
+    decoded = decoded.withColumn(
+        "_seq", F.col("seq") * 2 + F.when(F.col("row_kind") == "+U", 1).otherwise(0)
+    )
+    final = cdc.materialize(decoded, keys=["id"], seq_col="_seq").drop("_seq", "seq")
+    return final.orderBy("id")
+
+
+CANAL_ORACLE = """
+SELECT * FROM (VALUES (1, 'iron', 6), (3, 'copper', 9)) t(id, name, qty)
+ORDER BY id
+"""
+
+
 def register_all() -> None:
     registry.register("x_asof_join_df", asof_orders_events, ASOF_ORACLE)
     registry.register(
@@ -246,3 +285,4 @@ def register_all() -> None:
     )
     registry.register("x_count_window_df", count_window_orders, COUNT_WINDOW_ORACLE)
     registry.register("x_cdc_debezium", cdc_debezium_materialized, CDC_ORACLE)
+    registry.register("x_cdc_canal", cdc_canal_materialized, CANAL_ORACLE)
