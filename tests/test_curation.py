@@ -1,0 +1,130 @@
+"""Semantic unit tests for the curation battery (extensions/curation.py).
+
+The cross-engine oracle equality of every entry is covered by
+test_extension_oracles.py; these tests check the *semantics* on planted
+inputs — contamination actually fires on an eval-set near-copy, PII is
+redacted the way python `re` would, quality rules cut the right docs,
+k-means separates planted blobs, session gaps split where they should,
+and the token quota is never exceeded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark.extensions.curation import (
+    EMAIL_RE,
+    IP_RE,
+    PHONE_RE,
+    decontaminate,
+    kmeans_assign,
+    pii_redact,
+    quality_rules,
+    sessionize,
+    token_quota,
+)
+from flink_1_11_1_spark.extensions.pipeline import _SPARK_BUCKET
+
+
+def _eval_ids(spark, ids, pct=5):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = df.where(F.expr(_SPARK_BUCKET.format(salt="eval")) < pct).collect()
+    return {r.doc_id for r in rows}
+
+
+def test_decontaminate_flags_eval_near_copy(spark):
+    ids = list(range(200))
+    ev = _eval_ids(spark, ids)
+    assert ev, "no id of 0..199 landed in the 5% eval bucket"
+    eval_id = min(ev)
+    train = sorted(set(ids) - ev)
+    copy_id, clean_id = train[0], train[1]
+    shared = " ".join(f"tok{i}" for i in range(12))
+    rows = [(eval_id, shared)]
+    rows.append((copy_id, shared))  # full 5-gram overlap with the eval doc
+    rows.append((clean_id, " ".join(f"other{i}" for i in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert eval_id not in out  # eval docs are not scored
+    assert out[copy_id].contaminated == 1 and out[copy_id].n_hits == out[copy_id].n_grams
+    assert out[clean_id].contaminated == 0 and out[clean_id].n_hits == 0
+
+
+def test_pii_redact_matches_python_re(spark):
+    text = (
+        "write to alice.smith+x@corp.example.org or bob@ex.io, "
+        "call 555-0199, host 192.168.1.4 end"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pii_redact(docs).collect()[0]
+    assert (row.n_emails, row.n_phones, row.n_ips) == (2, 1, 1)
+    expected = re.sub(EMAIL_RE, "<EMAIL>", text)
+    expected = re.sub(PHONE_RE, "<PHONE>", expected)
+    expected = re.sub(IP_RE, "<IP>", expected)
+    assert "<EMAIL>" in expected and "<IP>" in expected
+    assert row.fp == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_quality_rules_cut_the_right_docs(spark):
+    good = " ".join(f"word{i}" for i in range(20))
+    short = "tiny doc"
+    spam = " ".join(["buy"] * 20)  # top-token fraction 1.0, dup bigrams
+    thin = " ".join(["a"] * 9 + ["bb"] * 6)  # mean word length 1.4 < 3
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, spam), (4, thin)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in quality_rules(docs).collect()}
+    assert out[1].keep == 1
+    assert out[2].keep == 0  # n_tokens < 10
+    assert out[3].keep == 0  # repetition rules
+    assert out[4].keep == 0  # mean word length
+    assert out[3].top_cnt == 20 and out[3].n_bigrams == 1
+    assert out[1].n_tokens == 20 and out[1].n_bigrams == 19
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    # two tight blobs far apart; k=2 must put each blob in one cluster
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + 0.001 * i] * 64))
+        rows.append((100 + i, [-10.0 - 0.001 * i] * 64))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(emb, k=2, iters=2).collect()
+    by_blob = {0: set(), 1: set()}
+    for r in out:
+        by_blob[0 if r.vec_id < 100 else 1].add(r.cluster)
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+
+
+def test_sessionize_splits_on_gap(spark):
+    base = 1_700_000_000_000
+    rows = [
+        (1, 10, base),
+        (2, 10, base + 10 * 60 * 1000),   # +10 min: same session
+        (3, 10, base + 55 * 60 * 1000),   # +45 min after prev: new session
+        (4, 20, base),                     # other user: own session
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, tms long").select(
+        "event_id", "user_id", F.timestamp_millis("tms").alias("ts")
+    )
+    out = {(r.user_id, r.session_id): r for r in sessionize(ev).collect()}
+    assert out[(10, 1)].n_events == 2
+    assert out[(10, 1)].dur_ms == 10 * 60 * 1000
+    assert out[(10, 2)].n_events == 1 and out[(10, 2)].dur_ms == 0
+    assert out[(20, 1)].n_events == 1
+
+
+def test_token_quota_never_exceeds_budget(spark):
+    rows = [(i, "en", 100 * (i + 1), " ".join(["w"] * (10 * (i + 1)))) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long, text string")
+    out = token_quota(docs, budget=150).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_tokens <= 150
+    # largest-first: doc 9 (100 tokens) then doc 8 (90 tokens) would bust
+    # 150, so exactly one doc survives
+    assert row.n_docs == 1 and row.n_tokens == 100
