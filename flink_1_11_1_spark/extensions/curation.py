@@ -548,9 +548,19 @@ FROM c WHERE cum <= {TOKEN_QUOTA} GROUP BY lang ORDER BY lang
 
 # ------------------------------------------------------------- registry
 
+def _register_semdedup() -> None:
+    # late import: dedup imports curation's kmeans inside functions, and
+    # curation imports dedup.shingles at top — registering here runs
+    # after both modules are fully initialized.
+    from .dedup import _semdedup, _semdedup_oracle_sql
+
+    registry.register("x_semdedup", _semdedup, _semdedup_oracle_sql())
+
+
 registry.register("x_decontaminate", _decon, DECON_ORACLE)
 registry.register("x_pii_redact", _pii, PII_ORACLE)
 registry.register("x_quality_rules", _quality, QUALITY_ORACLE)
 registry.register("x_kmeans", _kmeans, KMEANS_ORACLE)
 registry.register("x_sessionize", _sessionize, SESSION_ORACLE)
 registry.register("x_token_quota", _quota, QUOTA_ORACLE)
+_register_semdedup()

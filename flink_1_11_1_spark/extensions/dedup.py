@@ -574,9 +574,170 @@ FROM cc GROUP BY vertex ORDER BY doc_id
 """
 
 
+# ------------------------------------- semantic dedup (cluster-bounded)
+
+def semdedup_pairs(emb: DataFrame, threshold: float = COS_THRESHOLD) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pairs found by
+    comparing only WITHIN k-means clusters — the beyond-LSH candidate
+    strategy for semantic dedup at corpus scale.
+
+    Candidate volume is sum(cluster_size^2)/2 instead of corpus^2/2 —
+    with k clusters of balanced size that is a k-fold cut (real
+    deployments use k ~ 1e5 on 1e8+ docs).  The k-means assignment is
+    the int-quantized bit-exact one (extensions/curation.py), so the
+    cluster filter is engine-exact; the cosine verify runs on the
+    original fp32-as-double vectors with an ordered fold, so the
+    comparison value is bit-identical across engines too.  A pair above
+    threshold in DIFFERENT clusters is excluded by design — that recall
+    trade-off is the documented SemDeDup contract (vs the LSH tier
+    x_dedup_cosine, which bounds recall by band layout instead).
+    """
+    from .curation import kmeans_assign
+
+    assign = kmeans_assign(emb)
+    v = (
+        emb.select(
+            "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        )
+        .withColumn("n", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+        .join(assign, "vec_id")
+    )
+    a = v.select(
+        F.col("vec_id").alias("da"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("cluster"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("db"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("cluster"),
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("da") < F.col("db"))
+        .withColumn(
+            "sim",
+            F.expr(_COS_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("cluster", "da", "db", F.round("sim", 4).alias("c"))
+        .orderBy("da", "db")
+    )
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_pairs(catalog.load_table(spark, sf_dir, "embeddings"))
+
+
+def _semdedup_oracle_sql() -> str:
+    """KMEANS assignment CTEs (bit-exact, from curation) + within-cluster
+    exact cosine with the same left-fold order as Spark's aggregate()."""
+    from .curation import KMEANS_ORACLE
+
+    km = KMEANS_ORACLE.strip().rstrip().rsplit("ORDER BY vec_id", 1)[0]
+    fold = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+        " j -> {a}[j] * {b}[j])), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH asg AS (
+  {km}
+), ev AS (
+  SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+), vv AS (
+  SELECT ev.vec_id, ev.v,
+         sqrt({fold.format(a="ev.v", b="ev.v")}) AS n,
+         asg.cluster
+  FROM ev JOIN asg USING (vec_id)
+)
+SELECT a.cluster, a.vec_id da, b.vec_id db,
+       round({fold.format(a="a.v", b="b.v")} / (a.n * b.n), 4) AS c
+FROM vv a JOIN vv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {fold.format(a="a.v", b="b.v")} / (a.n * b.n) >= {COS_THRESHOLD}
+ORDER BY da, db
+"""
+
+
+# --------------------------- cross-doc n-gram ownership (substring dedup)
+
+SUB_NGRAM = 5
+
+
+def substring_dedup_stats(docs: DataFrame, n: int = SUB_NGRAM) -> DataFrame:
+    """Cross-document repeated-n-gram accounting (the relational
+    rendering of exact-substring dedup, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Every n-gram OCCURRENCE (position-level, not per-doc-distinct) is
+    owned by its globally first occurrence in (doc_id, pos) order; all
+    later occurrences are duplicated spans a substring-dedup pass would
+    drop.  Two shuffles: ownership (groupBy gram) and the per-doc
+    rollup.  At 100 TB the production algorithm is a suffix array over
+    shards; this n-gram-granular rendering is the documented delta —
+    same removal decisions for spans >= n, one declarative plan.
+
+    Output: (doc_id, n_grams, n_dup, clean) with clean = 1 when less
+    than half the doc's spans are owned elsewhere (integer-exact).
+    """
+    parts = ", ".join(f"get(w, i - 1 + {j})" for j in range(n))
+    grams = (
+        docs.select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+        .where(F.expr(f"size(w) >= {n}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("pos", "g"),
+        )
+        .withColumn("k", F.col("doc_id") * 1000000 + F.col("pos"))
+    )
+    own = grams.groupBy("g").agg(F.min("k").alias("ok"))
+    return (
+        grams.join(own, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("k") > F.col("ok")).cast("long")).alias("n_dup"),
+        )
+        .withColumn(
+            "clean", (2 * F.col("n_dup") < F.col("n_grams")).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup_stats(catalog.load_table(spark, sf_dir, "documents"))
+
+
+SUBSTRING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') w FROM documents
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g,
+         doc_id * 1000000 + (i - 1) AS k
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 0))) t(i)
+  WHERE len(w) >= 5
+), own AS (
+  SELECT g, min(k) ok FROM g GROUP BY g
+)
+SELECT doc_id, count(*) n_grams,
+       cast(sum(CASE WHEN g.k > own.ok THEN 1 ELSE 0 END) as bigint) n_dup,
+       cast(CASE WHEN 2 * sum(CASE WHEN g.k > own.ok THEN 1 ELSE 0 END) < count(*)
+                 THEN 1 ELSE 0 END as int) clean
+FROM g JOIN own USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 registry.register("x_dedup_exact", _exact, EXACT_SQL)
 registry.register("x_dedup_jaccard", _jaccard, JACCARD_ORACLE)
 registry.register("x_dedup_minhash", _minhash, JACCARD_ORACLE)  # see module docstring
 registry.register("x_dedup_simhash", _simhash, _simhash_oracle_sql())
 registry.register("x_dedup_cosine", _cosine, COSINE_ORACLE)
 registry.register("x_dedup_clusters", dedup_clusters, CLUSTERS_ORACLE)
+registry.register("x_substring_dedup", _substring, SUBSTRING_ORACLE)
+# x_semdedup is registered from extensions/curation.py (its oracle embeds
+# the k-means CTEs; registering there avoids a circular import at load).

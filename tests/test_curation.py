@@ -128,3 +128,42 @@ def test_token_quota_never_exceeds_budget(spark):
     # largest-first: doc 9 (100 tokens) then doc 8 (90 tokens) would bust
     # 150, so exactly one doc survives
     assert row.n_docs == 1 and row.n_tokens == 100
+
+
+def test_semdedup_finds_planted_cluster_dup(spark):
+    from flink_1_11_1_spark.extensions.dedup import semdedup_pairs
+
+    # 20 spread vectors + one near-identical pair: the pair must appear
+    rows = []
+    for i in range(20):
+        v = [0.0] * 64
+        v[i % 64] = 5.0 + i
+        rows.append((i, v))
+    dup = [1.0] * 64
+    rows.append((100, dup))
+    rows.append((101, [x * 1.001 for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_pairs(emb, threshold=0.95).collect()
+    assert any(r.da == 100 and r.db == 101 for r in out)
+    # and every reported pair is genuinely above threshold
+    assert all(r.c >= 0.95 for r in out)
+
+
+def test_substring_dedup_counts_copied_spans(spark):
+    from flink_1_11_1_spark.extensions.dedup import substring_dedup_stats
+
+    base = " ".join(f"tok{i}" for i in range(12))  # 8 5-gram spans
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                    # owner of all spans
+            (2, base),                                    # full copy: all owned elsewhere
+            (3, " ".join(f"zz{i}" for i in range(12))),   # unique
+            (4, "a b c d"),                               # too short: no spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup_stats(docs).collect()}
+    assert out[1].n_dup == 0 and out[1].clean == 1
+    assert out[2].n_dup == out[2].n_grams == 8 and out[2].clean == 0
+    assert out[3].n_dup == 0 and out[3].clean == 1
+    assert 4 not in out  # below n tokens: no occurrences to account
