@@ -576,7 +576,9 @@ FROM cc GROUP BY vertex ORDER BY doc_id
 
 # ------------------------------------- semantic dedup (cluster-bounded)
 
-def semdedup_pairs(emb: DataFrame, threshold: float = COS_THRESHOLD) -> DataFrame:
+def semdedup_pairs(
+    emb: DataFrame, threshold: float = COS_THRESHOLD, k: int | None = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding near-dup pairs found by
     comparing only WITHIN k-means clusters — the beyond-LSH candidate
     strategy for semantic dedup at corpus scale.
@@ -592,9 +594,14 @@ def semdedup_pairs(emb: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     trade-off is the documented SemDeDup contract (vs the LSH tier
     x_dedup_cosine, which bounds recall by band layout instead).
     """
-    from .curation import kmeans_assign
+    from .curation import KM_K, kmeans_assign
 
-    assign = kmeans_assign(emb)
+    # k is THE scale knob: hold cluster size constant by growing k with
+    # the corpus (k ~ N / target_cluster_size) and candidate volume
+    # stays linear; a fixed k makes it quadratic (measured in
+    # SCALE_NOTES.md).  The declared entry pins k=8 for the static
+    # oracle; callers at scale pass their own.
+    assign = kmeans_assign(emb, k=k if k is not None else KM_K)
     v = (
         emb.select(
             "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
