@@ -116,6 +116,48 @@ WHERE rn <= 3 AND doc_id < 50 ORDER BY doc_id, rn
 """
 
 
+# ------------------------------------------------ Flink DDL front door
+
+def _ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Flink-user path: CREATE TABLE DDL (WITH-properties,
+    computed column) via TableEnvironment.execute_sql, then a query
+    over the declared table — exercising ddl.py's parser, the
+    filesystem connector routing, and the computed-column projection
+    under the driver's oracle contract."""
+    from ..table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("DROP TABLE IF EXISTS ddl_documents_x")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ddl_documents_x (
+          doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT,
+          n_tokens AS length(text) - length(replace(text, ' ', '')) + 1
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{sf_dir}/documents.parquet',
+          'format' = 'parquet'
+        )
+        """
+    )
+    return tenv.execute_sql(
+        "SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens,"
+        " sum(n_chars) AS n_chars"
+        " FROM ddl_documents_x WHERE n_tokens >= 20 GROUP BY lang ORDER BY lang"
+    )
+
+
+DDL_ROUNDTRIP_DUCK = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(length(text) - length(replace(text, ' ', '')) + 1) as bigint) AS n_tokens,
+       cast(sum(n_chars) as bigint) AS n_chars
+FROM documents
+WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 20
+GROUP BY lang ORDER BY lang
+"""
+
+
+registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
 registry.register("x_explode_correlate", _sql_runner(EXPLODE_SPARK), EXPLODE_DUCK)
 registry.register("x_array_ops", _sql_runner(ARRAY_SPARK), ARRAY_DUCK)
 registry.register("x_listagg_ordered", _sql_runner(LISTAGG_SPARK), LISTAGG_DUCK)

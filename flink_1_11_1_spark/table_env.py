@@ -102,8 +102,11 @@ class TableEnvironment:
     """The engine's front door (Flink ``TableEnvironment`` shape)."""
 
     def __init__(self, spark: SparkSession):
+        from .ddl import DdlCatalog
+
         self.spark = configure(spark)
         _functions.register_flink_functions(self.spark)
+        self.ddl = DdlCatalog(self.spark)
 
     @classmethod
     def create(cls, master: str | None = None) -> TableEnvironment:
@@ -126,8 +129,16 @@ class TableEnvironment:
 
     # -- execution -----------------------------------------------------
 
-    def execute_sql(self, sql: str) -> DataFrame:
-        """FLIP-84 executeSql: parse/plan/execute via Catalyst."""
-        return self.spark.sql(sql)
+    def execute_sql(self, sql: str) -> DataFrame | None:
+        """FLIP-84 executeSql: Flink DDL statements (CREATE TABLE ...
+        WITH, CREATE VIEW, DROP, INSERT INTO a declared sink) are
+        routed through the DDL catalog (``ddl.py``); everything else is
+        parsed/planned/executed by Catalyst directly."""
+        return self.ddl.execute(sql)
 
     sql_query = execute_sql
+
+    def stream_table(self, name: str) -> DataFrame:
+        """Streaming scan of a DDL-declared table (computed columns +
+        watermark applied after the native readStream scan)."""
+        return self.ddl.stream_table(name)
