@@ -77,7 +77,7 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM, eval_pct: int = DECON_E
     train_ids = docs.where(~(bucket < eval_pct)).select("doc_id")
     sh = shingles(docs, n)
     eval_grams = sh.join(F.broadcast(eval_ids), "doc_id").select("g").distinct()
-    train_sh = sh.join(eval_ids, "doc_id", "left_anti")
+    train_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
     totals = train_sh.groupBy("doc_id").agg(F.count("*").alias("_t"))
     hits = (
         train_sh.join(F.broadcast(eval_grams), "g")

@@ -112,3 +112,49 @@ def test_tpch_q9_broadcasts_all_dims(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------- curation battery plan shapes (round 5 late)
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_rules_is_map_only(spark):
+    # the Gopher-rule gate must stay a single projection: the only
+    # Exchange allowed is the presentation sort's range partitioning
+    from flink_1_11_1_spark.extensions.curation import quality_rules
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    plan = _exec_plan(quality_rules(docs))
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    from flink_1_11_1_spark.extensions.curation import pii_redact
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    assert "Exchange" not in _exec_plan(pii_redact(docs))
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    # broadcast-centroid design: the final assignment never shuffles the
+    # corpus (one Exchange = output sort only)
+    from flink_1_11_1_spark.extensions.curation import kmeans_assign
+
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    plan = _exec_plan(kmeans_assign(emb))
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    # eval ids + eval grams are benchmark-sized: every join against them
+    # must be broadcast; corpus-sized joins may merge-join
+    from flink_1_11_1_spark.extensions.curation import decontaminate
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    plan = _exec_plan(decontaminate(docs))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftAnti, BuildRight" in plan  # train-side filter stays broadcast
