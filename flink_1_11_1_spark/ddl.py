@@ -363,6 +363,14 @@ class DdlCatalog:
         if conn == "filesystem":
             from .table_env import TableSpec
 
+            # Flink filesystem-source streaming knobs → Spark reader
+            # options ('source.max-files-per-trigger' mirrors the role
+            # of Flink's source.monitor-interval pacing)
+            opts = {
+                "maxFilesPerTrigger": v
+                for k, v in ct.props.items()
+                if k == "source.max-files-per-trigger"
+            }
             spec = TableSpec(
                 path=ct.props["path"],
                 fmt=ct.props.get("format", "parquet"),
@@ -370,6 +378,7 @@ class DdlCatalog:
                 watermark_col=ct.watermark_col,
                 watermark_delay=ct.watermark_delay,
                 schema=ct.spark_schema_ddl() if ct.columns else None,
+                stream_options=opts,
             )
             return spec.stream(self.spark)
         if conn == "datagen":

@@ -39,6 +39,7 @@ class TableSpec:
     watermark_col: str | None = None
     watermark_delay: str | None = None  # e.g. "10 minutes"
     schema: str | None = None  # DDL string, required for csv/json
+    stream_options: dict = field(default_factory=dict)  # readStream options
 
     def _apply_computed(self, df: DataFrame) -> DataFrame:
         for name, expr in self.computed.items():
@@ -62,6 +63,8 @@ class TableSpec:
         r = spark.readStream.format(self.fmt)
         if self.fmt == "csv":
             r = r.option("header", True)
+        for k, v in self.stream_options.items():
+            r = r.option(k, v)
         schema = self.schema or spark.read.format(self.fmt).load(self.path).schema
         df = self._apply_computed(r.schema(schema).load(self.path))
         if self.watermark_col and self.watermark_delay:

@@ -215,3 +215,44 @@ def test_kafka_ddl_builds_option_contract(tenv):
 
 def test_non_ddl_passthrough_still_catalyst(tenv):
     assert tenv.execute_sql("SELECT 1 + 1 AS two").collect()[0].two == 2
+
+
+def test_s11_ddl_streaming_tumble_equals_batch(tenv, tmp_path):
+    """S11: the full Flink-user streaming path — DDL CREATE TABLE with a
+    WATERMARK over a replayed file source, SQL-shaped windowed agg,
+    result equals the batch twin (StreamExecMatch-era contract: stream
+    and batch share one declared table)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+
+    d = str(tmp_path / "replay")
+    replay.write_replay(tenv.spark, SF_SMOKE, d, parts=4)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ddl_events_s11 (
+          event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
+        ) WITH ('connector'='filesystem', 'path'='{d}', 'format'='parquet',
+                'source.max-files-per-trigger'='1')
+        """
+    )
+    stream = tenv.stream_table("ddl_events_s11")
+    assert stream.isStreaming
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    got, dropped = replay.run_stream(agg, "append", "s11_ddl")
+    assert dropped == 0
+    batch = (
+        catalog.load_table(tenv.spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    got_m = {(str(r.window.start), r.event_type): r.n for r in got}
+    want_m = {(str(r.window.start), r.event_type): r.n for r in batch}
+    assert got_m == want_m
+    tenv.execute_sql("DROP TABLE ddl_events_s11")
