@@ -100,3 +100,141 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 registry.register("x_bm25", _bm25, BM25_ORACLE)
+
+
+# ----------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOP = 10
+RRF_QUERY_VEC = 7  # the corpus vector standing in for an encoded query
+
+_FOLD_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+)
+_FOLD_DOT_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+    " j -> {a}[j] * {b}[j])), (acc, x) -> acc + x)"
+)
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int = RRF_QUERY_VEC,
+    depth: int = RRF_DEPTH,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ 1/(k + rank_i(d))
+    over the rankers that retrieved d, k=60.
+
+    The two rankers are this module's BM25 (fixed query terms) and
+    brute cosine against one corpus embedding standing in for the
+    encoded query.  Both ranks are integers derived from engine-exact
+    scores (BM25 is two-stage rounded per its own oracle contract; the
+    cosine is an ordered fold, bit-identical cross-engine), so the
+    fused ordering carries no float ambiguity.  Scale shape: each
+    ranker is depth-truncated with TakeOrdered (per-partition heaps),
+    the fusion is a depth×depth-bounded outer join — cost is O(depth),
+    not corpus size, beyond the rankers themselves.
+    """
+    from pyspark.sql.window import Window
+
+    lex = bm25_scores(docs)
+    lex_rank = (
+        lex.withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .where(F.col("lex_rank") <= depth)
+        .select(F.col("doc_id").alias("id"), "lex_rank")
+    )
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).withColumn("n", F.expr(f"sqrt({_FOLD_DOT_SPARK.format(a='v', b='v')})"))
+    q = v.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), F.col("n").alias("qn")
+    )
+    sem_rank = (
+        v.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.expr(_FOLD_DOT_SPARK.format(a="v", b="qv"))
+                / (F.col("n") * F.col("qn"))
+            ).alias("sim"),
+        )
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(Window.orderBy(F.col("sim").desc(), "vec_id")),
+        )
+        .where(F.col("sem_rank") <= depth)
+        .select(F.col("vec_id").alias("id"), "sem_rank")
+    )
+    return (
+        lex_rank.join(sem_rank, "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .orderBy(F.col("rrf").desc(), "id")
+        .limit(top)
+    )
+
+
+def _rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fusion(
+        catalog.load_table(spark, sf_dir, "documents"),
+        catalog.load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+RRF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') toks
+  FROM documents),
+d AS (SELECT doc_id, len(toks) dl, toks FROM t),
+stats AS (SELECT count(*) n, sum(dl) sumlen FROM d),
+hits AS (
+  SELECT doc_id, dl, u.term
+  FROM d, unnest(list_filter(toks, x -> x IN ('join', 'vector', 'window'))) u(term)),
+tf AS (SELECT doc_id, dl, term, count(*) tf FROM hits GROUP BY 1, 2, 3),
+dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+bm AS (
+  SELECT doc_id,
+         round(round(sum(
+           ln(1.0 + (n::DOUBLE - df + 0.5) / (df + 0.5))
+           * tf * ({K1} + 1.0)
+           / (tf + {K1} * (1.0 - {B} + {B} * dl / (sumlen::DOUBLE / n)))
+         ), 7), 4) bm25
+  FROM tf JOIN dfr USING (term), stats GROUP BY doc_id),
+lexr AS (
+  SELECT doc_id AS id, lex_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) lex_rank FROM bm)
+  WHERE lex_rank <= {RRF_DEPTH}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+en AS (
+  SELECT vec_id, v, sqrt({_FOLD_DOT_DUCK.format(a="v", b="v")}) n FROM e),
+qv AS (SELECT v AS qv2, n AS qn FROM en WHERE vec_id = {RRF_QUERY_VEC}),
+sem AS (
+  SELECT vec_id, {_FOLD_DOT_DUCK.format(a="en.v", b="qv2")} / (en.n * qn) sim
+  FROM en CROSS JOIN qv),
+semr AS (
+  SELECT vec_id AS id, sem_rank FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) sem_rank FROM sem)
+  WHERE sem_rank <= {RRF_DEPTH})
+SELECT id, lex_rank, sem_rank,
+       round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) rrf
+FROM lexr FULL OUTER JOIN semr USING (id)
+ORDER BY rrf DESC, id LIMIT {RRF_TOP}
+"""
+
+registry.register("x_rrf_fusion", _rrf, RRF_ORACLE)

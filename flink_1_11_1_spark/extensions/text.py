@@ -213,6 +213,60 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+# ------------------------------------------ BPE merge-candidate table
+
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """First-iteration BPE vocabulary induction: corpus-wide adjacent
+    CHARACTER-pair frequencies within words — exactly the statistic the
+    first merge rule of byte-pair encoding (Sennrich et al., ACL 2016)
+    is chosen from.  Top-k by (count DESC, pair) — integer-exact, so
+    the ranking is engine-exact.
+
+    One generator (word explode fused with pair explode) into a partial
+    agg + a k-row TakeOrdered — at 100 TB the pair-count shuffle is
+    bounded by the pair vocabulary (<= alphabet^2 per iteration), not
+    the corpus.  Later BPE iterations re-run the same plan over
+    re-segmented symbols; the induction step is this operator.
+    """
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(k)
+    )
+
+
+def _bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_candidates(catalog.load_table(spark, sf_dir, "documents"))
+
+
+BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM words, unnest(generate_series(1, length(w) - 1)) t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, count(*) AS cnt FROM pairs
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
+registry.register("x_bpe_merges", _bpe, BPE_ORACLE)
 registry.register("x_text_stats", text_stats, STATS_SQL)
 registry.register("x_text_tokens", token_counts, TOKENS_ORACLE)
 registry.register("x_text_langid", lang_id, LANGID_SQL)

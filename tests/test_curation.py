@@ -167,3 +167,48 @@ def test_substring_dedup_counts_copied_spans(spark):
     assert out[2].n_dup == out[2].n_grams == 8 and out[2].clean == 0
     assert out[3].n_dup == 0 and out[3].clean == 1
     assert 4 not in out  # below n tokens: no occurrences to account
+
+
+def test_bpe_merge_candidates_count_char_pairs(spark):
+    from flink_1_11_1_spark.extensions.text import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "abab cd"), (2, "ab x")], "doc_id long, text string"
+    )
+    out = {r.pair: r.cnt for r in bpe_merge_candidates(docs, k=10).collect()}
+    # 'abab' -> ab, ba, ab ; 'cd' -> cd ; 'ab' -> ab ; 'x' too short
+    assert out == {"ab": 3, "ba": 1, "cd": 1}
+
+
+def test_rrf_fusion_ranks_and_math(spark):
+    from flink_1_11_1_spark.extensions.retrieval import rrf_fusion
+
+    # doc 1 contains both query terms (lex rank 1); embedding 1 equals
+    # the query vector (sem rank 1, tie-broken after the query itself)
+    docs = spark.createDataFrame(
+        [(1, "join vector join"), (2, "join other"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    base = [0.5] * 64
+    tilted = [0.5] * 64
+    tilted[0] = 0.6  # same-ish direction, strictly below cosine 1.0
+    emb = spark.createDataFrame(
+        [
+            (1, base),
+            (2, tilted),
+            (7, base),  # the designated query vector
+            (3, [(-1.0) ** i * 0.5 for i in range(64)]),  # orthogonal-ish
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = rrf_fusion(docs, emb).collect()
+    top = rows[0]
+    # cosine 1.0 ties (ids 1 and 7) break by vec_id: sem ranks 1, 2;
+    # id 1 also holds lex rank 1 -> highest fusion score
+    by_id = {r.id: r for r in rows}
+    assert by_id[1].lex_rank == 1 and by_id[1].sem_rank == 1
+    assert by_id[7].sem_rank == 2 and by_id[7].lex_rank is None
+    assert by_id[2].sem_rank == 3  # tilted: below the exact matches
+    expected = round(1.0 / 61 + 1.0 / 61, 6)
+    assert abs(by_id[1].rrf - expected) < 1e-9
+    assert top.id == 1
