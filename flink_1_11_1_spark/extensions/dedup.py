@@ -595,6 +595,108 @@ FROM cc GROUP BY vertex ORDER BY doc_id
 """
 
 
+# --------------------------------------------- incremental ingest dedup
+
+INCR_NEW_PCT = 20  # md5-bucket share of docs playing the "new batch"
+
+
+def incremental_dedup_pairs(
+    docs: DataFrame, new_pct: int = INCR_NEW_PCT, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Ingest-time near-dup check: docs are split into an INDEXED corpus
+    and a NEW batch (deterministic md5 bucket standing in for the daily
+    ingest); returns every near-dup pair that involves a new doc —
+    new-vs-index and new-vs-new — tagged with the pair kind.  Indexed
+    pairs among themselves are NOT recomputed: the one-sided candidate
+    pruning is the point of incremental ingest (at 100 TB the index
+    side's signatures are a precomputed table; only the new batch is
+    shingled and hashed fresh, and candidate volume is bounded by the
+    new batch's band collisions, not the corpus's).
+
+    Composition: MinHash band buckets on both sides, but the bucket
+    join requires a new doc on >= one side; exact-Jaccard verification
+    of candidates only (same oracle contract as x_dedup_minhash —
+    LSH-miss probability ~1e-22 at the fixture's pair similarity).
+    """
+    from .pipeline import _SPARK_BUCKET
+
+    flags = docs.select(
+        "doc_id",
+        (F.expr(_SPARK_BUCKET.format(salt="ingest")) < new_pct).alias("is_new"),
+    )
+    sh = shingles(docs, n).localCheckpoint(eager=False)
+    buckets = minhash_signatures(sh).join(flags, "doc_id")
+    band_structs = []
+    for b in range(BANDS):
+        cols = [F.col(f"h{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh")))
+    bk = buckets.select(
+        "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "is_new", "bk.band", "bk.bh")
+    cand = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),  # one-sided pruning
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            (F.col("a.is_new") & F.col("b.is_new")).alias("_both"),
+        )
+        .distinct()
+    )
+    verified = _pair_jaccard(cand.select("da", "db"), sh).where(
+        F.col("jac") >= threshold
+    )
+    return (
+        verified.join(cand, ["da", "db"])
+        .select(
+            "da",
+            "db",
+            F.round("jac", 4).alias("j"),
+            F.when(F.col("_both"), F.lit("new-new"))
+            .otherwise(F.lit("new-index"))
+            .alias("kind"),
+        )
+        .orderBy("da", "db")
+    )
+
+
+def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+def _incremental_oracle_sql() -> str:
+    from .pipeline import _DUCK_BUCKET
+
+    bucket = _DUCK_BUCKET.format(salt="ingest")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) t(i)
+), cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+fl AS (SELECT doc_id, ({bucket}) < {INCR_NEW_PCT} AS is_new FROM documents),
+p AS (
+  SELECT a.doc_id da, b.doc_id db, count(*) c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db, round(c * 1.0 / (ca.n + cb.n - c), 4) j,
+       CASE WHEN fa.is_new AND fb.is_new THEN 'new-new' ELSE 'new-index' END kind
+FROM p
+JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+JOIN fl fa ON fa.doc_id = da JOIN fl fb ON fb.doc_id = db
+WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.5 AND (fa.is_new OR fb.is_new)
+ORDER BY da, db
+"""
+
+
 # ------------------------------------- semantic dedup (cluster-bounded)
 
 def semdedup_pairs(
@@ -767,5 +869,6 @@ registry.register("x_dedup_simhash", _simhash, _simhash_oracle_sql())
 registry.register("x_dedup_cosine", _cosine, COSINE_ORACLE)
 registry.register("x_dedup_clusters", dedup_clusters, CLUSTERS_ORACLE)
 registry.register("x_substring_dedup", _substring, SUBSTRING_ORACLE)
+registry.register("x_dedup_incremental", _incremental, _incremental_oracle_sql())
 # x_semdedup is registered from extensions/curation.py (its oracle embeds
 # the k-means CTEs; registering there avoids a circular import at load).

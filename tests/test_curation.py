@@ -212,3 +212,37 @@ def test_rrf_fusion_ranks_and_math(spark):
     expected = round(1.0 / 61 + 1.0 / 61, 6)
     assert abs(by_id[1].rrf - expected) < 1e-9
     assert top.id == 1
+
+
+def test_incremental_dedup_skips_index_index_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from flink_1_11_1_spark.extensions.dedup import incremental_dedup_pairs
+    from flink_1_11_1_spark.extensions.pipeline import _SPARK_BUCKET
+
+    ids = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    flags = {
+        r.doc_id: r.new
+        for r in ids.select(
+            "doc_id", (F.expr(_SPARK_BUCKET.format(salt="ingest")) < 20).alias("new")
+        ).collect()
+    }
+    new_ids = sorted(i for i, f in flags.items() if f)
+    old_ids = sorted(i for i, f in flags.items() if not f)
+    assert len(new_ids) >= 2 and len(old_ids) >= 3
+    text_a = " ".join(f"tok{i}" for i in range(12))
+    text_b = " ".join(f"alt{i}" for i in range(12))
+    rows = [
+        (old_ids[0], text_a),   # indexed original
+        (new_ids[0], text_a),   # new copy of indexed -> new-index pair
+        (old_ids[1], text_b),   # two indexed dups: must NOT be reported
+        (old_ids[2], text_b),
+        (new_ids[1], " ".join(f"zz{i}" for i in range(12))),  # unique new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_dedup_pairs(docs).collect()
+    got = {(r.da, r.db): r.kind for r in out}
+    pair = (min(old_ids[0], new_ids[0]), max(old_ids[0], new_ids[0]))
+    assert got.get(pair) == "new-index"
+    assert (old_ids[1], old_ids[2]) not in got  # index-vs-index suppressed
+    assert len(got) == 1
