@@ -191,7 +191,7 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"^INSERT\s+(?:INTO|OVERWRITE)\s+([\w.`]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
+    r"^INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 _PROP_RE = re.compile(r"'((?:[^'])*)'\s*=\s*'((?:[^'])*)'")
 
@@ -307,8 +307,11 @@ class DdlCatalog:
             self.spark.catalog.dropTempView(name)
             return None
         mi = _INSERT_RE.match(s)
-        if mi and _strip_ticks(mi.group(1)) in self.tables:
-            return self.insert_into(_strip_ticks(mi.group(1)), mi.group(2))
+        if mi and _strip_ticks(mi.group(2)) in self.tables:
+            overwrite = mi.group(1).upper() == "OVERWRITE"
+            return self.insert_into(
+                _strip_ticks(mi.group(2)), mi.group(3), overwrite=overwrite
+            )
         return self.spark.sql(s)
 
     # -- CREATE TABLE ----------------------------------------------------
@@ -398,7 +401,11 @@ class DdlCatalog:
 
     # -- INSERT INTO -----------------------------------------------------
 
-    def insert_into(self, name: str, query: str) -> DataFrame | None:
+    def insert_into(
+        self, name: str, query: str, overwrite: bool = False
+    ) -> DataFrame | None:
+        """INSERT INTO appends; INSERT OVERWRITE replaces (Flink batch
+        filesystem-sink semantics)."""
         ct = self.tables[name]
         df = self.spark.sql(query)
         conn = ct.connector
@@ -410,7 +417,7 @@ class DdlCatalog:
                 ct.props["path"],
                 ct.props.get("format", "parquet"),
                 partition_by=ct.partitioned_by,
-                mode="append",
+                mode="overwrite" if overwrite else "append",
             )
             # a filesystem sink becomes scannable immediately (Flink's
             # batch INSERT visibility); refresh the view

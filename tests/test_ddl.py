@@ -256,3 +256,18 @@ def test_s11_ddl_streaming_tumble_equals_batch(tenv, tmp_path):
     want_m = {(str(r.window.start), r.event_type): r.n for r in batch}
     assert got_m == want_m
     tenv.execute_sql("DROP TABLE ddl_events_s11")
+
+
+def test_insert_overwrite_replaces_append_accumulates(tenv, tmp_path):
+    sink = str(tmp_path / "ovw_tbl")
+    tenv.execute_sql(
+        f"""CREATE TABLE ddl_ovw (x BIGINT)
+        WITH ('connector'='filesystem', 'path'='{sink}', 'format'='parquet')"""
+    )
+    tenv.execute_sql("INSERT INTO ddl_ovw SELECT 1 AS x")
+    tenv.execute_sql("INSERT INTO ddl_ovw SELECT 2 AS x")
+    assert tenv.execute_sql("SELECT count(*) c FROM ddl_ovw").collect()[0].c == 2
+    tenv.execute_sql("INSERT OVERWRITE ddl_ovw SELECT 9 AS x")
+    rows = tenv.execute_sql("SELECT x FROM ddl_ovw").collect()
+    assert [r.x for r in rows] == [9]
+    tenv.execute_sql("DROP TABLE ddl_ovw")
