@@ -81,9 +81,13 @@ def connected_components(
 
     Returns (vertex, component) where component = min vertex id reachable.
     """
+    # every iteration joins against the edge set: checkpoint it ONCE so
+    # an expensive edge lineage (e.g. dedup_clusters' LSH+verify
+    # pipeline) is not re-executed per iteration (measured: the whole
+    # MinHash pipeline re-ran in each of ~5 label-propagation rounds)
     sym = edges.select(src, dst).unionByName(
         edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
-    )
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col(src).alias("vertex"))
         .distinct()
