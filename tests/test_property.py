@@ -100,3 +100,98 @@ def test_top_n_equals_python_sort(spark, rows, n):
         for rn, (_, _, rid) in enumerate(sorted(items)[:n], start=1):
             want[(k, rn)] = rid
     assert got == want
+
+
+# ------------------- round-5-late curation operators vs pure python
+
+
+@SMALL
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),          # user
+            st.integers(0, 300),        # minutes offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_equals_python_gaps(spark, rows):
+    from flink_1_11_1_spark.extensions.curation import sessionize
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000
+    data = [
+        (i, u, base + m * 60_000) for i, (u, m) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, tms long"
+    ).select("event_id", "user_id", F.timestamp_millis("tms").alias("ts"))
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ms, r.end_ms)
+        for r in sessionize(ev).collect()
+    }
+    # python reference: sort per user by (ms, event_id), split on >30min
+    per_user: dict = {}
+    for i, u, ms in data:
+        per_user.setdefault(u, []).append((ms, i))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid, cur = 0, []
+        for ms, i in evs:
+            if not cur or ms - cur[-1][0] > 30 * 60_000:
+                if cur:
+                    want[(u, sid)] = (len(cur), cur[0][0], cur[-1][0])
+                sid += 1
+                cur = []
+            cur.append((ms, i))
+        want[(u, sid)] = (len(cur), cur[0][0], cur[-1][0])
+    assert got == want
+
+
+@SMALL
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=20),
+    st.integers(20, 120),
+)
+def test_token_quota_equals_python_prefix(spark, sizes, budget):
+    from flink_1_11_1_spark.extensions.curation import token_quota
+
+    rows = [
+        (i, "xx", sz, " ".join(["w"] * sz)) for i, sz in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+    out = token_quota(docs, budget=budget).collect()
+    # python reference: (n_chars desc, doc_id), cumulative <= budget
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    acc, kept = 0, []
+    for i in order:
+        acc += sizes[i]
+        if acc <= budget:
+            kept.append(i)
+        else:
+            break  # window cumsum: once over budget, all later rows are too
+    if not kept:
+        assert out == []
+    else:
+        assert out[0].n_docs == len(kept)
+        assert out[0].n_tokens == sum(sizes[i] for i in kept)
+
+
+@SMALL
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=12))
+def test_bpe_merges_equal_python_counts(spark, words):
+    from collections import Counter
+
+    from flink_1_11_1_spark.extensions.text import bpe_merge_candidates
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = {r.pair: r.cnt for r in bpe_merge_candidates(docs, k=100).collect()}
+    want = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            want[w[i : i + 2]] += 1
+    assert got == dict(want)
