@@ -145,3 +145,33 @@ class TableEnvironment:
         """Streaming scan of a DDL-declared table (computed columns +
         watermark applied after the native readStream scan)."""
         return self.ddl.stream_table(name)
+
+    def create_statement_set(self) -> StatementSet:
+        """FLIP-84 ``StatementSet``: buffer INSERT statements, run them
+        together on ``execute()`` (Flink optimizes multi-sink DAGs
+        jointly; Spark's equivalent leverage is one shared session —
+        scans cached by the first INSERT serve the rest)."""
+        return StatementSet(self)
+
+
+class StatementSet:
+    """Buffered multi-INSERT execution (TableEnvironment.createStatementSet
+    in flink-table-api-java, FLIP-84)."""
+
+    def __init__(self, tenv: TableEnvironment):
+        self._tenv = tenv
+        self._stmts: list[str] = []
+
+    def add_insert_sql(self, sql: str) -> StatementSet:
+        s = sql.strip().rstrip(";").strip()
+        if not s.upper().startswith("INSERT"):
+            raise ValueError(f"StatementSet accepts INSERT statements only: {s[:60]!r}")
+        self._stmts.append(s)
+        return self
+
+    def execute(self) -> int:
+        """Run all buffered INSERTs; returns how many ran."""
+        for s in self._stmts:
+            self._tenv.execute_sql(s)
+        n, self._stmts = len(self._stmts), []
+        return n

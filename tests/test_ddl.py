@@ -271,3 +271,30 @@ def test_insert_overwrite_replaces_append_accumulates(tenv, tmp_path):
     rows = tenv.execute_sql("SELECT x FROM ddl_ovw").collect()
     assert [r.x for r in rows] == [9]
     tenv.execute_sql("DROP TABLE ddl_ovw")
+
+
+def test_statement_set_multi_sink(tenv, tmp_path):
+    """FLIP-84 StatementSet: buffered INSERTs into two sinks run on
+    execute(), nothing before."""
+    s1, s2 = str(tmp_path / "ss_a"), str(tmp_path / "ss_b")
+    tenv.execute_sql(
+        f"CREATE TABLE ss_a (lang STRING, n BIGINT) WITH ('connector'='filesystem', 'path'='{s1}', 'format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE ss_b (n BIGINT) WITH ('connector'='filesystem', 'path'='{s2}', 'format'='parquet')"
+    )
+    ss = tenv.create_statement_set()
+    ss.add_insert_sql(
+        f"INSERT INTO ss_a SELECT lang, count(*) n FROM parquet.`{SF_SMOKE}/documents.parquet` GROUP BY lang"
+    ).add_insert_sql(
+        f"INSERT INTO ss_b SELECT count(*) n FROM parquet.`{SF_SMOKE}/documents.parquet`"
+    )
+    assert not os.path.exists(os.path.join(s1, "_SUCCESS"))  # nothing ran yet
+    assert ss.execute() == 2
+    total = tenv.execute_sql("SELECT sum(n) s FROM ss_a").collect()[0].s
+    single = tenv.execute_sql("SELECT n FROM ss_b").collect()[0].n
+    assert total == single
+    with pytest.raises(ValueError, match="INSERT"):
+        ss.add_insert_sql("SELECT 1")
+    tenv.execute_sql("DROP TABLE ss_a")
+    tenv.execute_sql("DROP TABLE ss_b")
