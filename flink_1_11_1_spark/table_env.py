@@ -101,6 +101,33 @@ def events_spec(sf_dir: str, watermark_delay: str = "10 minutes") -> TableSpec:
     )
 
 
+def events_ddl(sf_dir: str, name: str = "events_ddl",
+               watermark_delay: str = "10 minutes") -> str:
+    """The canonical events table as Flink DDL TEXT for the ddl.py front
+    door — same encoding-adaptive computed ``ts`` as ``events_spec``
+    (the driver has shipped events.parquet as both INT64 nanos and
+    TIMESTAMP(MICROS); reading it with a naive declared schema is the
+    round-3 trap, so the DDL route bakes the probe result in too).
+
+    Convention: the computed column SHADOWS the physical ``ts`` (the
+    parquet column keeps its name, the projection replaces it in
+    place) — exactly how ``TableSpec.computed`` normalizes it; Flink
+    proper would need a rename, Spark's withColumn replaces."""
+    spec = events_spec(sf_dir, watermark_delay)
+    ts_expr = spec.computed["ts"]
+    raw_type = "BIGINT" if "div" in ts_expr else "TIMESTAMP(3)"
+    n, unit = watermark_delay.split()
+    return f"""
+        CREATE TABLE {name} (
+          event_id BIGINT, ts {raw_type}, user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING,
+          ts AS {ts_expr},
+          WATERMARK FOR ts AS ts - INTERVAL '{n}' {unit.rstrip('s').upper()}
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/events.parquet', 'format' = 'parquet')
+    """
+
+
 class TableEnvironment:
     """The engine's front door (Flink ``TableEnvironment`` shape)."""
 

@@ -298,3 +298,45 @@ def test_statement_set_multi_sink(tenv, tmp_path):
         ss.add_insert_sql("SELECT 1")
     tenv.execute_sql("DROP TABLE ss_a")
     tenv.execute_sql("DROP TABLE ss_b")
+
+
+def test_events_ddl_adapts_both_encodings(tenv, tmp_path):
+    """events_ddl bakes the ts-encoding probe into the DDL text: the
+    current fixture (whatever encoding the driver shipped) and a
+    synthesized INT64-nanos twin must both come back as the identical
+    ms-floored TimestampType column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.table_env import events_ddl
+
+    # fixture encoding
+    tenv.execute_sql(events_ddl(SF_SMOKE, name="ev_ddl_fix"))
+    fix = tenv.execute_sql(
+        "SELECT event_id, ts FROM ev_ddl_fix ORDER BY event_id LIMIT 20"
+    ).collect()
+    want = {
+        r.event_id: r.ts
+        for r in catalog.load_table(tenv.spark, SF_SMOKE, "events")
+        .select("event_id", "ts").orderBy("event_id").limit(20).collect()
+    }
+    assert dict(tenv.spark.table("ev_ddl_fix").dtypes)["ts"] == "timestamp"
+    assert {r.event_id: r.ts for r in fix} == want
+
+    # synthesized nanos twin of the same rows
+    tbl = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    ts_ns = tbl.column("ts").cast(pa.timestamp("ns"))
+    tbl_ns = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_ns)
+    ns_dir = str(tmp_path / "ns_events")
+    os.makedirs(ns_dir)
+    pq.write_table(tbl_ns, os.path.join(ns_dir, "events.parquet"))
+    ddl = events_ddl(ns_dir, name="ev_ddl_ns")
+    assert "BIGINT" in ddl.split("ts AS")[0].split("event_id")[1]  # ns branch probed
+    tenv.execute_sql(ddl)
+    ns = tenv.execute_sql(
+        "SELECT event_id, ts FROM ev_ddl_ns ORDER BY event_id LIMIT 20"
+    ).collect()
+    assert {r.event_id: r.ts for r in ns} == want
+    tenv.execute_sql("DROP TABLE ev_ddl_fix")
+    tenv.execute_sql("DROP TABLE ev_ddl_ns")
