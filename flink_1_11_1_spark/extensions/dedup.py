@@ -395,7 +395,15 @@ ORDER BY da, db
 
 COS_THRESHOLD = 0.42  # top of the fixture's cosine distribution
 COS_PLANES = 16
-COS_BANDS = 8  # 2 planes/band: coarse on purpose — see docstring
+# Single-plane bands at the fixture's permissive threshold (0.42):
+# P(plane agrees) = 1 - θ/π ≈ 0.63 at the threshold angle, so the miss
+# probability for a qualifying pair is (1-0.63)^16 ≈ 1e-7 — the
+# brute-force oracle identity holds at every fixture scale (the former
+# 8×2 layout measurably missed 6/441 pairs at sf0.1).  At production
+# thresholds (0.9+) you'd use multi-plane bands of many more planes for
+# real candidate pruning; at 0.42 virtually all pairs collide in some
+# band regardless, so the verify stage dominates either way.
+COS_BANDS = 16
 
 _COS_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
@@ -440,12 +448,14 @@ def cosine_near_dup_pairs(
 
     Flink has no counterpart; this is the embedding tier of the dedup
     family (exact / Jaccard / MinHash / SimHash / cosine).  The band
-    layout (8 bands × 2 planes) is deliberately coarse so that recall
-    vs the brute-force oracle is 1.0 at the fixture's threshold
-    (measured: 66/66 and 59/59 pairs at sf0.001/sf0.01); at 100 TB you
-    widen to e.g. 8 bands × 16 planes of 128, which collapses candidate
-    volume by ~2^14 per band while keeping the same two-shuffle shape
-    (band-bucket join, then verify-join of candidates only).
+    layout (16 bands × 1 plane — see the COS_BANDS note) makes recall
+    vs the brute-force oracle 1 − ~1e-7 at the fixture's permissive
+    threshold (measured 27/27, 34/34, 441/441 at sf0.001/0.01/0.1; the
+    former 8×2 layout missed 6/441 at sf0.1); at 100 TB with a real
+    threshold (0.9+) you widen to e.g. 8 bands × 16 planes of 128,
+    which collapses candidate volume by ~2^14 per band while keeping
+    the same two-shuffle shape (band-bucket join, then verify-join of
+    candidates only).
     """
     buckets = _cos_band_buckets(emb)
     cand = (
