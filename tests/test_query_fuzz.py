@@ -186,3 +186,93 @@ def test_fuzzed_query_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------------- part 2: windows / set ops / subqueries
+
+
+def gen_window_query(rng: random.Random) -> str:
+    """OVER-window shapes: ranking is made deterministic by always
+    ordering on a unique key tail (the table's primary-ish first int)."""
+    t = rng.choice(["lineitem", "orders", "customer", "part", "supplier"])
+    cols = _cols(t)
+    # unique ordering tail (lineitem's orderkey alone is NOT unique)
+    pk = "l_orderkey, l_linenumber" if t == "lineitem" else cols[0][0]
+    part_col, _ = rng.choice([c for c in cols if c[1] == "str"])
+    ord_col = rng.choice([c for c, k in cols if k in ("int", "float")])
+    fn = rng.choice(
+        [
+            f"row_number() OVER (PARTITION BY {part_col} ORDER BY {ord_col}, {pk})",
+            f"rank() OVER (PARTITION BY {part_col} ORDER BY {ord_col})",
+            f"cast(count(*) OVER (PARTITION BY {part_col}) as bigint)",
+            f"cast(sum({cols[0][0]}) OVER (PARTITION BY {part_col} "
+            f"ORDER BY {ord_col}, {pk} ROWS UNBOUNDED PRECEDING) as bigint)",
+            f"lag({ord_col}) OVER (PARTITION BY {part_col} ORDER BY {ord_col}, {pk})",
+        ]
+    )
+    pred = _predicate(rng, t)
+    ksel = (
+        "l_orderkey AS k, l_linenumber AS k2"
+        if t == "lineitem"
+        else f"{pk} AS k, 0 AS k2"
+    )
+    return f"SELECT {ksel}, {part_col} AS p, {fn} AS w FROM {t} WHERE {pred}"
+
+
+def gen_setop_query(rng: random.Random) -> str:
+    t = rng.choice(["customer", "supplier"])
+    key = "c_nationkey" if t == "customer" else "s_nationkey"
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return (
+        f"SELECT {key} AS k FROM {t} WHERE {_predicate(rng, t)} "
+        f"{op} SELECT n_nationkey AS k FROM nation WHERE {_predicate(rng, 'nation')}"
+    )
+
+
+def gen_subquery_query(rng: random.Random) -> str:
+    kind = rng.choice(["EXISTS", "NOT EXISTS", "IN", "NOT IN"])
+    if kind in ("EXISTS", "NOT EXISTS"):
+        return (
+            f"SELECT c_custkey AS k FROM customer WHERE {kind} "
+            f"(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            f"AND {_predicate(rng, 'orders')})"
+        )
+    return (
+        f"SELECT o_orderkey AS k FROM orders WHERE o_custkey {kind} "
+        f"(SELECT c_custkey FROM customer WHERE {_predicate(rng, 'customer')})"
+    )
+
+
+def gen_distinct_query(rng: random.Random) -> str:
+    t = rng.choice(list(SCHEMA))
+    col, cls = rng.choice([c for c in _cols(t) if c[1] in ("int", "str")])
+    return f"SELECT DISTINCT {_scalar(rng, col, cls)} AS d FROM {t} WHERE {_predicate(rng, t)}"
+
+
+N_QUERIES2 = 40
+_RNG2 = random.Random(4112026)
+QUERIES2 = [
+    [gen_window_query, gen_setop_query, gen_subquery_query, gen_distinct_query][
+        i % 4
+    ](_RNG2)
+    for i in range(N_QUERIES2)
+]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES2))
+def test_fuzzed_window_setop_subquery_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES2[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query2 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
