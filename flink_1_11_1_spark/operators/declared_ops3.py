@@ -43,3 +43,67 @@ ORDER BY vertex
 
 def register_all() -> None:
     registry.register("x_connected_components", connected_components_nation, CC_ORACLE)
+    registry.register("x_graph_triangles", graph_triangles, TRIANGLES_ORACLE)
+
+
+# --------------------------------------------------- triangle counting
+
+def _co_order_part_edges(spark: SparkSession, sf_dir: str):
+    """Canonical part-part edges: both parts bought in one order (orders
+    subsampled 1/4 by key to bound the declared entry's cost)."""
+    li = (
+        catalog.load_table(spark, sf_dir, "lineitem")
+        .where("l_orderkey % 4 = 0")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle membership in the co-order graph
+    (Gelly TriangleEnumerator parity; operators/iterate.py)."""
+    tri = iterate.triangle_enumeration(_co_order_part_edges(spark, sf_dir))
+    nodes = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    return (
+        nodes.groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+        .select(F.col("v").cast("long").alias("node"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )
+
+
+TRIANGLES_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), nodes AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT cast(v as bigint) AS node, cast(count(*) as bigint) AS n_triangles
+FROM nodes GROUP BY v ORDER BY n_triangles DESC, node LIMIT 20
+"""

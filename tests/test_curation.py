@@ -246,3 +246,14 @@ def test_incremental_dedup_skips_index_index_pairs(spark):
     assert got.get(pair) == "new-index"
     assert (old_ids[1], old_ids[2]) not in got  # index-vs-index suppressed
     assert len(got) == 1
+
+
+def test_triangle_enumeration_planted(spark):
+    from flink_1_11_1_spark.operators.iterate import triangle_enumeration
+
+    # one triangle (1,2,3), one open wedge (1,4),(4,5), one chord (2,4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5), (2, 4)], "src long, dst long"
+    )
+    tri = {(r.a, r.b, r.c) for r in triangle_enumeration(edges).collect()}
+    assert tri == {(1, 2, 3)}
