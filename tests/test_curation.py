@@ -251,9 +251,10 @@ def test_incremental_dedup_skips_index_index_pairs(spark):
 def test_triangle_enumeration_planted(spark):
     from flink_1_11_1_spark.operators.iterate import triangle_enumeration
 
-    # one triangle (1,2,3), one open wedge (1,4),(4,5), one chord (2,4)
+    # triangles (1,2,3) and (1,2,4) — the (2,4) chord closes the second;
+    # (4,5) leaves only an open wedge
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5), (2, 4)], "src long, dst long"
     )
     tri = {(r.a, r.b, r.c) for r in triangle_enumeration(edges).collect()}
-    assert tri == {(1, 2, 3)}
+    assert tri == {(1, 2, 3), (1, 2, 4)}
