@@ -440,21 +440,40 @@ ORDER BY vec_id
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
-def sessionize(events: DataFrame, gap_ms: int = SESSION_GAP_MS) -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    gap_expr: str | None = None,
+) -> DataFrame:
     """Gaps-and-islands sessionization: per user, a new session starts
-    when the inactivity gap exceeds ``gap_ms``; emits per-session stats.
-    One keyed window pass + one keyed agg, all epoch-ms integers.
+    when the inactivity gap exceeds the allowed gap; emits per-session
+    stats.  One keyed window pass + one keyed agg, all epoch-ms ints.
+
+    ``gap_expr`` (a SQL expression over the event row, evaluated in ms)
+    gives per-event dynamic gaps — Flink's
+    ``EventTimeSessionWindows.withDynamicGap`` contract: the gap that
+    applies between an event and its PREDECESSOR is the predecessor's
+    extractor value (the window the previous event opened).
 
     This is the *assignment* rendering of session windows (the windows
     module's ``session_agg`` is the aggregate rendering) — the shape a
     behavioural pipeline feeds to downstream funnel/retention joins.
     """
     w = Window.partitionBy("user_id").orderBy("tms", "event_id")
-    t = events.select("user_id", "event_id", F.unix_millis("ts").alias("tms"))
+    gap_col = F.expr(gap_expr) if gap_expr else F.lit(gap_ms)
+    t = events.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("tms"),
+        gap_col.cast("long").alias("_gap"),
+    )
     g = t.withColumn("_prev", F.lag("tms").over(w)).withColumn(
+        "_prev_gap", F.lag("_gap").over(w)
+    ).withColumn(
         "_ns",
-        F.when(F.col("_prev").isNull() | ((F.col("tms") - F.col("_prev")) > gap_ms), 1)
-        .otherwise(0),
+        F.when(
+            F.col("_prev").isNull()
+            | ((F.col("tms") - F.col("_prev")) > F.col("_prev_gap")),
+            1,
+        ).otherwise(0),
     )
     s = g.withColumn(
         "session_id",

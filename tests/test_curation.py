@@ -258,3 +258,30 @@ def test_triangle_enumeration_planted(spark):
     )
     tri = {(r.a, r.b, r.c) for r in triangle_enumeration(edges).collect()}
     assert tri == {(1, 2, 3), (1, 2, 4)}
+
+
+def test_sessionize_dynamic_gap(spark):
+    from flink_1_11_1_spark.extensions.curation import sessionize
+
+    base = 1_700_000_000_000
+    rows = [
+        (1, 10, base),                      # opens a 60-min window
+        (2, 10, base + 45 * 60 * 1000),     # 45min later: inside event 1's gap
+        (3, 10, base + 60 * 60 * 1000),     # 15min after event 2 (10-min gap): split
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, tms long").select(
+        "event_id", "user_id", F.timestamp_millis("tms").alias("ts")
+    )
+    out = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize(
+            ev,
+            gap_expr="CASE WHEN event_id = 1 THEN 3600000 ELSE 600000 END",
+        ).collect()
+    }
+    assert out == {(10, 1): 2, (10, 2): 1}
+    # static path unchanged: 45-min gap splits under the 30-min default
+    static = {
+        (r.user_id, r.session_id): r.n_events for r in sessionize(ev).collect()
+    }
+    assert static == {(10, 1): 1, (10, 2): 2}
