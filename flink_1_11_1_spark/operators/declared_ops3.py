@@ -44,6 +44,7 @@ ORDER BY vertex
 def register_all() -> None:
     registry.register("x_connected_components", connected_components_nation, CC_ORACLE)
     registry.register("x_graph_triangles", graph_triangles, TRIANGLES_ORACLE)
+    registry.register("x_graph_pagerank", graph_pagerank, PAGERANK_ORACLE)
 
 
 # --------------------------------------------------- triangle counting
@@ -106,4 +107,70 @@ WITH op AS (
 )
 SELECT cast(v as bigint) AS node, cast(count(*) as bigint) AS n_triangles
 FROM nodes GROUP BY v ORDER BY n_triangles DESC, node LIMIT 20
+"""
+
+
+# ------------------------------------------------- integer PageRank
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by integer-exact PageRank over the symmetrized
+    co-order graph (same bounded subgraph as x_graph_triangles)."""
+    e = _co_order_part_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = iterate.pagerank_integer(sym, iterations=3)
+    return (
+        out.select(F.col("node").cast("long").alias("node"), "rank")
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
+PAGERANK_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+), consts AS (
+  SELECT 1000000000 // count(*) AS init,
+         (15 * (1000000000 // count(*))) // 100 AS base
+  FROM nodes
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, (SELECT init FROM consts)::BIGINT AS rank FROM nodes
+), i1 AS (
+  SELECT e.dst AS node, sum(r0.rank // deg.deg) AS s
+  FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.node = e.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.node,
+         ((SELECT base FROM consts) + (85 * coalesce(i1.s, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN i1 ON i1.node = n.node
+), i2 AS (
+  SELECT e.dst AS node, sum(r1.rank // deg.deg) AS s
+  FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.node = e.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.node,
+         ((SELECT base FROM consts) + (85 * coalesce(i2.s, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN i2 ON i2.node = n.node
+), i3 AS (
+  SELECT e.dst AS node, sum(r2.rank // deg.deg) AS s
+  FROM e JOIN deg ON e.src = deg.src JOIN r2 ON r2.node = e.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT n.node,
+         ((SELECT base FROM consts) + (85 * coalesce(i3.s, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN i3 ON i3.node = n.node
+)
+SELECT cast(node as bigint) AS node, rank FROM r3
+ORDER BY rank DESC, node LIMIT 20
 """

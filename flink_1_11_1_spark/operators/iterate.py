@@ -141,3 +141,56 @@ def triangle_enumeration(edges: DataFrame, src: str = "src", dst: str = "dst") -
         )
         .select("a", "b", "c")
     )
+
+
+PR_SCALE = 1_000_000_000  # ranks as integer micro-units: engine-exact
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with damping 0.85 over DIRECTED edges, computed entirely
+    in scaled-integer arithmetic — Flink Gelly's PageRank example
+    re-expressed, made engine-exact: ranks are BIGINT micro-units
+    (PR_SCALE total mass), each step is integer division + integer
+    sums, so two engines produce bit-identical ranks (float PageRank
+    diverges across engines through summation order).  Fixed iteration
+    count (the Gelly example's termination mode).
+
+    new_rank = floor(0.15 * init) + floor(0.85 * sum(contrib)) with
+    contrib = rank div out_degree — rounding loss stays in the dropped
+    remainders (bounded by out_degree units per node per round).
+    """
+    e = edges.select(src, dst).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    init = PR_SCALE // n_nodes
+    base = (15 * init) // 100
+    deg = e.groupBy(src).agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, src)
+            .join(ranks, F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("node"), F.expr("rank div deg").alias("c"))
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

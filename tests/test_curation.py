@@ -285,3 +285,17 @@ def test_sessionize_dynamic_gap(spark):
         (r.user_id, r.session_id): r.n_events for r in sessionize(ev).collect()
     }
     assert static == {(10, 1): 1, (10, 2): 2}
+
+
+def test_pagerank_integer_star_graph(spark):
+    from flink_1_11_1_spark.operators.iterate import PR_SCALE, pagerank_integer
+
+    # star: 1,2,3 all point at 0 -> 0 accumulates the mass
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    out = {r.node: r.rank for r in pagerank_integer(edges, iterations=1).collect()}
+    init = PR_SCALE // 4
+    base = (15 * init) // 100
+    assert out[0] == base + (85 * 3 * init) // 100
+    assert out[1] == out[2] == out[3] == base
+    # mass never exceeds the scale (leaks only through dangling node 0)
+    assert sum(out.values()) <= PR_SCALE
