@@ -276,3 +276,83 @@ def test_fuzzed_window_setop_subquery_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------- part 3: temporal functions + NULL semantics
+
+
+def gen_temporal_query(rng: random.Random) -> str:
+    t, ts = rng.choice([("orders", "o_orderdate"), ("lineitem", "l_shipdate")])
+    pk = "o_orderkey" if t == "orders" else "l_orderkey"
+    ext = rng.choice(
+        [
+            f"cast(year({ts}) as bigint)",
+            f"cast(month({ts}) as bigint)",
+            f"cast(day({ts}) as bigint)",
+            f"cast(date_trunc('month', {ts}) as timestamp)",
+            f"cast(date_trunc('year', {ts}) as timestamp)",
+        ]
+    )
+    return (
+        f"SELECT {ext} AS b, cast(count(*) as bigint) AS n, "
+        f"cast(min({pk}) as bigint) AS mn "
+        f"FROM {t} WHERE {_predicate(rng, t)} GROUP BY {ext}"
+    )
+
+
+def gen_null_semantics_query(rng: random.Random) -> str:
+    t = rng.choice(["customer", "part", "supplier"])
+    icol = rng.choice([c for c, k in _cols(t) if k == "int"])
+    scol = rng.choice([c for c, k in _cols(t) if k == "str"])
+    variant = rng.randrange(4)
+    if variant == 0:  # NULLIF + COALESCE roundtrip
+        k = rng.randint(0, 5)
+        return (
+            f"SELECT cast(coalesce(nullif({icol} % 7, {k}), -1) as bigint) AS v, "
+            f"cast(count(*) as bigint) AS n FROM {t} GROUP BY v"
+        )
+    if variant == 1:  # NULL-producing CASE aggregated with count(col)
+        return (
+            f"SELECT cast(count(CASE WHEN {icol} % 3 = 0 THEN 1 END) as bigint) AS n_match, "
+            f"cast(count(*) as bigint) AS n FROM {t}"
+        )
+    if variant == 2:  # IN-list with strings
+        lits = ", ".join(f"'{rng.choice(_STR_LITS)}'" for _ in range(3))
+        return (
+            f"SELECT cast(count(*) as bigint) AS n FROM {t} "
+            f"WHERE {scol} IN ({lits}) OR length({scol}) = {rng.randint(1, 8)}"
+        )
+    # nested CASE chain
+    return (
+        f"SELECT CASE WHEN {icol} % 4 = 0 THEN 'a' WHEN {icol} % 4 = 1 THEN 'b' "
+        f"WHEN {icol} % 4 = 2 THEN 'c' ELSE 'd' END AS cls, "
+        f"cast(count(*) as bigint) AS n, cast(sum({icol}) as bigint) AS s "
+        f"FROM {t} GROUP BY cls"
+    )
+
+
+N_QUERIES3 = 40
+_RNG3 = random.Random(811)
+QUERIES3 = [
+    [gen_temporal_query, gen_null_semantics_query][i % 2](_RNG3)
+    for i in range(N_QUERIES3)
+]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES3))
+def test_fuzzed_temporal_null_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES3[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query3 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
