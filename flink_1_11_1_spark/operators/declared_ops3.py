@@ -45,6 +45,7 @@ def register_all() -> None:
     registry.register("x_connected_components", connected_components_nation, CC_ORACLE)
     registry.register("x_graph_triangles", graph_triangles, TRIANGLES_ORACLE)
     registry.register("x_graph_pagerank", graph_pagerank, PAGERANK_ORACLE)
+    registry.register("x_graph_sssp", graph_sssp, SSSP_ORACLE)
 
 
 # --------------------------------------------------- triangle counting
@@ -173,4 +174,43 @@ WITH op AS (
 )
 SELECT cast(node as bigint) AS node, rank FROM r3
 ORDER BY rank DESC, node LIMIT 20
+"""
+
+
+# ------------------------------------------ single-source shortest paths
+
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the minimum part key over the symmetrized
+    co-order graph (Gelly SingleSourceShortestPaths parity, delta
+    iteration under the oracle contract)."""
+    e = _co_order_part_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    source = sym.agg(F.min("src")).collect()[0][0]
+    out = iterate.shortest_paths(sym, int(source), max_iterations=8)
+    return (
+        out.where(F.col("dist") <= 6)
+        .select(F.col("node").cast("long").alias("node"), F.col("dist").cast("long").alias("dist"))
+        .orderBy("node")
+    )
+
+
+SSSP_ORACLE = """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), walk AS (
+  SELECT (SELECT min(src) FROM e) AS v, 0 AS d
+  UNION
+  SELECT e.dst AS v, walk.d + 1 AS d
+  FROM walk JOIN e ON e.src = walk.v WHERE walk.d < 6
+)
+SELECT cast(v as bigint) AS node, cast(min(d) as bigint) AS dist
+FROM walk GROUP BY v HAVING min(d) <= 6 ORDER BY node
 """

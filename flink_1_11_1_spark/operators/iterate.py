@@ -57,17 +57,38 @@ def delta_iterate(
     keys = list(keys)
     solution = solution.localCheckpoint(eager=True)
     workset = workset.localCheckpoint(eager=True)
+    cols = list(solution.columns)
+    val_cols = [c for c in cols if c not in keys]
     for i in range(max_iterations):
         updates = step(solution, workset, i)
-        # changed = updates that differ from the current solution row
-        changed = updates.subtract(solution).localCheckpoint(eager=True)
+        # changed = updates that differ from the current solution row.
+        # toDF() mints fresh attribute ids for the checkpointed frame:
+        # solution and changed otherwise share exprIds through the
+        # subtract lineage, and Spark 4.1's attribute rewrite dies with
+        # "key not found: <attr>" when an anti-join + union of two
+        # checkpoint scans is itself checkpointed.  The merge below is
+        # therefore a left-join + coalesce (update-in-place by key)
+        # plus a union only for genuinely-new keys — same semantics,
+        # planner-safe (verified over the failing co-order graph).
+        changed = (
+            updates.subtract(solution)
+            .localCheckpoint(eager=True)
+            .toDF(*updates.columns)
+        )
         if not changed.take(1):
             break
+        renamed = changed
+        for c in val_cols:
+            renamed = renamed.withColumnRenamed(c, f"_new_{c}")
+        updated = solution.join(renamed, keys, "left").select(
+            *keys,
+            *[F.coalesce(f"_new_{c}", c).alias(c) for c in val_cols],
+        )
+        new_rows = changed.join(solution.select(*keys), keys, "left_anti")
         solution = (
-            solution.alias("s")
-            .join(changed.alias("c"), keys, "left_anti")
-            .unionByName(changed)
+            updated.unionByName(new_rows)
             .localCheckpoint(eager=True)
+            .toDF(*cols)
         )
         workset = changed
     return solution
@@ -194,3 +215,63 @@ def pagerank_integer(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+SSSP_INF = 10**9
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    max_iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source shortest hop counts over directed edges — Flink
+    Gelly's SingleSourceShortestPaths example via the engine's DELTA
+    iteration: only the frontier (vertices whose distance improved)
+    joins the edge set each round, the solution set merges by key —
+    the asymptotically-right formulation (work tracks the frontier,
+    not the vertex set).  Returns (node, dist) for reached vertices.
+    """
+    # The frontier joins e while the vertex set ALSO derives from e —
+    # two scans of one checkpointed plan share exprIds, and Spark
+    # 4.1's self-join attribute dedup can fail planning with
+    # "key not found: <attr>".  Materialize once, then derive the
+    # vertex side from a re-aliased copy (toDF mints fresh ids) so the
+    # two sides never collide.
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+    e_v = e.toDF(src, dst)
+    vertices = (
+        e_v.select(F.col(src).alias("v"))
+        .unionByName(e_v.select(F.col(dst).alias("v")))
+        .distinct()
+        .withColumn(
+            "dist",
+            F.when(F.col("v") == source, F.lit(0)).otherwise(F.lit(SSSP_INF)),
+        )
+    )
+    work = vertices.where(F.col("dist") == 0)
+
+    def step(solution: DataFrame, workset: DataFrame, _i: int) -> DataFrame:
+        cand = (
+            e.join(workset, e[src] == workset["v"])
+            .select(F.col(dst).alias("v"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+        )
+        return (
+            solution.alias("s")
+            .join(cand.alias("c"), "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("s.dist"), F.coalesce(F.col("c.dist"), F.lit(SSSP_INF))
+                ).alias("dist"),
+            )
+        )
+
+    out = delta_iterate(vertices, work, ["v"], step, max_iterations)
+    return out.where(F.col("dist") < SSSP_INF).select(
+        F.col("v").alias("node"), "dist"
+    )
