@@ -27,3 +27,15 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 42
+
+
+def test_driver_window_leads_with_unproven_entries():
+    """The correctness driver checks only the FIRST 50 queries() entries
+    per round; the rotation invariant (CLAUDE.md) is that every
+    never-proven entry fits inside the window and leads it."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    fresh = [k for k in names if k not in e._DRIVER_GREEN_HISTORY]
+    assert len(fresh) <= 50, f"{len(fresh)} unproven entries exceed the driver window"
+    assert names[: len(fresh)] == fresh  # unproven first, proven rotations after
