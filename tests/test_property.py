@@ -195,3 +195,27 @@ def test_bpe_merges_equal_python_counts(spark, words):
         for i in range(len(w) - 1):
             want[w[i : i + 2]] += 1
     assert got == dict(want)
+
+
+@SMALL
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+def test_pagerank_integer_mass_and_floor(spark, edge_list, iters):
+    from flink_1_11_1_spark.operators.iterate import PR_SCALE, pagerank_integer
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    out = {r.node: r.rank for r in pagerank_integer(edges, iterations=iters).collect()}
+    n = len({v for e in edge_list for v in e})
+    base = (15 * (PR_SCALE // n)) // 100
+    # every node keeps at least the damping floor; total mass never
+    # exceeds the scale (integer division only drops remainders)
+    assert all(r >= base for r in out.values())
+    assert sum(out.values()) <= PR_SCALE
+    assert len(out) == n
