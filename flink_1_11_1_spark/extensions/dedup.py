@@ -707,6 +707,97 @@ ORDER BY da, db
 """
 
 
+# ------------------------------------ streaming incremental ingest dedup
+
+def streaming_minhash_dedup(
+    doc_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    n: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming rendering of incremental ingest dedup: each micro-batch
+    of documents is checked for near-dups against the accumulated
+    corpus INDEX (a persistent signature + shingle table), verified
+    pairs are appended to ``pairs_dir``, and the batch joins the index.
+
+    This is the production shape of ``incremental_dedup_pairs``: the
+    index side is PRECOMPUTED state on disk (never re-shingled), only
+    the new batch is hashed fresh, and the candidate join requires a
+    new doc on one side — per-batch cost tracks the batch's band
+    collisions, not corpus size.  foreachBatch gives the transactional
+    read-index/emit-pairs/extend-index step (Flink's equivalent is a
+    keyed CoProcessFunction over a broadcast-partitioned signature
+    state; the relational state table is Spark's natural rendering).
+
+    Pair-emission contract: a pair (da, db) is emitted by the batch
+    that contains its LATER-ARRIVING member; the union of all emitted
+    pairs over a replay equals the batch ``minhash_lsh_pairs`` of the
+    full corpus (asserted by S12).
+    """
+    import os
+
+    def process(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        sh_new = shingles(batch, n).localCheckpoint(eager=True)
+        sig_new = minhash_signatures(sh_new).localCheckpoint(eager=True)
+        have_index = os.path.exists(os.path.join(index_dir, "sig"))
+        if have_index:
+            sig_idx = spark.read.parquet(os.path.join(index_dir, "sig"))
+            sh_idx = spark.read.parquet(os.path.join(index_dir, "sh"))
+            sig_all = sig_idx.unionByName(sig_new)
+            sh_all = sh_idx.unionByName(sh_new)
+        else:
+            sig_all, sh_all = sig_new, sh_new
+
+        def buckets(sig: DataFrame) -> DataFrame:
+            band_structs = []
+            for b in range(BANDS):
+                cols = [
+                    F.col(f"h{i}")
+                    for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ]
+                band_structs.append(
+                    F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh"))
+                )
+            return sig.select(
+                "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+            ).select("doc_id", "bk.band", "bk.bh")
+
+        cand = (
+            buckets(sig_new)
+            .alias("a")
+            .join(
+                buckets(sig_all).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("da"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("db"),
+            )
+            .distinct()
+        )
+        pairs = (
+            _pair_jaccard(cand, sh_all)
+            .where(F.col("jac") >= threshold)
+            .select("da", "db", F.round("jac", 4).alias("j"))
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        sig_new.write.mode("append").parquet(os.path.join(index_dir, "sig"))
+        sh_new.write.mode("append").parquet(os.path.join(index_dir, "sh"))
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 # ------------------------------------- semantic dedup (cluster-bounded)
 
 def semdedup_pairs(

@@ -5,6 +5,7 @@ asserts the streaming result against the batch-equivalent computation
 on the same input — Flink's operator-harness idea re-expressed.
 """
 
+import os
 import shutil
 import tempfile
 
@@ -334,3 +335,46 @@ def test_s9_streaming_semi_anti_equals_batch(spark, replay_dir, mode):
     ).collect()
     assert got_ids == sorted(r.event_id for r in want)
     assert got_ids  # non-degenerate fixture
+
+
+def test_s12_streaming_incremental_dedup_equals_batch(spark):
+    """S12: streaming incremental MinHash dedup over a 3-chunk document
+    replay finds exactly the batch pair set, each pair emitted by the
+    chunk of its later-arriving member; the index is never re-shingled."""
+    from flink_1_11_1_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        streaming_minhash_dedup,
+    )
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    want = {
+        (r.da, r.db): r.j for r in minhash_lsh_pairs(docs).collect()
+    }
+    root = tempfile.mkdtemp(prefix="s12_")
+    replay_dir = os.path.join(root, "replay")
+    n = docs.count()
+    chunks = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    replay.write_replay_frames(chunks, replay_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay_dir, "chunk_*.parquet"))
+    )
+    q = streaming_minhash_dedup(
+        stream,
+        os.path.join(root, "index"),
+        os.path.join(root, "pairs"),
+        os.path.join(root, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_rows = spark.read.parquet(os.path.join(root, "pairs")).collect()
+    got = {(r.da, r.db): r.j for r in got_rows}
+    assert len(got_rows) == len(got)  # no pair emitted twice
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)
