@@ -49,6 +49,7 @@ def _load() -> None:
         similarity,
         sketch,
         sql_surface,
+        stats,
         text,
         tpch_extra,
     )

@@ -1,0 +1,303 @@
+"""Sketch / statistics tier II: HyperLogLog, count-min heavy hitters,
+and exact distributed quantiles.
+
+Extends the sketch family (sketch.py's KMV) with the two other
+workhorse streaming summaries — HLL registers for distinct counts and
+count-min for frequency — plus the batch companion every 100 TB profile
+job needs: exact quantiles without a global sort.
+
+Cross-engine design rule (CLAUDE.md): every declared column is either
+integer arithmetic, a value copied from the input, or a single IEEE
+division of two identically-derived numbers — so Spark and DuckDB agree
+bit-for-bit and the driver's value-hash matches.
+
+HLL determinism: Spark's ``approx_count_distinct`` (HLL++) has no
+cross-engine twin, so — exactly like KMV — we build the registers from
+portable md5 nibble math both engines replay: register index = first
+2 hex nibbles (m=256), rank = leading-zero count of the next 13 nibbles
+(52 bits) + 1.  The harmonic sum is kept as an *integer*
+(``sum(2^(53-rank))``, max 256·2^53 = 2^61 < 2^63), so the only float
+op is the final single division — bit-exact on both engines.  The
+declared estimate is the RAW harmonic-mean estimate; the small-range
+linear-counting correction needs ln(), which is not cross-engine-exact,
+so the estimator applies it consumer-side from the integer register
+count (tests/test_stats.py shows the 4-line recipe).
+
+Count-min heavy hitters: the sketch (depth 4 × width 64, md5-keyed) is
+built with one token-level aggregation whose output cardinality is the
+sketch size (256 cells), NOT the vocabulary — the 100 TB path.  The
+estimate is a guaranteed over-count, so ``est >= t`` is a no-false-
+negative candidate filter; exact counting then runs only on candidate
+tokens (semi-join pruned).  All integer.
+
+Exact distributed quantiles: two-pass bucket refinement instead of a
+global sort — pass 1 aggregates fixed-width value buckets (output
+cardinality = value range / width, independent of row count), pass 2
+sorts only the buckets that contain a requested rank.  At 100 TB the
+full sort this replaces is the single most expensive shuffle Spark can
+run; the refinement touches ~1/buckets of the data in pass 2.
+
+Flink parity: flink-statefun-less 1.11 has no sketch library; these sit
+in the "beyond reference" extension tier (SURVEY §8.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+from . import registry
+
+# ---------------------------------------------------------------- HLL
+
+_M = 256  # registers (2 hex nibbles)
+_TWO_53 = 1 << 53
+# alpha_256 = 0.7213 / (1 + 1.079/256), the standard bias constant.
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)
+# Numerator of the raw estimate: alpha * m^2 * 2^53 (one double literal,
+# computed here once so both engines divide the same constant).
+_HLL_NUM = repr(_ALPHA * _M * _M * float(_TWO_53))
+
+
+def _duck_fold(expr: str, start: int, n: int) -> str:
+    """DuckDB: fold ``n`` hex nibbles of md5(expr) starting at 1-based
+    ``start`` into a BIGINT (same value as Spark's conv(...,16,10))."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range({start}, {start + n}), "
+        f"i -> (strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1)::BIGINT)), "
+        "(a, x) -> a * 16 + x)"
+    )
+
+
+def _spark_fold(expr: str, start: int, n: int) -> str:
+    return f"cast(conv(substring(md5({expr}), {start}, {n}), 16, 10) as bigint)"
+
+
+def _hll_sql(reg_expr: str, tail_expr: str) -> str:
+    """Shared HLL query; ``reg_expr`` = register index 0..255, ``tail_expr``
+    = the 13-nibble hex tail whose leading zeros give the rank."""
+    # z = leading zero NIBBLES (0..13); v = first nonzero nibble value.
+    # rank = 4*z + (zeros inside that nibble) + 1; all-zero tail -> 53.
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         {reg_expr} AS reg,
+         {tail_expr} AS tail
+  FROM events
+),
+z AS (
+  SELECT event_type, reg,
+         length(regexp_extract(tail, '^0*', 0)) AS nz,
+         tail
+  FROM h
+),
+rk AS (
+  SELECT event_type, reg,
+         CASE WHEN nz >= 13 THEN 53
+              ELSE cast(nz as int) * 4
+                   + CASE WHEN substring(tail, cast(nz as int) + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN substring(tail, cast(nz as int) + 1, 1) IN ('4','5','6','7') THEN 1
+                          WHEN substring(tail, cast(nz as int) + 1, 1) IN ('2','3') THEN 2
+                          ELSE 3 END
+                   + 1
+         END AS rank
+  FROM z
+),
+regs AS (
+  SELECT event_type, reg, max(rank) AS maxrank
+  FROM rk GROUP BY event_type, reg
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS regs_hit,
+         sum(cast(pow(cast(2 as bigint), 53 - maxrank) as bigint)) AS sum_hit
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       cast(e.n_exact as bigint)  AS n_exact,
+       cast(a.regs_hit as bigint) AS hll_registers,
+       cast(a.sum_hit + ({_M} - a.regs_hit) * cast({_TWO_53} as bigint) as bigint) AS hll_sum_scaled,
+       round({_HLL_NUM} / (a.sum_hit + ({_M} - a.regs_hit) * cast({_TWO_53} as bigint)), 2) AS est_raw
+FROM agg a JOIN ex e ON a.event_type = e.event_type
+ORDER BY a.event_type
+"""
+
+
+def _hll_spark_sql() -> str:
+    return _hll_sql(
+        f"{_spark_fold('cast(user_id as string)', 1, 2)}",
+        "substring(md5(cast(user_id as string)), 3, 13)",
+    )
+
+
+def _hll_duck_sql() -> str:
+    return _hll_sql(
+        f"{_duck_fold('user_id::VARCHAR', 1, 2)}",
+        "substring(md5(user_id::VARCHAR), 3, 13)",
+    )
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event_type.
+
+    Plan: one (event_type, reg) aggregation — map-side combinable, output
+    cardinality ≤ groups × 256 regardless of row count — plus the exact
+    count (fixture-scale comparison column).  At 100 TB drop the ``ex``
+    CTE; the sketch side never shuffles more than groups×256 rows.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(_hll_spark_sql())
+
+
+registry.register("x_sketch_hll", hll_distinct, _hll_duck_sql())
+
+# ---------------------------------------------- count-min heavy hitters
+
+_CM_DEPTH = 4
+_CM_WIDTH = 64
+_HH_THRESHOLD = 200  # token occurrences at sf0.01 scale ~ top keywords
+
+
+def _cm_sql(fold_fn, threshold: int) -> str:
+    """Count-min build + candidate filter + exact verify, one query.
+
+    ``fold_fn(expr, start, n)`` renders the engine's md5-nibble fold.
+    Bucket for depth d = fold(md5(d || ':' || w)) % width.  The min over
+    depths never under-counts, so ``cm_est >= t`` is a superset of the
+    true heavy hitters; the exact count confirms.
+    """
+    buckets = ",\n         ".join(
+        fold_fn("'%d:' || w" % d, 1, 8) + f" % {_CM_WIDTH} AS b{d}"
+        for d in range(_CM_DEPTH)
+    )
+    cm_joins = "\n".join(
+        f"JOIN cm c{d} ON c{d}.d = {d} AND c{d}.b = t.b{d}" for d in range(_CM_DEPTH)
+    )
+    least = "least(" + ", ".join(f"c{d}.total" for d in range(_CM_DEPTH)) + ")"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, b{d} AS b, cnt FROM tok" for d in range(_CM_DEPTH)
+    )
+    return f"""
+WITH words AS (
+  SELECT w FROM (SELECT {_SPLIT_PLACEHOLDER} AS w FROM documents) s
+),
+tok AS (
+  SELECT w, count(*) AS cnt,
+         {buckets}
+  FROM words GROUP BY w
+),
+cm AS (
+  SELECT d, b, sum(cnt) AS total FROM (
+{unions}
+  ) u GROUP BY d, b
+),
+est AS (
+  SELECT t.w, t.cnt, {least} AS cm_est
+  FROM tok t
+{cm_joins}
+)
+SELECT w, cast(cnt as bigint) AS cnt, cast(cm_est as bigint) AS cm_est
+FROM est
+WHERE cm_est >= {threshold} AND cnt >= {threshold}
+ORDER BY cnt DESC, w
+"""
+
+
+_SPLIT_PLACEHOLDER = "__SPLIT__"
+_SPARK_SPLIT = "explode(split(trim(text), ' '))"
+_DUCK_SPLIT = "unnest(string_split(trim(text), ' '))"
+
+
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream: count-min candidates,
+    exact verify.
+
+    100 TB shape: the ``tok`` exact aggregation here is fixture-scale
+    convenience — at scale the cm table (256 cells, built with one
+    map-side-combined aggregation whose output is the *sketch*, not the
+    vocabulary) is broadcast back against the token stream and only
+    tokens whose 4 buckets all clear the threshold are exactly counted.
+    The candidate set is a guaranteed superset (count-min never
+    under-counts), so the verified output equals the true heavy-hitter
+    set — the same sketch→verify contract as dedup's LSH→Jaccard.
+    """
+    catalog.register(spark, sf_dir)
+    sql = _cm_sql(_spark_fold, _HH_THRESHOLD).replace(_SPLIT_PLACEHOLDER, _SPARK_SPLIT)
+    return spark.sql(sql)
+
+
+_CM_ORACLE = _cm_sql(_duck_fold, _HH_THRESHOLD).replace(_SPLIT_PLACEHOLDER, _DUCK_SPLIT)
+
+registry.register("x_heavy_hitters", cm_heavy_hitters, _CM_ORACLE)
+
+# ------------------------------------------- exact distributed quantiles
+
+_Q_PROBS = (0.5, 0.9, 0.99)
+_Q_BUCKET_W = 10000.0  # o_totalprice bucket width; ~60 buckets at fixture
+
+
+def dist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of o_totalprice WITHOUT a global sort.
+
+    Pass 1 aggregates fixed-width buckets (output cardinality = value
+    range / width — independent of row count) and computes cumulative
+    counts; pass 2 ranks rows *only inside the buckets that contain a
+    requested rank* (a filter that prunes ~1/buckets of the data before
+    the per-bucket sort).  Rank convention = quantile_disc's lower
+    discrete quantile: the smallest value with cum_count >= ceil(p*n).
+
+    At 100 TB: pass 1 is one map-side-combined aggregation; pass 2
+    shuffles only the selected buckets' rows (each bucket sorts
+    independently — no single-reducer global order).
+    """
+    catalog.register(spark, sf_dir)
+    probs_rows = ", ".join(f"({p})" for p in _Q_PROBS)
+    return spark.sql(f"""
+WITH b AS (
+  SELECT cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) AS bk, count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT bk, cnt,
+         sum(cnt) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM b
+),
+n AS (SELECT sum(cnt) AS n FROM b),
+t AS (
+  SELECT cast(p as double) AS p, cast(ceil(p * n.n) as bigint) AS target
+  FROM (SELECT * FROM (VALUES {probs_rows}) AS v(p)) pp CROSS JOIN n
+),
+hit AS (
+  SELECT t.p, t.target, c.bk, coalesce(c.cum_before, 0) AS below
+  FROM t JOIN c ON t.target > coalesce(c.cum_before, 0) AND t.target <= c.cum
+),
+r AS (
+  SELECT cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) AS bk, o_totalprice,
+         row_number() OVER (PARTITION BY cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint)
+                            ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+  WHERE cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) IN (SELECT bk FROM hit)
+)
+SELECT h.p AS p, r.o_totalprice AS value
+FROM hit h JOIN r ON r.bk = h.bk AND r.rn = h.target - h.below
+ORDER BY h.p
+""")
+
+
+_Q_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT cast(p as double) AS p, min(o_totalprice) AS value
+FROM (SELECT * FROM (VALUES {', '.join(f'({p})' for p in _Q_PROBS)}) AS v(p)) pp
+JOIN ranked ON rn = cast(ceil(p * n) as bigint)
+GROUP BY p ORDER BY p
+"""
+
+registry.register("x_quantiles", dist_quantiles, _Q_ORACLE)

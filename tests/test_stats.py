@@ -1,0 +1,76 @@
+"""Semantics tests for the stats tier (extensions/stats.py):
+HLL error bound, count-min no-false-negative contract, exact
+distributed quantiles vs plain sorted indexing."""
+
+from __future__ import annotations
+
+import math
+
+from flink_1_11_1_spark.extensions import stats
+
+from .conftest import SF_SMOKE
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """The declared columns are the bit-exact sketch state; the
+    *estimator* applies the standard small-range correction (linear
+    counting when raw < 2.5m and empty registers exist) — done here in
+    Python because ln() is not cross-engine-exact (CLAUDE.md rule)."""
+    rows = stats.hll_distinct(spark, SF_SMOKE).collect()
+    assert rows, "no groups"
+    m = 256
+    for r in rows:
+        assert r.n_exact > 0
+        empty = m - r.hll_registers
+        if r.est_raw < 2.5 * m and empty > 0:
+            est = m * math.log(m / empty)  # linear counting
+        else:
+            est = r.est_raw
+        rel = abs(est - r.n_exact) / r.n_exact
+        # HLL relative error 1.04/sqrt(m) = 6.5%; allow 4 sigma.
+        assert rel < 0.26, (r.event_type, r.n_exact, est, r.est_raw)
+        assert 0 < r.hll_registers <= m
+        # registers never exceed distinct count
+        assert r.hll_registers <= r.n_exact
+
+
+def test_hll_registers_monotone_across_scales(spark):
+    """More data can only hit more registers / raise ranks (sketch is a
+    max-fold): sum_scaled at sf0.01 <= sf0.001 per shared group."""
+    a = {r.event_type: r for r in stats.hll_distinct(spark, SF_SMOKE).collect()}
+    b = {r.event_type: r for r in stats.hll_distinct(spark, "/root/testdata/sf0.01").collect()}
+    for et in set(a) & set(b):
+        assert b[et].hll_registers >= a[et].hll_registers
+        assert b[et].hll_sum_scaled <= a[et].hll_sum_scaled
+
+
+def test_heavy_hitters_equals_exact_threshold_set(spark):
+    """cm_est >= t is a superset of cnt >= t (count-min never
+    under-counts), so the verified output must equal the true set."""
+    df = stats.cm_heavy_hitters(spark, SF_SMOKE)
+    got = {(r.w, r.cnt) for r in df.collect()}
+    exact = spark.sql(f"""
+        SELECT w, cast(count(*) as bigint) AS cnt FROM (
+          SELECT explode(split(trim(text), ' ')) AS w FROM documents
+        ) GROUP BY w HAVING count(*) >= {stats._HH_THRESHOLD}
+    """)
+    from flink_1_11_1_spark import catalog
+
+    catalog.register(spark, SF_SMOKE)
+    want = {(r.w, r.cnt) for r in exact.collect()}
+    assert got == want
+    for r in df.collect():
+        assert r.cm_est >= r.cnt  # over-approximation invariant
+
+
+def test_quantiles_match_sorted_indexing(spark):
+    from flink_1_11_1_spark import catalog
+
+    catalog.register(spark, SF_SMOKE)
+    vals = sorted(
+        r.o_totalprice for r in spark.table("orders").select("o_totalprice").collect()
+    )
+    got = {r.p: r.value for r in stats.dist_quantiles(spark, SF_SMOKE).collect()}
+    for p in stats._Q_PROBS:
+        want = vals[math.ceil(p * len(vals)) - 1]
+        assert got[p] == want, (p, got[p], want)
