@@ -46,6 +46,7 @@ def _load() -> None:
         dedup,
         pipeline,
         retrieval,
+        selection,
         similarity,
         sketch,
         sql_surface,
