@@ -161,6 +161,48 @@ def test_changelog_batcher_emits_rowkinds(spark, tmpdir):
     assert final == want
 
 
+def test_s13_retract_stream_fold_equals_batch(spark, tmpdir):
+    """toRetractStream parity: the boolean-tagged record stream's
+    multiset fold equals the batch aggregate, updates emit retract
+    before add, and every retract has a prior add (fold never goes
+    negative — fold_retracts raises otherwise)."""
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    frames = [
+        ev.where("event_id < 300"),
+        ev.where("event_id >= 300 AND event_id < 600"),
+        ev.where("event_id >= 600"),
+    ]
+    rdir = os.path.join(tmpdir, "rs_replay")
+    replay.write_replay_frames(frames, rdir)
+    stream = replay.events_stream(spark, rdir, watermark=None)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    seen: list[tuple[bool, tuple]] = []
+    batcher = changelog.RetractStreamBatcher(
+        keys=["event_type"], on_change=lambda bid, recs: seen.extend(recs)
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(batcher)
+        .option("checkpointLocation", os.path.join(tmpdir, "rs_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert any(not add for add, _ in seen)  # later batches retract old counts
+    folded = sorted(changelog.fold_retracts(seen))
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert folded == want
+    # prefix-consistency (retract-before-add ordering): every prefix
+    # folds without negative counts
+    for i in range(1, len(seen) + 1):
+        changelog.fold_retracts(seen[:i])
+
+
 # ----------------------------------------------------------- iterations
 
 
