@@ -150,3 +150,53 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 registry.register("x_lm_surprisal", lm_surprisal, _surprisal_sql(_DUCK_TOK))
+
+
+# ------------------------------------------- temperature source mixing
+
+_MIX_RATE = 0.5  # base acceptance for the largest source
+
+
+def _temperature_sql(u_expr: str) -> str:
+    # alpha = 0.5 temperature flattening: rate_s = base * sqrt(n_max/n_s),
+    # clamped at 1.  sqrt and the two divisions are IEEE correctly-rounded
+    # on both engines, so the per-source rates (and thus the md5-threshold
+    # accept sets) agree exactly.
+    return f"""
+WITH s AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+),
+mx AS (SELECT max(n) AS n_max FROM s),
+rate AS (
+  SELECT s.source,
+         s.n,
+         least(cast(1.0 as double),
+               {_MIX_RATE!r} * sqrt(cast(mx.n_max as double) / s.n)) AS r
+  FROM s CROSS JOIN mx
+),
+d AS (
+  SELECT doc_id, source, {u_expr} AS u FROM documents
+)
+SELECT d.doc_id, d.source, round(rate.r, 6) AS rate
+FROM d JOIN rate ON rate.source = d.source
+WHERE d.u < rate.r
+ORDER BY d.doc_id
+"""
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (the pretraining
+    "mixture-balancing" resample: small sources are up-weighted relative
+    to their corpus share, alpha = 0.5).
+
+    Per-source acceptance rate = base * sqrt(n_max/n_s) clamped at 1 —
+    the sampled mixture's source shares move from p_s toward
+    p_s^alpha / Z.  Deterministic md5 acceptance (rerun/engine/
+    partition-stable); one bounded source histogram broadcast onto a
+    map-only predicate, same 100 TB shape as hash_sample.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(_temperature_sql(_SPARK_U))
+
+
+registry.register("x_temperature_mix", temperature_mix, _temperature_sql(_DUCK_U))

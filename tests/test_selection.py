@@ -68,6 +68,35 @@ def test_dsir_replays_the_importance_rule_exactly(spark):
     assert got == want
 
 
+def test_temperature_mix_flattens_rates(spark):
+    """Rates must implement base*sqrt(n_max/n_s) clamped at 1 — so the
+    *expected* sampled shares are proportional to sqrt(n_s) (alpha=0.5
+    flattening) — and the selected set must be deterministic."""
+    import math
+
+    from flink_1_11_1_spark import catalog
+
+    catalog.register(spark, SF_SMOKE)
+    counts = {
+        r.source: r.n
+        for r in spark.sql("SELECT source, count(*) n FROM documents GROUP BY source").collect()
+    }
+    n_max = max(counts.values())
+    rows = selection.temperature_mix(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        want = min(1.0, selection._MIX_RATE * math.sqrt(n_max / counts[r.source]))
+        assert abs(r.rate - want) < 5e-7, (r.source, r.rate, want)
+    # smaller source -> higher (or equal, when clamped) rate
+    by_src = {r.source: r.rate for r in rows}
+    srcs = sorted(by_src, key=lambda s: counts[s])
+    for a, b in zip(srcs, srcs[1:]):
+        assert by_src[a] >= by_src[b] - 5e-7
+    # determinism
+    again = {(r.doc_id, r.source) for r in selection.temperature_mix(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.source) for r in rows}
+
+
 def test_surprisal_orders_rare_token_docs_high(spark):
     """A document's avg_bits must be >= the corpus-global minimum token
     surprisal and rank rare-vocabulary docs above stop-word docs."""
