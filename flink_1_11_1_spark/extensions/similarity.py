@@ -506,3 +506,128 @@ WHERE rn = 1 ORDER BY qid
 """
 
 registry.register("x_ann_ivf", _ann_ivf, ANN_IVF_ORACLE)
+
+
+# ------------------------------------------------- product quantization
+
+# PQ-ADC ANN (Jégou et al., "Product quantization for nearest neighbor
+# search", TPAMI 2011; the scan half of FAISS's IVFPQ — IVF above is the
+# other half).  M=4 subspaces x 16 dims, K=16 codes per subspace: each
+# database vector compresses to 4 code bytes; a query scans the code
+# table with a 4x16 distance table (ADC) and exact-re-ranks a shortlist.
+#
+# Cross-engine exactness: coordinates are int-quantized (KM_SCALE grid),
+# so every distance — codebook assignment, ADC entries, exact re-rank —
+# is INTEGER arithmetic; ties break toward the lower code / vec_id in
+# both engines.  The codebook is data-derived but deterministic: the 16
+# vectors first in (md5(vec_id), vec_id) order, the same seeding
+# convention as curation.kmeans_assign.
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace
+PQ_K = 16  # codes per subspace
+PQ_SHORTLIST = 50
+PQ_NQ = 16  # queries: vec_id < 16
+
+_PQ_SPARK_QUANT = "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
+_PQ_DUCK_QUANT = "list_transform(embedding, x -> round(x::DOUBLE * 1000, 0)::BIGINT)"
+
+
+def _pq_sql(quant: str, md5_id: str, slice_fn, sqdist_fn) -> str:
+    ms = ", ".join(f"({m})" for m in range(PQ_M))
+    return f"""
+WITH v AS (SELECT vec_id, {quant} AS q FROM embeddings),
+seeds AS (
+  SELECT q, row_number() OVER (ORDER BY {md5_id}, vec_id) - 1 AS code FROM v
+),
+mm AS (SELECT * FROM (VALUES {ms}) AS t(m)),
+cb AS (
+  SELECT mm.m, s.code, {slice_fn('s.q', 'mm.m')} AS sub
+  FROM seeds s CROSS JOIN mm WHERE s.code < {PQ_K}
+),
+sub AS (
+  SELECT v.vec_id, mm.m, {slice_fn('v.q', 'mm.m')} AS sub
+  FROM v CROSS JOIN mm
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {sqdist_fn('s.sub', 'c.sub', PQ_SUB)}, c.code) rn
+    FROM sub s JOIN cb c ON c.m = s.m
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT q.vec_id AS qid, c.m, c.code, {sqdist_fn('q.sub', 'c.sub', PQ_SUB)} AS d
+  FROM sub q JOIN cb c ON c.m = q.m
+  WHERE q.vec_id < {PQ_NQ}
+),
+adc AS (
+  SELECT t.qid, co.vec_id, sum(t.d) AS adc_dist
+  FROM codes co
+  JOIN dtab t ON t.m = co.m AND t.code = co.code
+  WHERE co.vec_id <> t.qid
+  GROUP BY t.qid, co.vec_id
+),
+short AS (
+  SELECT qid, vec_id, adc_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) rn
+    FROM adc
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+ex AS (
+  SELECT s.qid, s.vec_id, s.adc_dist,
+         {sqdist_fn('vq.q', 'vv.q', PQ_M * PQ_SUB)} AS exact_dist
+  FROM short s
+  JOIN v vq ON vq.vec_id = s.qid
+  JOIN v vv ON vv.vec_id = s.vec_id
+)
+SELECT qid, vec_id AS nn_id,
+       cast(exact_dist as bigint) AS exact_dist,
+       cast(adc_dist as bigint) AS adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY exact_dist, vec_id) rn FROM ex)
+WHERE rn = 1 ORDER BY qid
+"""
+
+
+def _pq_spark_slice(arr: str, m: str) -> str:
+    return f"slice({arr}, {m} * {PQ_SUB} + 1, {PQ_SUB})"
+
+
+def _pq_duck_slice(arr: str, m: str) -> str:
+    return f"list_slice({arr}, {m} * {PQ_SUB} + 1, {m} * {PQ_SUB} + {PQ_SUB})"
+
+
+def _pq_spark_sqdist(a: str, b: str, n: int) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (s, x) -> s + x)"
+    )
+
+
+def _pq_duck_sqdist(a: str, b: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-1 with exact re-rank over the shortlist.
+
+    100 TB shape: the code table is 4 small ints per database vector
+    (64x compression of the scan); the ADC join streams it against a
+    per-query 4x16 distance table (broadcast), shuffling nothing wider
+    than (qid, vec_id, dist); exact re-rank touches SHORTLIST vectors
+    per query.  Codebook training is one bounded seed scan — swap in
+    kmeans_assign per subspace for trained codebooks at scale.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(
+        _pq_sql(_PQ_SPARK_QUANT, "md5(cast(vec_id as string))", _pq_spark_slice, _pq_spark_sqdist)
+    )
+
+
+PQ_ORACLE = _pq_sql(_PQ_DUCK_QUANT, "md5(vec_id::VARCHAR)", _pq_duck_slice, _pq_duck_sqdist)
+
+registry.register("x_ann_pq", pq_ann, PQ_ORACLE)

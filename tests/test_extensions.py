@@ -358,3 +358,33 @@ def test_bm25_hand_computed(spark):
     def s(tf, dl):
         return round(round(idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl)), 7), 4)
     assert got == {1: s(2, 3), 2: s(1, 2)}  # doc 3 has no hit
+
+
+def test_pq_recall_vs_exact_l2(spark):
+    """PQ-ADC + 10-shortlist re-rank vs brute-force integer-L2 top-1.
+    Isotropic vectors + untrained (seeded) codebook is PQ's worst case;
+    the shortlist re-rank must still recover a solid fraction, and
+    every returned exact_dist must be >= the true NN distance (re-rank
+    can't invent a closer neighbor than brute force)."""
+    import itertools
+
+    got = {r.qid: (r.nn_id, r.exact_dist) for r in
+           similarity.pq_ann(spark, SF_SMOKE).collect()}
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {r.vec_id: [round(x * 1000) for x in r.embedding]
+            for r in emb.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    hits = 0
+    for qid in got:
+        best = min(
+            ((d2(vecs[qid], v), vid) for vid, v in vecs.items() if vid != qid)
+        )
+        nn_id, exact_dist = got[qid]
+        assert exact_dist >= best[0]  # cannot beat brute force
+        assert exact_dist == d2(vecs[qid], vecs[nn_id])  # honest distance
+        if exact_dist == best[0]:
+            hits += 1
+    assert hits / len(got) >= 0.4, hits
