@@ -195,6 +195,11 @@ _INSERT_RE = re.compile(
 )
 _PROP_RE = re.compile(r"'((?:[^'])*)'\s*=\s*'((?:[^'])*)'")
 
+# FLIP-113 dynamic table options: `t /*+ OPTIONS('k'='v', ...) */`
+_HINT_RE = re.compile(
+    r"([`\w.]+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/", re.IGNORECASE
+)
+
 
 @dataclass
 class CreateTable:
@@ -285,12 +290,14 @@ class DdlCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, CreateTable] = {}
+        self._hint_n = 0
 
     # -- statement router ------------------------------------------------
 
     def execute(self, sql: str) -> DataFrame | None:
         """Route one statement: DDL handled here, everything else → Catalyst."""
         s = sql.strip().rstrip(";").strip()
+        s = self._apply_table_hints(s)
         up = s.upper()
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
             self.create_table(parse_create_table(s))
@@ -313,6 +320,43 @@ class DdlCatalog:
                 _strip_ticks(mi.group(2)), mi.group(3), overwrite=overwrite
             )
         return self.spark.sql(s)
+
+    # -- FLIP-113 dynamic table options ----------------------------------
+
+    def _apply_table_hints(self, s: str) -> str:
+        """Rewrite ``t /*+ OPTIONS('k'='v') */`` references (Flink 1.11's
+        FLIP-113 dynamic table options, public tree
+        flink-table/flink-table-planner-blink
+        ``.../hint/FlinkHints.java``): the hinted options override the
+        declared table's WITH properties for this statement only.
+
+        Mechanism: register the merged table under a one-shot alias view
+        and substitute the alias for the hinted reference — the declared
+        table itself is untouched (per-query scope, Flink semantics).
+        Hints on names this catalog doesn't know are STRIPPED (the
+        table-ref hint position is Flink grammar — Spark's parser
+        rejects it — and undeclared tables have no WITH options to
+        override, which is also Flink's behavior for non-catalog refs).
+        """
+        from dataclasses import replace as _dc_replace
+
+        def repl(m: re.Match) -> str:
+            name = _strip_ticks(m.group(1))
+            ct = self.tables.get(name)
+            if ct is None:
+                return name  # no declared options to override: strip hint
+            overrides = dict(_PROP_RE.findall(m.group(2)))
+            if not overrides:
+                return name
+            alias = f"{name}__hint{self._hint_n}"
+            self._hint_n += 1
+            self.tables[alias] = _dc_replace(
+                ct, name=alias, props={**ct.props, **overrides}
+            )
+            self.batch_table(alias).createOrReplaceTempView(alias)
+            return alias
+
+        return _HINT_RE.sub(repl, s)
 
     # -- CREATE TABLE ----------------------------------------------------
 

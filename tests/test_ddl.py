@@ -340,3 +340,52 @@ def test_events_ddl_adapts_both_encodings(tenv, tmp_path):
     assert {r.event_id: r.ts for r in ns} == want
     tenv.execute_sql("DROP TABLE ev_ddl_fix")
     tenv.execute_sql("DROP TABLE ev_ddl_ns")
+
+
+# ------------------------------------------- FLIP-113 dynamic options
+
+
+def test_options_hint_overrides_path_per_query(tenv):
+    """`t /*+ OPTIONS('path'='...') */` swaps the scanned path for this
+    statement only; the declared table is untouched (FLIP-113)."""
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE hint_docs (
+          doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{SF_SMOKE}/documents.parquet',
+          'format' = 'parquet'
+        )
+        """
+    )
+    base = tenv.execute_sql("SELECT count(*) AS n FROM hint_docs").collect()[0].n
+    other = "/root/testdata/sf0.01/documents.parquet"
+    hinted = (
+        tenv.execute_sql(
+            f"SELECT count(*) AS n FROM hint_docs /*+ OPTIONS('path'='{other}') */"
+        )
+        .collect()[0]
+        .n
+    )
+    direct = tenv.spark.read.parquet(other).count()
+    assert hinted == direct
+    # per-query scope: the base table still reads its declared path
+    again = tenv.execute_sql("SELECT count(*) AS n FROM hint_docs").collect()[0].n
+    assert again == base
+    tenv.execute_sql("DROP TABLE hint_docs")
+
+
+def test_options_hint_on_undeclared_table_is_stripped(tenv):
+    """A hint on a Catalyst-managed name is stripped (the table-ref
+    hint position is Flink grammar — Spark's parser rejects it — and
+    there are no declared options to override); results intact."""
+    tenv.spark.range(5).createOrReplaceTempView("plain_range")
+    n = (
+        tenv.execute_sql(
+            "SELECT count(*) AS n FROM plain_range /*+ OPTIONS('a'='b') */"
+        )
+        .collect()[0]
+        .n
+    )
+    assert n == 5
