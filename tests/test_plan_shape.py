@@ -158,3 +158,35 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = _exec_plan(decontaminate(docs))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "LeftAnti, BuildRight" in plan  # train-side filter stays broadcast
+
+
+def test_dsir_and_temperature_broadcast_histograms(spark):
+    # the accept predicate must join against broadcast feature/source
+    # histograms — a shuffle of the corpus onto a histogram key would
+    # be the 100 TB scale-killer
+    from flink_1_11_1_spark.extensions.selection import dsir_sample, temperature_mix
+
+    for fn in (dsir_sample, temperature_mix):
+        plan = _exec_plan(fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+
+
+def test_heavy_hitters_aggregates_with_partial_combine(spark):
+    # token counting must be two-phase (map-side combine): a partial_
+    # aggregate before the exchange keeps the shuffle at vocabulary
+    # cardinality instead of token-stream cardinality
+    from flink_1_11_1_spark.extensions.stats import cm_heavy_hitters
+
+    plan = _exec_plan(cm_heavy_hitters(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_quantiles_avoids_global_sort(spark):
+    # the whole point of bucket refinement: no global Sort over orders
+    # (rank selection happens inside per-bucket window partitions)
+    from flink_1_11_1_spark.extensions.stats import dist_quantiles
+
+    plan = _exec_plan(dist_quantiles(spark, SF_SMOKE))
+    assert "Sort [o_totalprice" not in plan  # no global ORDER BY scan
+    assert "rangepartitioning(o_totalprice" not in plan.lower()
