@@ -356,3 +356,101 @@ def test_fuzzed_temporal_null_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------- part 4: string-function battery + integer math
+
+
+def gen_string_query(rng: random.Random) -> str:
+    t = rng.choice(["customer", "part", "supplier", "nation"])
+    scol = rng.choice([c for c, k in _cols(t) if k == "str"])
+    icol = rng.choice([c for c, k in _cols(t) if k == "int"])
+    variant = rng.randrange(6)
+    if variant == 0:  # substring bucket + count
+        i, n = rng.randint(1, 3), rng.randint(1, 3)
+        return (
+            f"SELECT substring({scol}, {i}, {n}) AS b, cast(count(*) as bigint) AS n "
+            f"FROM {t} GROUP BY b"
+        )
+    if variant == 1:  # replace/length arithmetic
+        ch = rng.choice(["a", "e", "o", "0", "1"])
+        return (
+            f"SELECT cast(sum(length({scol}) - length(replace({scol}, '{ch}', ''))) as bigint) AS removed, "
+            f"cast(count(*) as bigint) AS n FROM {t}"
+        )
+    if variant == 2:  # pad roundtrip predicate + min string
+        w = rng.randint(20, 30)
+        return (
+            f"SELECT cast(count(*) as bigint) AS n, min(upper({scol})) AS mn "
+            f"FROM {t} WHERE length(rpad({scol}, {w}, 'x')) = {w}"
+        )
+    if variant == 3:  # split_part grouping over word-structured names
+        k = rng.randint(1, 3)
+        return (
+            f"SELECT split_part({scol}, ' ', {k}) AS w, cast(count(*) as bigint) AS n "
+            f"FROM {t} GROUP BY w"
+        )
+    if variant == 4:  # position/instr filter + concat with ||
+        sub = rng.choice(["a", "le", "st", "er"])
+        return (
+            f"SELECT cast(count(*) as bigint) AS n, "
+            f"min({scol} || '#' || cast({icol} as string)) AS tagged "
+            f"FROM {t} WHERE instr({scol}, '{sub}') > {rng.randint(0, 2)}"
+        )
+    # reverse/translate composition
+    return (
+        f"SELECT cast(count(*) as bigint) AS n, "
+        f"min(translate(reverse({scol}), 'aeiou', '12345')) AS enc "
+        f"FROM {t} WHERE length({scol}) > {rng.randint(5, 12)}"
+    )
+
+
+def gen_intmath_query(rng: random.Random) -> str:
+    t = rng.choice(["lineitem", "orders", "partsupp" if False else "part"])
+    icol = rng.choice([c for c, k in _cols(t) if k == "int"])
+    m, d = rng.randint(2, 9), rng.randint(2, 7)
+    variant = rng.randrange(3)
+    if variant == 0:  # mod/div lattice
+        return (
+            f"SELECT cast({icol} % {m} as bigint) AS r, "
+            f"cast(sum(cast(floor({icol} / {d}.0) as bigint)) as bigint) AS q, "
+            f"cast(count(*) as bigint) AS n FROM {t} GROUP BY r"
+        )
+    if variant == 1:  # abs/least/greatest over shifted ints
+        s = rng.randint(100, 5000)
+        return (
+            f"SELECT cast(sum(abs({icol} - {s})) as bigint) AS a, "
+            f"cast(max(least({icol}, {s})) as bigint) AS lo, "
+            f"cast(min(greatest({icol}, {s})) as bigint) AS hi FROM {t}"
+        )
+    # sign/CASE mixture
+    return (
+        f"SELECT cast(sign({icol} - {rng.randint(50, 500)}) as bigint) AS sg, "
+        f"cast(count(*) as bigint) AS n FROM {t} GROUP BY sg"
+    )
+
+
+N_QUERIES4 = 40
+_RNG4 = random.Random(1213)
+QUERIES4 = [
+    [gen_string_query, gen_intmath_query][i % 2](_RNG4) for i in range(N_QUERIES4)
+]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES4))
+def test_fuzzed_string_math_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES4[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query4 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
