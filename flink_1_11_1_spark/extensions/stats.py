@@ -301,3 +301,85 @@ GROUP BY p ORDER BY p
 """
 
 registry.register("x_quantiles", dist_quantiles, _Q_ORACLE)
+
+
+# ---------------------------------------------------- streaming HLL
+
+_HLL_OUT_SCHEMA = "event_type string, regs_hit long, sum_scaled long"
+_HLL_STATE_SCHEMA = "ranks array<integer>"
+
+
+def hll_register_cols(events: DataFrame) -> DataFrame:
+    """JVM-side (event_type, reg, rank) projection — the same md5
+    register math as the batch entry, computed before the stateful op
+    (the flag-column pattern: Python only folds small integers)."""
+    return (
+        events.selectExpr(
+            "event_type",
+            f"{_spark_fold('cast(user_id as string)', 1, 2)} AS reg",
+            "substring(md5(cast(user_id as string)), 3, 13) AS tail",
+        )
+        .selectExpr(
+            "event_type",
+            "cast(reg as int) AS reg",
+            "cast(length(regexp_extract(tail, '^0*', 0)) as int) AS nz",
+            "tail",
+        )
+        .selectExpr(
+            "event_type",
+            "reg",
+            """CASE WHEN nz >= 13 THEN 53
+                    ELSE nz * 4
+                         + CASE WHEN substring(tail, nz + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                                WHEN substring(tail, nz + 1, 1) IN ('4','5','6','7') THEN 1
+                                WHEN substring(tail, nz + 1, 1) IN ('2','3') THEN 2
+                                ELSE 3 END
+                         + 1
+               END AS rank""",
+        )
+        .selectExpr("event_type", "reg", "cast(rank as int) AS rank")
+    )
+
+
+def streaming_hll(events: DataFrame) -> DataFrame:
+    """Streaming distinct-count sketch per event_type: HLL registers as
+    keyed state, one (regs_hit, sum_scaled) row emitted per key per
+    trigger.
+
+    Flink's equivalent is a KeyedProcessFunction holding the register
+    array in ValueState; here ``applyInPandasWithState`` holds the same
+    256 ints.  Registers are a max-fold, so regs_hit only grows and
+    sum_scaled only shrinks — the final row per key equals the batch
+    sketch over the full replay (asserted by S14), and state is O(256)
+    per key regardless of stream length (no horizon needed).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = hll_register_cols(events)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            ranks = list(state.get[0])
+        else:
+            ranks = [0] * _M
+        for pdf in pdfs:
+            for reg, rank in zip(pdf["reg"], pdf["rank"]):
+                r, k = int(rank), int(reg)
+                if r > ranks[k]:
+                    ranks[k] = r
+        state.update((ranks,))
+        hit = sum(1 for r in ranks if r > 0)
+        sum_scaled = sum(1 << (53 - r) for r in ranks)
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "regs_hit": [hit], "sum_scaled": [sum_scaled]}
+        )
+
+    return pre.groupBy("event_type").applyInPandasWithState(
+        fn,
+        _HLL_OUT_SCHEMA,
+        _HLL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -378,3 +378,32 @@ def test_s12_streaming_incremental_dedup_equals_batch(spark):
     assert len(got_rows) == len(got)  # no pair emitted twice
     assert got == want
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_s14_streaming_hll_final_state_equals_batch(spark, replay_dir):
+    """S14: the keyed-state streaming HLL's final registers after a full
+    replay equal the batch sketch — regs_hit only grows and sum_scaled
+    only shrinks (max-fold), so the extrema over emitted rows ARE the
+    final state."""
+    from flink_1_11_1_spark.extensions import stats
+
+    stream = replay.events_stream(spark, replay_dir, watermark=None)
+    out = stats.streaming_hll(stream)
+    got_rows, _ = replay.run_stream(out, "update", "s14_hll")
+    assert got_rows, "stream emitted nothing"
+    final: dict[str, tuple[int, int]] = {}
+    for r in got_rows:
+        if r.event_type == "__flush__":  # replay's watermark sentinel
+            continue
+        hit, ss = final.get(r.event_type, (0, 1 << 62))
+        final[r.event_type] = (max(hit, r.regs_hit), min(ss, r.sum_scaled))
+    want = {
+        r.event_type: (r.hll_registers, r.hll_sum_scaled)
+        for r in stats.hll_distinct(spark, SF_SMOKE).collect()
+    }
+    assert final == want
+    # multiple triggers actually happened (incremental, not one batch)
+    per_key = {}
+    for r in got_rows:
+        per_key[r.event_type] = per_key.get(r.event_type, 0) + 1
+    assert max(per_key.values()) > 1
