@@ -383,3 +383,89 @@ def streaming_hll(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- bloom-filter join pruning
+
+# The runtime-filter technique Spark itself applies as
+# InjectRuntimeFilter (bloom pruning of the probe side of a selective
+# join), rendered as an explicit cross-engine-exact operator: build a
+# Bloom filter over the build-side keys (2048 bits as 64 x 32-bit
+# words, k=3 md5-derived probes), prune the probe side with it
+# (no false negatives by construction), then verify with the exact
+# join.  All arithmetic is integers and divisions by powers of two
+# (exact in IEEE), so both engines agree on every bit.
+
+_BF_BITS = 2048
+_BF_WORDBITS = 32  # 32-bit words: 2^pos sums stay far inside BIGINT
+_BF_K = 3
+
+
+def _bloom_sql(fold_fn) -> str:
+    def h(expr: str, i: int) -> str:
+        # probe i uses md5 nibbles [1+4i, 8+4i) -> position 0..2047
+        return f"({fold_fn(expr, 1 + 4 * i, 8)} % {_BF_BITS})"
+
+    bkey, pkey = "cast(c_custkey as string)", "cast(o_custkey as string)"
+    build_probes = "\n    UNION ALL\n    ".join(
+        f"SELECT {h(bkey, i)} AS p FROM build" for i in range(_BF_K)
+    )
+    word_joins = "\n  ".join(
+        f"JOIN words w{i} ON w{i}.word = cast(floor(p.h{i} / {_BF_WORDBITS}.0) as bigint)"
+        for i in range(_BF_K)
+    )
+    bit_tests = "\n    AND ".join(
+        f"cast(floor(w{i}.bits / cast(pow(cast(2 as bigint), p.h{i} % {_BF_WORDBITS}) as bigint)) as bigint) % 2 = 1"
+        for i in range(_BF_K)
+    )
+    probe_hashes = ",\n         ".join(f"{h(pkey, i)} AS h{i}" for i in range(_BF_K))
+    return f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+),
+bits AS (
+  SELECT DISTINCT cast(floor(p / {_BF_WORDBITS}.0) as bigint) AS word,
+                  cast(p % {_BF_WORDBITS} as bigint) AS pos
+  FROM (
+    {build_probes}
+  ) u
+),
+words AS (
+  SELECT word, cast(sum(cast(pow(cast(2 as bigint), pos) as bigint)) as bigint) AS bits
+  FROM bits GROUP BY word
+),
+ph AS (
+  SELECT o_orderkey, o_custkey,
+         {probe_hashes}
+  FROM orders
+),
+cand AS (
+  SELECT p.o_orderkey, p.o_custkey
+  FROM ph p
+  {word_joins}
+  WHERE {bit_tests}
+),
+verified AS (
+  SELECT c.o_orderkey FROM cand c JOIN build b ON b.c_custkey = c.o_custkey
+)
+SELECT cast((SELECT count(*) FROM build) as bigint)    AS n_build,
+       cast((SELECT count(*) FROM cand) as bigint)     AS n_candidates,
+       cast((SELECT count(*) FROM verified) as bigint) AS n_verified
+"""
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter probe pruning ahead of a selective join.
+
+    100 TB shape: the filter is 64 words — broadcast for free — and the
+    probe predicate is map-only (the word joins are broadcast hash
+    joins against a 64-row table); only candidates (true matches plus
+    the visible false positives) reach the verify join.  Spark's own
+    InjectRuntimeFilter applies the same idea implicitly; this entry
+    makes the no-false-negative contract checkable cross-engine.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(_bloom_sql(_spark_fold))
+
+
+registry.register("x_bloom_prune", bloom_join_prune, _bloom_sql(_duck_fold))

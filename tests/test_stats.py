@@ -74,3 +74,22 @@ def test_quantiles_match_sorted_indexing(spark):
     for p in stats._Q_PROBS:
         want = vals[math.ceil(p * len(vals)) - 1]
         assert got[p] == want, (p, got[p], want)
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Candidates must be a superset of true matches: n_verified equals
+    the exact join count, n_candidates >= n_verified. At high fill the
+    filter saturates into false positives — visible, never dropped rows."""
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.extensions.stats import bloom_join_prune
+
+    row = bloom_join_prune(spark, SF_SMOKE).collect()[0]
+    catalog.register(spark, SF_SMOKE)
+    exact = spark.sql("""
+        SELECT count(*) AS n FROM orders o
+        JOIN (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000) b
+          ON b.c_custkey = o.o_custkey
+    """).collect()[0].n
+    assert row.n_verified == exact
+    assert row.n_candidates >= row.n_verified
+    assert row.n_build > 0
