@@ -157,7 +157,45 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _ddl_options_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLIP-113 dynamic table options through the driver contract: the
+    declared table's WITH path is a placeholder that doesn't exist; the
+    query's ``/*+ OPTIONS('path'='...') */`` hint redirects THIS
+    statement to the real orders parquet.  The oracle is the same
+    aggregate over the canonical orders view — matching hashes prove
+    the hint actually swapped the scan (the base path alone would have
+    failed the read)."""
+    from ..table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("DROP TABLE IF EXISTS ddl_orders_hint_x")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ddl_orders_hint_x (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{sf_dir}/nonexistent_base.parquet',
+          'format' = 'parquet'
+        )
+        """
+    )
+    return tenv.execute_sql(
+        f"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS s "
+        f"FROM ddl_orders_hint_x /*+ OPTIONS('path'='{sf_dir}/orders.parquet') */ "
+        f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+DDL_HINT_DUCK = """
+SELECT o_orderstatus, count(*) AS n, cast(sum(o_custkey) as bigint) AS s
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
+registry.register("x_ddl_options_hint", _ddl_options_hint, DDL_HINT_DUCK)
 registry.register("x_explode_correlate", _sql_runner(EXPLODE_SPARK), EXPLODE_DUCK)
 registry.register("x_array_ops", _sql_runner(ARRAY_SPARK), ARRAY_DUCK)
 registry.register("x_listagg_ordered", _sql_runner(LISTAGG_SPARK), LISTAGG_DUCK)
