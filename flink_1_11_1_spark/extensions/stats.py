@@ -469,3 +469,162 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 registry.register("x_bloom_prune", bloom_join_prune, _bloom_sql(_duck_fold))
+
+
+# ----------------------------------------------- HLL register merge
+
+def _hll_regs_cte(reg_expr: str, tail_expr: str) -> str:
+    """The (event_type, reg, maxrank) register table — shared by the
+    single-group sketch and the union merge."""
+    return f"""
+h AS (
+  SELECT event_type, {reg_expr} AS reg, {tail_expr} AS tail FROM events
+),
+z AS (
+  SELECT event_type, reg, length(regexp_extract(tail, '^0*', 0)) AS nz, tail FROM h
+),
+rk AS (
+  SELECT event_type, reg,
+         CASE WHEN nz >= 13 THEN 53
+              ELSE cast(nz as int) * 4
+                   + CASE WHEN substring(tail, cast(nz as int) + 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN substring(tail, cast(nz as int) + 1, 1) IN ('4','5','6','7') THEN 1
+                          WHEN substring(tail, cast(nz as int) + 1, 1) IN ('2','3') THEN 2
+                          ELSE 3 END
+                   + 1
+         END AS rank
+  FROM z
+),
+regs AS (
+  SELECT event_type, reg, max(rank) AS maxrank FROM rk GROUP BY event_type, reg
+)"""
+
+
+def _hll_union_sql(reg_expr: str, tail_expr: str) -> str:
+    # Union sketch of two groups = element-wise register max — the
+    # mergeability that makes HLL a partial aggregate at 100 TB.  The
+    # merged estimate is compared against the exact distinct of the
+    # unioned key sets.
+    return f"""
+WITH {_hll_regs_cte(reg_expr, tail_expr)},
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT p.et_a, p.et_b, r.reg, max(r.maxrank) AS maxrank
+  FROM pairs p
+  JOIN regs r ON r.event_type = p.et_a OR r.event_type = p.et_b
+  GROUP BY p.et_a, p.et_b, r.reg
+),
+agg AS (
+  SELECT et_a, et_b,
+         count(*) AS regs_hit,
+         sum(cast(pow(cast(2 as bigint), 53 - maxrank) as bigint)) AS sum_hit
+  FROM merged GROUP BY et_a, et_b
+),
+ex AS (
+  SELECT p.et_a, p.et_b, count(DISTINCT e.user_id) AS n_exact
+  FROM pairs p JOIN events e ON e.event_type = p.et_a OR e.event_type = p.et_b
+  GROUP BY p.et_a, p.et_b
+)
+SELECT a.et_a, a.et_b,
+       cast(e.n_exact as bigint) AS n_exact_union,
+       cast(a.regs_hit as bigint) AS hll_registers,
+       cast(a.sum_hit + ({_M} - a.regs_hit) * cast({_TWO_53} as bigint) as bigint) AS hll_sum_scaled,
+       round({_HLL_NUM} / (a.sum_hit + ({_M} - a.regs_hit) * cast({_TWO_53} as bigint)), 2) AS est_raw
+FROM agg a JOIN ex e ON e.et_a = a.et_a AND e.et_b = a.et_b
+ORDER BY a.et_a, a.et_b
+"""
+
+
+def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise HLL union via register merge (element-wise max).
+
+    This is the property that makes the sketch a distributed partial
+    aggregate: per-split sketches merge associatively, so at 100 TB
+    each task emits 256 ints and the combine is a groupBy max — no
+    distinct shuffle at any point.  The exact-union column is the
+    fixture-scale comparison and would be dropped at scale.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(
+        _hll_union_sql(
+            _spark_fold("cast(user_id as string)", 1, 2),
+            "substring(md5(cast(user_id as string)), 3, 13)",
+        )
+    )
+
+
+registry.register(
+    "x_hll_union",
+    hll_union,
+    _hll_union_sql(_duck_fold("user_id::VARCHAR", 1, 2), "substring(md5(user_id::VARCHAR), 3, 13)"),
+)
+
+
+# ----------------------------------------------- MAD anomaly detection
+
+# Robust outlier gate on the event value stream: median and MAD (median
+# absolute deviation) per event_type, then count values beyond
+# median ± 3*MAD.  Values are cent-quantized (round(value*100) — the
+# same double input rounds identically on both engines), so every
+# declared column is an exact integer; the whole text is shared
+# verbatim between Spark and DuckDB.
+
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, cast(round(value * 100, 0) as bigint) AS cents FROM events
+),
+med AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+m AS (
+  SELECT event_type, min(cents) AS median_cents
+  FROM med WHERE rn = cast(ceil(n / 2.0) as bigint) GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, abs(v.cents - m.median_cents) AS d
+  FROM v JOIN m ON m.event_type = v.event_type
+),
+dmed AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, min(d) AS mad_cents
+  FROM dmed WHERE rn = cast(ceil(n / 2.0) as bigint) GROUP BY event_type
+)
+SELECT v.event_type,
+       cast(max(m.median_cents) as bigint) AS median_cents,
+       cast(max(mad.mad_cents) as bigint)  AS mad_cents,
+       cast(sum(CASE WHEN abs(v.cents - m.median_cents) > 3 * mad.mad_cents THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+       cast(count(*) as bigint) AS n
+FROM v
+JOIN m ON m.event_type = v.event_type
+JOIN mad ON mad.event_type = v.event_type
+GROUP BY v.event_type
+ORDER BY v.event_type
+"""
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per event_type (the data-quality
+    gate profile jobs run before training ingestion).
+
+    The two medians are exact lower-medians via per-group windows —
+    each group sorts independently (no global sort), and at 100 TB the
+    same bucket-refinement trick as ``dist_quantiles`` replaces the
+    in-group window sort.  Integer cents end to end.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(_MAD_SQL)
+
+
+registry.register("x_mad_outliers", mad_outliers, _MAD_SQL)

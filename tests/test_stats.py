@@ -93,3 +93,55 @@ def test_bloom_prune_no_false_negatives(spark):
     assert row.n_verified == exact
     assert row.n_candidates >= row.n_verified
     assert row.n_build > 0
+
+
+def test_hll_union_dominates_both_sides(spark):
+    """Register-merge union: merged regs_hit >= each side's, merged
+    sum_scaled <= each side's (element-wise max), and the corrected
+    estimate lands within the HLL error bound of the exact union."""
+    import math as _math
+
+    sides = {r.event_type: r for r in stats.hll_distinct(spark, SF_SMOKE).collect()}
+    m = 256
+    for r in stats.hll_union(spark, SF_SMOKE).collect():
+        a, b = sides[r.et_a], sides[r.et_b]
+        assert r.hll_registers >= max(a.hll_registers, b.hll_registers)
+        assert r.hll_sum_scaled <= min(a.hll_sum_scaled, b.hll_sum_scaled)
+        empty = m - r.hll_registers
+        est = (
+            m * _math.log(m / empty)
+            if r.est_raw < 2.5 * m and empty > 0
+            else r.est_raw
+        )
+        assert abs(est - r.n_exact_union) / r.n_exact_union < 0.26
+
+
+def test_mad_outliers_python_replay(spark):
+    """Exact replay: lower medians over cent-quantized values and the
+    3-MAD outlier count must match row for row."""
+    import math as _math
+
+    from flink_1_11_1_spark import catalog
+
+    catalog.register(spark, SF_SMOKE)
+    vals: dict[str, list[int]] = {}
+    for r in spark.sql("SELECT event_type, value FROM events").collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[_math.ceil(len(xs) / 2) - 1]
+
+    got = {r.event_type: r for r in stats.mad_outliers(spark, SF_SMOKE).collect()}
+    assert set(got) == set(vals)
+    for et, xs in vals.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        n_out = sum(1 for x in xs if abs(x - med) > 3 * mad)
+        r = got[et]
+        assert (r.median_cents, r.mad_cents, r.n_outliers, r.n) == (
+            med,
+            mad,
+            n_out,
+            len(xs),
+        ), et
