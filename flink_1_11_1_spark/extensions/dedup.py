@@ -973,3 +973,72 @@ registry.register("x_substring_dedup", _substring, SUBSTRING_ORACLE)
 registry.register("x_dedup_incremental", _incremental, _incremental_oracle_sql())
 # x_semdedup is registered from extensions/curation.py (its oracle embeds
 # the k-means CTEs; registering there avoids a circular import at load).
+
+
+# ------------------------------------------------ asymmetric containment
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def containment_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Asymmetric shingle containment: C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset relations (a doc fully embedded in a much
+    larger one scores low); containment is the dedup family's
+    superset/subset detector (the "document A is a quote of B" case).
+    Exact-verifier shape like ``jaccard_pairs`` — at 100 TB the
+    candidate side is MinHash-LSH or the PPJoin prefix filter, with
+    this join verifying candidates only (same composition contract as
+    the rest of the family).
+    """
+    sh = shingles(docs, n)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("c"))
+    )
+    out = (
+        inter.join(cnt.alias("ca"), F.col("da") == F.col("ca.doc_id"))
+        .join(cnt.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        .select(
+            "da",
+            "db",
+            F.round(F.col("c") * 1.0 / F.col("ca.n"), 4).alias("c_ab"),
+            F.round(F.col("c") * 1.0 / F.col("cb.n"), 4).alias("c_ba"),
+        )
+        .where(
+            (F.col("c") * 1.0 / F.col("ca.n") >= CONTAIN_THRESHOLD)
+            | (F.col("c") * 1.0 / F.col("cb.n") >= CONTAIN_THRESHOLD)
+        )
+        .orderBy("da", "db")
+    )
+    return out
+
+
+def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(catalog.load_table(spark, sf_dir, "documents"))
+
+
+CONTAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 0))) t(i)
+), cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id da, b.doc_id db, count(*) c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db,
+       round(c * 1.0 / ca.n, 4) AS c_ab,
+       round(c * 1.0 / cb.n, 4) AS c_ba
+FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE c * 1.0 / ca.n >= {CONTAIN_THRESHOLD} OR c * 1.0 / cb.n >= {CONTAIN_THRESHOLD}
+ORDER BY da, db
+"""
+
+registry.register("x_dedup_containment", _containment, CONTAIN_ORACLE)

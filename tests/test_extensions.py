@@ -388,3 +388,24 @@ def test_pq_recall_vs_exact_l2(spark):
         if exact_dist == best[0]:
             hits += 1
     assert hits / len(got) >= 0.4, hits
+
+
+def test_containment_detects_planted_subset(spark):
+    """A doc built from the first third of another doc's words has
+    containment ~1.0 in its source while Jaccard stays low — the
+    asymmetric case Jaccard-only dedup misses."""
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    long_doc = docs.where("doc_id = 1").collect()[0]
+    words = long_doc.text.split()
+    sub_text = " ".join(words[: max(len(words) // 3, 5)])
+    planted = spark.createDataFrame(
+        [(990001, sub_text, "en", "synthetic", len(sub_text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pairs = dedup.containment_pairs(docs.unionByName(planted))
+    got = {(r.da, r.db): (r.c_ab, r.c_ba) for r in pairs.collect()}
+    key = (1, 990001)
+    assert key in got, got
+    c_ab, c_ba = got[key]
+    assert c_ba >= 0.95  # planted ⊂ source: containment of planted side
+    assert c_ab < 0.6  # source is NOT contained in the fragment
