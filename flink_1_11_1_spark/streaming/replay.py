@@ -142,3 +142,59 @@ def run_stream(
         import shutil
 
         shutil.rmtree(f"/tmp/ckpt_{name}_{os.getpid()}", ignore_errors=True)
+
+
+class PunctuatedWatermark:
+    """Punctuated watermark assignment (Flink's
+    ``WatermarkGenerator.onEvent`` emitting on marker records — public
+    tree flink-core ``api/common/eventtime/WatermarkGenerator.java``) as
+    a ``foreachBatch`` adapter.
+
+    Spark's ``withWatermark`` is bounded-out-of-orderness only (the
+    watermark advances from observed event times minus a fixed delay);
+    a source whose WATERMARK rides on explicit marker records (e.g. a
+    CDC heartbeat) has no native Spark rendering.  This adapter keeps
+    the current watermark as driver state: each micro-batch first
+    advances the watermark to the max marker value seen, then splits
+    the batch's data rows into on-time (ts >= current watermark is NOT
+    required — on-time means ts > watermark-at-batch-start per Flink's
+    "late if <= currentWatermark" contract) and late, handing both to
+    the callback.
+
+    Semantics delta vs Flink, documented: granularity is the
+    micro-batch — a marker only gates rows in LATER batches (within one
+    batch, Flink's per-record ordering of marker vs data is lost).  The
+    S15 test pins exactly this contract against a hand-computed fold.
+    """
+
+    def __init__(
+        self,
+        marker_predicate: str,
+        ts_col: str,
+        on_batch,
+    ):
+        self.marker_predicate = marker_predicate
+        self.ts_col = ts_col
+        self.on_batch = on_batch
+        self.watermark: int | None = None  # epoch micros
+
+    def __call__(self, batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        wm_start = self.watermark
+        data = batch_df.where(f"NOT ({self.marker_predicate})")
+        markers = batch_df.where(self.marker_predicate)
+        # The split stays distributed — only the 1-row marker max comes
+        # to the driver (the watermark IS driver/coordinator state, as
+        # in Flink's source coordinator).
+        if wm_start is None:
+            on_time, late = data, data.limit(0)
+        else:
+            late_pred = F.unix_micros(F.col(self.ts_col)) <= F.lit(wm_start)
+            on_time, late = data.where(~late_pred), data.where(late_pred)
+        mx = markers.agg(
+            F.max(F.unix_micros(F.col(self.ts_col))).alias("m")
+        ).collect()[0]["m"]
+        if mx is not None and (self.watermark is None or mx > self.watermark):
+            self.watermark = int(mx)
+        self.on_batch(batch_id, on_time, late, self.watermark)

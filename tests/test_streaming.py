@@ -407,3 +407,70 @@ def test_s14_streaming_hll_final_state_equals_batch(spark, replay_dir):
     for r in got_rows:
         per_key[r.event_type] = per_key.get(r.event_type, 0) + 1
     assert max(per_key.values()) > 1
+
+
+def test_s15_punctuated_watermark_marker_gating(spark):
+    """S15: punctuated watermark — 'error' events are the markers; a
+    marker gates data rows in LATER batches (batch-granular, the
+    documented delta vs Flink's per-record emission).  Hand-computed
+    fold over the same 3-chunk replay must agree batch for batch."""
+    from flink_1_11_1_spark.streaming.replay import PunctuatedWatermark
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    frames = [
+        ev.where("event_id < 300"),
+        ev.where("event_id >= 300 AND event_id < 600"),
+        ev.where("event_id >= 600"),
+    ]
+    rdir = tempfile.mkdtemp(prefix="s15_replay_")
+    replay.write_replay_frames(frames, rdir)
+    stream = replay.events_stream(spark, rdir, watermark=None)
+
+    got: list[tuple[int, set, set, int | None]] = []
+
+    def on_batch(bid, on_time_df, late_df, wm):
+        got.append(
+            (
+                bid,
+                {r.event_id for r in on_time_df.collect()},
+                {r.event_id for r in late_df.collect()},
+                wm,
+            )
+        )
+
+    pw = PunctuatedWatermark("event_type = 'error'", "ts", on_batch)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(pw)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s15_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # hand fold over the same frames in replay order
+    wm = None
+    want = []
+    for f in frames:
+        rows = f.collect()
+        data = [r for r in rows if r.event_type != "error"]
+        markers = [r for r in rows if r.event_type == "error"]
+        us = lambda r: int(r.ts.timestamp() * 1_000_000)
+        late = {r.event_id for r in data if wm is not None and us(r) <= wm}
+        on_time = {r.event_id for r in data} - late
+        mxs = [us(r) for r in markers]
+        if mxs and (wm is None or max(mxs) > wm):
+            wm = max(mxs)
+        want.append((on_time, late, wm))
+
+    # the replay may add a flush-sentinel batch; compare the 3 data batches
+    data_batches = [g for g in got if g[1] or g[2]]
+    assert len(data_batches) >= 3
+    for (bid, on_t, late, wm_got), (w_on, w_late, w_wm) in zip(data_batches, want):
+        # sentinel rows (event_type __flush__) are data to the adapter;
+        # exclude ids not present in the fixture frames
+        fixture_ids = {r.event_id for f in frames for r in f.collect()}
+        assert on_t & fixture_ids == w_on, bid
+        assert late & fixture_ids == w_late, bid
+        assert wm_got == w_wm, bid
+    shutil.rmtree(rdir, ignore_errors=True)
