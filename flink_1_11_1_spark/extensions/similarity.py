@@ -512,9 +512,11 @@ registry.register("x_ann_ivf", _ann_ivf, ANN_IVF_ORACLE)
 
 # PQ-ADC ANN (Jégou et al., "Product quantization for nearest neighbor
 # search", TPAMI 2011; the scan half of FAISS's IVFPQ — IVF above is the
-# other half).  M=4 subspaces x 16 dims, K=16 codes per subspace: each
-# database vector compresses to 4 code bytes; a query scans the code
-# table with a 4x16 distance table (ADC) and exact-re-ranks a shortlist.
+# other half).  M=8 subspaces x 8 dims, K=64 codes per subspace: each
+# database vector compresses to 8 six-bit codes; a query scans the code
+# table with an 8x64 distance table (ADC) and exact-re-ranks a shortlist.
+# Measured top-1 recall 0.69 on the isotropic fixture (PQ's worst case;
+# K=16 gave 0.44, K=32 0.56 — the codebook-size knob).
 #
 # Cross-engine exactness: coordinates are int-quantized (KM_SCALE grid),
 # so every distance — codebook assignment, ADC entries, exact re-rank —
@@ -525,7 +527,7 @@ registry.register("x_ann_ivf", _ann_ivf, ANN_IVF_ORACLE)
 
 PQ_M = 8  # subspaces
 PQ_SUB = 8  # dims per subspace
-PQ_K = 16  # codes per subspace
+PQ_K = 64  # codes per subspace (6-bit codes; K=256 is the production norm)
 PQ_SHORTLIST = 50
 PQ_NQ = 16  # queries: vec_id < 16
 
