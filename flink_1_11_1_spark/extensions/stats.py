@@ -628,3 +628,59 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 registry.register("x_mad_outliers", mad_outliers, _MAD_SQL)
+
+
+# ------------------------------------- generic exact-quantile helper
+
+_QVIEW_N = [0]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    probs=(0.5, 0.9, 0.99),
+    bucket_width: float = 10000.0,
+) -> DataFrame:
+    """Reusable two-pass bucket-refinement exact quantiles over any
+    DataFrame (the machinery behind the declared ``x_quantiles`` entry,
+    exposed for arbitrary inputs; property-tested over random frames).
+
+    Same rank convention: lower discrete quantile, smallest value with
+    cum_count >= ceil(p*n); ties ordered by (value, tiebreak)."""
+    spark = df.sparkSession
+    _QVIEW_N[0] += 1
+    view = f"__exact_quantiles_{_QVIEW_N[0]}"
+    df.createOrReplaceTempView(view)
+    probs_rows = ", ".join(f"({p})" for p in probs)
+    bk = f"cast(floor({value_col} / {bucket_width!r}) as bigint)"
+    return spark.sql(f"""
+WITH b AS (
+  SELECT {bk} AS bk, count(*) AS cnt FROM {view} GROUP BY 1
+),
+c AS (
+  SELECT bk, cnt,
+         sum(cnt) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM b
+),
+n AS (SELECT sum(cnt) AS n FROM b),
+t AS (
+  SELECT cast(p as double) AS p, cast(ceil(p * n.n) as bigint) AS target
+  FROM (SELECT * FROM (VALUES {probs_rows}) AS v(p)) pp CROSS JOIN n
+),
+hit AS (
+  SELECT t.p, t.target, c.bk, coalesce(c.cum_before, 0) AS below
+  FROM t JOIN c ON t.target > coalesce(c.cum_before, 0) AND t.target <= c.cum
+),
+r AS (
+  SELECT {bk} AS bk, {value_col} AS v,
+         row_number() OVER (PARTITION BY {bk}
+                            ORDER BY {value_col}, {tiebreak_col}) AS rn
+  FROM {view}
+  WHERE {bk} IN (SELECT bk FROM hit)
+)
+SELECT h.p AS p, r.v AS value
+FROM hit h JOIN r ON r.bk = h.bk AND r.rn = h.target - h.below
+ORDER BY h.p
+""")

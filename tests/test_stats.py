@@ -145,3 +145,34 @@ def test_mad_outliers_python_replay(spark):
             n_out,
             len(xs),
         ), et
+
+
+def test_exact_quantiles_property_random_frames(spark):
+    """Hypothesis-style property over seeded random frames: the generic
+    two-pass helper equals plain sorted indexing for every probability,
+    across list shapes (duplicates, negatives, single bucket, many
+    buckets, tiny n)."""
+    import random
+
+    from flink_1_11_1_spark.extensions.stats import exact_quantiles
+
+    rng = random.Random(42)
+    cases = [
+        [rng.randint(-50, 50) for _ in range(n)]
+        for n in (1, 2, 7, 100, 500)
+    ] + [[5] * 40, list(range(200)), [rng.randint(0, 10**6) for _ in range(300)]]
+    probs = (0.01, 0.5, 0.9, 0.99, 1.0)
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+        )
+        got = {
+            r.p: r.value
+            for r in exact_quantiles(df, "v", "id", probs, bucket_width=7.0).collect()
+        }
+        s = sorted(vals)
+        import math as _math
+
+        for p in probs:
+            want = s[max(_math.ceil(p * len(s)), 1) - 1]
+            assert got[p] == want, (len(vals), p, got[p], want)
