@@ -684,3 +684,68 @@ SELECT h.p AS p, r.v AS value
 FROM hit h JOIN r ON r.bk = h.bk AND r.rn = h.target - h.below
 ORDER BY h.p
 """)
+
+
+# --------------------------------------------- grouped exact quantiles
+
+_QG_PROBS = (0.5, 0.95)
+
+
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p95 of o_totalprice per
+    o_orderstatus) with the same bucket-refinement plan, group-keyed:
+    pass-1 histogram cardinality = groups x buckets, pass-2 ranks only
+    inside (group, bucket) partitions that contain a requested rank —
+    still no global (or even per-group-global) sort."""
+    catalog.register(spark, sf_dir)
+    probs_rows = ", ".join(f"({p})" for p in _QG_PROBS)
+    return spark.sql(f"""
+WITH b AS (
+  SELECT o_orderstatus AS g, cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) AS bk,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT g, bk, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM b
+),
+n AS (SELECT g, sum(cnt) AS n FROM b GROUP BY g),
+t AS (
+  SELECT n.g, cast(p as double) AS p, cast(ceil(p * n.n) as bigint) AS target
+  FROM (SELECT * FROM (VALUES {probs_rows}) AS v(p)) pp CROSS JOIN n
+),
+hit AS (
+  SELECT t.g, t.p, t.target, c.bk, coalesce(c.cum_before, 0) AS below
+  FROM t JOIN c ON c.g = t.g AND t.target > coalesce(c.cum_before, 0) AND t.target <= c.cum
+),
+r AS (
+  SELECT o_orderstatus AS g, cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) AS bk,
+         o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus, cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint)
+                            ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+),
+picked AS (
+  SELECT h.g, h.p, r.o_totalprice AS value
+  FROM hit h JOIN r ON r.g = h.g AND r.bk = h.bk AND r.rn = h.target - h.below
+)
+SELECT g AS o_orderstatus, p, value FROM picked ORDER BY g, p
+""")
+
+
+_QG_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderstatus AS g, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT g AS o_orderstatus, cast(p as double) AS p, min(o_totalprice) AS value
+FROM (SELECT * FROM (VALUES {', '.join(f'({p})' for p in _QG_PROBS)}) AS v(p)) pp
+JOIN ranked ON rn = cast(ceil(p * n) as bigint)
+GROUP BY g, p ORDER BY g, p
+"""
+
+registry.register("x_quantiles_grouped", grouped_quantiles, _QG_ORACLE)

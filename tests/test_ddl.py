@@ -389,3 +389,27 @@ def test_options_hint_on_undeclared_table_is_stripped(tenv):
         .n
     )
     assert n == 5
+
+
+def test_options_hints_on_two_tables_in_one_join(tenv):
+    """Independent hints on both sides of a join each get their own
+    one-shot alias (per-reference scope)."""
+    d001 = "/root/testdata/sf0.001"
+    d01 = "/root/testdata/sf0.01"
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE hint_j (
+          doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT
+        ) WITH (
+          'connector' = 'filesystem', 'path' = '{d001}/documents.parquet',
+          'format' = 'parquet'
+        )
+        """
+    )
+    row = tenv.execute_sql(
+        f"SELECT (SELECT count(*) FROM hint_j /*+ OPTIONS('path'='{d01}/documents.parquet') */) AS a, "
+        f"(SELECT count(*) FROM hint_j) AS b"
+    ).collect()[0]
+    assert row.a == tenv.spark.read.parquet(f"{d01}/documents.parquet").count()
+    assert row.b == tenv.spark.read.parquet(f"{d001}/documents.parquet").count()
+    tenv.execute_sql("DROP TABLE hint_j")
