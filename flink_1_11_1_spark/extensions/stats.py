@@ -749,3 +749,59 @@ GROUP BY g, p ORDER BY g, p
 """
 
 registry.register("x_quantiles_grouped", grouped_quantiles, _QG_ORACLE)
+
+
+# ------------------------------------------------ streaming count-min
+
+_CM_OUT_SCHEMA = "d integer, bits long, totals array<long>"
+_CM_STATE_SCHEMA = "totals array<long>"
+
+
+def cm_bucket_cols(docs: DataFrame) -> DataFrame:
+    """JVM-side (d, bucket) projection of the token stream — one row per
+    (token occurrence, depth), the same md5 bucket math as the batch
+    entry; Python only adds small ints."""
+    from pyspark.sql import functions as F
+
+    toks = docs.selectExpr("explode(split(trim(text), ' ')) AS w")
+    rows = [
+        toks.selectExpr(
+            f"{d} AS d",
+            _spark_fold("'%d:' || w" % d, 1, 8) + f" % {_CM_WIDTH} AS b",
+        )
+        for d in range(_CM_DEPTH)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def streaming_cm(docs: DataFrame) -> DataFrame:
+    """Streaming count-min: each depth row is a key whose state is the
+    width-64 counter array (additive fold — the sketch IS the partial
+    aggregate, so the final state after any replay equals the batch cm
+    table, asserted by S16).  State is O(width) per depth regardless of
+    stream length; the emitted row carries the running totals."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = cm_bucket_cols(docs)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            totals = list(state.get[0])
+        else:
+            totals = [0] * _CM_WIDTH
+        for pdf in pdfs:
+            for b in pdf["b"]:
+                totals[int(b)] += 1
+        state.update((totals,))
+        yield pd.DataFrame(
+            {"d": [key[0]], "bits": [sum(totals)], "totals": [totals]}
+        )
+
+    return pre.groupBy("d").applyInPandasWithState(
+        fn, _CM_OUT_SCHEMA, _CM_STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

@@ -474,3 +474,53 @@ def test_s15_punctuated_watermark_marker_gating(spark):
         assert late & fixture_ids == w_late, bid
         assert wm_got == w_wm, bid
     shutil.rmtree(rdir, ignore_errors=True)
+
+
+def test_s16_streaming_countmin_final_state_equals_batch(spark):
+    """S16: the additive keyed-state count-min's final counter arrays
+    after a 3-chunk document replay equal the batch sketch table (the
+    sketch is its own partial aggregate)."""
+    from flink_1_11_1_spark.extensions import stats
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    frames = [
+        docs.where(F.col("doc_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    rdir = tempfile.mkdtemp(prefix="s16_replay_")
+    replay.write_replay_frames(frames, rdir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(rdir, "chunk_*.parquet"))
+    )
+    out = stats.streaming_cm(stream)
+    seen: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: seen.extend(bdf.collect()))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s16_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # final per-depth state = the row with the max running total
+    final = {}
+    for r in seen:
+        if r.d not in final or r.bits > final[r.d].bits:
+            final[r.d] = r
+    # batch twin: aggregate the same (d, bucket) projection
+    batch = (
+        stats.cm_bucket_cols(docs)
+        .groupBy("d", "b")
+        .count()
+        .collect()
+    )
+    want: dict[int, list[int]] = {d: [0] * stats._CM_WIDTH for d in range(stats._CM_DEPTH)}
+    for r in batch:
+        want[r.d][r.b] = r["count"]
+    assert set(final) == set(want)
+    for d in want:
+        assert list(final[d].totals) == want[d], d
+    assert len({r.bits for r in seen if r.d == 0}) > 1  # incremental
+    shutil.rmtree(rdir, ignore_errors=True)
