@@ -180,6 +180,53 @@ class TableEnvironment:
         scans cached by the first INSERT serve the rest)."""
         return StatementSet(self)
 
+    def execute_script(self, script: str) -> DataFrame | None:
+        """Run a ``;``-separated Flink SQL script (the sql-client
+        ``-f script.sql`` surface): statements execute in order through
+        ``execute_sql``; the last statement's result (if any) is
+        returned.  The split respects single-quoted strings, so WITH
+        properties containing ``;`` survive.  ``--``-to-end-of-line
+        comments are stripped (sql-client convention)."""
+        stmts, buf, in_str = [], [], False
+        i, n = 0, len(script)
+        while i < n:
+            ch = script[i]
+            if ch == "'":
+                in_str = not in_str
+                buf.append(ch)
+            elif not in_str and ch == "-" and script[i : i + 2] == "--":
+                while i < n and script[i] != "\n":
+                    i += 1
+                continue
+            elif not in_str and ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            i += 1
+        stmts.append("".join(buf))
+        result: DataFrame | None = None
+        for s in stmts:
+            if s.strip():
+                result = self.execute_sql(s)
+        return result
+
+    def explain_sql(self, sql: str) -> str:
+        """``Table.explain()`` parity: the optimized logical and
+        physical plan of a query as a string (Catalyst's rendering —
+        the engine's equivalent of Flink's AST/logical/physical
+        sections)."""
+        df = self.execute_sql(sql)
+        if df is None:
+            raise ValueError("explain_sql needs a query, not a DDL statement")
+        qe = df._jdf.queryExecution()
+        return (
+            "== Optimized Logical Plan ==\n"
+            + qe.optimizedPlan().toString()
+            + "\n== Physical Plan ==\n"
+            + qe.executedPlan().toString()
+        )
+
 
 class StatementSet:
     """Buffered multi-INSERT execution (TableEnvironment.createStatementSet

@@ -413,3 +413,45 @@ def test_options_hints_on_two_tables_in_one_join(tenv):
     assert row.a == tenv.spark.read.parquet(f"{d01}/documents.parquet").count()
     assert row.b == tenv.spark.read.parquet(f"{d001}/documents.parquet").count()
     tenv.execute_sql("DROP TABLE hint_j")
+
+
+# ---------------------------------------------------- sql-client script
+
+
+def test_execute_script_runs_statement_sequence(tenv, tmp_path):
+    """A Flink sql-client script (DDL + view + INSERT + final query,
+    '--' comments, ';' separators) runs unchanged; the last statement's
+    result comes back."""
+    sink = str(tmp_path / "script_sink")
+    out = tenv.execute_script(
+        f"""
+        -- declare a source over the fixture
+        CREATE TABLE script_docs (
+          doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{SF_SMOKE}/documents.parquet',
+          'format' = 'parquet'
+        );
+        CREATE VIEW script_counts AS
+          SELECT lang, count(*) AS n FROM script_docs GROUP BY lang;
+        CREATE TABLE script_sink (lang STRING, n BIGINT)
+          WITH ('connector'='filesystem', 'path'='{sink}', 'format'='parquet');
+        INSERT INTO script_sink SELECT lang, n FROM script_counts;
+        SELECT sum(n) AS total FROM script_sink
+        """
+    )
+    direct = tenv.spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert out.collect()[0].total == direct
+    tenv.execute_script(
+        "DROP TABLE script_docs; DROP VIEW script_counts; DROP TABLE script_sink"
+    )
+
+
+def test_explain_sql_renders_both_plans(tenv):
+    txt = tenv.explain_sql(
+        f"SELECT count(*) AS n FROM parquet.`{SF_SMOKE}/documents.parquet`"
+    )
+    assert "== Optimized Logical Plan ==" in txt
+    assert "== Physical Plan ==" in txt
+    assert "FileScan parquet" in txt or "Scan parquet" in txt
