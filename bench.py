@@ -73,11 +73,14 @@ def main() -> None:
         slim.pop("config")
         kept = dict(timings)
         headline = {"q03", "q05", "q22", "q34"}  # BASELINE.md shape rows
+        # drop fastest-first, never the headline shapes; no speed floor —
+        # with 148 entries even >1 s timings must be elidable or the
+        # line outgrows the driver's 2000-char tail capture
         for name, _ in sorted(timings.items(), key=lambda kv: kv[1]):
             if len(json.dumps({**slim, "queries": kept}, separators=(",", ":"))) <= budget - 60:
                 break
-            if kept.get(name, 9.9) < 1.0 and name not in headline:
-                del kept[name]
+            if name not in headline:
+                kept.pop(name, None)
         slim["queries"] = kept
         slim["queries_elided"] = len(timings) - len(kept)
         slim["detail_file"] = "BENCH_DETAIL.json"
