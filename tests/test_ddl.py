@@ -455,3 +455,13 @@ def test_explain_sql_renders_both_plans(tenv):
     assert "== Optimized Logical Plan ==" in txt
     assert "== Physical Plan ==" in txt
     assert "FileScan parquet" in txt or "Scan parquet" in txt
+
+
+def test_show_and_describe_route_through_front_door(tenv):
+    """Flink's SHOW TABLES / DESCRIBE surface: non-DDL statements fall
+    through to Catalyst, which serves both natively."""
+    tenv.spark.range(3).createOrReplaceTempView("show_probe")
+    names = {r.tableName for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "show_probe" in names
+    desc = tenv.execute_sql("DESCRIBE show_probe").collect()
+    assert any(r.col_name == "id" and r.data_type == "bigint" for r in desc)

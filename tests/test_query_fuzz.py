@@ -454,3 +454,59 @@ def test_fuzzed_string_math_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------- part 5: grouping sets / CUBE / ROLLUP
+
+
+def gen_groupingsets_query(rng: random.Random) -> str:
+    t = rng.choice(["orders", "lineitem", "customer"])
+    icol = rng.choice([c for c, k in _cols(t) if k == "int"])
+    scols = [c for c, k in _cols(t) if k == "str"]
+    a = rng.choice(scols)
+    b = rng.choice([c for c in scols if c != a]) if len(scols) > 1 else a
+    variant = rng.randrange(3)
+    if variant == 0 and a != b:  # CUBE with GROUPING()
+        return (
+            f"SELECT {a}, {b}, cast(grouping({a}) as bigint) AS ga, "
+            f"cast(grouping({b}) as bigint) AS gb, "
+            f"cast(sum({icol}) as bigint) AS s, cast(count(*) as bigint) AS n "
+            f"FROM {t} GROUP BY CUBE({a}, {b})"
+        )
+    if variant == 1:  # ROLLUP over derived bucket + string
+        return (
+            f"SELECT {a}, cast({icol} % 5 as bigint) AS bk, "
+            f"cast(grouping({a}) as bigint) AS ga, "
+            f"cast(count(*) as bigint) AS n FROM {t} GROUP BY ROLLUP({a}, bk)"
+        )
+    # explicit GROUPING SETS incl. the empty set
+    return (
+        f"SELECT {a}, cast({icol} % 3 as bigint) AS bk, "
+        f"cast(grouping({a}) as bigint) AS ga, "
+        f"cast(sum({icol}) as bigint) AS s "
+        f"FROM {t} GROUP BY GROUPING SETS (({a}), (bk), ())"
+    )
+
+
+N_QUERIES5 = 20
+_RNG5 = random.Random(1719)
+QUERIES5 = [gen_groupingsets_query(_RNG5) for _ in range(N_QUERIES5)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES5))
+def test_fuzzed_grouping_sets_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES5[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query5 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
