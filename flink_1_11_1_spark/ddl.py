@@ -195,9 +195,11 @@ _INSERT_RE = re.compile(
 )
 _PROP_RE = re.compile(r"'((?:[^'])*)'\s*=\s*'((?:[^'])*)'")
 
-# FLIP-113 dynamic table options: `t /*+ OPTIONS('k'='v', ...) */`
+# FLIP-113 dynamic table options: `t /*+ OPTIONS('k'='v', ...) */`.
+# The option block matches quoted strings atomically so a ')' inside a
+# quoted value (e.g. a path) cannot end the hint early.
 _HINT_RE = re.compile(
-    r"([`\w.]+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/", re.IGNORECASE
+    r"([`\w.]+)\s*/\*\+\s*OPTIONS\s*\(((?:'[^']*'|[^')])*)\)\s*\*/", re.IGNORECASE
 )
 
 
@@ -291,6 +293,7 @@ class DdlCatalog:
         self.spark = spark
         self.tables: dict[str, CreateTable] = {}
         self._hint_n = 0
+        self._hint_aliases: dict[tuple, str] = {}
 
     # -- statement router ------------------------------------------------
 
@@ -336,7 +339,14 @@ class DdlCatalog:
         Hints on names this catalog doesn't know are STRIPPED (the
         table-ref hint position is Flink grammar — Spark's parser
         rejects it — and undeclared tables have no WITH options to
-        override, which is also Flink's behavior for non-catalog refs).
+        override, which is also Flink's behavior for non-catalog refs);
+        the original (possibly backtick-quoted) reference is preserved.
+
+        Aliases are cached per (table, override-set), so a session that
+        repeats the same hinted query reuses one alias instead of
+        growing the catalog per statement.  Stream-only connectors
+        (kafka/datagen) get the alias registered without a batch view —
+        ``stream_table(alias)`` serves it.
         """
         from dataclasses import replace as _dc_replace
 
@@ -344,16 +354,23 @@ class DdlCatalog:
             name = _strip_ticks(m.group(1))
             ct = self.tables.get(name)
             if ct is None:
-                return name  # no declared options to override: strip hint
+                return m.group(1)  # keep the reference verbatim, drop the hint
             overrides = dict(_PROP_RE.findall(m.group(2)))
             if not overrides:
-                return name
-            alias = f"{name}__hint{self._hint_n}"
-            self._hint_n += 1
-            self.tables[alias] = _dc_replace(
-                ct, name=alias, props={**ct.props, **overrides}
-            )
-            self.batch_table(alias).createOrReplaceTempView(alias)
+                return m.group(1)
+            cache_key = (name, tuple(sorted(overrides.items())))
+            alias = self._hint_aliases.get(cache_key)
+            if alias is None:
+                alias = f"{name.replace('.', '_')}__hint{self._hint_n}"
+                self._hint_n += 1
+                self._hint_aliases[cache_key] = alias
+                self.tables[alias] = _dc_replace(
+                    ct, name=alias, props={**ct.props, **overrides}
+                )
+                try:
+                    self.batch_table(alias).createOrReplaceTempView(alias)
+                except ValueError:
+                    pass  # stream-only connector: stream_table(alias) serves it
             return alias
 
         return _HINT_RE.sub(repl, s)

@@ -14,8 +14,9 @@ SURVEY §8.4):
   perplexity-filter shape): per-document mean surprisal under the
   corpus unigram distribution.  True -log2(p) needs ln(), which is not
   cross-engine bit-exact, so the declared rendering uses the *integer*
-  bit-length surprisal ``bitlen(total) - bitlen(cnt)`` (= -log2(p)
-  rounded up to whole bits, exact on both engines via length(bin(x))).
+  bit-length surprisal ``bitlen(total) - bitlen(cnt)`` — a non-negative
+  whole-bit approximation within 1 bit of -log2(p) either way, exact on
+  both engines via length(bin(x)).
   Integer sums are order-free; the only float op is the final mean
   division.
 
@@ -135,9 +136,11 @@ ORDER BY doc_id
 def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram surprisal in whole bits.
 
-    bitlen(total) - bitlen(cnt) over-approximates -log2(cnt/total) by
-    less than 1 bit, is monotone in the true surprisal for fixed total,
-    and is integer-exact on both engines (length(bin(x))).  Rare-token
+    bitlen(total) - bitlen(cnt) is non-negative, within 1 bit of
+    -log2(cnt/total) on either side (floor-of-log2 difference — a
+    token whose count shares the total's bit length scores 0), weakly
+    monotone in the true surprisal for fixed total, and integer-exact
+    on both engines (length(bin(x))).  Rare-token
     documents score high — the perplexity-filter ordering — without any
     cross-engine float-log hazard.
 

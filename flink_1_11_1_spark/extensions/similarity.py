@@ -521,7 +521,7 @@ registry.register("x_ann_ivf", _ann_ivf, ANN_IVF_ORACLE)
 # Cross-engine exactness: coordinates are int-quantized (KM_SCALE grid),
 # so every distance — codebook assignment, ADC entries, exact re-rank —
 # is INTEGER arithmetic; ties break toward the lower code / vec_id in
-# both engines.  The codebook is data-derived but deterministic: the 16
+# both engines.  The codebook is data-derived but deterministic: the K
 # vectors first in (md5(vec_id), vec_id) order, the same seeding
 # convention as curation.kmeans_assign.
 
@@ -617,9 +617,9 @@ def _pq_duck_sqdist(a: str, b: str, n: int) -> str:
 def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-1 with exact re-rank over the shortlist.
 
-    100 TB shape: the code table is 4 small ints per database vector
-    (64x compression of the scan); the ADC join streams it against a
-    per-query 4x16 distance table (broadcast), shuffling nothing wider
+    100 TB shape: the code table is PQ_M small ints per database vector
+    (~40x compression of the scan); the ADC join streams it against a
+    per-query PQ_M x PQ_K distance table (broadcast), shuffling nothing wider
     than (qid, vec_id, dist); exact re-rank touches SHORTLIST vectors
     per query.  Codebook training is one bounded seed scan — swap in
     kmeans_assign per subspace for trained codebooks at scale.

@@ -252,40 +252,19 @@ def dist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: pass 1 is one map-side-combined aggregation; pass 2
     shuffles only the selected buckets' rows (each bucket sorts
     independently — no single-reducer global order).
+
+    Delegates to the generic ``exact_quantiles`` helper (one copy of
+    the two-pass SQL; the helper carries the random-frame property
+    test).
     """
     catalog.register(spark, sf_dir)
-    probs_rows = ", ".join(f"({p})" for p in _Q_PROBS)
-    return spark.sql(f"""
-WITH b AS (
-  SELECT cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) AS bk, count(*) AS cnt
-  FROM orders GROUP BY 1
-),
-c AS (
-  SELECT bk, cnt,
-         sum(cnt) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(cnt) OVER (ORDER BY bk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
-  FROM b
-),
-n AS (SELECT sum(cnt) AS n FROM b),
-t AS (
-  SELECT cast(p as double) AS p, cast(ceil(p * n.n) as bigint) AS target
-  FROM (SELECT * FROM (VALUES {probs_rows}) AS v(p)) pp CROSS JOIN n
-),
-hit AS (
-  SELECT t.p, t.target, c.bk, coalesce(c.cum_before, 0) AS below
-  FROM t JOIN c ON t.target > coalesce(c.cum_before, 0) AND t.target <= c.cum
-),
-r AS (
-  SELECT cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) AS bk, o_totalprice,
-         row_number() OVER (PARTITION BY cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint)
-                            ORDER BY o_totalprice, o_orderkey) AS rn
-  FROM orders
-  WHERE cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint) IN (SELECT bk FROM hit)
-)
-SELECT h.p AS p, r.o_totalprice AS value
-FROM hit h JOIN r ON r.bk = h.bk AND r.rn = h.target - h.below
-ORDER BY h.p
-""")
+    return exact_quantiles(
+        spark.table("orders").select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        "o_orderkey",
+        _Q_PROBS,
+        _Q_BUCKET_W,
+    )
 
 
 _Q_ORACLE = f"""
@@ -726,6 +705,8 @@ r AS (
          row_number() OVER (PARTITION BY o_orderstatus, cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint)
                             ORDER BY o_totalprice, o_orderkey) AS rn
   FROM orders
+  WHERE (o_orderstatus, cast(floor(o_totalprice / {_Q_BUCKET_W}) as bigint))
+        IN (SELECT g, bk FROM hit)
 ),
 picked AS (
   SELECT h.g, h.p, r.o_totalprice AS value

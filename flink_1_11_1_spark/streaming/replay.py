@@ -182,8 +182,11 @@ class PunctuatedWatermark:
         from pyspark.sql import functions as F
 
         wm_start = self.watermark
-        data = batch_df.where(f"NOT ({self.marker_predicate})")
-        markers = batch_df.where(self.marker_predicate)
+        # coalesce(..., false): a NULL predicate means "not a marker" —
+        # the row must flow downstream as data, never silently vanish
+        # into neither branch (Flink routes every non-marker record on).
+        data = batch_df.where(f"NOT coalesce(({self.marker_predicate}), false)")
+        markers = batch_df.where(f"coalesce(({self.marker_predicate}), false)")
         # The split stays distributed — only the 1-row marker max comes
         # to the driver (the watermark IS driver/coordinator state, as
         # in Flink's source coordinator).

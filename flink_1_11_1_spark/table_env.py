@@ -184,21 +184,38 @@ class TableEnvironment:
         """Run a ``;``-separated Flink SQL script (the sql-client
         ``-f script.sql`` surface): statements execute in order through
         ``execute_sql``; the last statement's result (if any) is
-        returned.  The split respects single-quoted strings, so WITH
-        properties containing ``;`` survive.  ``--``-to-end-of-line
+        returned.  The split respects single- and double-quoted strings
+        (with backslash and doubled-quote escapes) and backtick
+        identifiers, so WITH properties or literals containing ``;``
+        or ``--`` survive.  Outside quotes, ``--``-to-end-of-line
         comments are stripped (sql-client convention)."""
-        stmts, buf, in_str = [], [], False
+        stmts, buf = [], []
+        quote: str | None = None  # current open quote char, if any
         i, n = 0, len(script)
         while i < n:
             ch = script[i]
-            if ch == "'":
-                in_str = not in_str
+            if quote is not None:
                 buf.append(ch)
-            elif not in_str and ch == "-" and script[i : i + 2] == "--":
+                if ch == "\\" and quote in "'\"" and i + 1 < n:
+                    buf.append(script[i + 1])  # escaped char stays literal
+                    i += 2
+                    continue
+                if ch == quote:
+                    if quote in "'\"" and script[i + 1 : i + 2] == quote:
+                        buf.append(quote)  # doubled-quote escape ('')
+                        i += 2
+                        continue
+                    quote = None
+                i += 1
+                continue
+            if ch in "'\"`":
+                quote = ch
+                buf.append(ch)
+            elif ch == "-" and script[i : i + 2] == "--":
                 while i < n and script[i] != "\n":
                     i += 1
                 continue
-            elif not in_str and ch == ";":
+            elif ch == ";":
                 stmts.append("".join(buf))
                 buf = []
             else:

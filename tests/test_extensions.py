@@ -361,7 +361,7 @@ def test_bm25_hand_computed(spark):
 
 
 def test_pq_recall_vs_exact_l2(spark):
-    """PQ-ADC + 10-shortlist re-rank vs brute-force integer-L2 top-1.
+    """PQ-ADC + shortlist re-rank vs brute-force integer-L2 top-1.
     Isotropic vectors + untrained (seeded) codebook is PQ's worst case;
     the shortlist re-rank must still recover a solid fraction (measured 0.69 at K=64), and
     every returned exact_dist must be >= the true NN distance (re-rank

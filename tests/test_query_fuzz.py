@@ -406,7 +406,7 @@ def gen_string_query(rng: random.Random) -> str:
 
 
 def gen_intmath_query(rng: random.Random) -> str:
-    t = rng.choice(["lineitem", "orders", "partsupp" if False else "part"])
+    t = rng.choice(["lineitem", "orders", "part"])
     icol = rng.choice([c for c, k in _cols(t) if k == "int"])
     m, d = rng.randint(2, 9), rng.randint(2, 7)
     variant = rng.randrange(3)

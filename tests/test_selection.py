@@ -105,7 +105,10 @@ def test_surprisal_orders_rare_token_docs_high(spark):
     by_doc = {r.doc_id: r for r in rows}
     for r in rows:
         assert r.n_tokens > 0
-        assert r.surprisal_bits >= r.n_tokens  # every token costs >= 1 bit
+        # bit-length surprisal is non-negative per token (a token whose
+        # count shares the total's bit length scores 0, so >= n_tokens
+        # would be corpus-dependent)
+        assert r.surprisal_bits >= 0
         # avg_bits is round(...,6) of the exact ratio
         assert abs(r.avg_bits - r.surprisal_bits / r.n_tokens) < 5e-7
     # sanity: not all docs identical (there IS a ranking signal)

@@ -524,3 +524,44 @@ def test_s16_streaming_countmin_final_state_equals_batch(spark):
         assert list(final[d].totals) == want[d], d
     assert len({r.bits for r in seen if r.d == 0}) > 1  # incremental
     shutil.rmtree(rdir, ignore_errors=True)
+
+
+def test_s15b_punctuated_watermark_null_predicate_rows_flow(spark):
+    """A row where the marker predicate evaluates NULL is data, not a
+    silent drop (three-valued logic regression guard)."""
+    from flink_1_11_1_spark.streaming.replay import PunctuatedWatermark
+
+    df = spark.createDataFrame(
+        [(1, "data", "2024-01-01 00:00:00"),
+         (2, None, "2024-01-01 00:30:00"),     # NULL event_type
+         (3, "marker", "2024-01-01 01:00:00")],
+        "event_id long, event_type string, ts_s string",
+    ).selectExpr("event_id", "event_type", "cast(ts_s as timestamp) AS ts")
+    rdir = tempfile.mkdtemp(prefix="s15b_")
+    replay.write_replay_frames([df], rdir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(rdir, "chunk_*.parquet"))
+    )
+    got = []
+    pw = PunctuatedWatermark(
+        "event_type = 'marker'", "ts",
+        lambda bid, on_t, late, wm: got.append(
+            ({r.event_id for r in on_t.collect()},
+             {r.event_id for r in late.collect()}, wm)
+        ),
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(pw)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="s15b_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    on_t, late, wm = got[0]
+    assert 2 in on_t  # the NULL-predicate row flowed as data
+    assert on_t == {1, 2} and late == set()
+    assert wm is not None  # the marker advanced the watermark
+    shutil.rmtree(rdir, ignore_errors=True)
