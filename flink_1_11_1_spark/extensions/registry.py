@@ -42,6 +42,7 @@ def _load() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        analytics,
         curation,
         dedup,
         pipeline,

@@ -409,3 +409,29 @@ def test_containment_detects_planted_subset(spark):
     c_ab, c_ba = got[key]
     assert c_ba >= 0.95  # planted ⊂ source: containment of planted side
     assert c_ab < 0.6  # source is NOT contained in the fragment
+
+
+def test_retention_python_replay(spark):
+    """Exact replay of the cohort matrix from collected events."""
+    from collections import Counter
+
+    from flink_1_11_1_spark.extensions.analytics import _OFFSETS, retention_cohorts
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events").collect()
+    first: dict[int, object] = {}
+    days: set[tuple[int, object]] = set()
+    for r in ev:
+        d = r.ts.date()
+        days.add((r.user_id, d))
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    want: Counter = Counter()
+    for uid, d in days:
+        off = (d - first[uid]).days
+        if off in _OFFSETS:
+            want[(first[uid], off)] += 1
+    got = {
+        (r.cohort, r.day_offset): r.n_users
+        for r in retention_cohorts(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
