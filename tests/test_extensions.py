@@ -362,8 +362,8 @@ def test_bm25_hand_computed(spark):
 
 def test_pq_recall_vs_exact_l2(spark):
     """PQ-ADC + shortlist re-rank vs brute-force integer-L2 top-1.
-    Isotropic vectors + untrained (seeded) codebook is PQ's worst case;
-    the shortlist re-rank must still recover a solid fraction (measured 0.69 at K=64), and
+    One Lloyd refinement of the seeded codebooks lifts isotropic recall
+    to 1.0 at fixture scale (seeded-only K=64 measured 0.69);
     every returned exact_dist must be >= the true NN distance (re-rank
     can't invent a closer neighbor than brute force)."""
     import itertools
@@ -387,7 +387,7 @@ def test_pq_recall_vs_exact_l2(spark):
         assert exact_dist == d2(vecs[qid], vecs[nn_id])  # honest distance
         if exact_dist == best[0]:
             hits += 1
-    assert hits / len(got) >= 0.6, hits
+    assert hits / len(got) >= 0.85, hits
 
 
 def test_containment_detects_planted_subset(spark):
