@@ -435,3 +435,19 @@ def test_retention_python_replay(spark):
         for r in retention_cohorts(spark, SF_SMOKE).collect()
     }
     assert got == dict(want)
+
+
+def test_stickiness_python_replay(spark):
+    from flink_1_11_1_spark.extensions.analytics import stickiness
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events").collect()
+    days: dict[object, set] = {}
+    for r in ev:
+        days.setdefault(r.ts.date(), set()).add(r.user_id)
+    cal = sorted(days)
+    got = {r.day: (r.dau, r.wau) for r in stickiness(spark, SF_SMOKE).collect()}
+    assert set(got) == set(cal)
+    for i, d in enumerate(cal):
+        dau = len(days[d])
+        wau = len(set().union(*(days[cal[j]] for j in range(max(0, i - 6), i + 1))))
+        assert got[d] == (dau, wau), d
