@@ -63,48 +63,41 @@ registry.register(
 
 # ---------------------------------------------------- DAU/WAU stickiness
 
-def _stickiness_sql() -> str:
-    # Fully shared SQL text: distinct user-days once, DAU per day, WAU
-    # via a day-to-window self-join on the calendar CTE (7-day trailing
-    # count of distinct users), stickiness = one division of two exact
-    # integers.  The user-day join condition uses date arithmetic only
-    # through the calendar row number, which both engines compute
-    # identically.
-    return """
+def _stickiness_sql(week_ago: str) -> str:
+    # Distinct user-days once, DAU per active day, WAU over the trailing
+    # 7 CALENDAR days (real date arithmetic — an inactive calendar day
+    # must not stretch the window; only the date-shift function differs
+    # per engine).  Stickiness = one division of two exact integers.
+    return f"""
 WITH ud AS (
   SELECT DISTINCT user_id, cast(date_trunc('day', ts) as date) AS d
   FROM events
 ),
-cal AS (
-  SELECT d, row_number() OVER (ORDER BY d) AS dn FROM (SELECT DISTINCT d FROM ud) x
-),
-udn AS (
-  SELECT ud.user_id, cal.dn FROM ud JOIN cal ON cal.d = ud.d
-),
+cal AS (SELECT DISTINCT d FROM ud),
 dau AS (
-  SELECT dn, count(*) AS dau FROM udn GROUP BY dn
+  SELECT d, count(*) AS dau FROM ud GROUP BY d
 ),
 wau AS (
-  SELECT c.dn, count(DISTINCT u.user_id) AS wau
-  FROM cal c JOIN udn u ON u.dn BETWEEN c.dn - 6 AND c.dn
-  GROUP BY c.dn
+  SELECT c.d, count(DISTINCT u.user_id) AS wau
+  FROM cal c JOIN ud u ON u.d BETWEEN {week_ago} AND c.d
+  GROUP BY c.d
 )
 SELECT cal.d AS day,
        cast(dau.dau as bigint) AS dau,
        cast(wau.wau as bigint) AS wau,
        round(dau.dau / cast(wau.wau as double), 6) AS stickiness
-FROM cal JOIN dau ON dau.dn = cal.dn JOIN wau ON wau.dn = cal.dn
+FROM cal JOIN dau ON dau.d = cal.d JOIN wau ON wau.d = cal.d
 ORDER BY day
 """
 
 
 def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU / trailing-7-day WAU per day (the engagement 'stickiness'
-    ratio).  Integer distinct counts + one IEEE division; the WAU
-    self-join fans each user-day to at most 7 calendar rows, so the
-    shuffle is 7x user-days regardless of event volume."""
+    """DAU / trailing-7-calendar-day WAU per active day (the engagement
+    'stickiness' ratio).  Integer distinct counts + one IEEE division;
+    the WAU self-join fans each user-day to at most 7 calendar rows, so
+    the shuffle is 7x user-days regardless of event volume."""
     catalog.register(spark, sf_dir)
-    return spark.sql(_stickiness_sql())
+    return spark.sql(_stickiness_sql("date_sub(c.d, 6)"))
 
 
-registry.register("x_stickiness", stickiness, _stickiness_sql())
+registry.register("x_stickiness", stickiness, _stickiness_sql("c.d - 6"))

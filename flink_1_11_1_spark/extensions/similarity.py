@@ -538,6 +538,18 @@ _PQ_SPARK_QUANT = "transform(embedding, x -> cast(round(cast(x as double) * 1000
 _PQ_DUCK_QUANT = "list_transform(embedding, x -> round(x::DOUBLE * 1000, 0)::BIGINT)"
 
 
+def _pq_assign_block(sqdist_fn, cb_name: str) -> str:
+    """Nearest-code assignment (argmin with (dist, code) tie-break) —
+    ONE template used for both the training pass (vs cb0) and the final
+    encoding (vs the trained cb), so their semantics cannot diverge."""
+    return f"""SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {sqdist_fn('s.sub', 'c.sub', PQ_SUB)}, c.code) rn
+    FROM sub s JOIN {cb_name} c ON c.m = s.m
+  ) WHERE rn = 1"""
+
+
 def _pq_sql(quant: str, md5_id: str, slice_fn, sqdist_fn, idx_fn, arr_fn) -> str:
     ms = ", ".join(f"({m})" for m in range(PQ_M))
     # trained centroid coordinate j: floor(mean) over the assigned
@@ -563,12 +575,7 @@ sub AS (
   FROM v CROSS JOIN mm
 ),
 codes0 AS (
-  SELECT vec_id, m, code FROM (
-    SELECT s.vec_id, s.m, c.code,
-           row_number() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY {sqdist_fn('s.sub', 'c.sub', PQ_SUB)}, c.code) rn
-    FROM sub s JOIN cb0 c ON c.m = s.m
-  ) WHERE rn = 1
+  {_pq_assign_block(sqdist_fn, 'cb0')}
 ),
 cb AS (
   SELECT mem.m, mem.code, {arr_fn(cent_coords)} AS sub
@@ -576,12 +583,7 @@ cb AS (
   GROUP BY mem.m, mem.code
 ),
 codes AS (
-  SELECT vec_id, m, code FROM (
-    SELECT s.vec_id, s.m, c.code,
-           row_number() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY {sqdist_fn('s.sub', 'c.sub', PQ_SUB)}, c.code) rn
-    FROM sub s JOIN cb c ON c.m = s.m
-  ) WHERE rn = 1
+  {_pq_assign_block(sqdist_fn, 'cb')}
 ),
 dtab AS (
   SELECT q.vec_id AS qid, c.m, c.code, {sqdist_fn('q.sub', 'c.sub', PQ_SUB)} AS d

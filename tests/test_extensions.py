@@ -444,10 +444,33 @@ def test_stickiness_python_replay(spark):
     days: dict[object, set] = {}
     for r in ev:
         days.setdefault(r.ts.date(), set()).add(r.user_id)
+    import datetime as _dt
+
     cal = sorted(days)
     got = {r.day: (r.dau, r.wau) for r in stickiness(spark, SF_SMOKE).collect()}
     assert set(got) == set(cal)
-    for i, d in enumerate(cal):
+    for d in cal:
         dau = len(days[d])
-        wau = len(set().union(*(days[cal[j]] for j in range(max(0, i - 6), i + 1))))
+        # trailing 7 CALENDAR days — an inactive day must not stretch
+        # the window
+        week = [d - _dt.timedelta(days=k) for k in range(7)]
+        wau = len(set().union(*(days.get(x, set()) for x in week)))
         assert got[d] == (dau, wau), d
+
+
+def test_stickiness_gap_day_does_not_stretch_window(spark):
+    """An inactive calendar day must NOT stretch the WAU window: a user
+    active 19 days before an isolated active day is not weekly-active."""
+    from flink_1_11_1_spark.extensions.analytics import _stickiness_sql
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+         (1, "2024-01-20 10:00:00")],
+        "user_id long, ts_s string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) AS ts").createOrReplaceTempView(
+        "gap_events"
+    )
+    sql = _stickiness_sql("date_sub(c.d, 6)").replace("FROM events", "FROM gap_events")
+    rows = {str(r.day): (r.dau, r.wau, r.stickiness) for r in spark.sql(sql).collect()}
+    assert rows["2024-01-01"] == (2, 2, 1.0)
+    assert rows["2024-01-20"] == (1, 1, 1.0)  # user 2's day-1 activity excluded
