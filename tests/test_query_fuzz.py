@@ -510,3 +510,67 @@ def test_fuzzed_grouping_sets_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------- part 6: join + window-function mixtures
+
+
+def gen_join_window_query(rng: random.Random) -> str:
+    variant = rng.randrange(3)
+    if variant == 0:  # rank over a join result
+        k = rng.randint(2, 5)
+        return (
+            "SELECT c_mktsegment, o_orderkey, rnk FROM ("
+            "  SELECT c.c_mktsegment, o.o_orderkey,"
+            "         row_number() OVER (PARTITION BY c.c_mktsegment"
+            "                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk"
+            "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+            f") t WHERE rnk <= {k}"
+        )
+    if variant == 1:  # windowed running sum over joined lineitems
+        m = rng.randint(2, 6)
+        return (
+            "SELECT o_orderkey, l_linenumber, run FROM ("
+            "  SELECT o.o_orderkey, l.l_linenumber,"
+            "         cast(sum(l.l_quantity) OVER (PARTITION BY o.o_orderkey"
+            "              ORDER BY l.l_linenumber"
+            "              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS run"
+            "  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey"
+            f"  WHERE o.o_orderkey % {m} = 0"
+            ") t"
+        )
+    # lag-compare across a join
+    g = rng.randint(3, 9)
+    return (
+        "SELECT o_custkey, o_orderkey, prev_key FROM ("
+        "  SELECT o.o_custkey, o.o_orderkey,"
+        "         cast(coalesce(lag(o.o_orderkey) OVER (PARTITION BY o.o_custkey"
+        "              ORDER BY o.o_orderdate, o.o_orderkey), -1) as bigint) AS prev_key"
+        "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+        f"  WHERE c.c_custkey % {g} = 0"
+        ") t"
+    )
+
+
+N_QUERIES6 = 15
+_RNG6 = random.Random(2329)
+QUERIES6 = [gen_join_window_query(_RNG6) for _ in range(N_QUERIES6)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES6))
+def test_fuzzed_join_window_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES6[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query6 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
