@@ -68,6 +68,23 @@ _DRIVER_GREEN_HISTORY = {
     "x_cep_times_df", "x_cep_optional_df",
     "x_mr_next", "x_mr_plus", "x_mr_optional", "x_mr_xvar",
     "x_mr_allrows", "x_mr_prev",
+    # round-5 greens (CORRECTNESS_r05.json: 50/50 hash-green rows) —
+    # the first fully green window; every contract entry now has a
+    # recorded driver green across r01–r05.
+    "x_retention", "x_stickiness", "x_substring_dedup", "x_bpe_merges",
+    "x_sample_stratified", "x_doc_chunks", "x_dedup_incremental",
+    "x_dedup_containment", "x_decontaminate", "x_pii_redact",
+    "x_quality_rules", "x_kmeans", "x_sessionize", "x_token_quota",
+    "x_semdedup", "x_bm25", "x_rrf_fusion", "x_dsir_sample",
+    "x_lm_surprisal", "x_temperature_mix", "x_ann_lsh_top1", "x_ann_pq",
+    "x_sketch_theta", "x_ddl_roundtrip", "x_ddl_options_hint",
+    "x_sketch_hll", "x_heavy_hitters", "x_quantiles", "x_bloom_prune",
+    "x_hll_union", "x_mad_outliers", "x_quantiles_grouped",
+    "x_tpch_q10", "x_tpch_q13", "x_tpch_q14", "x_cdc_canal",
+    "x_multimodal_decode", "x_graph_triangles", "x_graph_pagerank",
+    "x_graph_sssp", "x_cep_funnel3", "x_mr_skip_to_last", "x_mr_agg",
+    "x_mr_allrows_running", "x_mr_offsets",
+    "q01", "q02", "q03", "q04", "q05",
 }
 
 
