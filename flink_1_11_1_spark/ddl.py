@@ -203,6 +203,31 @@ _HINT_RE = re.compile(
 )
 
 
+def _quoted_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted regions (single/double/backtick;
+    doubled-quote escapes) — SQL text scanners must track quotes, or a
+    hint-shaped substring inside a literal gets rewritten."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            start = i
+            i += 1
+            while i < n:
+                if s[i] == ch:
+                    if ch in "'\"" and s[i + 1 : i + 2] == ch:
+                        i += 2  # doubled-quote escape stays inside
+                        continue
+                    i += 1
+                    break
+                i += 1
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
+
+
 @dataclass
 class CreateTable:
     """Parsed ``CREATE TABLE`` statement (SqlCreateTable equivalent)."""
@@ -314,6 +339,7 @@ class DdlCatalog:
         if md:
             name = _strip_ticks(md.group(4))
             self.tables.pop(name, None)
+            self._evict_hint_aliases(name)
             self.spark.catalog.dropTempView(name)
             return None
         mi = _INSERT_RE.match(s)
@@ -344,13 +370,24 @@ class DdlCatalog:
 
         Aliases are cached per (table, override-set), so a session that
         repeats the same hinted query reuses one alias instead of
-        growing the catalog per statement.  Stream-only connectors
-        (kafka/datagen) get the alias registered without a batch view —
-        ``stream_table(alias)`` serves it.
+        growing the catalog per statement; ``create_table``/``DROP`` of
+        the base name evict its aliases (a re-CREATE with different
+        schema/props must not serve a stale merge).  Stream-only
+        connectors (kafka/datagen) get the alias registered without a
+        batch view — ``stream_table(alias)`` serves it.
+
+        Hint-shaped text inside a string literal is left alone: matches
+        starting inside a quoted region (single/double/backtick, with
+        doubled-quote escapes — the execute_script scanner's rules) are
+        not rewritten or stripped.
         """
         from dataclasses import replace as _dc_replace
 
+        spans = _quoted_spans(s)
+
         def repl(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in spans):
+                return m.group(0)  # inside a string literal: untouched
             name = _strip_ticks(m.group(1))
             ct = self.tables.get(name)
             if ct is None:
@@ -377,12 +414,23 @@ class DdlCatalog:
 
     # -- CREATE TABLE ----------------------------------------------------
 
+    def _evict_hint_aliases(self, name: str) -> None:
+        """Drop every cached hint alias of a base table: after DROP +
+        re-CREATE with different WITH props/schema, a repeated hinted
+        query must re-merge against the new declaration, not serve the
+        stale alias view."""
+        for key in [k for k in self._hint_aliases if k[0] == name]:
+            alias = self._hint_aliases.pop(key)
+            self.tables.pop(alias, None)
+            self.spark.catalog.dropTempView(alias)
+
     def create_table(self, ct: CreateTable) -> None:
         conn = ct.connector
         if conn not in _KNOWN_CONNECTORS:
             raise ValueError(
                 f"unknown connector {conn!r} (supported: {_KNOWN_CONNECTORS})"
             )
+        self._evict_hint_aliases(ct.name)
         self.tables[ct.name] = ct
         # Source-side eager registration where a batch scan exists now;
         # sink/stream-only tables stay declared until used.

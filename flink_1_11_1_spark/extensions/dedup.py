@@ -21,9 +21,12 @@ hot path):
                   into 4×16-bit keys (pigeonhole: hamming≤3 pairs share
                   ≥1 band) → bucket join → exact hamming verify via
                   bit_count(xor).
-- cosine:         embedding-space near-dup — banded random-hyperplane
-                  LSH candidates → exact double cosine verify; checked
-                  against a brute-force (non-LSH) DuckDB oracle.
+- cosine:         embedding-space near-dup — threshold-adaptive
+                  candidates (multi-plane banded sign-LSH in the
+                  pruning regime t ≥ ~0.85; exact blocked-GEMM scan at
+                  permissive thresholds where no recall-preserving LSH
+                  layout prunes) → exact double cosine verify; checked
+                  against a brute-force DuckDB oracle.
 
 LSH-miss probability at the declared threshold (pairs in the fixtures
 have Jaccard ≈ 0.99): (1 - 0.99^4)^16 ≈ 1e-22, so the MinHash query
@@ -31,6 +34,8 @@ shares the exact-Jaccard oracle.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -394,71 +399,92 @@ ORDER BY da, db
 # ---------------------------------------- embedding-cosine near-dup
 
 COS_THRESHOLD = 0.42  # top of the fixture's cosine distribution
-COS_PLANES = 16
-# Single-plane bands at the fixture's permissive threshold (0.42):
-# P(plane agrees) = 1 - θ/π ≈ 0.63 at the threshold angle, so the miss
-# probability for a qualifying pair is (1-0.63)^16 ≈ 1e-7 — the
-# brute-force oracle identity holds at every fixture scale (the former
-# 8×2 layout measurably missed 6/441 pairs at sf0.1).  At production
-# thresholds (0.9+) you'd use multi-plane bands of many more planes for
-# real candidate pruning; at 0.42 virtually all pairs collide in some
-# band regardless, so the verify stage dominates either way.
-COS_BANDS = 16
 
 _COS_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
-def _cos_hyperplanes(seed: int = 7) -> list[list[float]]:
-    import numpy as np
+def _cos_layout(
+    threshold: float, miss: float = 1e-5, max_bands: int = 96,
+    max_candidate_frac: float = 0.25, max_rpb: int = 24,
+) -> tuple[int, int] | None:
+    """Size banded sign-LSH from the threshold, or return None when the
+    threshold is outside the pruning regime.
 
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((COS_PLANES, 64)).tolist()
-
-
-def _cos_band_buckets(emb: DataFrame) -> DataFrame:
-    """(vec_id, band, code): one row per band; code = sign bits of the
-    band's hyperplane projections.  The corpus is exploded B× (B small)
-    and the candidate join is a plain shuffle on (band, code) — no
-    broadcast, no corpus², scale-safe."""
-    planes = _cos_hyperplanes()
-    rpb = COS_PLANES // COS_BANDS
-    v = emb.select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
-    bits = []
-    for i, p in enumerate(planes):
-        arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
-        dot = _COS_DOT.format(a="v", b=arr)
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN shiftleft(1, {i % rpb}) ELSE 0 END)")
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.expr(" + ".join(bits[b * rpb : (b + 1) * rpb])).alias("code"),
-        )
-        for b in range(COS_BANDS)
-    ]
-    return v.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("vec_id", "bk.band", "bk.code")
-
-
-def cosine_near_dup_pairs(
-    emb: DataFrame, threshold: float = COS_THRESHOLD
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: banded random-hyperplane
-    LSH candidates + exact double-precision cosine verification.
-
-    Flink has no counterpart; this is the embedding tier of the dedup
-    family (exact / Jaccard / MinHash / SimHash / cosine).  The band
-    layout (16 bands × 1 plane — see the COS_BANDS note) makes recall
-    vs the brute-force oracle 1 − ~1e-7 at the fixture's permissive
-    threshold (measured 27/27, 34/34, 441/441 at sf0.001/0.01/0.1; the
-    former 8×2 layout missed 6/441 at sf0.1); at 100 TB with a real
-    threshold (0.9+) you widen to e.g. 8 bands × 16 planes of 128,
-    which collapses candidate volume by ~2^14 per band while keeping
-    the same two-shuffle shape (band-bucket join, then verify-join of
-    candidates only).
+    Sign-LSH collision math (Goemans–Williamson / Charikar): a random
+    hyperplane puts a pair at angle θ on the same side w.p.
+    p = 1 − θ/π, so a band of r planes collides w.p. p^r for the pair
+    and 2^-r for a random (≈orthogonal) pair.  Driving the
+    per-qualifying-pair miss below `miss` needs b ≈ ln(1/miss)/p^r
+    bands; the random-pair candidate fraction is then 1−(1−2^-r)^b
+    ≈ b·2^-r.  At scale the candidate volume (frac × N²/2) dominates
+    every other cost — projections and the b-fold explode are linear
+    in N — so we take the LARGEST r whose band count stays under
+    `max_bands` (r↑ ⇒ frac exponentially ↓ while b grows only as
+    p^-r; the 10× probe measured the r-minimizing layout 14× slower
+    at N = 20k purely on verify volume).  Because ρ = ln(1/p)/ln 2
+    rises toward 1 as the threshold drops, the required b explodes
+    before the fraction shrinks: at t = 0.42 (p = 0.638) NO (r, b)
+    prunes — every recall-preserving layout admits ≳95% of random
+    pairs (the measured fixture regime; the round-5 16×1 layout's
+    "virtually all pairs collide" note was the symptom).  Then we
+    return None → caller uses the exact blocked-GEMM scan, which at
+    permissive thresholds is both faster and makes recall
+    mathematical instead of probabilistic.  Pruning becomes available
+    around t ≥ ~0.8 — the regime real embedding dedup runs at.
     """
-    buckets = _cos_band_buckets(emb)
-    cand = (
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    need = math.log(1.0 / miss)
+    for rpb in range(max_rpb, 1, -1):
+        bands = math.ceil(need / (p ** rpb))
+        if bands > max_bands:
+            continue
+        frac = 1.0 - (1.0 - 2.0 ** -rpb) ** bands
+        if frac > max_candidate_frac:
+            return None  # smaller r only raises the fraction further
+        return (bands, rpb)
+    return None
+
+
+def _cos_band_candidates(
+    emb: DataFrame, bands: int, rpb: int, seed: int = 7
+) -> DataFrame:
+    """(da, db) LSH candidates: per-vector band codes (sign bits of
+    random-hyperplane projections, rpb bits per band) → shuffle join on
+    (band, code).  The corpus is exploded `bands`× and the candidate
+    join is a plain shuffle — no broadcast, no corpus², scale-safe; AQE
+    re-balances hot buckets.  Projections run as one vectorized Arrow
+    pandas_udf batch (numpy GEMM against the plane bank — large
+    layouts are hundreds of planes, which as SQL literals would be
+    megabyte expressions and per-element lambda evaluation); the plane
+    bank is drawn inside the udf from the fixed seed at the observed
+    dimension, so batches and engines agree deterministically."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def band_codes(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.asarray(vs.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        planes = np.random.RandomState(seed).standard_normal(
+            (bands * rpb, M.shape[1])
+        )
+        bits = (M @ planes.T >= 0).astype(np.int64)
+        weights = 1 << np.arange(rpb - 1, -1, -1)
+        codes = (bits.reshape(len(M), bands, rpb) * weights).sum(axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    buckets = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        .select("vec_id", F.posexplode(band_codes("v")).alias("band", "code"))
+    )
+    return (
         buckets.alias("a")
         .join(
             buckets.alias("b"),
@@ -468,6 +494,102 @@ def cosine_near_dup_pairs(
         )
         .select(F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db"))
         .distinct()
+    )
+
+
+def _cos_gemm_candidates(
+    emb: DataFrame, threshold: float, block_rows: int = 512
+) -> DataFrame:
+    """(da, db) exact all-pairs candidates via blocked GEMM — the
+    FAISS-IndexFlat shape, distributed.
+
+    Each vector lands in one of B hash blocks; every unordered block
+    pair (bi ≤ bj) is one Arrow group whose pandas fn runs a single
+    numpy matrix multiply and emits only pairs scoring ≥ threshold−ε.
+    Shuffle volume is N·B rows (each vector replicated B times), pair
+    enumeration never materializes in Spark rows, and the N²d FLOPs run
+    at BLAS throughput executor-side with zero driver involvement —
+    the standard exhaustive scorer when the threshold is below the LSH
+    pruning regime (see _cos_layout).  ε = 1e-9 is ~5 orders above any
+    GEMM-vs-left-fold float discrepancy at d = 64 and ~4 orders below
+    the fixtures' threshold margin, so the exact verify stage sees a
+    candidate superset and the recall identity is arithmetic, not
+    probabilistic."""
+    spark = emb.sparkSession
+    n = emb.count()
+    nblocks = int(max(1, min(64, -(-n // block_rows))))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+        "bi int, bj int",
+    )
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int").alias("blk"),
+    )
+    repl = v.join(
+        F.broadcast(pairs),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+    cut = threshold - 1e-9
+
+    def score(key, pdf):  # pragma: no cover - executor-side
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key
+        M = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        if bi == bj:
+            S = M @ M.T
+            iu, ju = np.triu_indices(len(ids), 1)
+            keep = S[iu, ju] >= cut
+            a, b = ids[iu[keep]], ids[ju[keep]]
+        else:
+            left = (pdf["blk"] == bi).to_numpy()
+            A, B = M[left], M[~left]
+            ia, ib = np.where(A @ B.T >= cut)
+            a, b = ids[left][ia], ids[~left][ib]
+        return pd.DataFrame(
+            {"da": np.minimum(a, b), "db": np.maximum(a, b)}
+        )
+
+    return repl.groupBy("bi", "bj").applyInPandas(score, "da bigint, db bigint")
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = COS_THRESHOLD,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: threshold-adaptive
+    candidate generation + exact double-precision cosine verification.
+
+    Flink has no counterpart; this is the embedding tier of the dedup
+    family (exact / Jaccard / MinHash / SimHash / cosine).  Candidate
+    strategy is picked from the threshold (see _cos_layout): at real
+    dedup thresholds (≥ ~0.85) banded multi-plane sign-LSH prunes the
+    candidate volume to a bounded fraction of N²/2 while keeping the
+    per-pair miss below 1e-5; at permissive thresholds (the fixture's
+    0.42, where ρ ≈ 0.65 makes any recall-preserving layout admit
+    ~all pairs — the round-5 16×1 layout measured exactly that) the
+    exact blocked-GEMM scan is used instead, which is faster than a
+    degenerate LSH pass (no 16× explode, no pair-materialized
+    DISTINCT) and makes the brute-force-oracle recall identity exact
+    by construction.  Either way the declared `sim` for surviving
+    pairs is the same JVM left-fold expression, so output values are
+    bit-identical across strategies.  Explicit (bands,
+    planes_per_band) override the auto layout."""
+    if bands is not None and planes_per_band is not None:
+        layout: tuple[int, int] | None = (bands, planes_per_band)
+    else:
+        layout = _cos_layout(threshold)
+    cand = (
+        _cos_band_candidates(emb, *layout)
+        if layout is not None
+        else _cos_gemm_candidates(emb, threshold)
     )
     # Norms are per-vector: compute them once in the vector projection,
     # not per candidate pair (the verify join evaluates its select over
@@ -500,11 +622,13 @@ def cosine_near_dup_pairs(
     )
 
 
-# Brute-force ground truth: the oracle does NOT replicate the banding,
-# so a green row proves the LSH path loses nothing at the threshold
-# (threshold margin to the nearest pair is >= 7.6e-4 on both fixtures —
-# far above cross-engine float noise; both engines sum left-to-right
-# in DOUBLE).
+# Brute-force ground truth: the oracle does NOT replicate the candidate
+# generation, so a green row proves the Spark path loses nothing at the
+# threshold (at 0.42 the blocked-GEMM path's candidate superset makes
+# that an arithmetic identity; threshold margin to the nearest excluded
+# pair is >= 7.3e-5 across fixtures — far above cross-engine float
+# noise; the declared sim folds left-to-right in DOUBLE on both
+# engines).
 COSINE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 p AS (

@@ -633,7 +633,8 @@ def exact_quantiles(
     df.createOrReplaceTempView(view)
     probs_rows = ", ".join(f"({p})" for p in probs)
     bk = f"cast(floor({value_col} / {bucket_width!r}) as bigint)"
-    return spark.sql(f"""
+    try:
+        return spark.sql(f"""
 WITH b AS (
   SELECT {bk} AS bk, count(*) AS cnt FROM {view} GROUP BY 1
 ),
@@ -663,6 +664,11 @@ SELECT h.p AS p, r.v AS value
 FROM hit h JOIN r ON r.bk = h.bk AND r.rn = h.target - h.below
 ORDER BY h.p
 """)
+    finally:
+        # spark.sql analyzes eagerly (the returned plan no longer needs
+        # the view) — drop it so repeated calls do not leak catalog
+        # entries / pin the input plan for the session.
+        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------- grouped exact quantiles

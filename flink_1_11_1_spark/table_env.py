@@ -185,10 +185,27 @@ class TableEnvironment:
         ``-f script.sql`` surface): statements execute in order through
         ``execute_sql``; the last statement's result (if any) is
         returned.  The split respects single- and double-quoted strings
-        (with backslash and doubled-quote escapes) and backtick
-        identifiers, so WITH properties or literals containing ``;``
-        or ``--`` survive.  Outside quotes, ``--``-to-end-of-line
-        comments are stripped (sql-client convention)."""
+        (with doubled-quote escapes) and backtick identifiers, so WITH
+        properties or literals containing ``;`` or ``--`` survive.
+        Outside quotes, ``--``-to-end-of-line comments are stripped
+        (sql-client convention).
+
+        Dialect delta, deliberate: whether backslash escapes a quote
+        inside a literal follows the *downstream parser* — Spark's
+        default (``spark.sql.parser.escapedStringLiterals=false``)
+        processes backslash escapes, so the split honors them; with
+        ``escapedStringLiterals=true`` (raw literals — also the Flink
+        sql-client behavior, where backslash is literal and a literal
+        may end in ``\\``) the split treats backslash as an ordinary
+        character.  Splitting by any other rule than the engine that
+        will parse the statement mis-brackets one dialect or the
+        other."""
+        backslash_escapes = (
+            self.spark.conf.get(
+                "spark.sql.parser.escapedStringLiterals", "false"
+            ).lower()
+            != "true"
+        )
         stmts, buf = [], []
         quote: str | None = None  # current open quote char, if any
         i, n = 0, len(script)
@@ -196,7 +213,12 @@ class TableEnvironment:
             ch = script[i]
             if quote is not None:
                 buf.append(ch)
-                if ch == "\\" and quote in "'\"" and i + 1 < n:
+                if (
+                    backslash_escapes
+                    and ch == "\\"
+                    and quote in "'\""
+                    and i + 1 < n
+                ):
                     buf.append(script[i + 1])  # escaped char stays literal
                     i += 2
                     continue

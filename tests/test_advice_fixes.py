@@ -110,3 +110,91 @@ def test_register_force_restores_shadowed_view(spark):
     assert spark.table("region").count() == 1
     catalog.register(spark, SF_SMOKE, force=True)
     assert spark.table("region").count() == n
+
+
+# ------------------------------------------------- round-6 advisor items
+
+
+def test_hint_alias_evicted_on_recreate(spark, tmp_path):
+    """DROP + re-CREATE of a hinted table with different props must not
+    serve the stale merged alias: the repeated hinted query re-merges
+    against the new declaration (ADVICE r5: _hint_aliases never
+    invalidated)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).write.parquet(a)
+    spark.range(7).write.parquet(b)
+    other = str(tmp_path / "c")
+    spark.range(5).write.parquet(other)
+    ddl = """CREATE TABLE ev_hint (id BIGINT) WITH (
+        'connector'='filesystem', 'path'='{p}', 'format'='parquet')"""
+    hinted = f"SELECT count(*) AS n FROM ev_hint /*+ OPTIONS('path'='{other}') */"
+    tenv.execute_sql(ddl.format(p=a))
+    assert tenv.execute_sql(hinted).collect()[0].n == 5
+    tenv.execute_sql("DROP TABLE ev_hint")
+    # re-create with a different declared path AND different schema case
+    tenv.execute_sql(ddl.format(p=b))
+    assert tenv.execute_sql("SELECT count(*) AS n FROM ev_hint").collect()[0].n == 7
+    # the repeated hinted query must re-merge (same override → same cache
+    # key as before the drop); a stale alias would still read path a/c
+    # merged over the OLD declaration
+    assert tenv.execute_sql(hinted).collect()[0].n == 5
+    # and the override composes with the NEW base declaration: overriding
+    # nothing yields the new path
+    assert (
+        tenv.execute_sql(
+            "SELECT count(*) AS n FROM ev_hint /*+ OPTIONS('format'='parquet') */"
+        ).collect()[0].n
+        == 7
+    )
+    tenv.execute_sql("DROP TABLE ev_hint")
+
+
+def test_hint_shaped_text_inside_literal_untouched(spark):
+    """Hint-shaped text inside a string literal must survive the FLIP-113
+    rewrite verbatim (ADVICE r5: _HINT_RE was not quote-aware)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    lit = "see t /*+ OPTIONS('k'='v') */ in docs"
+    row = tenv.execute_sql(
+        "SELECT 'see t /*+ OPTIONS(''k''=''v'') */ in docs' AS s"
+    ).collect()[0]
+    assert row.s == lit
+
+
+def test_exact_quantiles_drops_its_temp_view(spark):
+    """Repeated exact_quantiles calls must not leak __exact_quantiles_N
+    temp views (ADVICE r5)."""
+    from flink_1_11_1_spark.extensions.stats import exact_quantiles
+
+    df = spark.range(100).selectExpr("id AS v", "id AS tb")
+    for _ in range(2):
+        rows = exact_quantiles(df, "v", "tb", probs=(0.5,)).collect()
+        # lower discrete quantile: smallest v with cum_count >= ceil(.5*100)
+        assert rows and rows[0].value == 49
+    leaked = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("__exact_quantiles_")]
+    assert leaked == []
+
+
+def test_execute_script_backslash_follows_parser_dialect(spark):
+    """The script splitter's backslash handling follows the downstream
+    parser: Spark-default escape processing, raw literals (the Flink
+    sql-client behavior) when escapedStringLiterals=true (ADVICE r5)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    # default dialect: backslash escapes — an escaped quote stays inside
+    assert tenv.execute_script(r"SELECT 'a\'b' AS s").collect()[0].s == "a'b"
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        # raw dialect: a literal ending in a backslash closes cleanly and
+        # the following statement still runs (the old splitter kept the
+        # quote open and mis-split here)
+        out = tenv.execute_script("SELECT 'tail\\' AS s; SELECT 2 AS y")
+        assert out.collect()[0].y == 2
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")

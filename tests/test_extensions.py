@@ -146,6 +146,72 @@ def test_ivf_recall_at_default_nprobe(spark):
     assert rec >= 0.4
 
 
+def test_cosine_layout_regimes():
+    """The auto layout must refuse to band in the no-pruning regime
+    (ρ → 1 below t ≈ 0.85: every recall-preserving layout admits ~all
+    random pairs) and must produce a bounded-candidate layout above it."""
+    assert dedup._cos_layout(0.42) is None  # the declared fixture regime
+    assert dedup._cos_layout(0.7) is None
+    for t in (0.85, 0.9, 0.95):
+        layout = dedup._cos_layout(t)
+        assert layout is not None
+        bands, rpb = layout
+        # predicted random-pair candidate fraction stays under the cap
+        frac = 1.0 - (1.0 - 2.0**-rpb) ** bands
+        assert frac <= 0.25 and bands <= 96
+
+
+def test_cosine_lsh_prunes_with_full_recall(spark):
+    """In the pruning regime (t=0.95) the banded path must (a) find
+    every brute-force pair — 20 planted near-dup pairs at cos ≈ 0.995
+    among 200 isotropic vectors — and (b) generate far fewer candidates
+    than all-pairs, which is the entire point of LSH at 100 TB."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for i in range(20):  # planted noisy copies of vectors 0..19
+        noisy = base[i] + 0.01 * rng.standard_normal(64)
+        noisy /= np.linalg.norm(noisy)
+        rows.append((1000 + i, noisy.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    layout = dedup._cos_layout(0.95)
+    cand = dedup._cos_band_candidates(emb, *layout)
+    n_cand = cand.count()
+    n_pairs = 220 * 219 // 2
+    assert n_cand < 0.05 * n_pairs, f"no pruning: {n_cand}/{n_pairs}"
+
+    got = {(r.da, r.db) for r in
+           dedup.cosine_near_dup_pairs(emb, threshold=0.95).collect()}
+    # brute-force ground truth in numpy
+    M = np.array([r[1] for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = np.array([r[0] for r in rows])
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = S[iu, ju] >= 0.95
+    want = {(int(min(a, b)), int(max(a, b)))
+            for a, b in zip(ids[iu[keep]], ids[ju[keep]])}
+    assert want and got == want
+
+
+def test_cosine_gemm_equals_lsh_in_pruning_regime(spark):
+    """Strategy independence: forcing the blocked-GEMM path at a
+    pruning-regime threshold returns the identical pair set and
+    bit-identical sims (the declared sim is the same JVM fold either
+    way)."""
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings").where("vec_id < 300")
+    via_lsh = {tuple(r) for r in
+               dedup.cosine_near_dup_pairs(emb, threshold=0.42,
+                                           bands=16, planes_per_band=1).collect()}
+    via_gemm = {tuple(r) for r in
+                dedup.cosine_near_dup_pairs(emb, threshold=0.42).collect()}
+    assert via_gemm == via_lsh
+
+
 def test_cosine_near_dup_planted(spark):
     """A planted noisy copy (cosine ~0.999 to its source) must surface
     as a near-dup pair through the banded-LSH candidate path."""
