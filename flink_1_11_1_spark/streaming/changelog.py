@@ -5,25 +5,34 @@ no first-class retraction.  The engine's documented replacements:
 
 - ``to_upsert_stream``: update-mode writer — per-trigger revisions keyed
   by the full grouping key (Flink's upsert sink contract).
-- ``ChangelogBatcher``: a ``foreachBatch`` adapter that diffs each
-  micro-batch's aggregate snapshot against the previous one and emits
-  Flink-RowKind-tagged rows (+I / +U / -D) to a user callback — the
+- ``ChangelogWriter``: a ``foreachBatch`` adapter that diffs each
+  micro-batch's aggregate snapshot against the previous one and appends
+  Flink-RowKind-tagged rows (+I / +U / -D) to a records table — the
   changelog surface, reconstructed batch-wise.
-- ``RetractStreamBatcher`` + ``fold_retracts``: the actual
+- ``RetractStreamWriter`` + ``fold_retracts``: the actual
   ``toRetractStream`` rendering — boolean-tagged full rows whose
   multiset fold reproduces the table at every prefix (update = retract
   old THEN add new).
 
-The batcher keeps the previous snapshot as a plain dict keyed by the
-group key: suitable for dimension-sized aggregates (its scale contract;
-an unbounded-key aggregate belongs in update mode + an idempotent store).
+Both renderers are EXECUTOR-SIDE (round 6; the round-5 versions
+collected every snapshot to a driver dict, which caps out at
+dimension-sized aggregates): each trigger writes the aggregate snapshot
+to a snapshot table, diffs it against the previous snapshot with one
+full-outer join on the group key, and appends the rendered change
+records to a per-batch records directory — idempotent under
+foreachBatch's batch-id retry contract (overwrite of a deterministic
+path), never materializing a row on the driver, so key cardinality is
+bounded by cluster storage, not driver memory.  The driver holds two
+path strings.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+import shutil
+from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -40,8 +49,41 @@ def to_upsert_stream(
     )
 
 
-class RetractStreamBatcher:
-    """``toRetractStream`` parity: per-trigger ``(add: bool, row)`` records.
+def _snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(seq, add, _old struct, _new struct) change rows via ONE full-outer
+    join of consecutive snapshots on the group key — the executor-side
+    replacement for the round-5 driver-dict diff.  ``seq`` orders a
+    retract (0) before its replacing add (1) inside a batch; null-safe
+    struct comparison routes NULL aggregate values explicitly (a NULL
+    field must read as "same" only against NULL)."""
+    cols = new.columns
+    o = old.select(*keys, F.struct(*cols).alias("_old"))
+    n = new.select(*keys, F.struct(*cols).alias("_new"))
+    j = o.join(n, list(keys), "full_outer")
+    changed = ~F.col("_old").eqNullSafe(F.col("_new"))
+    retract = F.when(
+        F.col("_old").isNotNull() & changed,
+        F.struct(F.lit(0).alias("seq"), F.lit(False).alias("add"),
+                 F.col("_old").alias("row")),
+    )
+    add = F.when(
+        F.col("_new").isNotNull() & changed,
+        F.struct(F.lit(1).alias("seq"), F.lit(True).alias("add"),
+                 F.col("_new").alias("row")),
+    )
+    return (
+        j.select(
+            F.explode(
+                F.filter(F.array(retract, add), lambda x: x.isNotNull())
+            ).alias("_r")
+        )
+        .select("_r.seq", "_r.add", "_r.row.*")
+    )
+
+
+class RetractStreamWriter:
+    """``toRetractStream`` parity: per-trigger ``(add: bool, row)`` records
+    appended to a records table, rendered entirely executor-side.
 
     Flink's ``StreamTableEnvironment.toRetractStream`` (public tree
     flink-table/flink-table-api-java-bridge
@@ -51,43 +93,47 @@ class RetractStreamBatcher:
     delete emits ``(false, row)``.  The accumulated multiset — add on
     true, retract on false — always equals the current table, which is
     the property ``fold_retracts`` reconstructs and the S13 test checks
-    against the batch twin.
+    against the batch twin; within a batch ``seq`` (0=retract, 1=add)
+    preserves retract-before-add, so reading the records table ordered
+    by ``(batch_id, seq)`` is the retract stream.
 
-    Same scale contract as ChangelogBatcher: the snapshot dict holds one
-    entry per group key, so this is for dimension-sized aggregates; an
-    unbounded-key aggregate belongs in update mode + an idempotent store.
+    Scale contract: per trigger, one snapshot write + one full-outer
+    join on the group key + one append — all distributed; the driver
+    holds only ``workdir``.  Snapshot/records are parquet under
+    ``workdir`` (an object-store prefix on a real cluster); each batch
+    overwrites its own deterministic subdirectory, so foreachBatch's
+    retry of a batch id is idempotent.  The previous snapshot is pruned
+    after a successful diff unless ``keep_snapshots``.
     """
 
-    def __init__(
-        self,
-        keys: Sequence[str],
-        on_change: Callable[[int, list[tuple[bool, tuple]]], None],
-    ):
+    def __init__(self, keys: Sequence[str], workdir: str,
+                 keep_snapshots: bool = False):
         self.keys = list(keys)
-        self.on_change = on_change
-        self._snapshot: dict[tuple, tuple] = {}
+        self.workdir = str(workdir)
+        self.keep_snapshots = keep_snapshots
+        self._prev: str | None = None
+
+    def _render(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        return _snapshot_diff(old, new, self.keys)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        cols = batch_df.columns
-        key_idx = [cols.index(k) for k in self.keys]
-        current: dict[tuple, tuple] = {}
-        for r in batch_df.collect():
-            row = tuple(r)
-            current[tuple(row[i] for i in key_idx)] = row
-        records: list[tuple[bool, tuple]] = []
-        for key, row in current.items():
-            old = self._snapshot.get(key)
-            if old is None:
-                records.append((True, row))
-            elif old != row:
-                records.append((False, old))  # retract precedes the add
-                records.append((True, row))
-        for key, row in self._snapshot.items():
-            if key not in current:
-                records.append((False, row))
-        self._snapshot = current
-        if records:
-            self.on_change(batch_id, records)
+        spark = batch_df.sparkSession
+        snap = f"{self.workdir}/snap_b{batch_id}"
+        batch_df.write.mode("overwrite").parquet(snap)
+        new = spark.read.parquet(snap)
+        old = spark.read.parquet(self._prev) if self._prev else new.limit(0)
+        recs = self._render(old, new).withColumn("batch_id", F.lit(batch_id))
+        recs.write.mode("overwrite").parquet(f"{self.workdir}/records/b{batch_id}")
+        if self._prev and not self.keep_snapshots:
+            shutil.rmtree(self._prev, ignore_errors=True)
+        self._prev = snap
+
+
+def read_retracts(spark: SparkSession, workdir: str) -> DataFrame:
+    """The accumulated retract stream: records ordered (batch_id, seq) —
+    ``seq`` keeps every retract before the adds of its batch, so any
+    prefix folds without going negative."""
+    return spark.read.parquet(f"{workdir}/records/*").orderBy("batch_id", "seq")
 
 
 def fold_retracts(records: Sequence[tuple[bool, tuple]]) -> list[tuple]:
@@ -107,45 +153,41 @@ def fold_retracts(records: Sequence[tuple[bool, tuple]]) -> list[tuple]:
     return out
 
 
-class ChangelogBatcher:
-    """foreachBatch diff adapter producing +I/+U/-D rows per trigger.
+class ChangelogWriter(RetractStreamWriter):
+    """foreachBatch diff adapter appending +I/+U/-D rows per trigger.
+
+    Same executor-side snapshot-diff machinery as RetractStreamWriter,
+    rendered as Flink RowKinds instead of boolean retract pairs: a key
+    only in the new snapshot appends ``+I`` with the new row, a changed
+    key ``+U`` with the new row, a vanished key ``-D`` with the old row.
 
     Usage::
 
-        batcher = ChangelogBatcher(keys=["k"], on_change=collect_fn)
+        writer = ChangelogWriter(keys=["k"], workdir=path)
         q = (agg_stream.writeStream.outputMode("complete")
-             .foreachBatch(batcher).start())
-
-    ``on_change(batch_id, rows)`` receives a list of
-    ``(row_kind, key_tuple, value_tuple)``.
+             .foreachBatch(writer).start())
+        changes = read_changelog(spark, path)   # kind, row..., batch_id
     """
 
-    def __init__(
-        self,
-        keys: Sequence[str],
-        on_change: Callable[[int, list[tuple[str, tuple, tuple]]], None],
-    ):
-        self.keys = list(keys)
-        self.on_change = on_change
-        self._snapshot: dict[tuple, tuple] = {}
-
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        value_cols = [c for c in batch_df.columns if c not in self.keys]
-        current = {
-            tuple(getattr(r, k) for k in self.keys): tuple(
-                getattr(r, c) for c in value_cols
+    def _render(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        cols = new.columns
+        o = old.select(*self.keys, F.struct(*cols).alias("_old"))
+        n = new.select(*self.keys, F.struct(*cols).alias("_new"))
+        j = o.join(n, list(self.keys), "full_outer")
+        changed = ~F.col("_old").eqNullSafe(F.col("_new"))
+        return (
+            j.where(changed)
+            .select(
+                F.when(F.col("_old").isNull(), F.lit("+I"))
+                .when(F.col("_new").isNull(), F.lit("-D"))
+                .otherwise(F.lit("+U"))
+                .alias("kind"),
+                F.coalesce(F.col("_new"), F.col("_old")).alias("row"),
             )
-            for r in batch_df.collect()
-        }
-        changes: list[tuple[str, tuple, tuple]] = []
-        for key, val in current.items():
-            if key not in self._snapshot:
-                changes.append(("+I", key, val))
-            elif self._snapshot[key] != val:
-                changes.append(("+U", key, val))
-        for key, val in self._snapshot.items():
-            if key not in current:
-                changes.append(("-D", key, val))
-        self._snapshot = current
-        if changes:
-            self.on_change(batch_id, changes)
+            .select("kind", "row.*")
+        )
+
+
+def read_changelog(spark: SparkSession, workdir: str) -> DataFrame:
+    """The accumulated +I/+U/-D changelog ordered by batch."""
+    return spark.read.parquet(f"{workdir}/records/*").orderBy("batch_id")

@@ -11,10 +11,11 @@ Reference parity:
   (``GroupState.getCurrentWatermarkMs``), so the operator is a direct
   translation; rows above the watermark stay buffered for a later
   trigger (the replay flush sentinel drains them at end of input).
-- ``ForeachBatchTopN`` — the capability matrix's documented replacement
-  for streaming Top-N (StreamExecRank emits a retract stream Spark
-  cannot): recompute the Top-N of each complete-mode aggregate snapshot
-  per trigger and hand revisions to a callback.
+- ``TopNRetractWriter`` — the capability matrix's documented
+  replacement for streaming Top-N: recompute the Top-N of each
+  complete-mode aggregate snapshot per trigger and render the rank
+  revisions as a StreamExecRank-style retract stream, executor-side
+  (``changelog.RetractStreamWriter`` keyed by rank slot).
 """
 
 from __future__ import annotations
@@ -103,28 +104,37 @@ def running_sum(events: DataFrame) -> DataFrame:
     )
 
 
-class ForeachBatchTopN:
-    """Per-trigger Top-N over a complete-mode aggregate snapshot.
+class TopNRetractWriter:
+    """Per-trigger Top-N revision stream over a complete-mode aggregate
+    snapshot, rendered executor-side as retract records.
 
-    ``on_result(batch_id, rows)`` receives the current Top-N list each
-    trigger — successive calls ARE the revision stream Flink's
-    StreamExecRank would emit as retractions.
-    """
+    Flink's StreamExecRank emits the Top-N as an updating table —
+    retract the row leaving a rank slot, add its replacement.  This
+    adapter reproduces exactly that: each trigger ranks the snapshot
+    (WindowGroupLimit plan), then delegates to
+    ``changelog.RetractStreamWriter`` keyed by (partition, rank-slot),
+    so a rank whose occupant changed appends ``(False, old)`` then
+    ``(True, new)`` and the folded records table always equals the
+    current Top-N (read with ``changelog.read_retracts``).  Nothing is
+    collected on the driver — the round-5 version materialized n×keys
+    rows per trigger."""
 
     def __init__(
         self,
         partition_by: Sequence[str],
         order_by: Sequence[Column],
         n: int,
-        on_result: Callable[[int, list], None],
+        workdir: str,
     ):
+        from .changelog import RetractStreamWriter
+
         self.partition_by = list(partition_by)
         self.order_by = list(order_by)
         self.n = n
-        self.on_result = on_result
+        self._writer = RetractStreamWriter([*self.partition_by, "rn"], workdir)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.rank import top_n
 
-        rows = top_n(batch_df, self.partition_by, self.order_by, self.n).collect()
-        self.on_result(batch_id, rows)
+        ranked = top_n(batch_df, self.partition_by, self.order_by, self.n)
+        self._writer(ranked, batch_id)

@@ -133,18 +133,18 @@ def test_changelog_batcher_emits_rowkinds(spark, tmpdir):
     stream = replay.events_stream(spark, rdir, watermark=None)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
 
-    seen: list[tuple[str, tuple, tuple]] = []
-    batcher = changelog.ChangelogBatcher(
-        keys=["event_type"], on_change=lambda bid, ch: seen.extend(ch)
-    )
+    wdir = os.path.join(tmpdir, "cl_records")
+    writer = changelog.ChangelogWriter(keys=["event_type"], workdir=wdir)
     q = (
         agg.writeStream.outputMode("complete")
-        .foreachBatch(batcher)
+        .foreachBatch(writer)
         .option("checkpointLocation", os.path.join(tmpdir, "cl_ckpt"))
         .start()
     )
     q.processAllAvailable()
     q.stop()
+    seen = [(r.kind, (r.event_type,), (r.n,))
+            for r in changelog.read_changelog(spark, wdir).collect()]
     kinds = {k for k, _, _ in seen}
     assert "+I" in kinds and "+U" in kinds  # first batch inserts, later updates
     # final upsert state equals the batch aggregate
@@ -177,18 +177,18 @@ def test_s13_retract_stream_fold_equals_batch(spark, tmpdir):
     stream = replay.events_stream(spark, rdir, watermark=None)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
 
-    seen: list[tuple[bool, tuple]] = []
-    batcher = changelog.RetractStreamBatcher(
-        keys=["event_type"], on_change=lambda bid, recs: seen.extend(recs)
-    )
+    wdir = os.path.join(tmpdir, "rs_records")
+    writer = changelog.RetractStreamWriter(keys=["event_type"], workdir=wdir)
     q = (
         agg.writeStream.outputMode("complete")
-        .foreachBatch(batcher)
+        .foreachBatch(writer)
         .option("checkpointLocation", os.path.join(tmpdir, "rs_ckpt"))
         .start()
     )
     q.processAllAvailable()
     q.stop()
+    seen = [(r.add, (r.event_type, r.n))
+            for r in changelog.read_retracts(spark, wdir).collect()]
 
     assert any(not add for add, _ in seen)  # later batches retract old counts
     folded = sorted(changelog.fold_retracts(seen))

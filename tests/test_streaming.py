@@ -269,40 +269,41 @@ def test_streaming_running_sum_equals_batch(spark, replay_dir):
     assert got_m == want_m
 
 
-def test_foreach_batch_topn_revisions(spark, replay_dir):
+def test_foreach_batch_topn_revisions(spark, replay_dir, tmp_path):
     from flink_1_11_1_spark.operators.rank import top_n
-    from flink_1_11_1_spark.streaming.over import ForeachBatchTopN
+    from flink_1_11_1_spark.streaming import changelog
+    from flink_1_11_1_spark.streaming.over import TopNRetractWriter
 
     stream = replay.events_stream(spark, replay_dir, watermark=None).where(
         "user_id >= 0"
     )
     agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
-    snapshots = []
-    sink = ForeachBatchTopN(
-        [], [F.col("total").desc(), F.col("user_id")], 5,
-        lambda bid, rows: snapshots.append(rows),
+    wdir = str(tmp_path / "topn_records")
+    sink = TopNRetractWriter(
+        [], [F.col("total").desc(), F.col("user_id")], 5, wdir,
     )
     q = (
         agg.writeStream.outputMode("complete")
         .foreachBatch(sink)
-        .option("checkpointLocation", f"/tmp/topn_ckpt_{id(snapshots)}")
+        .option("checkpointLocation", str(tmp_path / "topn_ckpt"))
         .start()
     )
     q.processAllAvailable()
     q.stop()
-    import shutil
-
-    shutil.rmtree(f"/tmp/topn_ckpt_{id(snapshots)}", ignore_errors=True)
-    assert len(snapshots) >= 2  # revisions over triggers
+    recs = [(r.add, (r.user_id, round(r.total, 6), r.rn))
+            for r in changelog.read_retracts(spark, wdir).collect()]
+    batches = {r.batch_id for r in changelog.read_retracts(spark, wdir).collect()}
+    assert len(batches) >= 2 and any(not add for add, _ in recs)  # revisions
     ev = _batch_events(spark)
     want = top_n(
         ev.groupBy("user_id").agg(F.sum("value").alias("total")),
         [], [F.col("total").desc(), F.col("user_id")], 5,
     ).collect()
-    final = snapshots[-1]
-    assert [(r.user_id, round(r.total, 6)) for r in final] == [
-        (r.user_id, round(r.total, 6)) for r in want
-    ]
+    # the folded records table IS the current Top-N (Flink StreamExecRank)
+    folded = sorted(changelog.fold_retracts(recs))
+    assert folded == sorted(
+        (r.user_id, round(r.total, 6), r.rn) for r in want
+    )
 
 
 # ------------------------------------- S9: streaming semi / anti join
