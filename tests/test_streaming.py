@@ -566,3 +566,98 @@ def test_s15b_punctuated_watermark_null_predicate_rows_flow(spark):
     assert on_t == {1, 2} and late == set()
     assert wm is not None  # the marker advanced the watermark
     shutil.rmtree(rdir, ignore_errors=True)
+
+
+# ------------------------- S17: event-time versioned (temporal) join
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_s17_temporal_rowtime_join_equals_batch_asof(spark, replay_dir, how):
+    """Streaming rowtime temporal join (TemporalRowTimeJoinOperator
+    parity) == the batch as-of twin: every view joins the purchase
+    version (value) valid at its event time; unmatched views appear
+    only in left mode, with a null version."""
+    from flink_1_11_1_spark.operators.joins import asof_join
+    from flink_1_11_1_spark.streaming.temporal import (
+        streaming_temporal_rowtime_join,
+    )
+
+    stream = replay.events_stream(spark, replay_dir)
+    fact = stream.where("event_type = 'view'")
+    vers = stream.where("event_type = 'purchase'").withColumn(
+        "val", F.col("value")
+    )
+    out = streaming_temporal_rowtime_join(fact, vers, how=how)
+    got, _ = replay.run_stream(out, "append", f"s17_{how}")
+    got_m = {r.event_id: (r.user_id, r.ts, r.val) for r in got}
+
+    ev = _batch_events(spark)
+    want_df = asof_join(
+        ev.where("event_type = 'view'").select("user_id", "event_id", "ts"),
+        ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("value").alias("val")
+        ),
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        right_cols=["val"],
+        how=how,
+    )
+    want_m = {r.event_id: (r.user_id, r.ts, r.val) for r in want_df.collect()}
+    assert got_m == want_m
+    assert got_m  # non-degenerate
+    if how == "left":
+        assert any(v[2] is None for v in got_m.values())  # unmatched views
+
+
+def test_s17b_temporal_version_upsert_and_order(spark, tmp_path):
+    """A later record at the SAME version rowtime replaces the earlier
+    one (the versioned-table upsert contract), and facts pick the
+    greatest version ts <= fact ts even when versions arrive out of
+    order across micro-batches."""
+    from flink_1_11_1_spark.streaming.temporal import (
+        streaming_temporal_rowtime_join,
+    )
+
+    base = 1_700_000_000  # seconds
+    def ts(s):
+        return F.timestamp_seconds(F.lit(base + s))
+
+    def frame(rows):
+        # rows: (user_id, sec, event_id or None, val or None, event_type)
+        return spark.createDataFrame(
+            [(u, (base + s) * 10**6, e, v, t) for u, s, e, v, t in rows],
+            "user_id long, us long, event_id long, value double, event_type string",
+        ).select(
+            "user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id", "value", "event_type",
+        )
+
+    frames = [
+        frame([(1, 10, None, 1.0, "v"), (1, 30, None, 3.0, "v")]),
+        frame([(1, 10, None, 9.0, "v"),   # upsert of the ts=10 version
+               (1, 20, None, 2.0, "v")]), # out-of-order insert
+        frame([(1, 15, 100, None, "f"),   # → version ts=10 (val 9.0)
+               (1, 25, 101, None, "f"),   # → version ts=20 (val 2.0)
+               (1, 35, 102, None, "f")]), # → version ts=30 (val 3.0)
+        frame([(1, 5000, 999, None, "f")]),  # drives the watermark past 35
+    ]
+    rdir = str(tmp_path / "s17b")
+    replay.write_replay_frames(frames, rdir)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(rdir)
+        # lateness allowance > the replay's cross-frame disorder: rows
+        # behind the watermark are dropped BEFORE the operator (Spark
+        # and Flink agree on that), which is not what this test probes
+        .withWatermark("ts", "1000 seconds")
+    )
+    out = streaming_temporal_rowtime_join(
+        stream.where("event_type = 'f'"),
+        stream.where("event_type = 'v'").withColumn("val", F.col("value")),
+    )
+    got, _ = replay.run_stream(out, "append", "s17b")
+    m = {r.event_id: r.val for r in got}
+    assert m[100] == 9.0 and m[101] == 2.0 and m[102] == 3.0
