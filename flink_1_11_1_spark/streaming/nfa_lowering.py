@@ -339,11 +339,16 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         return None
 
     # relaxed funnel: consecutive block, then a chain of segments —
-    # each (optional?, required) with at most one optional per segment;
-    # every optional must contradict its following required (one event
-    # may otherwise satisfy both flags, and greedy binds the optional
-    # first, which the no-join next-occurrence formula cannot express).
-    # One (key, event_id) equi-join per segment after the first.
+    # each (optional?, required) with at most one optional per segment.
+    # One (key, event_id) equi-join per segment after the first.  A
+    # segment whose optional contradicts its required resolves with the
+    # no-join next-occurrence comparison; a NON-contradictory optional
+    # (one event may satisfy both flags — greedy binds the optional
+    # first) resolves via the union-next-occurrence formula instead
+    # (round 6): the first event matching EITHER flag decides the
+    # binding, at the cost of one extra keyed hop join per such
+    # segment.  Adjacent optionals (later-occurrence rebinding chains)
+    # remain fold-only.
     if (
         len(states) >= 2
         and s0.min_count == s0.max_count
@@ -356,11 +361,7 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         and len(states[1:]) <= 5
         and states[-1].min_count == 1
     ):
-        segs = _segments_of(states[1:])
-        if segs is not None and all(
-            opt is None or _contradictory(_state_literals(opt), _state_literals(req))
-            for opt, req in segs
-        ):
+        if _segments_of(states[1:]) is not None:
             return "D"
     return None
 
@@ -633,6 +634,18 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
     s0 = states[0]
     n = s0.min_count
     segs = _segments_of(states[1:])
+    # per-segment resolution mode: a contradictory optional cannot share
+    # an event with its required, so the two separate next-occurrence
+    # structs compare directly (no hop); a non-contradictory optional
+    # needs the union formula — the first event matching EITHER flag
+    # decides the binding (greedy tries the optional first), and when
+    # the optional binds, the required re-resolves strictly after it
+    # via one extra keyed hop join
+    union_mode = [
+        opt is not None
+        and not _contradictory(_state_literals(opt), _state_literals(req))
+        for opt, req in segs
+    ]
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     wfol = w.rowsBetween(1, Window.unboundedFollowing)
     d = flagged
@@ -645,6 +658,82 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
             F.min(F.when(F.col(f"f{idx}"), F.struct("ts", "event_id"))).over(wfol),
         )
         nxt[s.name] = cname
+    uni = {}  # optional state name -> union next-occurrence column
+    for (opt, req), um in zip(segs, union_mode):
+        if um:
+            io, ir = states.index(opt), states.index(req)
+            cname = f"_uni_{io}"
+            d = d.withColumn(
+                cname,
+                F.min(
+                    F.when(
+                        F.col(f"f{io}") | F.col(f"f{ir}"),
+                        F.struct(
+                            "ts", "event_id", F.col(f"f{io}").alias("om")
+                        ),
+                    )
+                ).over(wfol),
+            )
+            uni[opt.name] = cname
+
+    def _seg_pos_cols(opt, req, um):
+        """Columns a segment needs at its position row."""
+        if um:
+            return [uni[opt.name]]
+        return [nxt[req.name]] + ([nxt[opt.name]] if opt else [])
+
+    # hop source: every per-row column any later lookup may need
+    hop_cols = {c for (opt, req), um in zip(segs, union_mode)
+                for c in _seg_pos_cols(opt, req, um)}
+    hop_cols |= {nxt[req.name] for (opt, req), um in zip(segs, union_mode) if um}
+    hop_src = d.select(
+        F.col(key).alias("_hk"),
+        F.col("event_id").alias("_heid"),
+        *[F.col(c).alias(f"_h{c}") for c in sorted(hop_cols)],
+    )
+
+    def _resolve_union(cand: DataFrame, j: int, opt, req) -> DataFrame:
+        """Turn `_u{j}` (union struct at the segment position) into the
+        final `_r{j}`/`_o{j}` bindings: if the first union event
+        satisfies the optional flag, the optional binds there and the
+        required re-resolves strictly after it (hop join); otherwise
+        that event IS the required."""
+        cand = cand.filter(F.col(f"_u{j}").isNotNull())
+        cand = (
+            cand.join(
+                hop_src.select(
+                    "_hk", "_heid",
+                    F.col(f"_h{nxt[req.name]}").alias(f"_ro{j}"),
+                ),
+                (F.col("_k") == F.col("_hk"))
+                & (F.col(f"_u{j}.event_id") == F.col("_heid")),
+                "left",
+            )
+            .drop("_hk", "_heid")
+        )
+        bound = F.col(f"_u{j}.om")
+        return (
+            cand.withColumn(
+                f"_r{j}",
+                F.when(bound, F.col(f"_ro{j}")).otherwise(
+                    F.struct(
+                        F.col(f"_u{j}.ts").alias("ts"),
+                        F.col(f"_u{j}.event_id").alias("event_id"),
+                    )
+                ),
+            )
+            .withColumn(
+                f"_o{j}",
+                F.when(
+                    bound,
+                    F.struct(
+                        F.col(f"_u{j}.ts").alias("ts"),
+                        F.col(f"_u{j}.event_id").alias("event_id"),
+                    ),
+                ),
+            )
+            .filter(F.col(f"_r{j}").isNotNull())
+        )
 
     # segment 1: next-occurrence info shifted to the match's start row
     leads = _Leads()
@@ -652,10 +741,16 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
     block_ids = [F.expr(leads.ref("event_id", o)) for o in range(n)]
     block_tss = [F.expr(leads.ref("ts", o)) for o in range(n)]
     opt0, req0 = segs[0]
-    seg1_cols = [nxt[req0.name]] + ([nxt[opt0.name]] if opt0 else [])
+    seg1_cols = _seg_pos_cols(opt0, req0, union_mode[0])
     seg1_ref = {
         c: (leads.ref(c, n - 1) if n > 1 else f"`{c}`") for c in seg1_cols
     }
+    if union_mode[0]:
+        seg1_sel = [F.expr(seg1_ref[uni[opt0.name]]).alias("_u1")]
+    else:
+        seg1_sel = [F.expr(seg1_ref[nxt[req0.name]]).alias("_r1")] + (
+            [F.expr(seg1_ref[nxt[opt0.name]]).alias("_o1")] if opt0 else []
+        )
     cand = (
         leads.attach(d, w)
         .filter(F.expr(" AND ".join(f"({c})" for c in block_conds)))
@@ -664,26 +759,23 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
             F.col("ts").alias("_start_ts"),
             *[c.alias(f"_blk_id_{o}") for o, c in enumerate(block_ids)],
             *[c.alias(f"_blk_ts_{o}") for o, c in enumerate(block_tss)],
-            F.expr(seg1_ref[nxt[req0.name]]).alias("_r1"),
-            *(
-                [F.expr(seg1_ref[nxt[opt0.name]]).alias("_o1")]
-                if opt0
-                else []
-            ),
+            *seg1_sel,
         )
-        .filter(F.col("_r1").isNotNull())
     )
+    if union_mode[0]:
+        cand = _resolve_union(cand, 1, opt0, req0)
+    else:
+        cand = cand.filter(F.col("_r1").isNotNull())
 
     # later segments: join the previous required binding to its row
-    hop_src = d.select(
-        F.col(key).alias("_hk"),
-        F.col("event_id").alias("_heid"),
-        *[F.col(nxt[s.name]).alias(f"_hn_{s.name}") for opt, req in segs[1:] for s in ([opt] if opt else []) + [req]],
-    )
     for j, (opt, req) in enumerate(segs[1:], start=2):
-        sel = ["_hk", "_heid", F.col(f"_hn_{req.name}").alias(f"_r{j}")]
-        if opt:
-            sel.append(F.col(f"_hn_{opt.name}").alias(f"_o{j}"))
+        um = union_mode[j - 1]
+        if um:
+            sel = ["_hk", "_heid", F.col(f"_h{uni[opt.name]}").alias(f"_u{j}")]
+        else:
+            sel = ["_hk", "_heid", F.col(f"_h{nxt[req.name]}").alias(f"_r{j}")]
+            if opt:
+                sel.append(F.col(f"_h{nxt[opt.name]}").alias(f"_o{j}"))
         cand = (
             cand.join(
                 hop_src.select(*sel),
@@ -692,8 +784,11 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
                 "inner",
             )
             .drop("_hk", "_heid")
-            .filter(F.col(f"_r{j}").isNotNull())
         )
+        if um:
+            cand = _resolve_union(cand, j, opt, req)
+        else:
+            cand = cand.filter(F.col(f"_r{j}").isNotNull())
     k_segs = len(segs)
     if horizon_s < _UNBOUNDED_S:
         cand = cand.filter(

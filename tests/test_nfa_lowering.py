@@ -262,6 +262,51 @@ _PATTERNS = {
         .within("1 day"),
         "D",
     ),
+    "D_optional_overlapping_required": (
+        # round-6 widen: the optional's literal does NOT contradict its
+        # required (an event can be a view AND value > 50) — the union
+        # next-occurrence formula binds whichever the first qualifying
+        # event satisfies, optional first (greedy)
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "value > 50")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .within("1 day"),
+        "D",
+    ),
+    "D_overlap_then_chain": (
+        # union segment in the middle of a longer chain: the hop joins
+        # after a union-resolved required must still line up
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "value > 50")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .followed_by("c", "event_type = 'purchase'")
+        .within("2 days"),
+        "D",
+    ),
+    "D_overlap_subset_literals": (
+        # optional literal SUBSUMES the required's (value>60 ⇒ value>30):
+        # every required candidate also satisfies the optional, so greedy
+        # always binds the optional first when any qualifying event comes
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "value > 30")
+        .optional()
+        .followed_by("b", "value > 60")
+        .within("2 days"),
+        "D",
+    ),
+    "D_overlap_second_segment": (
+        # the union segment is NOT the first segment: position row comes
+        # from a prior hop join
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("b", "event_type = 'click'")
+        .followed_by("m", "value > 50")
+        .optional()
+        .followed_by("c", "event_type = 'purchase'")
+        .within("2 days"),
+        "D",
+    ),
 }
 
 
@@ -291,17 +336,6 @@ def test_ineligible_shapes_fall_back():
         .within("1 day")
     )
     assert eligible_tier(p1.states, p1.horizon_s, p1.skip) is None
-    # optional whose literal does NOT contradict its following required
-    # (one event could satisfy both flags; greedy binds the optional
-    # first, which the next-occurrence formula cannot express) → fold
-    p2 = (
-        nfa.PatternSeq.begin("a", "event_type = 'signup'")
-        .followed_by("m", "value > 50")
-        .optional()
-        .followed_by("b", "event_type = 'view'")
-        .within("1 day")
-    )
-    assert eligible_tier(p2.states, p2.horizon_s, p2.skip) is None
     # two adjacent optionals (later-occurrence rebinding) → fold
     p2b = (
         nfa.PatternSeq.begin("a", "event_type = 'signup'")
