@@ -83,3 +83,89 @@ def test_to_time_millis(spark):
         ffn.to_time_millis("t1").alias("m1"), ffn.to_time_millis("t2").alias("m2")
     ).first()
     assert r.m1 == 1 * 3600_000 + 2 * 60_000 + 3_000 + 456 and r.m2 == 0
+
+
+# ------------------------- per-record async lookup (round 6, §3.11)
+
+
+def _async_df(spark):
+    return spark.createDataFrame(
+        [(i,) for i in range(12)], "k long"
+    ).coalesce(1)  # one Arrow batch → emission order observable
+
+
+def test_async_enrich_ordered_vs_unordered(spark):
+    """orderedWait preserves input order even when later records
+    complete first; unorderedWait emits in completion order — the
+    AsyncWaitOperator mode pair, driven by a mock endpoint whose
+    latency decreases with the key."""
+    from flink_1_11_1_spark.operators.enrich import async_enrich
+
+    async def mock(v):
+        import asyncio
+
+        await asyncio.sleep((11 - v) * 0.02)  # key 11 fastest
+        return v * 10
+
+    df = _async_df(spark)
+    got_o = async_enrich(df, "k", "r", "long", mock, ordered=True).collect()
+    assert [r.k for r in got_o] == list(range(12))
+    assert all(r.r == r.k * 10 for r in got_o)
+
+    got_u = async_enrich(df, "k", "r", "long", mock, ordered=False).collect()
+    assert [r.k for r in got_u] == list(range(11, -1, -1))  # completion order
+    assert all(r.r == r.k * 10 for r in got_u)
+
+
+def test_async_enrich_capacity_bounds_in_flight(spark):
+    """The in-flight window never exceeds `capacity` (AsyncDataStream's
+    backpressure knob)."""
+    from flink_1_11_1_spark.operators.enrich import async_enrich
+
+    async def mock(v):
+        import asyncio
+
+        mock.live += 1
+        mock.peak = max(mock.peak, mock.live)
+        await asyncio.sleep(0.01)
+        mock.live -= 1
+        return mock.peak
+
+    mock.live, mock.peak = 0, 0
+    got = async_enrich(
+        _async_df(spark), "k", "peak", "long", mock, capacity=3
+    ).collect()
+    assert max(r.peak for r in got) <= 3
+
+
+def test_async_enrich_timeout_modes(spark):
+    """Per-record timeout: null renders the lookup-join complete-with-
+    empty override, drop omits the row, error fails the job (Flink's
+    AsyncFunction.timeout default)."""
+    import pytest as _pytest
+
+    from flink_1_11_1_spark.operators.enrich import async_enrich
+
+    async def mock(v):
+        import asyncio
+
+        await asyncio.sleep(10 if v % 4 == 0 else 0.001)  # 0,4,8 hang
+        return v * 10
+
+    df = _async_df(spark)
+    got = async_enrich(
+        df, "k", "r", "long", mock, timeout_s=0.5, on_timeout="null"
+    ).collect()
+    assert {r.k: r.r for r in got} == {
+        i: (None if i % 4 == 0 else i * 10) for i in range(12)
+    }
+
+    got = async_enrich(
+        df, "k", "r", "long", mock, timeout_s=0.5, on_timeout="drop"
+    ).collect()
+    assert sorted(r.k for r in got) == [i for i in range(12) if i % 4 != 0]
+
+    with _pytest.raises(Exception, match="timed out|TimeoutError"):
+        async_enrich(
+            df, "k", "r", "long", mock, timeout_s=0.5, on_timeout="error"
+        ).collect()
