@@ -574,3 +574,221 @@ def test_fuzzed_join_window_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# -------- part 7: extension-tier folds (dedup / stats / selection)
+# Round-6: the same integer-exact fold families the §8.4 extension
+# operators are built from (md5-digest dedup groups, hash-bucket
+# sampling, exact rank-based quantiles, gaps-and-islands sessionize,
+# KMV-style min-k hash folds, quality-rule gates), expressed in the
+# engine-portable subset so ONE text runs on both engines.  Drift-free
+# by construction: every accumulation is over integers (ascii-of-md5
+# buckets, lengths, counts); floats appear only under MIN/MAX.
+
+
+def _digest(rng: random.Random) -> str:
+    """A normalized-text digest expression (exact-dedup family)."""
+    return rng.choice(
+        [
+            "md5(text)",
+            "md5(lower(text))",
+            "md5(trim(text))",
+            f"md5(substr(text, 1, {rng.randint(8, 40)}))",
+        ]
+    )
+
+
+def _hbucket(rng: random.Random, col: str, m: int) -> str:
+    """Deterministic md5-ascii hash bucket (sampling family)."""
+    i = rng.randint(1, 28)
+    return (
+        f"((ascii(substr(md5({col}), {i}, 1)) * 256 + "
+        f"ascii(substr(md5({col}), {i + 1}, 1))) % {m})"
+    )
+
+
+def gen_dedup_fold(rng: random.Random) -> str:
+    d = _digest(rng)
+    variant = rng.randrange(3)
+    if variant == 0:  # duplicate-group profile per stratum
+        g = rng.choice(["lang", "source"])
+        return (
+            f"SELECT {g} AS g, cast(count(*) as bigint) AS n_docs, "
+            f"cast(count(DISTINCT {d}) as bigint) AS n_uniq "
+            f"FROM documents GROUP BY g"
+        )
+    if variant == 1:  # groups with duplicates (HAVING over digest groups)
+        k = rng.randint(1, 2)
+        return (
+            f"SELECT dg, cast(count(*) as bigint) AS sz, "
+            f"cast(min(doc_id) as bigint) AS keeper "
+            f"FROM (SELECT doc_id, {d} AS dg FROM documents) t "
+            f"GROUP BY dg HAVING count(*) > {k}"
+        )
+    # exact-dup pair enumeration (the verify-join shape), bounded by
+    # digest-group sizes
+    return (
+        f"SELECT a.doc_id AS da, b.doc_id AS db "
+        f"FROM (SELECT doc_id, {d} AS dg FROM documents) a "
+        f"JOIN (SELECT doc_id, {d} AS dg FROM documents) b "
+        f"ON a.dg = b.dg AND a.doc_id < b.doc_id"
+    )
+
+
+def gen_sample_fold(rng: random.Random) -> str:
+    m = rng.randint(3, 17)
+    r = rng.randrange(m)
+    b = _hbucket(rng, "text", m)
+    variant = rng.randrange(3)
+    if variant == 0:  # deterministic hash sample membership count
+        return (
+            f"SELECT cast(count(*) as bigint) AS n, "
+            f"cast(min(doc_id) as bigint) AS lo, "
+            f"cast(max(doc_id) as bigint) AS hi "
+            f"FROM documents WHERE {b} = {r}"
+        )
+    if variant == 1:  # stratified: per-stratum bucket histogram
+        g = rng.choice(["lang", "source"])
+        return (
+            f"SELECT {g} AS g, {b} AS bk, cast(count(*) as bigint) AS n "
+            f"FROM documents GROUP BY g, bk HAVING count(*) > 0"
+        )
+    # two-bucket union == disjoint decomposition (engine-agreement on
+    # the full bucket map)
+    return (
+        f"SELECT {b} AS bk, cast(count(*) as bigint) AS n, "
+        f"cast(sum(cast(n_chars as bigint)) as bigint) AS chars "
+        f"FROM documents GROUP BY bk"
+    )
+
+
+def gen_quantile_fold(rng: random.Random) -> str:
+    p = rng.choice([25, 50, 75, 90, 99])
+    variant = rng.randrange(2)
+    if variant == 0:  # exact lower-quantile via rank window (per group)
+        g = rng.choice(["lang", "source"])
+        return (
+            f"SELECT g, cast(v as bigint) AS q FROM ("
+            f"  SELECT {g} AS g, n_chars AS v,"
+            f"         row_number() OVER (PARTITION BY {g} "
+            f"                            ORDER BY n_chars, doc_id) AS rn,"
+            f"         count(*) OVER (PARTITION BY {g}) AS n"
+            f"  FROM documents) t "
+            f"WHERE rn = cast(ceil(n * {p}.0 / 100) as bigint)"
+        )
+    # k-th smallest overall with deterministic tie-break
+    k = rng.randint(1, 50)
+    return (
+        f"SELECT cast(doc_id as bigint) AS id, cast(n_chars as bigint) AS v "
+        f"FROM (SELECT doc_id, n_chars,"
+        f"             row_number() OVER (ORDER BY n_chars, doc_id) AS rn"
+        f"      FROM documents) t WHERE rn = {k}"
+    )
+
+
+def gen_session_fold(rng: random.Random) -> str:
+    gap = rng.randint(2, 40)
+    variant = rng.randrange(2)
+    base = (
+        "SELECT user_id, event_id,"
+        "       CASE WHEN event_id - lag(event_id) OVER ("
+        "           PARTITION BY user_id ORDER BY event_id) > {gap}"
+        "           OR lag(event_id) OVER ("
+        "           PARTITION BY user_id ORDER BY event_id) IS NULL"
+        "       THEN 1 ELSE 0 END AS brk"
+        " FROM events WHERE user_id >= 0"
+    ).format(gap=gap)
+    sess = (
+        f"SELECT user_id, event_id, sum(brk) OVER (PARTITION BY user_id"
+        f"       ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f"       CURRENT ROW) AS sid FROM ({base}) b"
+    )
+    if variant == 0:  # sessions per user
+        return (
+            f"SELECT user_id, cast(count(DISTINCT sid) as bigint) AS n_sessions "
+            f"FROM ({sess}) s GROUP BY user_id"
+        )
+    # island sizes (the gaps-and-islands fold itself)
+    return (
+        f"SELECT user_id, cast(sid as bigint) AS sid, "
+        f"cast(count(*) as bigint) AS size, "
+        f"cast(max(event_id) - min(event_id) as bigint) AS span "
+        f"FROM ({sess}) s GROUP BY user_id, sid"
+    )
+
+
+def gen_minhash_fold(rng: random.Random) -> str:
+    """KMV/min-k-hash family: k smallest hash values per group, folded
+    with integer-exact aggregates."""
+    m = 65536
+    h = _hbucket(rng, "text", m)
+    k = rng.randint(2, 8)
+    g = rng.choice(["lang", "source"])
+    variant = rng.randrange(2)
+    if variant == 0:  # the KMV sketch contents per group
+        return (
+            f"SELECT g, cast(sum(hv) as bigint) AS sketch_sum, "
+            f"cast(max(hv) as bigint) AS kth "
+            f"FROM (SELECT {g} AS g, {h} AS hv,"
+            f"             row_number() OVER (PARTITION BY {g} "
+            f"                                ORDER BY {h}, doc_id) AS rn"
+            f"      FROM documents) t WHERE rn <= {k} GROUP BY g"
+        )
+    # global min-hash signature (one row, integer-exact)
+    return (
+        f"SELECT cast(min(hv) as bigint) AS h_min, "
+        f"cast(max(hv) as bigint) AS h_max, "
+        f"cast(count(DISTINCT hv) as bigint) AS h_card "
+        f"FROM (SELECT {h} AS hv FROM documents) t"
+    )
+
+
+def gen_quality_fold(rng: random.Random) -> str:
+    """Gopher/C4-style integer gates: word counts and mean word length
+    from length arithmetic (the ASCII single-spaced corpus contract
+    makes these exact)."""
+    wc = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    lo, hi = rng.randint(2, 10), rng.randint(40, 120)
+    variant = rng.randrange(2)
+    if variant == 0:
+        return (
+            f"SELECT cast(count(*) as bigint) AS kept, "
+            f"cast(sum({wc}) as bigint) AS words "
+            f"FROM documents WHERE {wc} BETWEEN {lo} AND {hi}"
+        )
+    g = rng.choice(["lang", "source"])
+    return (
+        f"SELECT {g} AS g, "
+        f"cast(sum(CASE WHEN {wc} < {lo} THEN 1 ELSE 0 END) as bigint) AS too_short, "
+        f"cast(sum(CASE WHEN {wc} > {hi} THEN 1 ELSE 0 END) as bigint) AS too_long, "
+        f"cast(min(length(text)) as bigint) AS min_len "
+        f"FROM documents GROUP BY g"
+    )
+
+
+_GEN7 = [
+    gen_dedup_fold, gen_sample_fold, gen_quantile_fold,
+    gen_session_fold, gen_minhash_fold, gen_quality_fold,
+]
+N_QUERIES7 = 48
+_RNG7 = random.Random(60614)
+QUERIES7 = [_GEN7[i % len(_GEN7)](_RNG7) for i in range(N_QUERIES7)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES7))
+def test_fuzzed_extension_folds_match_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES7[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
