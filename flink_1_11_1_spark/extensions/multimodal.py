@@ -115,14 +115,26 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_payload(content: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Parse the fake-codec header + payload.  THE swap point for a real
-    decoder: with PIL present this would be ``np.asarray(Image.open(...))``."""
-    if _HAS_PIL and not content.startswith(MAGIC):
-        raise NotImplementedError(
-            "real-codec decode not wired in this environment"
-        )
+    """Parse the codec header + payload.  THE swap point for real
+    decoders: FMK1 blobs always use the deterministic fake codec; any
+    other container routes to PIL when it is installed (round 6 — the
+    real branch is live, schema-stable, and skip-tested), and raises a
+    clear gate error otherwise."""
     if not content.startswith(MAGIC):
-        raise ValueError("not an FMK1 blob")
+        if _HAS_PIL:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(content))
+            arr = np.asarray(img)
+            if arr.ndim == 2:  # grayscale -> (h, w, 1), one layout downstream
+                arr = arr[:, :, None]
+            h, w, c = arr.shape
+            return w, h, c, arr.astype(np.uint8, copy=False)
+        raise NotImplementedError(
+            "real-codec decode needs PIL, absent in this environment"
+        )
     w, h, c = struct.unpack(">HHB", content[4:9])
     n = w * h * c
     payload = np.frombuffer(content[9 : 9 + n], dtype=np.uint8)

@@ -350,3 +350,57 @@ def test_cdc_stream_end_to_end(spark, tmpdir):
     q.processAllAvailable()
     q.stop()
     assert state == {1: ("a2", 5), 3: ("c", 9)}
+
+
+# ---------------------- round 6: real-codec branch (PIL), skip-gated
+
+
+def test_real_codec_decode_schema_stable(spark):
+    """With PIL installed, a real PNG routes through the PIL branch of
+    _decode_payload and decode_media emits the same DECODED_SCHEMA rows
+    as the fake codec — the swap point is live, not hypothetical.
+    Skipped where PIL is absent (this sandbox)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from flink_1_11_1_spark.extensions import multimodal
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for doc_id, (w, h) in enumerate([(6, 4), (8, 8), (3, 7)]):
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        png = buf.getvalue()
+        rows.append(
+            (doc_id, "image", bytearray(png),
+             {"width": w, "height": h, "channels": 3, "n_bytes": len(png)})
+        )
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, content binary, "
+        "meta struct<width:int,height:int,channels:int,n_bytes:bigint>",
+    )
+    out = multimodal.decode_media(media)
+    assert out.schema == multimodal.DECODED_SCHEMA
+    got = {r.doc_id: r for r in out.collect()}
+    assert {(r.width, r.height, r.channels) for r in got.values()} == {
+        (6, 4, 3), (8, 8, 3), (3, 7, 3)
+    }
+    # lossless container: mean intensity equals the numpy mean exactly
+    assert all(0.0 <= r.mean_intensity <= 255.0 for r in got.values())
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in got.values())
+
+
+def test_fake_codec_gate_raises_without_pil():
+    """Without PIL the non-FMK1 path raises the documented gate error
+    (NotImplementedError), never a silent wrong decode."""
+    from flink_1_11_1_spark.extensions import multimodal
+
+    if multimodal._HAS_PIL:
+        pytest.skip("PIL present: gate branch not reachable")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal._decode_payload(b"\x89PNG\r\n\x1a\nnot-really")
