@@ -168,7 +168,72 @@ ORDER BY user_id, a_id
 """
 
 
+def cep_overlap_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → optional high-value event (value > 60) → view within
+    48h (NO_SKIP) — the round-6 union-optional shape: the optional's
+    literal does NOT contradict the required's (a view can carry
+    value > 60), so greedy binds whichever flag the first qualifying
+    event satisfies, optional first.  Lowers to the tier-D union
+    next-occurrence plan (one extra keyed hop join), no Python stage."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m", "value > 60")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .within("48 hours")
+    )
+    m = pat.match_batch(ev)
+    return m.select(
+        "user_id",
+        nfa.first_id("a").alias("a_id"),
+        nfa.first_id("m").alias("m_id"),
+        nfa.first_id("b").alias("b_id"),
+    ).orderBy("user_id", "a_id")
+
+
+_EV = (
+    "SELECT event_id, cast(date_trunc('milliseconds', ts) as timestamp) AS ts, "
+    "user_id, event_type, value FROM events"
+)
+
+# Greedy with a NON-contradictory optional: the first event after the
+# signup matching EITHER flag decides — if it satisfies the optional's
+# literal (even when it is also a view) the optional binds and the
+# required re-resolves strictly after it; the WITHIN bound applies to
+# the completing view (partials expire before any later completion).
+CEP_OVERLAP_ORACLE = f"""
+WITH e AS ({_EV}),
+a AS (SELECT user_id, event_id AS a_id, ts AS a_ts FROM e
+      WHERE event_type = 'signup'),
+q AS (
+  SELECT a.user_id, a.a_id, a.a_ts,
+         (SELECT struct_pack(i := x.event_id, t := x.ts,
+                             om := coalesce(x.value > 60, false))
+            FROM e x
+           WHERE x.user_id = a.user_id
+             AND (coalesce(x.value > 60, false) OR x.event_type = 'view')
+             AND (x.ts > a.a_ts OR (x.ts = a.a_ts AND x.event_id > a.a_id))
+           ORDER BY x.ts, x.event_id LIMIT 1) AS u
+  FROM a),
+r AS (
+  SELECT user_id, a_id, a_ts,
+         CASE WHEN u.om THEN u.i END AS m_id,
+         CASE WHEN u.om THEN
+           (SELECT struct_pack(i := v.event_id, t := v.ts) FROM e v
+             WHERE v.user_id = q.user_id AND v.event_type = 'view'
+               AND (v.ts > q.u.t OR (v.ts = q.u.t AND v.event_id > q.u.i))
+             ORDER BY v.ts, v.event_id LIMIT 1)
+         ELSE struct_pack(i := u.i, t := u.t) END AS b
+  FROM q WHERE u IS NOT NULL)
+SELECT user_id, a_id, m_id, b.i AS b_id
+FROM r WHERE b IS NOT NULL AND b.t <= a_ts + INTERVAL 48 HOUR
+ORDER BY user_id, a_id
+"""
+
+
 def register_all() -> None:
     registry.register("x_cep_times_df", cep_times_clicks, CEP_TIMES_ORACLE)
     registry.register("x_cep_optional_df", cep_optional_funnel, CEP_OPTIONAL_ORACLE)
     registry.register("x_cep_funnel3", cep_funnel3, CEP_FUNNEL3_ORACLE)
+    registry.register("x_cep_overlap_opt", cep_overlap_optional, CEP_OVERLAP_ORACLE)
