@@ -191,3 +191,40 @@ class ChangelogWriter(RetractStreamWriter):
 def read_changelog(spark: SparkSession, workdir: str) -> DataFrame:
     """The accumulated +I/+U/-D changelog ordered by batch."""
     return spark.read.parquet(f"{workdir}/records/*").orderBy("batch_id")
+
+
+class UpsertStreamWriter:
+    """Update-mode foreachBatch adapter: appends each trigger's REVISED
+    rows — the upsert stream, Flink's upsert-sink contract — to a
+    records table with ``batch_id``, executor-side (one write per
+    trigger, idempotent per-batch path, nothing collected).
+
+    Where RetractStreamWriter diffs complete snapshots, update mode
+    already hands over exactly the changed rows, so no diff join is
+    needed; this is also the allowedLateness RE-FIRE rendering
+    (SURVEY §3.6): a late row inside the watermark delay makes the
+    windowed aggregate emit its window's revised row in a later batch,
+    which ``read_upserts`` classifies as ``+U`` — Flink's late firing.
+    """
+
+    def __init__(self, workdir: str):
+        self.workdir = str(workdir)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{self.workdir}/records/b{batch_id}")
+
+
+def read_upserts(spark: SparkSession, workdir: str, keys: Sequence[str]) -> DataFrame:
+    """The upsert stream with Flink RowKinds: the first revision of a
+    key is ``+I``, every later one ``+U`` (an update-mode aggregate
+    never deletes).  Folding = keep each key's last revision."""
+    from pyspark.sql.window import Window
+
+    recs = spark.read.parquet(f"{workdir}/records/*")
+    w = Window.partitionBy(*keys).orderBy("batch_id")
+    return recs.withColumn(
+        "kind",
+        F.when(F.row_number().over(w) == 1, F.lit("+I")).otherwise(F.lit("+U")),
+    ).orderBy("batch_id")

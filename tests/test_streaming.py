@@ -661,3 +661,74 @@ def test_s17b_temporal_version_upsert_and_order(spark, tmp_path):
     got, _ = replay.run_stream(out, "append", "s17b")
     m = {r.event_id: r.val for r in got}
     assert m[100] == 9.0 and m[101] == 2.0 and m[102] == 3.0
+
+
+# -------------- S18: allowedLateness re-fire (update mode + upserts)
+
+
+def test_s18_allowed_lateness_refire(spark, tmp_path):
+    """Flink allowedLateness parity, rendered the Spark way: watermark
+    delay = lateness, UPDATE output mode re-emits a window's revised
+    row when a late-but-inside-lateness element arrives (the late
+    firing), elements beyond the lateness are dropped and counted.
+    UpsertStreamWriter + read_upserts render the firings as +I/+U."""
+    from flink_1_11_1_spark.streaming import changelog
+
+    base = (1_700_000_000 // 3600) * 3600  # hour-aligned: minute m -> window m//60
+
+    def frame(mins):
+        return spark.createDataFrame(
+            [(i, (base + int(m * 60)) * 10**6) for i, m in enumerate(mins)],
+            "event_id long, us long",
+        ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    frames = [
+        frame([10, 20, 70]),        # W0 x2, W1 x1
+        frame([290, 300]),          # W4 n=1, W5 n=1; wm -> 300-120=180
+        frame([270]),               # late W4 row, window end 300 > 180 ✓
+        frame([30]),                # late W0 row, window end 60 <= 180 ✗
+    ]
+    rdir = str(tmp_path / "s18")
+    replay.write_replay_frames(frames, rdir)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(rdir)
+        .withWatermark("ts", "120 minutes")  # allowedLateness
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n"))
+    wdir = str(tmp_path / "s18_records")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(changelog.UpsertStreamWriter(wdir))
+        .option("checkpointLocation", str(tmp_path / "s18_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    q.stop()
+
+    ups = changelog.read_upserts(spark, wdir, ["window"]).collect()
+    per_win = {}
+    for r in ups:
+        per_win.setdefault(str(r.window.start), []).append((r.kind, r.n))
+    w4 = per_win[str(frame([240]).select(F.window("ts", "1 hour")).first().window.start)]
+    # the late firing: W4 emitted +I n=1, then the late row re-fired +U n=2
+    assert w4 == [("+I", 1), ("+U", 2)]
+    # beyond-lateness element dropped and observable
+    assert dropped >= 1
+    # folded upsert state == batch aggregate of every non-dropped row
+    final = {k: v[-1][1] for k, v in per_win.items()}
+    batch = frame([10, 20, 70, 290, 300, 270])
+    want = {
+        str(r.window.start): r.n
+        for r in batch.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
