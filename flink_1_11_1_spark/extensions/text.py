@@ -271,3 +271,74 @@ registry.register("x_text_stats", text_stats, STATS_SQL)
 registry.register("x_text_tokens", token_counts, TOKENS_ORACLE)
 registry.register("x_text_langid", lang_id, LANGID_SQL)
 registry.register("x_text_fingerprint", fingerprints, FINGERPRINT_ORACLE)
+
+
+# --- repetition filters (Gopher §A1.1-style duplicate n-gram gates) ---
+
+# Pure array expressions — no explode, no shuffle: the whole measure
+# fuses into the scan projection (map-only at any corpus size).  All
+# outputs are integer counts; the keep-gate compares integer
+# cross-products, so the DuckDB oracle is value-exact.
+REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, words, size(words) AS n_words,
+         CASE WHEN size(words) < 2 THEN array()
+              ELSE transform(sequence(0, size(words) - 2),
+                             i -> concat(get(words, i), ' ', get(words, i + 1)))
+         END AS grams
+  FROM w
+)
+SELECT doc_id,
+       cast(n_words as bigint) AS n_words,
+       cast(size(grams) as bigint) AS n_grams2,
+       cast(size(grams) - size(array_distinct(grams)) as bigint) AS dup_grams2,
+       cast(array_max(transform(array_distinct(words),
+                      x -> size(filter(words, y -> y = x)))) as bigint)
+         AS top_word_n,
+       (size(grams) - size(array_distinct(grams))) * 5 < size(grams)
+         AND array_max(transform(array_distinct(words),
+                       x -> size(filter(words, y -> y = x)))) * 5 < n_words
+         AS keep
+FROM g ORDER BY doc_id
+"""
+
+REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id, words, len(words) AS n_words,
+         CASE WHEN len(words) < 2 THEN []
+              ELSE list_transform(range(1, len(words)),
+                                  i -> words[i] || ' ' || words[i + 1])
+         END AS grams
+  FROM w
+)
+SELECT doc_id,
+       cast(n_words as bigint) AS n_words,
+       cast(len(grams) as bigint) AS n_grams2,
+       cast(len(grams) - len(list_distinct(grams)) as bigint) AS dup_grams2,
+       cast(list_max(list_transform(list_distinct(words),
+                     x -> len(list_filter(words, y -> y = x)))) as bigint)
+         AS top_word_n,
+       (len(grams) - len(list_distinct(grams))) * 5 < len(grams)
+         AND list_max(list_transform(list_distinct(words),
+                      x -> len(list_filter(words, y -> y = x)))) * 5 < n_words
+         AS keep
+FROM g ORDER BY doc_id
+"""
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition measures (Gopher repetition filters):
+    duplicate word-2-gram count and most-frequent-word count, plus the
+    integer-exact keep gate (dup-2-gram fraction < 20% AND top-word
+    fraction < 20%)."""
+    catalog.register(spark, sf_dir)
+    return spark.sql(REPETITION_SQL)
+
+
+registry.register("x_repetition", repetition_stats, REPETITION_ORACLE)
