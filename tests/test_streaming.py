@@ -732,3 +732,53 @@ def test_s18_allowed_lateness_refire(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+# --------------------- S19: queryable state (state data source)
+
+
+def test_s19_queryable_state_equals_aggregate(spark, tmp_path):
+    """Flink queryable-state parity via Spark's State Data Source: the
+    keyed state of a streaming aggregate is readable as a DataFrame at
+    the last committed batch, a point lookup returns exactly the
+    aggregate's value for that key, and state-metadata lists the
+    operator."""
+    from flink_1_11_1_spark.streaming import queryable
+
+    src = spark.createDataFrame(
+        [(i % 7, i) for i in range(210)], "k long, v long"
+    )
+    srcdir = str(tmp_path / "qs_in")
+    src.write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+    agg = stream.groupBy("k").agg(
+        F.count("*").alias("count"), F.sum("v").alias("sum")
+    )
+    ck = str(tmp_path / "qs_ck")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory").queryName("s19_sink")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # full relational read of the state
+    st = {r.k: (r["count"], r["sum"])
+          for r in queryable.query_state(spark, ck).collect()}
+    want = {
+        r.k: (r["count"], r["sum"])
+        for r in src.groupBy("k")
+        .agg(F.count("*").alias("count"), F.sum("v").alias("sum"))
+        .collect()
+    }
+    assert st == want and len(st) == 7
+
+    # point lookup (getKvState shape)
+    rows = queryable.state_lookup(spark, ck, {"k": 3})
+    assert len(rows) == 1 and (rows[0]["count"], rows[0]["sum"]) == want[3]
+
+    # metadata surface lists the stateful operator
+    meta = queryable.state_metadata(spark, ck).collect()
+    assert meta and any(m.operatorId == 0 for m in meta)
