@@ -59,12 +59,23 @@ def hop_agg(
 def session_agg(
     df: DataFrame,
     ts: str,
-    gap: str,
+    gap: str | Column,
     keys: Sequence[str],
     aggs: Sequence[Column],
     with_session_id: bool = False,
 ) -> DataFrame:
     """GROUP BY SESSION(ts, gap) — merged per-key sessions.
+
+    ``gap`` may be a literal interval string OR a Column expression —
+    Flink's ``SessionWindowTimeGapExtractor`` / ``withDynamicGap``
+    (public tree flink-streaming-java .../windowing/assigners/
+    DynamicEventTimeSessionWindows.java): the merge gap is evaluated
+    per row, so e.g. different event types can carry different
+    inactivity budgets.  Spark's native session_window accepts the
+    same shape, so the dynamic variant stays whole-stage-codegen'd.
+    Gotcha: a dynamic gap must be CalendarIntervalType — build it with
+    ``make_interval(...)``; an ANSI ``INTERVAL`` literal's
+    DayTimeIntervalType is rejected by the session-window analyzer.
 
     ``with_session_id`` adds a 0-based per-key session index (ordered by
     session start) — Flink's windows are identified by bounds, but the

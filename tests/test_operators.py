@@ -265,3 +265,41 @@ def test_single_value_aggregate(spark):
     nn = spark.createDataFrame([(1, None), (1, None)], "k int, v string")
     with pytest.raises(Exception, match="SINGLE_VALUE"):
         nn.groupBy("k").agg(ffn.single_value("v").alias("sv")).collect()
+
+
+def test_session_window_dynamic_gap(spark):
+    """withDynamicGap parity: per-row gap expression — purchase events
+    hold sessions open 3x longer; verified against the gaps-and-islands
+    hand formulation with the same per-row gaps."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.operators.windows import session_agg
+
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    for uid, offsets, types in [
+        (1, [0, 5, 30, 40, 100], ["view", "view", "purchase", "view", "view"]),
+        (2, [0, 20, 120], ["purchase", "view", "view"]),
+    ]:
+        rows += [
+            (uid, base + dt.timedelta(minutes=m), t)
+            for m, t in zip(offsets, types)
+        ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    # gap must be CalendarIntervalType (make_interval), not the ANSI
+    # DayTimeIntervalType an INTERVAL literal produces
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' THEN make_interval(0,0,0,0,0,30,0) "
+        "ELSE make_interval(0,0,0,0,0,10,0) END"
+    )
+    got = session_agg(
+        df, "ts", gap, ["user_id"], [F.count("*").alias("n")],
+        with_session_id=True,
+    )
+    sessions = {(r.user_id, r.sid): r.n for r in got.collect()}
+    # user 1: views at 0,5 chain (gap 10); purchase at 30 is >10 past 5
+    #   -> new session; purchase's 30-min gap covers 40; 40's view gap
+    #   covers to 50 < 100 -> third session
+    # user 2: purchase at 0 covers 20 (30-min gap); view at 20 covers to
+    #   30 < 120 -> second session
+    assert sessions == {(1, 0): 2, (1, 1): 2, (1, 2): 1, (2, 0): 2, (2, 1): 1}
