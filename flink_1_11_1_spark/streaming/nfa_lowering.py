@@ -43,16 +43,20 @@ fold-equivalence tests in tests/test_nfa_lowering.py):
   event time, so the surviving prefix at completion is exactly the run
   rows within horizon of the tail end.
 - **D — relaxed funnel**: a consecutive block ``A{n}`` followed by a
-  chain of (optional?, required) segments with relaxed contiguity
-  (Flink ``followedBy``), under no_skip/to_next.  "Next matching event
-  after position p" is a ``min(struct(ts,event_id)) OVER (ROWS BETWEEN
-  1 FOLLOWING AND UNBOUNDED FOLLOWING)`` column; the first segment
-  reads it via lead() at the start row, each later segment joins the
-  previous required binding back to the per-row columns (one keyed
-  equi-join per extra segment).  A segment's optional binds iff its
-  next occurrence precedes the required one's (their literals must be
-  contradictory so one event cannot satisfy both, which also pins the
-  required binding independent of the optional).
+  chain of (optionals, required) segments with relaxed contiguity
+  (Flink ``followedBy``), under no_skip/to_next — up to TWO optionals
+  per segment, literals free to overlap (round 6).  "Next matching
+  event after position p" is a ``min(struct(ts,event_id)) OVER (ROWS
+  BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)`` column; the first
+  segment reads it via lead() at the start row, each later segment
+  joins the previous required binding back to the per-row columns (one
+  keyed equi-join per extra segment).  Per segment, resolution follows
+  the greedy NFA: contradictory single optionals compare two
+  next-occurrence structs (no join); overlapping ones use the union
+  next-occurrence struct — the first event matching either flag binds
+  the earliest state in order it satisfies — with one hop join to
+  re-resolve the required; two adjacent optionals chain the same rule
+  through two hops (see _lower_funnel's mode table).
 
 Reference parity note: Flink has no such fast path — it is the
 Spark-first answer to the same operator contract, with the NFA kept for
@@ -339,16 +343,11 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         return None
 
     # relaxed funnel: consecutive block, then a chain of segments —
-    # each (optional?, required) with at most one optional per segment.
-    # One (key, event_id) equi-join per segment after the first.  A
-    # segment whose optional contradicts its required resolves with the
-    # no-join next-occurrence comparison; a NON-contradictory optional
-    # (one event may satisfy both flags — greedy binds the optional
-    # first) resolves via the union-next-occurrence formula instead
-    # (round 6): the first event matching EITHER flag decides the
-    # binding, at the cost of one extra keyed hop join per such
-    # segment.  Adjacent optionals (later-occurrence rebinding chains)
-    # remain fold-only.
+    # each (optionals, required) with at most TWO optionals per
+    # segment, literals free to overlap (round 6).  One (key, event_id)
+    # equi-join per segment after the first, plus up to two hop joins
+    # per union-resolved segment (see _lower_funnel's mode table).
+    # Three adjacent optionals remain fold-only.
     if (
         len(states) >= 2
         and s0.min_count == s0.max_count
@@ -366,20 +365,33 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
     return None
 
 
-def _segments_of(tail) -> list[tuple[object, object]] | None:
-    """Parse a relaxed tail into (optional|None, required) segments;
-    None when two optionals are adjacent (unsupported)."""
+def _segments_of(tail) -> list[tuple[tuple, object]] | None:
+    """Parse a relaxed tail into (optionals-tuple, required) segments;
+    None for >2 adjacent optionals (three-deep rebinding chains stay
+    fold-only) or a trailing optional (the NFA surface rejects those
+    patterns anyway — a match must end on a required state)."""
     segs = []
-    pending_opt = None
+    pending: list = []
     for s in tail:
         if s.min_count == 0:
-            if pending_opt is not None:
+            if len(pending) >= 2:
                 return None
-            pending_opt = s
+            pending.append(s)
         else:
-            segs.append((pending_opt, s))
-            pending_opt = None
-    return None if pending_opt is not None else segs
+            segs.append((tuple(pending), s))
+            pending = []
+    return None if pending else segs
+
+
+def _seg_mode(opts, req) -> str:
+    """Resolution strategy for one segment (see _lower_funnel)."""
+    if not opts:
+        return "plain"
+    if len(opts) == 1:
+        if _contradictory(_state_literals(opts[0]), _state_literals(req)):
+            return "cmp"
+        return "uni1"
+    return "uni2"
 
 
 def try_lower_batch(
@@ -620,136 +632,214 @@ def _lower_plus_tail(
 def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataFrame:
     """Tier D: A{n} block + relaxed segments, no_skip/to_next.
 
-    The tail is a sequence of (optional?, required) segments.  Within a
-    segment starting at position p: required = first flag_r row after p
-    (a next-occurrence struct); the optional binds iff its first
-    occurrence after p precedes the required one (their literals
-    contradict, so one event can never satisfy both, and the optional
-    binding provably does not move the required one).  The first
-    segment reads its next-occurrence structs via lead() at the match's
-    start row; each later segment joins the previous required binding
-    back to the per-row struct columns — one (key, event_id) equi-join
-    per extra segment.  No Python, no driver state; every stage is a
-    keyed shuffle."""
+    The tail is a sequence of (optionals, required) segments, at most
+    two optionals per segment.  Within a segment starting at position
+    p, resolution follows the greedy NFA exactly, by mode
+    (``_seg_mode``):
+
+    - **plain** — required = first flag_r row after p (one
+      next-occurrence struct, no join).
+    - **cmp** — one optional whose literal contradicts the required's:
+      the two separate next-occurrence structs compare directly (the
+      optional binds iff its first occurrence precedes the required's;
+      contradiction guarantees no event satisfies both, so the binding
+      cannot move the required).  No join.
+    - **uni1** — one optional, literals may overlap: the union
+      next-occurrence struct (first event matching EITHER flag,
+      carrying the optional's flag bit) decides the binding — greedy
+      tries the optional first — and when the optional binds, the
+      required re-resolves strictly after it via one keyed hop join.
+    - **uni2** (round 6) — two adjacent optionals m1 m2: the first
+      event matching any of the three flags binds the FIRST state in
+      order whose flag it satisfies; each bound optional advances the
+      position, so resolution chains through up to two hop joins
+      (u-row → m2/req union, then m2-row → req).  No contradiction
+      requirements — priority order subsumes them.
+
+    The first segment reads its position structs via lead() at the
+    match's start row; each later segment joins the previous required
+    binding back to the per-row struct columns — one (key, event_id)
+    equi-join per extra segment plus the per-mode hops.  No Python, no
+    driver state; every stage is a keyed shuffle."""
     s0 = states[0]
     n = s0.min_count
     segs = _segments_of(states[1:])
-    # per-segment resolution mode: a contradictory optional cannot share
-    # an event with its required, so the two separate next-occurrence
-    # structs compare directly (no hop); a non-contradictory optional
-    # needs the union formula — the first event matching EITHER flag
-    # decides the binding (greedy tries the optional first), and when
-    # the optional binds, the required re-resolves strictly after it
-    # via one extra keyed hop join
-    union_mode = [
-        opt is not None
-        and not _contradictory(_state_literals(opt), _state_literals(req))
-        for opt, req in segs
-    ]
+    modes = [_seg_mode(opts, req) for opts, req in segs]
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     wfol = w.rowsBetween(1, Window.unboundedFollowing)
     d = flagged
     nxt = {}  # state name -> per-row next-occurrence column
-    for s in states[1:]:
-        idx = states.index(s)
+    for st in states[1:]:
+        idx = states.index(st)
         cname = f"_nxt_{idx}"
         d = d.withColumn(
             cname,
             F.min(F.when(F.col(f"f{idx}"), F.struct("ts", "event_id"))).over(wfol),
         )
-        nxt[s.name] = cname
-    uni = {}  # optional state name -> union next-occurrence column
-    for (opt, req), um in zip(segs, union_mode):
-        if um:
-            io, ir = states.index(opt), states.index(req)
+        nxt[st.name] = cname
+
+    uni = {}   # optional name -> union-with-required column (om bit)
+    uni3 = {}  # first-of-two-optionals name -> triple union column
+    for (opts, req), mode in zip(segs, modes):
+        ir = states.index(req)
+        if mode in ("uni1", "uni2"):
+            # union of the LAST optional with the required (the m2/req
+            # lookup for uni2; the whole segment for uni1)
+            o = opts[-1]
+            io = states.index(o)
             cname = f"_uni_{io}"
+            if o.name not in uni:
+                d = d.withColumn(
+                    cname,
+                    F.min(
+                        F.when(
+                            F.col(f"f{io}") | F.col(f"f{ir}"),
+                            F.struct(
+                                "ts", "event_id", F.col(f"f{io}").alias("om")
+                            ),
+                        )
+                    ).over(wfol),
+                )
+                uni[o.name] = cname
+        if mode == "uni2":
+            m1, m2 = opts
+            i1, i2 = states.index(m1), states.index(m2)
+            cname = f"_uni3_{i1}"
             d = d.withColumn(
                 cname,
                 F.min(
                     F.when(
-                        F.col(f"f{io}") | F.col(f"f{ir}"),
+                        F.col(f"f{i1}") | F.col(f"f{i2}") | F.col(f"f{ir}"),
                         F.struct(
-                            "ts", "event_id", F.col(f"f{io}").alias("om")
+                            "ts", "event_id",
+                            F.col(f"f{i1}").alias("om1"),
+                            F.col(f"f{i2}").alias("om2"),
                         ),
                     )
                 ).over(wfol),
             )
-            uni[opt.name] = cname
+            uni3[m1.name] = cname
 
-    def _seg_pos_cols(opt, req, um):
+    def _seg_pos_cols(opts, req, mode):
         """Columns a segment needs at its position row."""
-        if um:
-            return [uni[opt.name]]
-        return [nxt[req.name]] + ([nxt[opt.name]] if opt else [])
+        if mode == "plain":
+            return [nxt[req.name]]
+        if mode == "cmp":
+            return [nxt[req.name], nxt[opts[0].name]]
+        if mode == "uni1":
+            return [uni[opts[0].name]]
+        return [uni3[opts[0].name]]
 
     # hop source: every per-row column any later lookup may need
-    hop_cols = {c for (opt, req), um in zip(segs, union_mode)
-                for c in _seg_pos_cols(opt, req, um)}
-    hop_cols |= {nxt[req.name] for (opt, req), um in zip(segs, union_mode) if um}
+    hop_cols = {c for (opts, req), mode in zip(segs, modes)
+                for c in _seg_pos_cols(opts, req, mode)}
+    hop_cols |= {nxt[req.name] for (opts, req), mode in zip(segs, modes)
+                 if mode in ("uni1", "uni2")}
+    hop_cols |= {uni[opts[-1].name] for (opts, req), mode in zip(segs, modes)
+                 if mode == "uni2"}
     hop_src = d.select(
         F.col(key).alias("_hk"),
         F.col("event_id").alias("_heid"),
         *[F.col(c).alias(f"_h{c}") for c in sorted(hop_cols)],
     )
 
-    def _resolve_union(cand: DataFrame, j: int, opt, req) -> DataFrame:
-        """Turn `_u{j}` (union struct at the segment position) into the
-        final `_r{j}`/`_o{j}` bindings: if the first union event
-        satisfies the optional flag, the optional binds there and the
-        required re-resolves strictly after it (hop join); otherwise
-        that event IS the required."""
-        cand = cand.filter(F.col(f"_u{j}").isNotNull())
-        cand = (
+    def _hop(cand: DataFrame, on_struct: str, cols: dict[str, str]) -> DataFrame:
+        """Left-join hop_src at ``on_struct``'s row, fetching ``cols``
+        (per-row column -> output alias)."""
+        sel = ["_hk", "_heid"] + [F.col(f"_h{c}").alias(a) for c, a in cols.items()]
+        return (
             cand.join(
-                hop_src.select(
-                    "_hk", "_heid",
-                    F.col(f"_h{nxt[req.name]}").alias(f"_ro{j}"),
-                ),
+                hop_src.select(*sel),
                 (F.col("_k") == F.col("_hk"))
-                & (F.col(f"_u{j}.event_id") == F.col("_heid")),
+                & (F.col(f"{on_struct}.event_id") == F.col("_heid")),
                 "left",
             )
             .drop("_hk", "_heid")
         )
+
+    def _pos_struct(src: str) -> F.Column:
+        return F.struct(
+            F.col(f"{src}.ts").alias("ts"),
+            F.col(f"{src}.event_id").alias("event_id"),
+        )
+
+    def _resolve_union1(cand: DataFrame, j: int, opt, req) -> DataFrame:
+        """`_u{j}` (union struct at the segment position) → `_r{j}` /
+        `_o{j}`: if the first union event satisfies the optional flag,
+        the optional binds there and the required re-resolves strictly
+        after it; otherwise that event IS the required."""
+        cand = cand.filter(F.col(f"_u{j}").isNotNull())
+        cand = _hop(cand, f"_u{j}", {nxt[req.name]: f"_ro{j}"})
         bound = F.col(f"_u{j}.om")
         return (
             cand.withColumn(
                 f"_r{j}",
-                F.when(bound, F.col(f"_ro{j}")).otherwise(
-                    F.struct(
-                        F.col(f"_u{j}.ts").alias("ts"),
-                        F.col(f"_u{j}.event_id").alias("event_id"),
-                    )
+                F.when(bound, F.col(f"_ro{j}")).otherwise(_pos_struct(f"_u{j}")),
+            )
+            .withColumn(f"_o{j}", F.when(bound, _pos_struct(f"_u{j}")))
+            .filter(F.col(f"_r{j}").isNotNull())
+        )
+
+    def _resolve_union2(cand: DataFrame, j: int, m1, m2, req) -> DataFrame:
+        """Two adjacent optionals: `_u{j}` (triple union) decides the
+        first binding by state order; bound optionals chain the lookup
+        through `_v{j}` (m2/req union at the m1 row) and `_rb{j}`
+        (required after the m2 row)."""
+        cand = cand.filter(F.col(f"_u{j}").isNotNull())
+        cand = _hop(
+            cand, f"_u{j}",
+            {uni[m2.name]: f"_v{j}", nxt[req.name]: f"_ra{j}"},
+        )
+        cand = _hop(cand, f"_v{j}", {nxt[req.name]: f"_rb{j}"})
+        om1 = F.col(f"_u{j}.om1")
+        om2_first = (~om1) & F.col(f"_u{j}.om2")
+        v_om = F.col(f"_v{j}.om")  # null when no m2/req event after m1
+        return (
+            cand.withColumn(f"_oA{j}", F.when(om1, _pos_struct(f"_u{j}")))
+            .withColumn(
+                f"_oB{j}",
+                F.when(om2_first, _pos_struct(f"_u{j}")).when(
+                    om1 & v_om, _pos_struct(f"_v{j}")
                 ),
             )
             .withColumn(
-                f"_o{j}",
+                f"_r{j}",
                 F.when(
-                    bound,
-                    F.struct(
-                        F.col(f"_u{j}.ts").alias("ts"),
-                        F.col(f"_u{j}.event_id").alias("event_id"),
+                    om1,
+                    F.when(v_om, F.col(f"_rb{j}")).otherwise(
+                        F.when(
+                            F.col(f"_v{j}").isNotNull(), _pos_struct(f"_v{j}")
+                        )
                     ),
-                ),
+                )
+                .when(om2_first, F.col(f"_ra{j}"))
+                .otherwise(_pos_struct(f"_u{j}")),
             )
             .filter(F.col(f"_r{j}").isNotNull())
         )
+
+    def _resolve(cand: DataFrame, j: int, opts, req, mode: str) -> DataFrame:
+        if mode == "uni1":
+            return _resolve_union1(cand, j, opts[0], req)
+        if mode == "uni2":
+            return _resolve_union2(cand, j, opts[0], opts[1], req)
+        return cand.filter(F.col(f"_r{j}").isNotNull())
 
     # segment 1: next-occurrence info shifted to the match's start row
     leads = _Leads()
     block_conds = [leads.ref("f0", o) for o in range(n)]
     block_ids = [F.expr(leads.ref("event_id", o)) for o in range(n)]
     block_tss = [F.expr(leads.ref("ts", o)) for o in range(n)]
-    opt0, req0 = segs[0]
-    seg1_cols = _seg_pos_cols(opt0, req0, union_mode[0])
+    opts0, req0 = segs[0]
+    seg1_cols = _seg_pos_cols(opts0, req0, modes[0])
     seg1_ref = {
         c: (leads.ref(c, n - 1) if n > 1 else f"`{c}`") for c in seg1_cols
     }
-    if union_mode[0]:
-        seg1_sel = [F.expr(seg1_ref[uni[opt0.name]]).alias("_u1")]
+    if modes[0] in ("uni1", "uni2"):
+        seg1_sel = [F.expr(seg1_ref[seg1_cols[0]]).alias("_u1")]
     else:
         seg1_sel = [F.expr(seg1_ref[nxt[req0.name]]).alias("_r1")] + (
-            [F.expr(seg1_ref[nxt[opt0.name]]).alias("_o1")] if opt0 else []
+            [F.expr(seg1_ref[nxt[opts0[0].name]]).alias("_o1")] if opts0 else []
         )
     cand = (
         leads.attach(d, w)
@@ -762,33 +852,19 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
             *seg1_sel,
         )
     )
-    if union_mode[0]:
-        cand = _resolve_union(cand, 1, opt0, req0)
-    else:
-        cand = cand.filter(F.col("_r1").isNotNull())
+    cand = _resolve(cand, 1, opts0, req0, modes[0])
 
     # later segments: join the previous required binding to its row
-    for j, (opt, req) in enumerate(segs[1:], start=2):
-        um = union_mode[j - 1]
-        if um:
-            sel = ["_hk", "_heid", F.col(f"_h{uni[opt.name]}").alias(f"_u{j}")]
+    for j, (opts, req) in enumerate(segs[1:], start=2):
+        mode = modes[j - 1]
+        if mode in ("uni1", "uni2"):
+            fetch = {_seg_pos_cols(opts, req, mode)[0]: f"_u{j}"}
         else:
-            sel = ["_hk", "_heid", F.col(f"_h{nxt[req.name]}").alias(f"_r{j}")]
-            if opt:
-                sel.append(F.col(f"_h{nxt[opt.name]}").alias(f"_o{j}"))
-        cand = (
-            cand.join(
-                hop_src.select(*sel),
-                (F.col("_k") == F.col("_hk"))
-                & (F.col(f"_r{j - 1}.event_id") == F.col("_heid")),
-                "inner",
-            )
-            .drop("_hk", "_heid")
-        )
-        if um:
-            cand = _resolve_union(cand, j, opt, req)
-        else:
-            cand = cand.filter(F.col(f"_r{j}").isNotNull())
+            fetch = {nxt[req.name]: f"_r{j}"}
+            if opts:
+                fetch[nxt[opts[0].name]] = f"_o{j}"
+        cand = _hop(cand, f"_r{j - 1}", fetch)
+        cand = _resolve(cand, j, opts, req, mode)
     k_segs = len(segs)
     if horizon_s < _UNBOUNDED_S:
         cand = cand.filter(
@@ -800,12 +876,13 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
     lab_parts = [f"array({blk_labels})"]
     id_parts = ["array(" + ", ".join(f"`_blk_id_{o}`" for o in range(n)) + ")"]
     ts_parts = ["array(" + ", ".join(f"`_blk_ts_{o}`" for o in range(n)) + ")"]
-    for j, (opt, req) in enumerate(segs, start=1):
-        if opt is None:
+    for j, ((opts, req), mode) in enumerate(zip(segs, modes), start=1):
+        if mode == "plain":
             lab_parts.append(f"array('{req.name}')")
             id_parts.append(f"array(`_r{j}`.event_id)")
             ts_parts.append(f"array(`_r{j}`.ts)")
-        else:
+        elif mode in ("cmp", "uni1"):
+            opt = opts[0]
             bound = f"(`_o{j}` IS NOT NULL AND `_o{j}` < `_r{j}`)"
             lab_parts.append(
                 f"CASE WHEN {bound} THEN array('{opt.name}', '{req.name}') "
@@ -819,6 +896,21 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
                 f"CASE WHEN {bound} THEN array(`_o{j}`.ts, `_r{j}`.ts) "
                 f"ELSE array(`_r{j}`.ts) END"
             )
+        else:  # uni2
+            m1, m2 = opts
+            a, b = f"`_oA{j}` IS NOT NULL", f"`_oB{j}` IS NOT NULL"
+            def _four(fa, fb, fr):
+                return (
+                    f"CASE WHEN {a} AND {b} THEN array({fa}, {fb}, {fr}) "
+                    f"WHEN {a} THEN array({fa}, {fr}) "
+                    f"WHEN {b} THEN array({fb}, {fr}) "
+                    f"ELSE array({fr}) END"
+                )
+            lab_parts.append(_four(f"'{m1.name}'", f"'{m2.name}'", f"'{req.name}'"))
+            id_parts.append(
+                _four(f"`_oA{j}`.event_id", f"`_oB{j}`.event_id", f"`_r{j}`.event_id")
+            )
+            ts_parts.append(_four(f"`_oA{j}`.ts", f"`_oB{j}`.ts", f"`_r{j}`.ts"))
 
     def _concat(parts):
         return parts[0] if len(parts) == 1 else "concat(" + ", ".join(parts) + ")"

@@ -296,6 +296,44 @@ _PATTERNS = {
         .within("2 days"),
         "D",
     ),
+    "D_two_adjacent_optionals": (
+        # round-6 uni2: a → m1?(click) → m2?(view) → b(purchase) — the
+        # first qualifying event binds the earliest state in order it
+        # satisfies; bound optionals chain the lookup through two hops
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m1", "event_type = 'click'")
+        .optional()
+        .followed_by("m2", "event_type = 'view'")
+        .optional()
+        .followed_by("b", "event_type = 'purchase'")
+        .within("2 days"),
+        "D",
+    ),
+    "D_two_adjacent_optionals_overlapping": (
+        # uni2 with OVERLAPPING literals: value bands share events with
+        # each other and the required — priority order decides
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m1", "value > 80")
+        .optional()
+        .followed_by("m2", "value > 40")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .within("2 days"),
+        "D",
+    ),
+    "D_uni2_then_chain": (
+        # two-optional segment followed by another segment: the hop
+        # after a uni2-resolved required must line up
+        lambda: nfa.PatternSeq.begin("a", "event_type = 'signup'")
+        .followed_by("m1", "event_type = 'click'")
+        .optional()
+        .followed_by("m2", "value > 50")
+        .optional()
+        .followed_by("b", "event_type = 'view'")
+        .followed_by("c", "event_type = 'purchase'")
+        .within("3 days"),
+        "D",
+    ),
     "D_overlap_second_segment": (
         # the union segment is NOT the first segment: position row comes
         # from a prior hop join
@@ -336,12 +374,14 @@ def test_ineligible_shapes_fall_back():
         .within("1 day")
     )
     assert eligible_tier(p1.states, p1.horizon_s, p1.skip) is None
-    # two adjacent optionals (later-occurrence rebinding) → fold
+    # THREE adjacent optionals (deep rebinding chain) → fold
     p2b = (
         nfa.PatternSeq.begin("a", "event_type = 'signup'")
         .followed_by("m1", "event_type = 'click'")
         .optional()
         .followed_by("m2", "event_type = 'view'")
+        .optional()
+        .followed_by("m3", "event_type = 'error'")
         .optional()
         .followed_by("b", "event_type = 'purchase'")
         .within("1 day")
