@@ -225,11 +225,38 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
+def minhash_layout(
+    target_jaccard: float,
+    miss: float = 1e-5,
+    num_hashes: int = NUM_HASHES,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) sized from the duplicate similarity you
+    must catch — the Jaccard analog of the cosine tier's _cos_layout,
+    candidate-volume-first: a band of r min-hashes collides w.p. J^r
+    for a true pair, so per-pair miss = (1-J^r)^b; we take the LARGEST
+    r whose band count fits the hash budget (r↑ shrinks the background
+    collision rate exponentially while b grows only as J^-r).  Size by
+    the similarity of the duplicates (typically 0.85–0.99), NOT the
+    verify threshold — the exact-Jaccard verify stage owns the final
+    cut either way."""
+    import math
+
+    j = min(max(target_jaccard, 1e-6), 1 - 1e-9)
+    need = math.log(1.0 / miss)
+    for r in range(num_hashes, 0, -1):
+        b = math.ceil(need / -math.log1p(-(j ** r))) if j ** r < 1 else 1
+        if b * r <= num_hashes:
+            return (b, r)
+    return (num_hashes, 1)
+
+
+def lsh_candidates(
+    sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
     """Band-bucket join: pairs agreeing on all rows of >=1 band."""
     band_structs = []
-    for b in range(BANDS):
-        cols = [F.col(f"h{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_structs.append(F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh")))
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
@@ -247,10 +274,20 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs via MinHash-LSH candidates + exact-Jaccard verify."""
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates + exact-Jaccard verify.
+
+    The default 16×4 layout catches J ≈ 0.99 fixture duplicates with
+    miss ≈ 1e-22; for other duplicate profiles size the banding with
+    ``minhash_layout`` and pass (bands, rows_per_band)."""
     sh = shingles(docs, n).localCheckpoint(eager=False)
-    cand = lsh_candidates(minhash_signatures(sh))
+    cand = lsh_candidates(minhash_signatures(sh), bands, rows_per_band)
     return (
         _pair_jaccard(cand, sh)
         .where(F.col("jac") >= threshold)

@@ -540,3 +540,28 @@ def test_stickiness_gap_day_does_not_stretch_window(spark):
     rows = {str(r.day): (r.dau, r.wau, r.stickiness) for r in spark.sql(sql).collect()}
     assert rows["2024-01-01"] == (2, 2, 1.0)
     assert rows["2024-01-20"] == (1, 1, 1.0)  # user 2's day-1 activity excluded
+
+
+def test_minhash_layout_sizing():
+    """Candidate-volume-first banding from the duplicate similarity:
+    largest rows-per-band whose band count fits the 64-hash budget,
+    per-pair miss below 1e-5 by construction."""
+    for j in (0.8, 0.9, 0.95, 0.99):
+        b, r = dedup.minhash_layout(j)
+        assert b * r <= dedup.NUM_HASHES and r >= 2
+        assert (1 - j**r) ** b <= 1e-5
+    # high-similarity dups afford more rows per band than the default
+    b99, r99 = dedup.minhash_layout(0.99)
+    assert r99 > dedup.ROWS_PER_BAND
+
+
+def test_minhash_sized_layout_equals_exact(spark):
+    """A formula-sized layout (J=0.9 target) still finds every exact
+    pair on the fixture (its duplicates sit at J ≈ 0.99, far above the
+    sizing point)."""
+    docs = catalog.load_table(spark, SF_SMOKE, "documents")
+    exact = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    b, r = dedup.minhash_layout(0.9)
+    lsh = {tuple(r_) for r_ in
+           dedup.minhash_lsh_pairs(docs, bands=b, rows_per_band=r).collect()}
+    assert lsh == exact
