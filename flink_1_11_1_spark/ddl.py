@@ -204,9 +204,12 @@ _HINT_RE = re.compile(
 
 
 def _quoted_spans(s: str) -> list[tuple[int, int]]:
-    """[start, end) spans of quoted regions (single/double/backtick;
+    """[start, end) spans of STRING LITERALS (single/double quotes,
     doubled-quote escapes) — SQL text scanners must track quotes, or a
-    hint-shaped substring inside a literal gets rewritten."""
+    hint-shaped substring inside a literal gets rewritten.  Backtick
+    regions are scanned (so a quote inside an identifier cannot open a
+    phantom literal) but NOT reported: a hinted table reference may
+    itself be backtick-quoted and must stay rewritable."""
     spans: list[tuple[int, int]] = []
     i, n = 0, len(s)
     while i < n:
@@ -222,7 +225,8 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
                     i += 1
                     break
                 i += 1
-            spans.append((start, i))
+            if ch != "`":
+                spans.append((start, i))
         else:
             i += 1
     return spans

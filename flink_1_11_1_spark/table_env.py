@@ -190,22 +190,16 @@ class TableEnvironment:
         Outside quotes, ``--``-to-end-of-line comments are stripped
         (sql-client convention).
 
-        Dialect delta, deliberate: whether backslash escapes a quote
-        inside a literal follows the *downstream parser* — Spark's
-        default (``spark.sql.parser.escapedStringLiterals=false``)
-        processes backslash escapes, so the split honors them; with
-        ``escapedStringLiterals=true`` (raw literals — also the Flink
-        sql-client behavior, where backslash is literal and a literal
-        may end in ``\\``) the split treats backslash as an ordinary
-        character.  Splitting by any other rule than the engine that
-        will parse the statement mis-brackets one dialect or the
-        other."""
-        backslash_escapes = (
-            self.spark.conf.get(
-                "spark.sql.parser.escapedStringLiterals", "false"
-            ).lower()
-            != "true"
-        )
+        Dialect delta, deliberate and documented: the split treats a
+        backslash before a quote as an escape UNCONDITIONALLY, because
+        Spark's LEXER does — ``spark.sql.parser.escapedStringLiterals``
+        only changes post-lex unescaping (verified: ``'a\\'b'`` lexes
+        as ONE literal in both modes), so a literal ending in a lone
+        backslash (legal in the Flink sql-client dialect, where
+        backslash is an ordinary character) is not representable in ANY
+        Spark mode — spell it ``'tail\\\\'``.  Splitting by the lexer's
+        rule keeps the bracketing identical to what the downstream
+        parser will see in both conf modes."""
         stmts, buf = [], []
         quote: str | None = None  # current open quote char, if any
         i, n = 0, len(script)
@@ -213,12 +207,7 @@ class TableEnvironment:
             ch = script[i]
             if quote is not None:
                 buf.append(ch)
-                if (
-                    backslash_escapes
-                    and ch == "\\"
-                    and quote in "'\""
-                    and i + 1 < n
-                ):
+                if ch == "\\" and quote in "'\"" and i + 1 < n:
                     buf.append(script[i + 1])  # escaped char stays literal
                     i += 2
                     continue

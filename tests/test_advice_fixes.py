@@ -181,20 +181,25 @@ def test_exact_quantiles_drops_its_temp_view(spark):
 
 
 def test_execute_script_backslash_follows_parser_dialect(spark):
-    """The script splitter's backslash handling follows the downstream
-    parser: Spark-default escape processing, raw literals (the Flink
-    sql-client behavior) when escapedStringLiterals=true (ADVICE r5)."""
+    """The script splitter brackets literals exactly as Spark's LEXER
+    does — backslash-escaped quotes stay inside the literal in BOTH
+    escapedStringLiterals modes (the conf only changes post-lex
+    unescaping), and the documented dialect delta holds: a Flink-style
+    literal ending in a lone backslash is not representable, but the
+    doubled-backslash spelling splits and runs (ADVICE r5)."""
     from flink_1_11_1_spark.table_env import TableEnvironment
 
     tenv = TableEnvironment(spark)
-    # default dialect: backslash escapes — an escaped quote stays inside
-    assert tenv.execute_script(r"SELECT 'a\'b' AS s").collect()[0].s == "a'b"
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    prior = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
     try:
-        # raw dialect: a literal ending in a backslash closes cleanly and
-        # the following statement still runs (the old splitter kept the
-        # quote open and mis-split here)
-        out = tenv.execute_script("SELECT 'tail\\' AS s; SELECT 2 AS y")
-        assert out.collect()[0].y == 2
+        for conf in ("false", "true"):
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", conf)
+            # escaped quote stays inside the literal; the following
+            # statement still runs (a naive splitter would cut at \')
+            out = tenv.execute_script(r"SELECT 'a\'b' AS s; SELECT 2 AS y")
+            assert out.collect()[0].y == 2
+            # trailing-backslash content, spelled the Spark way
+            out = tenv.execute_script("SELECT 'tail\\\\' AS s; SELECT 3 AS y")
+            assert out.collect()[0].y == 3
     finally:
-        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", prior)
