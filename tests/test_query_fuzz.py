@@ -792,3 +792,108 @@ def test_fuzzed_extension_folds_match_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# -------- part 8: event-time / temporal folds over events
+# The events table's parquet ts encoding differs from the canonical
+# Spark view (ms-floored TimestampType) — every shape therefore goes
+# through the same ms-floor projection the declared entries use, so
+# ONE text is value-exact on both engines.  Aggregations stay integer
+# (counts, event_id sums); value appears only under MIN/MAX.
+
+# date_trunc unit must be the SINGULAR spelling: Spark returns NULL for
+# unknown units ('milliseconds' plural silently nulls the whole column)
+# while DuckDB accepts both — a one-text portability trap.
+_ET = ("SELECT event_id, cast(date_trunc('millisecond', ts) as timestamp) AS ts, "
+       "user_id, event_type, value FROM events WHERE user_id >= 0")
+
+
+def gen_timebucket_query(rng: random.Random) -> str:
+    unit = rng.choice(["hour", "day"])
+    variant = rng.randrange(3)
+    if variant == 0:  # bucket histogram
+        return (
+            f"WITH e AS ({_ET}) "
+            f"SELECT cast(date_trunc('{unit}', ts) as timestamp) AS b, "
+            f"cast(count(*) as bigint) AS n, "
+            f"cast(count(DISTINCT user_id) as bigint) AS u "
+            f"FROM e GROUP BY b"
+        )
+    if variant == 1:  # per-type bucket counts with HAVING
+        k = rng.randint(1, 4)
+        return (
+            f"WITH e AS ({_ET}) "
+            f"SELECT event_type, cast(date_trunc('{unit}', ts) as timestamp) AS b, "
+            f"cast(count(*) as bigint) AS n "
+            f"FROM e GROUP BY event_type, b HAVING count(*) > {k}"
+        )
+    # extraction lattice (hour + day-of-month; DOW conventions differ:
+    # Spark Sunday=1, DuckDB Sunday=0 — not portable as one text)
+    return (
+        f"WITH e AS ({_ET}) "
+        f"SELECT cast(extract(hour FROM ts) as bigint) AS h, "
+        f"cast(extract(day FROM ts) as bigint) AS d, "
+        f"cast(count(*) as bigint) AS n, "
+        f"cast(min(event_id) as bigint) AS lo "
+        f"FROM e GROUP BY h, d"
+    )
+
+
+def gen_interval_query(rng: random.Random) -> str:
+    m = rng.choice([15, 30, 90, 240])
+    variant = rng.randrange(3)
+    if variant == 0:  # self-lag gap analysis per user (integer minutes)
+        return (
+            f"WITH e AS ({_ET}), s AS ("
+            f"  SELECT user_id, event_id, ts,"
+            f"         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts"
+            f"  FROM e) "
+            f"SELECT user_id, cast(count(*) as bigint) AS n_gaps "
+            f"FROM s WHERE pts IS NOT NULL AND ts > pts + INTERVAL {m} MINUTE "
+            f"GROUP BY user_id"
+        )
+    if variant == 1:  # window join: events within an interval of a purchase
+        return (
+            f"WITH e AS ({_ET}) "
+            f"SELECT p.event_id AS pid, cast(count(*) as bigint) AS n_before "
+            f"FROM e p JOIN e x ON x.user_id = p.user_id "
+            f"  AND x.ts >= p.ts - INTERVAL {m} MINUTE AND x.ts < p.ts "
+            f"WHERE p.event_type = 'purchase' GROUP BY p.event_id"
+        )
+    # first/last event per bucket via min/max struct-free idiom
+    return (
+        f"WITH e AS ({_ET}) "
+        f"SELECT user_id, "
+        f"cast(min(event_id) as bigint) AS first_id, "
+        f"cast(max(event_id) as bigint) AS last_id, "
+        f"cast(max(value) as double) AS vmax "
+        f"FROM e WHERE ts >= (SELECT min(ts) FROM e) + INTERVAL {m} MINUTE "
+        f"GROUP BY user_id"
+    )
+
+
+N_QUERIES8 = 24
+_RNG8 = random.Random(81433)
+QUERIES8 = [
+    [gen_timebucket_query, gen_interval_query][i % 2](_RNG8)
+    for i in range(N_QUERIES8)
+]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES8))
+def test_fuzzed_temporal_events_match_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES8[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
