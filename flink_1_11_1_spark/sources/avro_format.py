@@ -460,3 +460,41 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
             fh.write(blob)
 
     df.foreachPartition(write_part)
+
+
+def write_stream_avro(df, path: str, checkpoint: str, codec: str = "deflate"):
+    """Streaming Avro file sink (the flink-avro StreamingFileSink row):
+    foreachBatch encodes each micro-batch per partition executor-side
+    into a per-batch subdirectory — the deterministic path makes a
+    batch-id retry overwrite its own output (idempotent, the same
+    at-least-once→exactly-once upgrade the parquet sink gets from its
+    manifest).  ``read_avro(spark, f"{path}/b*")`` sees committed
+    batches only."""
+    import shutil
+
+    def sink(batch_df, batch_id: int) -> None:
+        out = os.path.join(path, f"b{batch_id:09d}")
+        shutil.rmtree(out, ignore_errors=True)  # retry-idempotent
+        write_avro(batch_df, out, codec=codec)
+
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_avro_tree(spark, path: str):
+    """Read every .avro file under a directory tree (the streaming
+    sink's b*/part-* layout) as one DataFrame."""
+    paths = []
+    for root, _dirs, names in os.walk(path):
+        paths.extend(os.path.join(root, n) for n in names if n.endswith(".avro"))
+    if not paths:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a.unionByName(b), (read_avro(spark, p) for p in sorted(paths))
+    )

@@ -163,3 +163,115 @@ def test_avro_through_ddl_front_door(spark, tmp_path):
     ).collect()[0]
     assert (got.n, got.s) == (50, 49 * 50 // 2)
     tenv.execute_sql("DROP TABLE av_t")
+
+
+# ------------------------------------------- property-based roundtrips
+
+
+def test_avro_property_roundtrip_random_values():
+    """Hypothesis: any record of nullable primitives + arrays/maps
+    roundtrips bit-exactly through the OCF codec under both codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {"type": "record", "name": "p", "fields": [
+        {"name": "l", "type": ["null", "long"]},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "y", "type": "bytes"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    finite = st.floats(allow_nan=False)  # NaN != NaN would break ==
+    rec = st.fixed_dictionaries({
+        "l": st.none() | i64,
+        "d": finite,
+        "s": st.text(max_size=40),
+        "y": st.binary(max_size=40),
+        "arr": st.lists(i64, max_size=8),
+        "m": st.dictionaries(st.text(max_size=8), i64, max_size=5),
+    })
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(rec, max_size=20), st.sampled_from(["null", "deflate"]))
+    def prop(rows, codec):
+        blob = av.write_ocf_bytes(schema, rows, codec=codec)
+        got_schema, got = av.read_ocf_bytes(blob)
+        assert got_schema == schema and got == rows
+
+    prop()
+
+
+def test_avro_property_zigzag_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def prop(n):
+        r = av._Reader(av._zigzag_encode(n))
+        assert r.long() == n
+
+    prop()
+
+
+def test_retract_fold_property():
+    """Hypothesis: for any sequence of per-key upsert/delete revisions,
+    rendering retract records per revision and folding them reproduces
+    the final table at EVERY prefix (the S13 invariant, generalized)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_1_11_1_spark.streaming.changelog import fold_retracts
+
+    ops = st.lists(
+        st.tuples(st.integers(0, 4), st.none() | st.integers(0, 9)),
+        max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(ops)
+    def prop(steps):
+        table: dict[int, tuple] = {}
+        records: list[tuple[bool, tuple]] = []
+        for key, val in steps:
+            old = table.get(key)
+            if val is None:  # delete
+                if old is not None:
+                    records.append((False, old))
+                    del table[key]
+            else:
+                new = (key, val)
+                if old is not None and old != new:
+                    records.append((False, old))
+                if old != new:
+                    records.append((True, new))
+                    table[key] = new
+        for i in range(len(records) + 1):  # every prefix folds cleanly
+            folded = fold_retracts(records[:i])
+            if i == len(records):
+                assert sorted(folded) == sorted(table.values())
+
+    prop()
+
+
+def test_streaming_avro_sink_roundtrip(spark, tmp_path):
+    """write_stream_avro: replayed micro-batches land as per-batch OCF
+    directories; the union of committed batches equals the source."""
+    src = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(60)], "id long, name string"
+    )
+    indir = str(tmp_path / "in")
+    src.repartition(3).write.parquet(indir)
+    stream = spark.readStream.schema(src.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(indir)
+    out = str(tmp_path / "avro_sink")
+    q = av.write_stream_avro(stream, out, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+    back = av.read_avro_tree(spark, out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in src.collect()
+    )
