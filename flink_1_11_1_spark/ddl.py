@@ -195,6 +195,27 @@ _INSERT_RE = re.compile(
 )
 _PROP_RE = re.compile(r"'((?:[^'])*)'\s*=\s*'((?:[^'])*)'")
 
+# sql-client SET / RESET (Flink 1.11 `SET k=v`; later quoted forms
+# accepted too).  Known Flink config keys map to their Spark conf
+# equivalents; unknown keys pass through verbatim (harmless session
+# conf entries, the sql-client behavior for unrecognized keys).
+_SET_RE = re.compile(
+    r"^SET(?:\s+('?[\w.\-]+'?)\s*=\s*(.+))?$", re.IGNORECASE
+)
+_RESET_RE = re.compile(r"^RESET(?:\s+('?[\w.\-]+'?))?$", re.IGNORECASE)
+
+_FLINK_CONF_MAP = {
+    "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
+    "table.local-time-zone": "spark.sql.session.timeZone",
+}
+
+
+def _strip_quotes(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]
+    return v
+
 # FLIP-113 dynamic table options: `t /*+ OPTIONS('k'='v', ...) */`.
 # The option block matches quoted strings atomically so a ')' inside a
 # quoted value (e.g. a path) cannot end the hint early.
@@ -331,6 +352,15 @@ class DdlCatalog:
         s = sql.strip().rstrip(";").strip()
         s = self._apply_table_hints(s)
         up = s.upper()
+        ms = _SET_RE.match(s)
+        if ms:
+            return self._set_statement(ms.group(1), ms.group(2))
+        mr = _RESET_RE.match(s)
+        if mr:
+            key = _strip_quotes(mr.group(1)) if mr.group(1) else None
+            if key:
+                self.spark.conf.unset(_FLINK_CONF_MAP.get(key, key))
+            return None
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
             self.create_table(parse_create_table(s))
             return None
@@ -417,6 +447,17 @@ class DdlCatalog:
         return _HINT_RE.sub(repl, s)
 
     # -- CREATE TABLE ----------------------------------------------------
+
+    def _set_statement(self, key: str | None, value: str | None) -> DataFrame | None:
+        """sql-client SET: with no args, list the session conf (a
+        DataFrame, like Spark's native SET); with key=value, apply it —
+        known Flink config keys route to their Spark twins
+        (_FLINK_CONF_MAP), everything else is set verbatim."""
+        if key is None:
+            return self.spark.sql("SET")
+        k = _strip_quotes(key)
+        self.spark.conf.set(_FLINK_CONF_MAP.get(k, k), _strip_quotes(value))
+        return None
 
     def _evict_hint_aliases(self, name: str) -> None:
         """Drop every cached hint alias of a base table: after DROP +

@@ -524,3 +524,29 @@ def test_execute_script_handles_escaped_and_double_quotes(tenv):
     )
     row = out.collect()[0]
     assert row.c == "backslash ' quote; still one literal"
+
+
+def test_set_reset_statements_route_flink_keys(tenv):
+    """sql-client SET/RESET parity: Flink config keys map to their
+    Spark twins, unknown keys pass through verbatim, bare SET lists."""
+    spark = tenv.spark
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        tenv.execute_sql("SET table.exec.resource.default-parallelism=7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        tenv.execute_sql("SET 'table.local-time-zone' = 'UTC'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        tenv.execute_sql("SET my.custom.key = hello")
+        assert spark.conf.get("my.custom.key") == "hello"
+        tenv.execute_sql("RESET my.custom.key")
+        assert spark.conf.get("my.custom.key", None) is None
+        assert tenv.execute_sql("SET").count() > 0  # listing surface
+        # scripts mix SET with DDL/statements (the sql-client -f shape)
+        out = tenv.execute_script(
+            "SET table.exec.resource.default-parallelism=5;"
+            "SELECT 1 AS one"
+        )
+        assert out.collect()[0].one == 1
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
