@@ -190,3 +190,57 @@ def test_quantiles_avoids_global_sort(spark):
     plan = _exec_plan(dist_quantiles(spark, SF_SMOKE))
     assert "Sort [o_totalprice" not in plan  # no global ORDER BY scan
     assert "rangepartitioning(o_totalprice" not in plan.lower()
+
+
+def _entry_plan(spark, name: str) -> str:
+    from flink_1_11_1_spark.extensions import registry
+
+    df = registry.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cep_overlap_opt_is_native(spark):
+    """The union-optional funnel must stay fully JVM-side: the tier-D
+    uni1 lowering is windows + one hop join, never the Python fold."""
+    plan = _entry_plan(spark, "x_cep_overlap_opt")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_repetition_is_map_only(spark):
+    """Gopher repetition gates fuse into the scan projection: no join,
+    no Python stage, no aggregate shuffle (only the ORDER BY sorts)."""
+    plan = _entry_plan(spark, "x_repetition")
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_cosine_gemm_shape(spark):
+    """The declared-threshold cosine path: vectors replicate via a
+    BROADCAST of the block-pair table (never a shuffled corpus²), one
+    Arrow GEMM stage scores, and the JVM fold verifies — exactly two
+    pandas stages, no cartesian product."""
+    plan = _entry_plan(spark, "x_dedup_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_temporal_batch_asof_single_shuffle_family(spark):
+    """The as-of join (the temporal join's batch twin) stays the
+    union-then-window single-shuffle shape — no join node at all."""
+    from flink_1_11_1_spark.operators.joins import asof_join
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events")
+    out = asof_join(
+        ev.where("event_type = 'view'").select("user_id", "event_id", "ts"),
+        ev.where("event_type = 'purchase'").select(
+            "user_id", "ts", F.col("value").alias("val")
+        ),
+        on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["val"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
