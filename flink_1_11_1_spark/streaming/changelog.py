@@ -111,22 +111,46 @@ class RetractStreamWriter:
         self.keys = list(keys)
         self.workdir = str(workdir)
         self.keep_snapshots = keep_snapshots
-        self._prev: str | None = None
 
     def _render(self, old: DataFrame, new: DataFrame) -> DataFrame:
         return _snapshot_diff(old, new, self.keys)
 
+    def _snapshot_ids(self) -> list[int]:
+        import os
+
+        try:
+            return sorted(
+                int(d[len("snap_b"):])
+                for d in os.listdir(self.workdir)
+                if d.startswith("snap_b")
+            )
+        except FileNotFoundError:
+            return []
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # the diff base is discovered on DISK, not held in memory: the
+        # latest snapshot with a SMALLER batch id.  That makes both
+        # failure modes correct — a query restart (fresh writer object)
+        # resumes against the last committed snapshot, and a retry of
+        # batch N (whose own snapshot may already exist) still diffs
+        # against N's true predecessor instead of N itself.
+        prev_ids = [i for i in self._snapshot_ids() if i < batch_id]
         snap = f"{self.workdir}/snap_b{batch_id}"
         batch_df.write.mode("overwrite").parquet(snap)
         new = spark.read.parquet(snap)
-        old = spark.read.parquet(self._prev) if self._prev else new.limit(0)
+        old = (
+            spark.read.parquet(f"{self.workdir}/snap_b{prev_ids[-1]}")
+            if prev_ids
+            else new.limit(0)
+        )
         recs = self._render(old, new).withColumn("batch_id", F.lit(batch_id))
         recs.write.mode("overwrite").parquet(f"{self.workdir}/records/b{batch_id}")
-        if self._prev and not self.keep_snapshots:
-            shutil.rmtree(self._prev, ignore_errors=True)
-        self._prev = snap
+        if not self.keep_snapshots:
+            # keep the immediate predecessor (a retry of this batch id
+            # must still find its diff base); prune everything older
+            for i in prev_ids[:-1]:
+                shutil.rmtree(f"{self.workdir}/snap_b{i}", ignore_errors=True)
 
 
 def read_retracts(spark: SparkSession, workdir: str) -> DataFrame:

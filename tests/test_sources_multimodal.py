@@ -404,3 +404,34 @@ def test_fake_codec_gate_raises_without_pil():
         pytest.skip("PIL present: gate branch not reachable")
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal._decode_payload(b"\x89PNG\r\n\x1a\nnot-really")
+
+
+def test_retract_writer_survives_restart_and_retry(spark, tmpdir):
+    """The diff base is discovered on disk: a fresh writer object
+    (query restart) resumes against the last committed snapshot, and
+    re-running a batch id (foreachBatch retry, possibly after its own
+    snapshot landed) reproduces identical records instead of an empty
+    or double-counted diff."""
+    wdir = os.path.join(tmpdir, "rsw_restart")
+    w1 = changelog.RetractStreamWriter(keys=["k"], workdir=wdir)
+    s0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    s1 = spark.createDataFrame([(1, 11), (3, 30)], "k long, v long")
+    w1(s0, 0)
+    # restart: new writer object, next batch
+    w2 = changelog.RetractStreamWriter(keys=["k"], workdir=wdir)
+    w2(s1, 1)
+    recs = [(r.batch_id, r.add, r.k, r.v)
+            for r in changelog.read_retracts(spark, wdir).collect()]
+    folded = changelog.fold_retracts(
+        [(add, (k, v)) for _, add, k, v in recs]
+    )
+    # complete-mode semantics: batch 1 IS the current table, so key 2
+    # was retracted (-D) when it vanished from the snapshot
+    assert sorted(folded) == [(1, 11), (3, 30)]
+    assert (1, False, 2, 20) in recs
+    # retry batch 1 (its own snapshot already on disk) → identical records
+    w3 = changelog.RetractStreamWriter(keys=["k"], workdir=wdir)
+    w3(s1, 1)
+    recs2 = [(r.batch_id, r.add, r.k, r.v)
+             for r in changelog.read_retracts(spark, wdir).collect()]
+    assert sorted(recs2) == sorted(recs)
