@@ -550,3 +550,64 @@ def test_set_reset_statements_route_flink_keys(tenv):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_ddl_parser_property_fuzz():
+    """Property fuzz over the CREATE TABLE grammar: random schemas from
+    the full type lattice (incl. nested ARRAY/MAP/ROW, computed
+    columns, watermark, PARTITIONED BY, properties with quoted ';' and
+    ')' values) must parse into a CreateTable whose fields round-trip.
+    Parser-level only — no Spark session in the loop."""
+    import random
+
+    from flink_1_11_1_spark.ddl import flink_type_to_spark, parse_create_table
+
+    rng = random.Random(20260815)
+    simple = ["STRING", "INT", "BIGINT", "DOUBLE", "BOOLEAN",
+              "TIMESTAMP(3)", "DECIMAL(10, 2)", "VARCHAR(255)", "BYTES"]
+
+    def rand_type(depth=0):
+        if depth < 2 and rng.random() < 0.3:
+            inner = rand_type(depth + 1)
+            return rng.choice([
+                f"ARRAY<{inner}>",
+                f"MAP<STRING, {inner}>",
+                f"ROW<a {inner}, b INT>",
+                f"MULTISET<{inner}>",
+            ])
+        return rng.choice(simple)
+
+    for trial in range(60):
+        ncols = rng.randint(1, 6)
+        cols = [(f"c{i}", rand_type()) for i in range(ncols)]
+        body = [f"{n} {t}" + (" NOT NULL" if rng.random() < 0.2 else "")
+                for n, t in cols]
+        computed = rng.random() < 0.4
+        if computed:
+            body.append("px AS c0")
+        wm = rng.random() < 0.3 and any(t.startswith("TIMESTAMP") for _, t in cols)
+        if wm:
+            tcol = next(n for n, t in cols if t.startswith("TIMESTAMP"))
+            body.append(f"WATERMARK FOR {tcol} AS {tcol} - INTERVAL '5' SECOND")
+        if rng.random() < 0.2:
+            body.append(f"PRIMARY KEY (c0) NOT ENFORCED")
+        part = f"PARTITIONED BY (c0)" if rng.random() < 0.3 else ""
+        tricky_path = "/data/x;y(z)/in"  # ';' and parens inside a value
+        sql = (
+            f"CREATE TABLE t{trial} (\n  " + ",\n  ".join(body) + "\n) "
+            + part
+            + f" WITH ('connector' = 'filesystem', 'path' = '{tricky_path}',"
+            f" 'format' = 'parquet')"
+        )
+        ct = parse_create_table(sql)
+        assert ct.name == f"t{trial}"
+        assert [c[0] for c in ct.columns] == [n for n, _ in cols]
+        for (n, t), (pn, pt, _nn) in zip(cols, ct.columns):
+            assert pt == flink_type_to_spark(t), (t, pt)
+        assert ct.props["path"] == tricky_path
+        if computed:
+            assert ct.computed.get("px") == "c0"
+        if wm:
+            assert ct.watermark_col is not None and ct.watermark_delay
+        if part:
+            assert ct.partitioned_by == ["c0"]
