@@ -162,6 +162,65 @@ def session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_dynamic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions (Flink withDynamicGap, round 6): purchases
+    hold a session open 45 minutes, everything else 15 — through the
+    native session_window Column-gap path.  The oracle derives the SAME
+    sessions independently (gaps-and-islands with a running max of
+    per-event window ends), so a green row proves Spark's session-merge
+    semantics against the relational definition."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' THEN make_interval(0,0,0,0,0,45,0) "
+        "ELSE make_interval(0,0,0,0,0,15,0) END"
+    )
+    out = windows.session_agg(
+        ev, "ts", gap, ["user_id"],
+        [F.count("*").alias("n"), F.min("ts").alias("_min_ts")],
+        with_session_id=True,
+    )
+    return (
+        out.select(
+            "user_id",
+            F.col("sid").cast("long").alias("sid"),
+            "n",
+            F.date_trunc("second", F.col("_min_ts")).cast("string").alias("sstart"),
+        )
+        .orderBy("user_id", "sid")
+    )
+
+
+# Independent formulation: per-event window end = ts + gap(event); a row
+# starts a new session iff its ts is at-or-after the running max end of
+# every earlier row (Spark merges only OVERLAPPING windows — adjacent
+# [a,b) [b,c) do not merge).
+SESSION_DYNAMIC_ORACLE = """
+WITH e AS (SELECT user_id,
+                  cast(date_trunc('millisecond', ts) as timestamp) AS ts,
+                  event_type
+           FROM events),
+g AS (SELECT user_id, ts,
+             epoch_ms(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 2700000 ELSE 900000 END AS endp
+      FROM e),
+s AS (SELECT user_id, ts, endp,
+             max(endp) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+      FROM g),
+b AS (SELECT user_id, ts,
+             CASE WHEN run_end IS NULL OR epoch_ms(ts) >= run_end
+                  THEN 1 ELSE 0 END AS brk
+      FROM s),
+sess AS (SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sid
+         FROM b)
+SELECT user_id, cast(sid as bigint) AS sid, cast(count(*) as bigint) AS n,
+       cast(date_trunc('second', min(ts)) as varchar) AS sstart
+FROM sess GROUP BY user_id, sid ORDER BY user_id, sid
+"""
+
+
 def count_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling count-window (KeyedStream.countWindow(5)) per customer."""
     orders = catalog.load_table(spark, sf_dir, "orders")
@@ -282,6 +341,9 @@ def register_all() -> None:
     registry.register("x_hop_df", hop_events, declared.oracle_text(declared.QUERIES["q35"]))
     registry.register(
         "x_session_df", session_events, declared.oracle_text(declared.QUERIES["q36"])
+    )
+    registry.register(
+        "x_session_dynamic", session_dynamic_events, SESSION_DYNAMIC_ORACLE
     )
     registry.register("x_count_window_df", count_window_orders, COUNT_WINDOW_ORACLE)
     registry.register("x_cdc_debezium", cdc_debezium_materialized, CDC_ORACLE)
