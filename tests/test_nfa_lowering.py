@@ -471,3 +471,60 @@ def test_fuzzed_patterns_equal_fold(spark):
     ev.unpersist()
     # the generator must actually exercise the lowering a fair amount
     assert eligible >= 8, (checked, eligible)
+
+
+def test_fuzzed_funnel_optionals_equal_fold(spark):
+    """Dedicated tier-D fuzz (round 6): relaxed funnels with 0–2
+    optionals per segment and deliberately OVERLAPPING literals (value
+    bands share events with each other and with requireds) — every
+    eligible shape must equal the fold exactly; counts assert both
+    union modes actually fire."""
+    rng = random.Random(60607)
+    ev = _events(spark, 13, n=160, users=4).cache()
+    ev.count()
+    lits = [
+        "event_type = 'click'", "event_type = 'view'",
+        "event_type = 'purchase'", "value > 30", "value > 60",
+        "value < 50",
+    ]
+    modes = {"uni1": 0, "uni2": 0, "other": 0}
+    checked = 0
+    for trial in range(30):
+        pat = nfa.PatternSeq.begin("a", rng.choice(lits))
+        n_tail = rng.randint(1, 4)
+        n_opts_pending = 0
+        names = iter("bcdefg")
+        for i in range(n_tail):
+            last = i == n_tail - 1
+            pat = pat.followed_by(next(names), rng.choice(lits))
+            if not last and n_opts_pending < 2 and rng.random() < 0.45:
+                pat = pat.optional()
+                n_opts_pending += 1
+            else:
+                n_opts_pending = 0
+        pat = pat.after_match_skip(
+            rng.choice(["no_skip", "to_next"])
+        ).within(rng.choice(["4 hours", "1 day", "36500 days"]))
+        tier = eligible_tier(pat.states, pat.horizon_s, pat.skip)
+        if tier != "D":
+            continue
+        from flink_1_11_1_spark.streaming.nfa_lowering import (
+            _seg_mode, _segments_of,
+        )
+        segs = _segments_of(pat.states[1:])
+        seg_modes = {_seg_mode(o, r) for o, r in segs}
+        if "uni2" in seg_modes:
+            modes["uni2"] += 1
+        elif "uni1" in seg_modes:
+            modes["uni1"] += 1
+        else:
+            modes["other"] += 1
+        slow = _canon(pat.match_batch(ev, lowering=False))
+        fast = _canon(pat.match_batch(ev))
+        checked += 1
+        assert fast == slow, (
+            f"trial {trial} diverged: "
+            f"{[(s.name, s.cond, s.min_count) for s in pat.states]}"
+        )
+    ev.unpersist()
+    assert checked >= 12 and modes["uni1"] >= 2 and modes["uni2"] >= 2, modes
