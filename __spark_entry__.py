@@ -91,9 +91,10 @@ _DRIVER_GREEN_HISTORY = {
 # Unproven entries exceeding the 50-row driver window are deferred in
 # this order: shared-text TPC-H shapes first (one SQL string runs on
 # both engines, so a driver row adds the least new information).
-# Round 5: nothing needs deferring — the unproven set (x_tpch_q10/q13/
-# q14, x_ann_lsh_top1, x_multimodal_decode + new round-5 entries) fits
-# the 50-entry window with room to spare.
+# Round 6: every r01–r05 entry has a recorded green, so the window
+# leads with the 3 new round-6 entries (x_repetition,
+# x_session_dynamic, x_cep_overlap_opt) and re-verifies 47 proven
+# ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
 
