@@ -897,3 +897,70 @@ def test_fuzzed_temporal_events_match_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# -------- part 9: outer-join NULL-semantics folds
+
+
+def gen_outer_join_query(rng: random.Random) -> str:
+    """LEFT / FULL OUTER joins with integer-exact NULL accounting:
+    unmatched-side counts, coalesce folds, IS NULL partitions — the
+    three-valued-logic corners the inner-join parts never touch."""
+    m = rng.randint(2, 9)
+    variant = rng.randrange(4)
+    if variant == 0:  # left join with filtered right side -> null counts
+        return (
+            f"SELECT cast(count(*) as bigint) AS n, "
+            f"cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) as bigint) AS unmatched, "
+            f"cast(sum(coalesce(o.o_orderkey % {m}, -1)) as bigint) AS fold "
+            f"FROM customer c LEFT JOIN "
+            f"(SELECT * FROM orders WHERE o_orderkey % {m} = 0) o "
+            f"ON o.o_custkey = c.c_custkey"
+        )
+    if variant == 1:  # full outer over disjointly-filtered halves
+        k = rng.randint(2, 5)
+        return (
+            f"SELECT cast(count(*) as bigint) AS n, "
+            f"cast(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) as bigint) AS only_b, "
+            f"cast(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) as bigint) AS only_a "
+            f"FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % {m} = 0) a "
+            f"FULL OUTER JOIN "
+            f"(SELECT o_orderkey AS k FROM orders WHERE o_orderkey % {k} = 0) b "
+            f"ON a.k = b.k"
+        )
+    if variant == 2:  # left anti via IS NULL vs NOT EXISTS (same answer)
+        return (
+            f"SELECT cast(count(*) as bigint) AS n FROM customer c "
+            f"LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            f"AND o.o_orderkey % {m} = 0 "
+            f"WHERE o.o_orderkey IS NULL"
+        )
+    # left join + grouped null-aware aggregation
+    g = rng.choice(["c_mktsegment", "c_nationkey"])
+    return (
+        f"SELECT {g} AS g, cast(count(o.o_orderkey) as bigint) AS matched, "
+        f"cast(count(*) as bigint) AS total "
+        f"FROM customer c LEFT JOIN "
+        f"(SELECT * FROM orders WHERE o_totalprice > {rng.randint(50, 200) * 1000}) o "
+        f"ON o.o_custkey = c.c_custkey GROUP BY g"
+    )
+
+
+N_QUERIES9 = 20
+_RNG9 = random.Random(90210)
+QUERIES9 = [gen_outer_join_query(_RNG9) for _ in range(N_QUERIES9)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES9))
+def test_fuzzed_outer_join_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES9[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, f"query #{idx} diverged:\n{sql}\n{a[:2]}\nvs\n{b[:2]}"
