@@ -554,7 +554,15 @@ def _cos_gemm_candidates(
     probabilistic."""
     spark = emb.sparkSession
     n = emb.count()
-    nblocks = int(max(1, min(64, -(-n // block_rows))))
+    # block count grows WITH n (uncapped): every group then holds at
+    # most 2·block_rows vectors — bounded executor memory — while the
+    # B(B+1)/2 group count mirrors the O(N²) pair work this regime
+    # inherently pays.  That bounds the path's practical domain to
+    # corpora where exhaustive scoring is affordable at all (~1e5
+    # vectors; beyond that, raise the threshold into the LSH pruning
+    # regime or bound candidates structurally first — SemDeDup
+    # clustering — rather than capping B and blowing up group memory).
+    nblocks = int(max(1, -(-n // block_rows)))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
         "bi int, bj int",
