@@ -848,3 +848,96 @@ def test_s20_late_side_output_captures_dropped_rows(spark, tmp_path):
     # counter only sees rows that reach it, which is why side output
     # needs reconstructing at all); ids 1,2,3,6 all surface
     assert sum(r.n for r in got) == 4
+
+
+# ------- S21: CDC-fed dimension -> rowtime temporal join, end to end
+
+
+def test_s21_cdc_dimension_temporal_join(spark, tmp_path):
+    """The scenario the temporal join exists for (a CDC-fed versioned
+    dimension): debezium envelopes decode into a version stream whose
+    +I/+U rows are the dim versions, and each fact joins the version
+    valid at its event time — streamed end-to-end, checked against the
+    batch decode + as-of twin."""
+    import json as _json
+
+    from flink_1_11_1_spark.operators.cdc import debezium_decode
+    from flink_1_11_1_spark.operators.joins import asof_join
+    from flink_1_11_1_spark.streaming.temporal import (
+        streaming_temporal_rowtime_join,
+    )
+
+    base = 1_700_000_000
+
+    def dbz(op, uid, val, before=None):
+        env = {"op": op, "after": {"user_id": uid, "val": val}}
+        if before is not None:
+            env["before"] = {"user_id": uid, "val": before}
+        return _json.dumps(env)
+
+    rows = [
+        # (sec, kind, event_id, payload)
+        (10, "d", None, dbz("c", 1, 100.0)),
+        (10, "d", None, dbz("c", 2, 200.0)),
+        (25, "f", 900, None),              # u1 fact -> val 100
+        (30, "d", None, dbz("u", 1, 111.0, before=100.0)),
+        (40, "f", 901, None),              # u1 fact -> val 111
+        (45, "f", 902, None),              # u2 fact -> val 200
+        (5000, "f", 999, None),            # watermark sentinel
+    ]
+    uid_of = {900: 1, 901: 1, 902: 2, 999: 1}
+
+    def frame(sel):
+        return spark.createDataFrame(
+            [((uid_of.get(e) or u), (base + s) * 10**6, e, p, k)
+             for s, k, e, p in sel
+             for u in [1 if k == "f" else _json.loads(p)["after"]["user_id"]]],
+            "user_id long, us long, event_id long, payload string, kind string",
+        ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                 "event_id", "payload", "kind")
+
+    frames = [frame(rows[:2]), frame(rows[2:4]), frame(rows[4:6]),
+              frame(rows[6:])]
+    rdir = str(tmp_path / "s21")
+    replay.write_replay_frames(frames, rdir)
+    stream = (
+        spark.readStream.format("parquet").schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1).load(rdir)
+        .withWatermark("ts", "1000 seconds")
+    )
+    row_schema = "user_id long, val double"
+    from pyspark.sql.types import _parse_datatype_string
+
+    versions = (
+        debezium_decode(
+            stream.where("kind = 'd'").select("ts", "payload"),
+            "payload", _parse_datatype_string(row_schema),
+        )
+        .where("row_kind IN ('+I', '+U')")
+        .select("user_id", "ts", "val")
+    )
+    facts = stream.where("kind = 'f'").select("user_id", "ts", "event_id")
+    out = streaming_temporal_rowtime_join(facts, versions)
+    got, _ = replay.run_stream(out, "append", "s21")
+    got_m = {r.event_id: r.val for r in got}
+    assert got_m == {900: 100.0, 901: 111.0, 902: 200.0}
+
+    # batch twin: decode everything at rest, as-of join
+    all_rows = frames[0]
+    for fr in frames[1:]:
+        all_rows = all_rows.unionByName(fr)
+    batch_versions = (
+        debezium_decode(
+            all_rows.where("kind = 'd'").select("ts", "payload"),
+            "payload", _parse_datatype_string(row_schema),
+        )
+        .where("row_kind IN ('+I', '+U')")
+        .select("user_id", "ts", "val")
+    )
+    twin = asof_join(
+        all_rows.where("kind = 'f' AND event_id < 999")
+        .select("user_id", "event_id", "ts"),
+        batch_versions, on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["val"], how="inner",
+    )
+    assert {r.event_id: r.val for r in twin.collect()} == got_m
