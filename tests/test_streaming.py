@@ -941,3 +941,54 @@ def test_s21_cdc_dimension_temporal_join(spark, tmp_path):
         right_cols=["val"], how="inner",
     )
     assert {r.event_id: r.val for r in twin.collect()} == got_m
+
+
+# ------- S22: idle-source watermark (WatermarksWithIdleness parity)
+
+
+def test_s22_idle_source_watermark_policy(spark, tmp_path):
+    """Flink's WatermarksWithIdleness keeps an idle input from holding
+    back the watermark.  Spark's twin is per-stream watermarks +
+    `multipleWatermarkPolicy=max`: under the default (min) an idle
+    union branch freezes the global watermark and no window ever
+    finalizes; under max the active branch drives it."""
+    base = (1_700_000_000 // 3600) * 3600
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, (base + int(m * 60)) * 10**6) for i, m in rows],
+            "event_id long, us long",
+        ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    prior = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    results = {}
+    try:
+        for policy in ("min", "max"):
+            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+            d1 = str(tmp_path / f"active_{policy}")
+            d2 = str(tmp_path / f"idle_{policy}")
+            replay.write_replay_frames(
+                [frame([(1, 10), (2, 70)]), frame([(3, 400)])], d1
+            )
+            replay.write_replay_frames([frame([(10, 5)])], d2)  # then idle
+
+            def src(d):
+                return (
+                    spark.readStream.format("parquet")
+                    .schema("event_id long, ts timestamp")
+                    .option("maxFilesPerTrigger", 1)
+                    .load(d)
+                    .withWatermark("ts", "10 minutes")
+                )
+
+            agg = (
+                src(d1).unionByName(src(d2))
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count("*").alias("n"))
+            )
+            got, _ = replay.run_stream(agg, "append", f"s22_{policy}")
+            results[policy] = len(got)
+    finally:
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", prior)
+    assert results["min"] == 0   # idle branch stalls everything
+    assert results["max"] == 2   # active branch finalizes W0 and W1
