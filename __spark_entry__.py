@@ -85,16 +85,20 @@ _DRIVER_GREEN_HISTORY = {
     "x_graph_sssp", "x_cep_funnel3", "x_mr_skip_to_last", "x_mr_agg",
     "x_mr_allrows_running", "x_mr_offsets",
     "q01", "q02", "q03", "q04", "q05",
+    # round-6 greens (CORRECTNESS_r06.json: 50/50 hash-green rows —
+    # the 3 new round-6 entries + 47 re-verified proven ones).  With
+    # these appended every r01–r06 entry has a recorded driver green;
+    # the round-7 window leads with whatever round 7 adds.
+    "x_repetition", "x_session_dynamic", "x_cep_overlap_opt",
 }
 
 
 # Unproven entries exceeding the 50-row driver window are deferred in
 # this order: shared-text TPC-H shapes first (one SQL string runs on
 # both engines, so a driver row adds the least new information).
-# Round 6: every r01–r05 entry has a recorded green, so the window
-# leads with the 3 new round-6 entries (x_repetition,
-# x_session_dynamic, x_cep_overlap_opt) and re-verifies 47 proven
-# ones — nothing needs deferring.
+# Round 7: every r01–r06 entry has a recorded green, so the window
+# leads with the new round-7 entries (TPC-DS-shaped battery + LSH
+# regime) and re-verifies proven ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
 
