@@ -239,9 +239,15 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
             start = i
             i += 1
             while i < n:
+                if ch in "'\"" and s[i] == "\\":
+                    i += 2  # lexer rule: backslash escapes the next char
+                    continue
                 if s[i] == ch:
-                    if ch in "'\"" and s[i + 1 : i + 2] == ch:
-                        i += 2  # doubled-quote escape stays inside
+                    if s[i + 1 : i + 2] == ch:
+                        # doubled-char escape stays inside — '' and ""
+                        # in literals, `` in backtick identifiers
+                        # (Spark escapes ` as `` inside identifiers)
+                        i += 2
                         continue
                     i += 1
                     break
@@ -344,6 +350,9 @@ class DdlCatalog:
         self.tables: dict[str, CreateTable] = {}
         self._hint_n = 0
         self._hint_aliases: dict[tuple, str] = {}
+        # Spark conf keys applied via SET, so a bare RESET can undo all
+        # of them (Flink sql-client RESET resets EVERY session property).
+        self._set_keys: set[str] = set()
 
     # -- statement router ------------------------------------------------
 
@@ -359,7 +368,15 @@ class DdlCatalog:
         if mr:
             key = _strip_quotes(mr.group(1)) if mr.group(1) else None
             if key:
-                self.spark.conf.unset(_FLINK_CONF_MAP.get(key, key))
+                spark_key = _FLINK_CONF_MAP.get(key, key)
+                self.spark.conf.unset(spark_key)
+                self._set_keys.discard(spark_key)
+            else:
+                # bare RESET: Flink's sql-client resets ALL session
+                # properties — undo every key this catalog SET.
+                for spark_key in self._set_keys:
+                    self.spark.conf.unset(spark_key)
+                self._set_keys.clear()
             return None
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
             self.create_table(parse_create_table(s))
@@ -456,7 +473,9 @@ class DdlCatalog:
         if key is None:
             return self.spark.sql("SET")
         k = _strip_quotes(key)
-        self.spark.conf.set(_FLINK_CONF_MAP.get(k, k), _strip_quotes(value))
+        spark_key = _FLINK_CONF_MAP.get(k, k)
+        self.spark.conf.set(spark_key, _strip_quotes(value))
+        self._set_keys.add(spark_key)
         return None
 
     def _evict_hint_aliases(self, name: str) -> None:

@@ -627,6 +627,11 @@ def cosine_near_dup_pairs(
     pairs is the same JVM left-fold expression, so output values are
     bit-identical across strategies.  Explicit (bands,
     planes_per_band) override the auto layout."""
+    if (bands is None) != (planes_per_band is None):
+        raise ValueError(
+            "bands and planes_per_band must be provided together "
+            f"(got bands={bands!r}, planes_per_band={planes_per_band!r})"
+        )
     if bands is not None and planes_per_band is not None:
         layout: tuple[int, int] | None = (bands, planes_per_band)
     else:

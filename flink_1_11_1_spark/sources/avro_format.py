@@ -267,13 +267,16 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
     """Spark StructType -> Avro record schema (nullable via unions)."""
     from pyspark.sql import types as T
 
-    def field_type(dt):
+    def field_type(dt, fname: str):
+        # Nested record names derive from the FIELD name path: two
+        # sibling struct columns must not share a record name (Avro
+        # spec forbids redefinition; external readers reject it).
         if isinstance(dt, T.StructType):
-            return spark_schema_to_avro(dt, name=f"{name}_rec")
+            return spark_schema_to_avro(dt, name=f"{name}_{fname}")
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": field_type(dt.elementType)}
+            return {"type": "array", "items": field_type(dt.elementType, f"{fname}_item")}
         if isinstance(dt, T.MapType):
-            return {"type": "map", "values": field_type(dt.valueType)}
+            return {"type": "map", "values": field_type(dt.valueType, f"{fname}_value")}
         if isinstance(dt, T.TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
         if isinstance(dt, T.DateType):
@@ -295,8 +298,8 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
         "fields": [
             {
                 "name": f.name,
-                "type": ["null", field_type(f.dataType)] if f.nullable
-                else field_type(f.dataType),
+                "type": ["null", field_type(f.dataType, f.name)] if f.nullable
+                else field_type(f.dataType, f.name),
             }
             for f in schema.fields
         ],

@@ -10,8 +10,11 @@ the survey prescribed: a SECOND, stateless consumer of the same source
 replays the main query's watermark arithmetic (watermark = max event
 time of PREVIOUS batches − delay, exactly Spark's update rule) and
 appends the would-be-dropped rows to a side sink — executor-side
-filtering and writes, per-batch idempotent paths; the driver holds two
-numbers (previous max, delay), never rows.
+filtering and writes, per-batch idempotent paths; the driver holds no
+row data, and the per-batch max event time is persisted as a marker
+file under the sink so the watermark base survives driver restart and
+is exact under foreachBatch retry (a retried batch N recomputes its
+watermark from markers of batches < N only, never from its own rows).
 
 Granularity delta, documented: Spark's window aggregate drops by
 WINDOW END ≤ watermark, so a row can be row-late here yet still
@@ -23,6 +26,10 @@ matching numRowsDroppedByWatermark's accounting exactly).
 """
 
 from __future__ import annotations
+
+import json
+import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,17 +54,41 @@ class LateSideOutput:
             _parse_interval(window_size) * 1_000_000 if window_size else None
         )
         self.sink_path = str(sink_path)
-        self._max_us: int | None = None
+
+    def _marker_dir(self) -> str:
+        return os.path.join(self.sink_path, "_wm")
+
+    def _prev_max_us(self, before_batch: int) -> int | None:
+        """Watermark base: max event time over markers of STRICTLY
+        earlier batches, discovered on disk (not driver memory) so a
+        restart resumes exactly and a retry of batch N never counts
+        N's own rows."""
+        d = self._marker_dir()
+        if not os.path.isdir(d):
+            return None
+        best: int | None = None
+        for fn in os.listdir(d):
+            m = re.fullmatch(r"b(\d+)\.json", fn)
+            if not m or int(m.group(1)) >= before_batch:
+                continue
+            with open(os.path.join(d, fn)) as fh:
+                v = json.load(fh)["max_us"]
+            if v is not None and (best is None or v > best):
+                best = v
+        return best
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         ts_us = F.unix_micros(F.col(self.ts_col))
-        if self._max_us is not None:
-            wm_us = self._max_us - self.delay_us
+        prev_max = self._prev_max_us(batch_id)
+        if prev_max is not None:
+            wm_us = prev_max - self.delay_us
             if self.window_us:
-                # window-level rule: late iff the row's window END <= wm
-                win_end = (
-                    (ts_us / self.window_us).cast("long") + 1
-                ) * self.window_us
+                # window-level rule: late iff the row's window END <= wm.
+                # Integer bucket arithmetic (pmod on longs) — float
+                # division can misclassify a boundary row via double
+                # rounding; pmod also floors for pre-epoch timestamps.
+                w = F.lit(self.window_us)
+                win_end = ts_us - F.pmod(ts_us, w) + w
                 cond = win_end <= F.lit(wm_us)
             else:
                 cond = ts_us < F.lit(wm_us)
@@ -66,10 +97,15 @@ class LateSideOutput:
             )
         # watermark update rule: max event time of batches SEEN SO FAR
         # feeds the NEXT batch's watermark (Spark updates between
-        # micro-batches)
+        # micro-batches).  Persist as a marker file, overwrite-idempotent.
         row = batch_df.agg(F.max(ts_us).alias("m")).first()
-        if row and row.m is not None:
-            self._max_us = max(self._max_us or 0, int(row.m))
+        os.makedirs(self._marker_dir(), exist_ok=True)
+        tmp = os.path.join(self._marker_dir(), f".b{batch_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id,
+                       "max_us": int(row.m) if row and row.m is not None else None},
+                      fh)
+        os.replace(tmp, os.path.join(self._marker_dir(), f"b{batch_id}.json"))
 
 
 def read_late_rows(spark: SparkSession, sink_path: str) -> DataFrame:

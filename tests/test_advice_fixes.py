@@ -203,3 +203,144 @@ def test_execute_script_backslash_follows_parser_dialect(spark):
             assert out.collect()[0].y == 3
     finally:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", prior)
+
+
+# ---------------- round-7 advisor findings (ADVICE.md r6)
+
+
+def test_bare_reset_unsets_all_session_properties(spark):
+    """Flink sql-client RESET (no key) resets ALL session properties —
+    a bare RESET must undo every key applied via SET (ADVICE r6)."""
+    from flink_1_11_1_spark.ddl import DdlCatalog
+
+    cat = DdlCatalog(spark)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cat.execute("SET 'table.exec.resource.default-parallelism' = '7'")
+        cat.execute("SET 'my.custom.key' = 'v1'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("my.custom.key") == "v1"
+        cat.execute("RESET")
+        # mapped key falls back to the session default; custom key gone
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+        assert spark.conf.get("my.custom.key", None) is None
+        assert cat._set_keys == set()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
+def test_quoted_spans_doubled_backtick_identifier():
+    """An identifier like `a``b` must not end the backtick scan early
+    and open a phantom quoted region that swallows later hint text
+    (ADVICE r6)."""
+    from flink_1_11_1_spark.ddl import _quoted_spans
+
+    s = "SELECT `a``b` FROM t WHERE x = 'lit''eral' AND y = 2"
+    spans = _quoted_spans(s)
+    # exactly one string-literal span, covering 'lit''eral'
+    assert len(spans) == 1
+    start, end = spans[0]
+    assert s[start:end] == "'lit''eral'"
+
+
+def test_quoted_spans_backslash_escape_in_literal():
+    """Backslash-escaped quotes stay inside the literal, matching the
+    lexer rule execute_script follows."""
+    from flink_1_11_1_spark.ddl import _quoted_spans
+
+    s = r"SELECT 'a\'b' AS s, 'c' AS t"
+    spans = _quoted_spans(s)
+    assert [s[a:b] for a, b in spans] == [r"'a\'b'", "'c'"]
+
+
+def test_avro_sibling_struct_record_names_unique():
+    """Two sibling struct columns must get DISTINCT Avro record names —
+    duplicate names are a spec violation external readers reject
+    (ADVICE r6)."""
+    from pyspark.sql import types as T
+
+    from flink_1_11_1_spark.sources.avro_format import spark_schema_to_avro
+
+    inner = T.StructType([T.StructField("x", T.LongType(), False)])
+    schema = T.StructType([
+        T.StructField("a", inner, False),
+        T.StructField("b", inner, False),
+        T.StructField("arr", T.ArrayType(inner, False), False),
+    ])
+    avro = spark_schema_to_avro(schema, name="row")
+
+    names = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("type") == "record":
+                names.append(node["name"])
+                for f in node["fields"]:
+                    walk(f["type"])
+            elif node.get("type") == "array":
+                walk(node["items"])
+            elif node.get("type") == "map":
+                walk(node["values"])
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    walk(avro)
+    assert len(names) == len(set(names)), names
+
+
+def test_cosine_layout_one_sided_override_raises(spark):
+    """Passing exactly one of (bands, planes_per_band) is a caller
+    error, not a silent fallback to the auto layout (ADVICE r6)."""
+    from flink_1_11_1_spark.extensions.dedup import cosine_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="together"):
+        cosine_near_dup_pairs(emb, bands=4)
+    with pytest.raises(ValueError, match="together"):
+        cosine_near_dup_pairs(emb, planes_per_band=8)
+
+
+def test_late_side_output_retry_and_restart_exact(spark, tmp_path):
+    """The watermark base is disk-discovered: a foreachBatch RETRY of
+    batch N must not count N's own rows (over-capture), and a fresh
+    instance (driver restart) resumes from the persisted markers
+    (ADVICE r6).  Also: the window bucket is integer arithmetic — a
+    boundary row whose window end == watermark is late, exactly."""
+    import pyspark.sql.functions as F
+
+    from flink_1_11_1_spark.streaming.late import LateSideOutput, read_late_rows
+
+    hour_us = 3600 * 10**6
+    base = (1_700_000_000 // 3600) * 3600 * 10**6
+
+    def frame(rows):  # (event_id, offset_minutes)
+        return spark.createDataFrame(
+            [(i, base + int(m * 60) * 10**6) for i, m in rows],
+            "event_id long, us long",
+        ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    side = str(tmp_path / "late_side")
+    lso = LateSideOutput("ts", "60 minutes", side, window_size="1 hour")
+
+    # batch 0: establishes max = minute 400 -> wm 340 for batch 1
+    lso(frame([(1, 10), (2, 400)]), 0)
+    # batch 1: id 3 in W0 (end 60 <= 340: late); id 4 at minute 340
+    # exactly (W5 end 360 > 340: kept); id 5 fresh at minute 500
+    lso(frame([(3, 30), (4, 340), (5, 500)]), 1)
+    assert sorted(r.event_id for r in read_late_rows(spark, side).collect()) == [3]
+
+    # RETRY of batch 1 must be bit-identical: watermark from markers of
+    # batches < 1 only (a driver-memory max would now include 500)
+    lso(frame([(3, 30), (4, 340), (5, 500)]), 1)
+    assert sorted(r.event_id for r in read_late_rows(spark, side).collect()) == [3]
+
+    # RESTART: a brand-new instance sees the persisted markers and
+    # continues with wm = 500 - 60 = 440
+    lso2 = LateSideOutput("ts", "60 minutes", side, window_size="1 hour")
+    lso2(frame([(6, 90), (7, 439), (8, 600)]), 2)
+    # id 6: W1 end 120 <= 440 late; id 7: W7 end 480 > 440 kept
+    got = sorted(r.event_id for r in read_late_rows(spark, side).collect())
+    assert got == [3, 6]
