@@ -583,9 +583,9 @@ def test_s17_temporal_rowtime_join_equals_batch_asof(spark, replay_dir, how):
     )
 
     stream = replay.events_stream(spark, replay_dir)
-    fact = stream.where("event_type = 'view'")
-    vers = stream.where("event_type = 'purchase'").withColumn(
-        "val", F.col("value")
+    fact = stream.where("event_type = 'view'").select("user_id", "ts", "event_id")
+    vers = stream.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("val")
     )
     out = streaming_temporal_rowtime_join(fact, vers, how=how)
     got, _ = replay.run_stream(out, "append", f"s17_{how}")
@@ -655,12 +655,106 @@ def test_s17b_temporal_version_upsert_and_order(spark, tmp_path):
         .withWatermark("ts", "1000 seconds")
     )
     out = streaming_temporal_rowtime_join(
-        stream.where("event_type = 'f'"),
-        stream.where("event_type = 'v'").withColumn("val", F.col("value")),
+        stream.where("event_type = 'f'").select("user_id", "ts", "event_id"),
+        stream.where("event_type = 'v'").select(
+            "user_id", "ts", F.col("value").alias("val")
+        ),
     )
     got, _ = replay.run_stream(out, "append", "s17b")
     m = {r.event_id: r.val for r in got}
     assert m[100] == 9.0 and m[101] == 2.0 and m[102] == 3.0
+
+
+def test_s17c_temporal_join_generic_schema(spark, tmp_path):
+    """The temporal join is schema-generic (round-7 verdict item 1b):
+    composite key, renamed rowtime column, MULTI-COLUMN version payload
+    (double + string) and a string fact payload — same parity contract
+    vs the batch as-of twin, left mode with nulls across the whole
+    version payload."""
+    from flink_1_11_1_spark.operators.joins import asof_join
+    from flink_1_11_1_spark.streaming.temporal import (
+        streaming_temporal_rowtime_join,
+    )
+
+    base = 1_700_000_000
+
+    def frame(rows):
+        # rows: (region, cust, sec, side, order_ref, price, tier)
+        return spark.createDataFrame(
+            [(rg, c, (base + s) * 10**6, sd, o, p, t)
+             for rg, c, s, sd, o, p, t in rows],
+            "region string, cust long, us long, side string, "
+            "order_ref string, price double, tier string",
+        ).select(
+            "region", "cust",
+            F.timestamp_micros(F.col("us")).alias("etime"),
+            "side", "order_ref", "price", "tier",
+        )
+
+    frames = [
+        frame([("eu", 1, 10, "v", None, 9.5, "gold"),
+               ("eu", 1, 30, "v", None, 11.0, "silver"),
+               ("us", 2, 20, "v", None, 5.0, "bronze")]),
+        frame([("eu", 1, 15, "f", "o-100", None, None),   # -> (9.5, gold)
+               ("eu", 1, 35, "f", "o-101", None, None),   # -> (11.0, silver)
+               ("us", 2, 5, "f", "o-102", None, None),    # before any version
+               ("us", 2, 25, "f", "o-103", None, None)]), # -> (5.0, bronze)
+        frame([("eu", 1, 5000, "f", "o-999", None, None)]),  # wm sentinel
+    ]
+    rdir = str(tmp_path / "s17c")
+    replay.write_replay_frames(frames, rdir)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(rdir)
+        .withWatermark("etime", "1000 seconds")
+    )
+    fact = stream.where("side = 'f'").select(
+        "region", "cust", "etime", "order_ref"
+    )
+    vers = stream.where("side = 'v'").select(
+        "region", "cust", "etime", "price", "tier"
+    )
+    out = streaming_temporal_rowtime_join(
+        fact, vers, key=["region", "cust"], how="left", ts_col="etime"
+    )
+    assert out.columns == ["region", "cust", "order_ref", "etime", "price", "tier"]
+    got, _ = replay.run_stream(out, "append", "s17c")
+    got_m = {r.order_ref: (r.region, r.cust, r.price, r.tier) for r in got}
+
+    batch = frames[0]
+    for fr in frames[1:]:
+        batch = batch.unionByName(fr)
+    want = asof_join(
+        batch.where("side = 'f'").select("region", "cust", "etime", "order_ref"),
+        batch.where("side = 'v'").select("region", "cust", "etime", "price", "tier"),
+        on=["region", "cust"],
+        left_time="etime",
+        right_time="etime",
+        right_cols=["price", "tier"],
+        how="left",
+    )
+    want_m = {r.order_ref: (r.region, r.cust, r.price, r.tier)
+              for r in want.collect()
+              if r.order_ref != "o-999"}  # wm sentinel: never finalized
+    assert got_m == want_m
+    assert got_m["o-102"] == ("us", 2, None, None)  # pre-version fact
+    assert got_m["o-100"] == ("eu", 1, 9.5, "gold")
+
+
+def test_s17d_temporal_join_payload_collision_raises(spark):
+    """A payload name shared by both sides is a caller error (the
+    output schema would be ambiguous), surfaced at plan time."""
+    from flink_1_11_1_spark.streaming.temporal import (
+        streaming_temporal_rowtime_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0)], "user_id long, us long, val double"
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "val")
+    with pytest.raises(ValueError, match="collision"):
+        streaming_temporal_rowtime_join(df, df)
 
 
 # -------------- S18: allowedLateness re-fire (update mode + upserts)
