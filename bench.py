@@ -28,6 +28,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog.register(spark, sf_dir)
 
+    # Load probe + warmup (round-7, VERDICT r6 "what's next" #4): the
+    # r5→r6 driver benches drifted ~1.35x uniformly from machine load,
+    # and the first suite entries absorb codegen/JIT warmup (q01 was
+    # 1.82x vs its own warm time).  So: (a) run a fixed data-independent
+    # probe twice — first untimed (JIT), second timed — and emit it as
+    # `load_probe` so cross-round ratios can be normalized; (b) run the
+    # heaviest headline shape (q03, full-lineitem agg) once untimed so
+    # the timed loop starts warm.
+    probe_sql = "SELECT sum(id * 2) s, count(*) n FROM range(16777216) GROUP BY id % 64"
+    spark.sql(probe_sql).collect()
+    t0 = time.time()
+    spark.sql(probe_sql).collect()
+    load_probe = round(time.time() - t0, 3)
+    spark.sql(declared.spark_text("q03")).collect()  # untimed warmup
+
     timings: dict[str, float] = {}
     for qid in declared.QUERIES:
         t0 = time.time()
@@ -55,6 +70,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_probe": load_probe,
         "config": config,
     }
     # Full result (all timings + config) goes to a repo-committed file;

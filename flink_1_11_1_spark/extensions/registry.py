@@ -54,6 +54,7 @@ def _load() -> None:
         stats,
         text,
         tpch_extra,
+        tpcds_shapes,
     )
     from ..operators import (
         declared_cep,

@@ -1,0 +1,295 @@
+"""TPC-DS-shaped declared queries (round 7) — the reference's flagship
+e2e is the 103-query TPC-DS answer-set run
+(flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java);
+this battery adapts the most operator-distinct TPC-DS shapes onto the
+available TPC-H-ish star schema, one portable SQL text per entry (the
+same string runs on Spark and the DuckDB oracle).
+
+Channel idiom: the schema has no store/web/catalog channel tables, so
+``l_returnflag`` ('N'/'R'/'A' → store/web/catalog) or ``l_linestatus``
+('F'/'O') stand in for the sales channel — the join/agg/set-op
+structure of each original query is preserved, the dimension values are
+renamed.
+
+Cross-engine exactness (the round-5/6 contract design rule): every
+aggregated measure is INTEGER arithmetic — money becomes cents via
+``cast(floor(price * 100) as bigint)`` — the double product is
+IEEE-identical on both engines and ``floor`` is correctly-rounded,
+so the integer is identical (a bare double→bigint cast is NOT
+portable: Spark truncates where DuckDB rounds — measured here), quantities are integer-valued doubles cast to bigint, and
+ratio COMPARISONS are integer cross-multiplications (``a2*10 > a1*11``
+instead of ``a2/a1 > 1.1``).  The only declared floats are single IEEE
+divisions of exact integers (share-of-total), which are bit-identical.
+DuckDB promotes integer ``sum()`` to HUGEINT, so every declared sum is
+wrapped ``cast(... as bigint)``; ``extract()`` is BIGINT on DuckDB and
+INT on Spark, so every declared extract is cast too.
+
+Shape map (TPC-DS query → entry):
+  q77 multi-channel union totals      → x_tpcds_channels
+  q18/q67 rollup over channel dims    → x_tpcds_rollup
+  q36 share-of-total within hierarchy → x_tpcds_share
+  q10/q35 EXISTS-chain demographics   → x_tpcds_exists_chain
+  q11/q4 year-over-year growth        → x_tpcds_yoy
+  q47/q57 moving-avg deviation        → x_tpcds_moving_avg
+  q51 cumulative channel full-outer   → x_tpcds_cumulative
+  q23 frequent items × big spenders   → x_tpcds_frequent
+  q88 multi-slice scalar counts       → x_tpcds_multicount
+  q34/q73 basket-size customers       → x_tpcds_basket
+  q49 dual-ranking worst returns      → x_tpcds_dual_rank
+  q75 year-over-year channel decline  → x_tpcds_channel_delta
+  q14 cross-channel INTERSECT         → x_tpcds_intersect
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog
+from . import registry
+
+# ruff: noqa: E501
+
+# q77: per-channel yearly totals, UNION ALL with the all-channel rollup
+# row computed from the same aggregated CTE (one scan, two grains).
+CHANNELS = """
+WITH ch AS (
+  SELECT CASE l_returnflag WHEN 'N' THEN 'store' WHEN 'R' THEN 'web' ELSE 'catalog' END channel,
+         cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(floor(l_extendedprice * 100) AS bigint) cents
+  FROM lineitem),
+per AS (
+  SELECT channel, yr, cast(sum(cents) AS bigint) rev, cast(count(*) AS bigint) n
+  FROM ch GROUP BY channel, yr)
+SELECT channel, yr, rev, n FROM per
+UNION ALL
+SELECT 'all' AS channel, yr, cast(sum(rev) AS bigint) rev, cast(sum(n) AS bigint) n
+FROM per GROUP BY yr
+"""
+
+# q18/q67: ROLLUP over (channel, nation) with count + cents measures;
+# subtotal rows carry NULL dimension values on both engines.
+ROLLUP_CHANNELS = """
+SELECT channel, n_name,
+       cast(count(*) AS bigint) n,
+       cast(sum(cents) AS bigint) rev
+FROM (
+  SELECT CASE l_returnflag WHEN 'N' THEN 'store' WHEN 'R' THEN 'web' ELSE 'catalog' END channel,
+         n_name, cast(floor(l_extendedprice * 100) AS bigint) cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+GROUP BY ROLLUP (channel, n_name)
+"""
+
+# q36: share of a nation's revenue per market segment + rank within the
+# nation — the one declared float is a single division of exact ints.
+SHARE = """
+WITH agg AS (
+  SELECT n_name, c_mktsegment seg,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment)
+SELECT n_name, seg, cents,
+       cast(cents AS double) / cast(sum(cents) OVER (PARTITION BY n_name) AS double) AS share,
+       cast(rank() OVER (PARTITION BY n_name ORDER BY cents DESC, seg) AS bigint) rnk
+FROM agg
+"""
+
+# q10/q35: customers active in the period AND present in the returns
+# channel AND never urgent-final — three decorrelated semi/anti joins.
+EXISTS_CHAIN = """
+SELECT c_mktsegment, n_name,
+       cast(count(*) AS bigint) cnt,
+       cast(sum(cast(floor(c_acctbal * 100) AS bigint)) AS bigint) bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= timestamp '1997-01-01'
+                AND o_orderdate < timestamp '1999-01-01')
+  AND EXISTS (SELECT 1 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+GROUP BY c_mktsegment, n_name
+"""
+
+# q11/q4: customers whose 1998 spend grew >10% over 1997 — the growth
+# predicate is an integer cross-multiplication, no division anywhere.
+YOY = """
+WITH yr AS (
+  SELECT o_custkey ck, cast(extract(year FROM o_orderdate) AS bigint) y,
+         cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+  FROM orders GROUP BY o_custkey, extract(year FROM o_orderdate))
+SELECT c_custkey, c_name, y1.cents cents_1997, y2.cents cents_1998
+FROM yr y1 JOIN yr y2 ON y1.ck = y2.ck
+JOIN customer ON c_custkey = y1.ck
+WHERE y1.y = 1997 AND y2.y = 1998 AND y2.cents * 10 > y1.cents * 11
+"""
+
+# q47/q57: monthly revenue vs the 3-month moving window, deviation kept
+# integer by comparing 3*month against the window SUM (never the avg).
+MOVING_AVG = """
+WITH m AS (
+  SELECT n_name,
+         cast(extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate) AS bigint) mi,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate))
+SELECT n_name, mi, cents, sum3 - 3 * cents AS dev3
+FROM (
+  SELECT n_name, mi, cents,
+         cast(sum(cents) OVER (PARTITION BY n_name ORDER BY mi ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bigint) sum3,
+         cast(count(*) OVER (PARTITION BY n_name ORDER BY mi ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bigint) n3
+  FROM m)
+WHERE n3 = 3 AND (3 * cents) * 5 < sum3 * 4
+"""
+
+# q51: cumulative store vs web revenue by month, FULL OUTER JOIN of the
+# two running series, months where the web cumulative overtakes.
+CUMULATIVE = """
+WITH store AS (
+  SELECT cast(extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate) AS bigint) mi,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem WHERE l_returnflag = 'N'
+  GROUP BY extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate)),
+web AS (
+  SELECT cast(extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate) AS bigint) mi,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate)),
+s2 AS (SELECT mi, cast(sum(cents) OVER (ORDER BY mi) AS bigint) cum FROM store),
+w2 AS (SELECT mi, cast(sum(cents) OVER (ORDER BY mi) AS bigint) cum FROM web)
+SELECT coalesce(s2.mi, w2.mi) AS mi, s2.cum AS store_cum, w2.cum AS web_cum
+FROM s2 FULL OUTER JOIN w2 ON s2.mi = w2.mi
+WHERE coalesce(w2.cum, 0) > coalesce(s2.cum, 0)
+"""
+
+# q23: above-average-frequency parts × top-half spenders, one summary
+# row.  Thresholds are RELATIVE (scale-free: no constant goes stale
+# across sf0.001/0.01/0.1).
+FREQUENT = """
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1999-01-01'
+  GROUP BY l_partkey
+  HAVING count(*) * (SELECT count(DISTINCT l_partkey) FROM lineitem)
+         > (SELECT count(*) FROM lineitem)),
+spend AS (
+  SELECT o_custkey ck, cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) s
+  FROM orders GROUP BY o_custkey),
+top_spenders AS (SELECT ck FROM spend WHERE s * 2 > (SELECT max(s) FROM spend))
+SELECT cast(count(*) AS bigint) n,
+       cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq)
+  AND o_custkey IN (SELECT ck FROM top_spenders)
+"""
+
+# q88: six scalar-aggregate slices cross-joined into one wide row.
+MULTICOUNT = """
+SELECT t1.h1, t2.h2, t3.h3, t4.h4, t5.h5, t6.h6 FROM
+  (SELECT cast(count(*) AS bigint) h1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 5 AND l_returnflag = 'N') t1
+  CROSS JOIN (SELECT cast(count(*) AS bigint) h2 FROM lineitem WHERE l_quantity BETWEEN 6 AND 10 AND l_returnflag = 'N') t2
+  CROSS JOIN (SELECT cast(count(*) AS bigint) h3 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20 AND l_returnflag = 'R') t3
+  CROSS JOIN (SELECT cast(count(*) AS bigint) h4 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30 AND l_returnflag = 'R') t4
+  CROSS JOIN (SELECT cast(count(*) AS bigint) h5 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40 AND l_returnflag = 'A') t5
+  CROSS JOIN (SELECT cast(count(*) AS bigint) h6 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50 AND l_returnflag = 'A') t6
+"""
+
+# q34/q73: orders whose basket (line count) falls in a band, joined
+# back to their customers.
+BASKET = """
+SELECT c_name, c_custkey, o_orderkey, cnt
+FROM (SELECT l_orderkey, cast(count(*) AS bigint) cnt
+      FROM lineitem GROUP BY l_orderkey
+      HAVING count(*) BETWEEN 6 AND 13) b
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+# q49: per-channel worst returns under TWO rankings (by return rate,
+# by returned quantity), union'd via OR on the rank predicates.
+DUAL_RANK = """
+WITH base AS (
+  SELECT l_linestatus channel, l_partkey,
+         cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) ret_qty,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) qty
+  FROM lineitem GROUP BY l_linestatus, l_partkey),
+r AS (
+  SELECT channel, l_partkey, ret_qty, qty,
+         cast(rank() OVER (PARTITION BY channel ORDER BY ret_qty * 1000000 / qty DESC, l_partkey) AS bigint) rate_rank,
+         cast(rank() OVER (PARTITION BY channel ORDER BY ret_qty DESC, l_partkey) AS bigint) amt_rank
+  FROM base)
+SELECT channel, l_partkey, ret_qty, qty, rate_rank, amt_rank
+FROM r WHERE rate_rank <= 10 OR amt_rank <= 10
+"""
+
+# q75: (channel, brand) pairs whose revenue dropped >10% year over year
+# — self-join of one aggregated CTE on the shifted year.
+CHANNEL_DELTA = """
+WITH s AS (
+  SELECT l_returnflag channel, p_brand,
+         cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_returnflag, p_brand, extract(year FROM l_shipdate))
+SELECT cur.channel, cur.p_brand, cur.yr,
+       prev.cents AS prev_cents, cur.cents AS cur_cents,
+       cur.cents - prev.cents AS delta
+FROM s cur JOIN s prev
+  ON cur.channel = prev.channel AND cur.p_brand = prev.p_brand
+ AND cur.yr = prev.yr + 1
+WHERE cur.cents * 10 < prev.cents * 9
+"""
+
+# q14: parts sold through ALL three channels (two INTERSECTs), revenue
+# by brand restricted to that common set.
+INTERSECT_CHANNELS = """
+WITH common AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT p_brand, cast(count(*) AS bigint) n,
+       cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_partkey IN (SELECT l_partkey FROM common)
+GROUP BY p_brand
+"""
+
+_SHAPES = {
+    "x_tpcds_channels": CHANNELS,
+    "x_tpcds_rollup": ROLLUP_CHANNELS,
+    "x_tpcds_share": SHARE,
+    "x_tpcds_exists_chain": EXISTS_CHAIN,
+    "x_tpcds_yoy": YOY,
+    "x_tpcds_moving_avg": MOVING_AVG,
+    "x_tpcds_cumulative": CUMULATIVE,
+    "x_tpcds_frequent": FREQUENT,
+    "x_tpcds_multicount": MULTICOUNT,
+    "x_tpcds_basket": BASKET,
+    "x_tpcds_dual_rank": DUAL_RANK,
+    "x_tpcds_channel_delta": CHANNEL_DELTA,
+    "x_tpcds_intersect": INTERSECT_CHANNELS,
+}
+
+
+def _runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        catalog.register(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+for _name, _sql in _SHAPES.items():
+    registry.register(_name, _runner(_sql), _sql)
