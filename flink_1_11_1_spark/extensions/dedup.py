@@ -1137,11 +1137,103 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------- LSH pruning-regime entry (round 7, VERDICT r6 #6)
+#
+# The fixture threshold (0.42) routes cosine_near_dup_pairs to the
+# exact blocked-GEMM scan, so no DECLARED entry exercised the banded
+# sign-LSH path _cos_layout sizes for real dedup thresholds.  This
+# entry runs it at t = 0.95 on planted near-dups: each of the first
+# `n_plant` unit vectors gets a deterministic companion
+# v' = v + 0.22·reverse(v) (cosine(v, v') ≈ 0.976–0.981 for unit v —
+# above the threshold but with sign bits that differ on low-margin
+# planes, so collision happens per-band, not trivially in every band).
+# The pipeline is approximate by design but deterministic end-to-end
+# (the x_ann_lsh_top1 pattern): the oracle replays the exact seeded
+# hyperplane bank (np.random.RandomState(seed=7), the same floats the
+# pandas_udf draws) and the same band/code packing, so both engines
+# enumerate identical candidates and verify them with the same
+# double-precision cosine.  Recall vs brute force is asserted
+# separately in tests/test_extensions.py.
+
+_PLANT_MIX = (
+    "transform(sequence(1, {dim}), i -> "
+    "element_at({v}, i) + 0.22D * element_at({v}, {dim} + 1 - i))"
+)
+
+
+def cosine_lsh_planted(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95,
+    bands: int = 8, planes_per_band: int = 12, n_plant: int = 40,
+) -> DataFrame:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    planted = v.where(F.col("vec_id") < n_plant).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(_PLANT_MIX.format(v="embedding", dim=64)).alias("embedding"),
+    )
+    return cosine_near_dup_pairs(
+        v.unionByName(planted), threshold=threshold,
+        bands=bands, planes_per_band=planes_per_band,
+    )
+
+
+def _cos_lsh_oracle_sql(
+    threshold: float = 0.95, bands: int = 8, rpb: int = 12,
+    n_plant: int = 40, seed: int = 7, dim: int = 64,
+) -> str:
+    """Closed-form DuckDB replay of the banded sign-LSH pipeline: the
+    plane bank is the exact RandomState(seed) draw _cos_band_candidates
+    makes (repr round-trips the doubles), band codes pack sign bits
+    MSB-first per band exactly as the numpy weights do, candidates are
+    DISTINCT same-(band, code) pairs, and the verify step is the same
+    single-division double cosine as COSINE_ORACLE."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((bands * rpb, dim))
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, p) AS (VALUES {rows}),
+base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, {dim + 1}), i -> v[i] + 0.22 * v[{dim} + 1 - i])
+  FROM base WHERE vec_id < {n_plant}),
+codes AS (
+  SELECT vec_id, pid // {rpb} AS band,
+         cast(sum(CASE WHEN list_dot_product(v, p) >= 0
+                       THEN 1 << ({rpb} - 1 - pid % {rpb}) ELSE 0 END) AS int) code
+  FROM aug CROSS JOIN planes
+  GROUP BY vec_id, pid // {rpb}),
+cand AS (
+  SELECT DISTINCT a.vec_id da, b.vec_id db
+  FROM codes a JOIN codes b
+    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT da, db,
+         list_dot_product(va.v, vb.v) /
+           (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) sim
+  FROM cand
+  JOIN aug va ON va.vec_id = da
+  JOIN aug vb ON vb.vec_id = db)
+SELECT da, db, round(sim, 4) AS c FROM pairs
+WHERE sim >= {threshold} ORDER BY da, db
+"""
+
+
 registry.register("x_dedup_exact", _exact, EXACT_SQL)
 registry.register("x_dedup_jaccard", _jaccard, JACCARD_ORACLE)
 registry.register("x_dedup_minhash", _minhash, JACCARD_ORACLE)  # see module docstring
 registry.register("x_dedup_simhash", _simhash, _simhash_oracle_sql())
 registry.register("x_dedup_cosine", _cosine, COSINE_ORACLE)
+registry.register("x_dedup_cosine_lsh", cosine_lsh_planted, _cos_lsh_oracle_sql())
 registry.register("x_dedup_clusters", dedup_clusters, CLUSTERS_ORACLE)
 registry.register("x_substring_dedup", _substring, SUBSTRING_ORACLE)
 registry.register("x_dedup_incremental", _incremental, _incremental_oracle_sql())

@@ -228,6 +228,38 @@ def test_cosine_near_dup_planted(spark):
     assert (7, 900007) in got and got[(7, 900007)] >= 0.99
 
 
+def test_cosine_lsh_declared_entry_recall(spark):
+    """The declared pruning-regime entry (x_dedup_cosine_lsh, explicit
+    8x12 layout at t=0.95) must recover >=90% of the brute-force pair
+    set over its augmented fixture (40 planted reverse-mix companions),
+    and every pair it emits must be a true >=0.95 pair (LSH narrows
+    candidates; the exact verify step means zero false positives)."""
+    import numpy as np
+
+    got = {(r.da, r.db) for r in
+           dedup.cosine_lsh_planted(spark, SF_SMOKE).collect()}
+
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    base = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    aug = dict(base)
+    for i in range(40):
+        v = base[i]
+        aug[1000000 + i] = v + 0.22 * v[::-1]
+    ids = sorted(aug)
+    M = np.array([aug[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = S[iu, ju] >= 0.95
+    idarr = np.array(ids)
+    want = {(int(min(a, b)), int(max(a, b)))
+            for a, b in zip(idarr[iu[keep]], idarr[ju[keep]])}
+    assert len(want) >= 40          # every planted pair qualifies
+    assert got <= want              # exact verify: no false positives
+    assert len(got) >= 0.9 * len(want)  # banded recall
+
+
 def test_multiprobe_lsh_recall(spark):
     """Multi-probe (1- and 2-bit flips of the lowest-margin planes)
     recovers >=0.95 of exact top-1 on planted near-duplicates, where

@@ -244,3 +244,16 @@ def test_temporal_batch_asof_single_shuffle_family(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_cosine_lsh_entry_uses_band_join_not_gemm(spark):
+    """The round-7 pruning-regime entry (x_dedup_cosine_lsh, t=0.95,
+    explicit 8x12 layout) must run the BANDED path: a posexplode of
+    per-band codes (Generate) feeding the candidate equi-join — and no
+    grouped-GEMM Arrow stage (that is the permissive-threshold path)."""
+    plan = _entry_plan(spark, "x_dedup_cosine_lsh")
+    assert "FlatMapGroupsInPandas" not in plan       # no GEMM stage
+    assert "Generate" in plan                        # posexplode(band codes)
+    assert "ArrowEvalPython" in plan                 # vectorized code udf
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan               # (band, code) equi-join
