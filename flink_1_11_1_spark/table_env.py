@@ -233,10 +233,37 @@ class TableEnvironment:
                 buf.append(ch)
             i += 1
         stmts.append("".join(buf))
+        # Multi-sink common-subgraph reuse (Flink's
+        # StreamCommonSubGraphBasedOptimizer, script-scoped): any view
+        # referenced by >= 2 INSERT statements gets a LAZY
+        # localCheckpoint registration so the first sink's action
+        # materializes it once and later sinks scan the checkpointed
+        # blocks — one source read feeding all sinks.  Restored to the
+        # plain view afterwards (the reuse scope is the script, like
+        # Flink's is the job).
+        from .ddl import _CREATE_VIEW_RE, _strip_ticks
+
+        shared, inscript = self.ddl.script_shared_views(stmts)
+        self.ddl.last_script_reuse = {}
+        checkpointed: list[str] = []
+        for name, sinks in shared.items():
+            if name not in inscript:  # already-registered view
+                self.ddl.checkpoint_view(name, sinks)
+                checkpointed.append(name)
         result: DataFrame | None = None
-        for s in stmts:
-            if s.strip():
+        try:
+            for s in stmts:
+                if not s.strip():
+                    continue
                 result = self.execute_sql(s)
+                m = _CREATE_VIEW_RE.match(s.strip().rstrip(";").strip())
+                if m and _strip_ticks(m.group(3)) in shared:
+                    name = _strip_ticks(m.group(3))
+                    self.ddl.checkpoint_view(name, shared[name])
+                    checkpointed.append(name)
+        finally:
+            for name in checkpointed:
+                self.ddl.restore_view(name)
         return result
 
     def explain_sql(self, sql: str) -> str:

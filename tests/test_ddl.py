@@ -611,3 +611,71 @@ def test_ddl_parser_property_fuzz():
             assert ct.watermark_col is not None and ct.watermark_delay
         if part:
             assert ct.partitioned_by == ["c0"]
+
+
+# --------------------- multi-sink common-subgraph reuse (round 7)
+
+
+def test_multi_sink_script_reuses_view_materialization(tenv, tmp_path):
+    """A view feeding two INSERT INTO sinks in one script is
+    materialized ONCE (lazy localCheckpoint — the
+    StreamCommonSubGraphBasedOptimizer rendering): the checkpointed
+    view's plan is an RDD scan (one source read feeding both sinks),
+    both sinks receive the full correct result, and after the script
+    the view resolves to its defining query again."""
+    s1, s2 = str(tmp_path / "ms_sink1"), str(tmp_path / "ms_sink2")
+    tenv.execute_script(
+        f"""
+        CREATE TABLE ms_a (lang STRING, n BIGINT)
+        WITH ('connector'='filesystem', 'path'='{s1}', 'format'='parquet');
+        CREATE TABLE ms_b (lang STRING, n BIGINT)
+        WITH ('connector'='filesystem', 'path'='{s2}', 'format'='parquet');
+        CREATE VIEW ms_v AS
+          SELECT lang, count(*) AS n
+          FROM parquet.`{SF_SMOKE}/documents.parquet` GROUP BY lang;
+        INSERT INTO ms_a SELECT lang, n FROM ms_v WHERE n >= 0;
+        INSERT INTO ms_b SELECT lang, n * 2 AS n FROM ms_v;
+        """
+    )
+    # the reuse pass fired for ms_v with 2 sinks, and the registered
+    # view during the script was the checkpointed RDD (one scan)
+    reuse = tenv.ddl.last_script_reuse
+    assert reuse["ms_v"]["sinks"] == 2
+    assert "LogicalRDD" in reuse["ms_v"]["view_plan"] \
+        or "ExistingRDD" in reuse["ms_v"]["view_plan"]
+
+    direct = dict(
+        tenv.spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("lang").count().collect()
+    )
+    a = {r.lang: r.n for r in tenv.spark.read.parquet(s1).collect()}
+    b = {r.lang: r.n for r in tenv.spark.read.parquet(s2).collect()}
+    assert a == direct
+    assert b == {k: v * 2 for k, v in direct.items()}
+
+    # post-script: the view is the plain logical plan again (a later
+    # write to the source would be visible — checkpoint scope ended)
+    plan = tenv.spark.table("ms_v")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan and "LogicalRDD" not in plan
+    tenv.execute_sql("DROP VIEW ms_v")
+    tenv.execute_sql("DROP TABLE ms_a")
+    tenv.execute_sql("DROP TABLE ms_b")
+
+
+def test_single_sink_script_keeps_plain_view(tenv, tmp_path):
+    """One INSERT referencing a view must NOT trigger the checkpoint
+    (reuse needs >= 2 sinks; a single-shot view stays pipelined)."""
+    s1 = str(tmp_path / "ss_sink")
+    tenv.execute_script(
+        f"""
+        CREATE TABLE ss_a (lang STRING, n BIGINT)
+        WITH ('connector'='filesystem', 'path'='{s1}', 'format'='parquet');
+        CREATE VIEW ss_v AS
+          SELECT lang, count(*) AS n
+          FROM parquet.`{SF_SMOKE}/documents.parquet` GROUP BY lang;
+        INSERT INTO ss_a SELECT lang, n FROM ss_v;
+        """
+    )
+    assert tenv.ddl.last_script_reuse == {}
+    tenv.execute_sql("DROP VIEW ss_v")
+    tenv.execute_sql("DROP TABLE ss_a")
