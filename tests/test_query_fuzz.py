@@ -964,3 +964,98 @@ def test_fuzzed_outer_join_matches_duckdb(spark, duck, idx):
     a = sorted(testing.canon_rows(scols, srows))
     b = sorted(testing.canon_rows(dcols, drows))
     assert a == b, f"query #{idx} diverged:\n{sql}\n{a[:2]}\nvs\n{b[:2]}"
+
+
+# ---------------- part 10: TPC-DS idioms (round 7 — the battery's
+# portable building blocks, fuzzed: floor-cents measures, channel
+# UNION grains, INTERSECT channel sets, share-of-total windows,
+# integer cross-multiplied growth predicates)
+
+
+def _cents(col: str) -> str:
+    # the portable money idiom: floor() is correctly-rounded on both
+    # engines where a bare double->bigint cast is NOT (Spark truncates,
+    # DuckDB rounds)
+    return f"cast(floor({col} * 100) as bigint)"
+
+
+def gen_tpcds_idiom_query(rng: random.Random) -> str:
+    variant = rng.randrange(4)
+    if variant == 0:  # channel UNION grains (q77 shape)
+        t, ch, f = rng.choice([
+            ("lineitem", "l_returnflag", "l_extendedprice"),
+            ("lineitem", "l_linestatus", "l_extendedprice"),
+            ("orders", "o_orderstatus", "o_totalprice"),
+        ])
+        k = rng.choice([3, 5, 7])
+        icol = rng.choice([c for c, kk in _cols(t) if kk == "int"])
+        return (
+            f"WITH per AS (SELECT {ch} AS channel, cast({icol} % {k} as bigint) AS bk, "
+            f"cast(sum({_cents(f)}) as bigint) AS rev, cast(count(*) as bigint) AS n "
+            f"FROM {t} GROUP BY {ch}, {icol} % {k}) "
+            f"SELECT channel, bk, rev, n FROM per "
+            f"UNION ALL SELECT 'all' AS channel, bk, cast(sum(rev) as bigint), "
+            f"cast(sum(n) as bigint) FROM per GROUP BY bk"
+        )
+    if variant == 1:  # cross-channel INTERSECT (q14 shape)
+        a, b = rng.sample(["A", "N", "R"], 2)
+        return (
+            f"WITH common AS ("
+            f"SELECT l_partkey FROM lineitem WHERE l_returnflag = '{a}' "
+            f"INTERSECT SELECT l_partkey FROM lineitem WHERE l_returnflag = '{b}') "
+            f"SELECT p_brand, cast(count(*) as bigint) AS n, "
+            f"cast(sum({_cents('l_extendedprice')}) as bigint) AS cents "
+            f"FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE l_partkey IN (SELECT l_partkey FROM common) GROUP BY p_brand"
+        )
+    if variant == 2:  # share-of-total + rank within partition (q36 shape)
+        t, a, b, f = rng.choice([
+            ("customer", "c_mktsegment", "c_name", "c_acctbal"),
+            ("orders", "o_orderpriority", "o_orderstatus", "o_totalprice"),
+            ("lineitem", "l_returnflag", "l_linestatus", "l_extendedprice"),
+        ])
+        return (
+            f"WITH agg AS (SELECT {a} AS g1, {b} AS g2, "
+            f"cast(sum({_cents(f)}) as bigint) AS cents FROM {t} "
+            f"WHERE {f} > 0 GROUP BY {a}, {b}) "
+            f"SELECT g1, g2, cents, "
+            f"cast(cents as double) / cast(sum(cents) OVER (PARTITION BY g1) as double) AS share, "
+            f"cast(rank() OVER (PARTITION BY g1 ORDER BY cents DESC, g2) as bigint) AS rnk "
+            f"FROM agg"
+        )
+    # variant 3: integer cross-multiplied growth between two buckets
+    num, den = rng.choice([(11, 10), (9, 10), (6, 5)])
+    k = rng.choice([4, 6, 8])
+    b1, b2 = rng.sample(range(k), 2)
+    return (
+        f"WITH s AS (SELECT o_custkey AS ck, cast(o_orderkey % {k} as bigint) AS bk, "
+        f"cast(sum({_cents('o_totalprice')}) as bigint) AS cents "
+        f"FROM orders GROUP BY o_custkey, o_orderkey % {k}) "
+        f"SELECT a.ck, a.cents AS c1, b.cents AS c2 "
+        f"FROM s a JOIN s b ON a.ck = b.ck AND a.bk = {b1} AND b.bk = {b2} "
+        f"WHERE b.cents * {den} > a.cents * {num}"
+    )
+
+
+N_QUERIES10 = 20
+_RNG10 = random.Random(77001)
+QUERIES10 = [gen_tpcds_idiom_query(_RNG10) for _ in range(N_QUERIES10)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES10))
+def test_fuzzed_tpcds_idioms_match_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES10[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query10 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
