@@ -38,6 +38,8 @@ Shape map (TPC-DS query → entry):
   q49 dual-ranking worst returns      → x_tpcds_dual_rank
   q75 year-over-year channel decline  → x_tpcds_channel_delta
   q14 cross-channel INTERSECT         → x_tpcds_intersect
+  q93 returns-exclusion net value     → x_tpcds_returns_net
+  q54/q58 period vs own average       → x_tpcds_period_vs_avg
 """
 
 from __future__ import annotations
@@ -266,6 +268,47 @@ WHERE l_partkey IN (SELECT l_partkey FROM common)
 GROUP BY p_brand
 """
 
+# q93: net value after excluding returns — sales LEFT JOIN a derived
+# returns table on the line identity, coalesce the returned quantity.
+RETURNS_NET = """
+WITH ret AS (
+  SELECT l_orderkey AS r_ok, l_linenumber AS r_ln,
+         cast(l_quantity AS bigint) AS rq
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT c_custkey, c_name,
+       cast(sum((cast(l_quantity AS bigint) - coalesce(rq, 0))
+                * cast(floor(p_retailprice * 100) AS bigint)) AS bigint) AS net_cents,
+       cast(count(*) AS bigint) AS n_lines
+FROM lineitem
+LEFT JOIN ret ON l_orderkey = r_ok AND l_linenumber = r_ln
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+HAVING sum((cast(l_quantity AS bigint) - coalesce(rq, 0))
+           * cast(floor(p_retailprice * 100) AS bigint)) > 0
+"""
+
+# q54/q58: a part's revenue in one month vs its own monthly average —
+# the comparison is an integer cross-multiplication (cents·nm·2 >
+# total·3 ⟺ month > 1.5× average), no division anywhere.
+PERIOD_VS_AVG = """
+WITH pm AS (
+  SELECT l_partkey,
+         cast(extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate) AS bigint) mi,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  GROUP BY l_partkey, extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate)),
+tot AS (
+  SELECT l_partkey, cast(sum(cents) AS bigint) tc, cast(count(*) AS bigint) nm
+  FROM pm GROUP BY l_partkey)
+SELECT p.l_partkey, p_brand, p.cents AS month_cents, t.tc AS total_cents, t.nm AS n_months
+FROM pm p
+JOIN tot t ON p.l_partkey = t.l_partkey
+JOIN part ON p.l_partkey = p_partkey
+WHERE p.mi = 23970 AND p.cents * t.nm * 2 > t.tc * 3
+"""
+
 _SHAPES = {
     "x_tpcds_channels": CHANNELS,
     "x_tpcds_rollup": ROLLUP_CHANNELS,
@@ -280,6 +323,8 @@ _SHAPES = {
     "x_tpcds_dual_rank": DUAL_RANK,
     "x_tpcds_channel_delta": CHANNEL_DELTA,
     "x_tpcds_intersect": INTERSECT_CHANNELS,
+    "x_tpcds_returns_net": RETURNS_NET,
+    "x_tpcds_period_vs_avg": PERIOD_VS_AVG,
 }
 
 

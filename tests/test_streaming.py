@@ -878,6 +878,73 @@ def test_s19_queryable_state_equals_aggregate(spark, tmp_path):
     assert meta and any(m.operatorId == 0 for m in meta)
 
 
+def test_s19b_queryable_state_of_temporal_join(spark, tmp_path):
+    """Queryable state over the round-7 generic temporal join: the
+    version map and pending-fact buffer of each key are readable from
+    the checkpoint (getKvState shape), and the version list is exactly
+    the post-GC state the operator docs promise — the latest version
+    at-or-before the watermark plus everything newer, upserted and
+    sorted by rowtime."""
+    import json as _json
+
+    from flink_1_11_1_spark.streaming import queryable
+    from flink_1_11_1_spark.streaming.temporal import (
+        streaming_temporal_rowtime_join,
+    )
+
+    base = 1_700_000_000
+
+    def frame(rows):  # (user_id, sec, event_id, val, kind)
+        return spark.createDataFrame(
+            [(u, (base + s) * 10**6, e, v, t) for u, s, e, v, t in rows],
+            "user_id long, us long, event_id long, value double, event_type string",
+        ).select(
+            "user_id", F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id", "value", "event_type",
+        )
+
+    frames = [
+        frame([(1, 10, None, 1.0, "v"), (1, 40, None, 2.0, "v")]),
+        frame([(1, 90, None, 3.0, "v"), (1, 95, 500, None, "f")]),
+        frame([(1, 4000, 999, None, "f")]),  # wm -> 4000-1000 = 3000
+    ]
+    rdir = str(tmp_path / "s19b")
+    replay.write_replay_frames(frames, rdir)
+    stream = (
+        spark.readStream.format("parquet").schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1).load(rdir)
+        .withWatermark("ts", "1000 seconds")
+    )
+    out = streaming_temporal_rowtime_join(
+        stream.where("event_type = 'f'").select("user_id", "ts", "event_id"),
+        stream.where("event_type = 'v'").select(
+            "user_id", "ts", F.col("value").alias("val")
+        ),
+    )
+    ck = str(tmp_path / "s19b_ck")
+    q = (
+        out.writeStream.format("memory").queryName("s19b")
+        .outputMode("append").option("checkpointLocation", ck).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = queryable.state_lookup(spark, ck, {"user_id": 1})
+    assert len(rows) == 1
+    state = rows[0].groupState  # applyInPandasWithState value wrapper
+    vers = [tuple(x) for x in _json.loads(state.versions)]
+    facts = [tuple(x) for x in _json.loads(state.facts)]
+    # GC rule: watermark 3000s — every version <= wm except the latest
+    # (90s, the valid base) is gone; 10s and 40s were collected
+    assert [v[0] for v in vers] == [(base + 90) * 10**6]
+    assert _json.loads(vers[0][1]) == {"val": 3.0}
+    # the sentinel fact (ts 4000 > wm 3000) is still pending
+    assert [f[0] for f in facts] == [(base + 4000) * 10**6]
+    # and the emitted row matches the version valid at its time
+    got = {r.event_id: r.val for r in spark.sql("SELECT * FROM s19b").collect()}
+    assert got == {500: 3.0}
+
+
 # ---------------- S20: late-data side output (sideOutputLateData)
 
 
