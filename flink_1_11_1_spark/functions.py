@@ -105,6 +105,82 @@ def to_time_millis(ts: Column | str) -> Column:
     ).cast("int")
 
 
+# Flink's operations over the two convention-mapped types ([t-common]
+# types/logical/ TimeType, MultisetType — round 7, making the
+# round-1 "mapped by convention" rows executable end-to-end):
+# TIME literals/rendering over INT millis-of-day, and the MULTISET
+# function library over map<value, count>.
+
+
+def time_literal_millis(text: str) -> int:
+    """``TIME '10:30:00.500'`` → millis-of-day (driver-side literal
+    helper; comparisons are then plain INT comparisons)."""
+    parts = text.strip().split(":")
+    if len(parts) != 3:
+        raise ValueError(f"not a TIME literal: {text!r}")
+    h, m = int(parts[0]), int(parts[1])
+    if "." in parts[2]:
+        s, frac = parts[2].split(".")
+        ms = int((frac + "000")[:3])
+    else:
+        s, ms = parts[2], 0
+    if not (0 <= h < 24 and 0 <= m < 60 and 0 <= int(s) < 60):
+        raise ValueError(f"TIME out of range: {text!r}")
+    return (h * 3600 + m * 60 + int(s)) * 1000 + ms
+
+
+def time_format(millis: Column | str) -> Column:
+    """INT millis-of-day → 'HH:mm:ss.SSS' string (the cast-to-STRING
+    rendering Flink's TIME gives)."""
+    t = _c(millis)
+    return F.concat_ws(
+        ":",
+        F.lpad((t / 3600_000).cast("int").cast("string"), 2, "0"),
+        F.lpad(((t / 60_000).cast("int") % 60).cast("string"), 2, "0"),
+        F.concat(
+            F.lpad(((t / 1000).cast("int") % 60).cast("string"), 2, "0"),
+            F.lit("."),
+            F.lpad((t % 1000).cast("int").cast("string"), 3, "0"),
+        ),
+    )
+
+
+def multiset_cardinality(ms: Column | str) -> Column:
+    """CARDINALITY(multiset): total element count incl. duplicates
+    (sum of the count map's values)."""
+    return F.expr(
+        f"aggregate(map_values({_expr_str(ms)}), 0, (a, c) -> a + c)"
+    )
+
+
+def multiset_count_of(ms: Column | str, element: Column) -> Column:
+    """``element_count`` access (Flink: ``multiset[element]``): how
+    many times ``element`` occurs — 0 when absent."""
+    return F.coalesce(F.element_at(_c(ms), element), F.lit(0))
+
+
+def multiset_union(a: Column | str, b: Column | str) -> Column:
+    """MULTISET UNION ALL: per-element count addition."""
+    ea, eb = _expr_str(a), _expr_str(b)
+    return F.expr(
+        f"""map_concat(
+              map_filter({ea}, (k, c) -> NOT map_contains_key({eb}, k)),
+              map_filter({eb}, (k, c) -> NOT map_contains_key({ea}, k)),
+              transform_values(
+                map_filter({ea}, (k, c) -> map_contains_key({eb}, k)),
+                (k, c) -> c + element_at({eb}, k)))"""
+    )
+
+
+def _expr_str(c: Column | str) -> str:
+    if isinstance(c, str):
+        return c
+    raise TypeError(
+        "multiset SQL-expression helpers take a COLUMN NAME string "
+        "(they splice it into an expr); pass the column's name"
+    )
+
+
 # ------------------------------------------------------- SQL registration
 
 _SQL_MACROS = {

@@ -5,6 +5,7 @@ import shutil
 import tempfile
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -83,6 +84,42 @@ def test_to_time_millis(spark):
         ffn.to_time_millis("t1").alias("m1"), ffn.to_time_millis("t2").alias("m2")
     ).first()
     assert r.m1 == 1 * 3600_000 + 2 * 60_000 + 3_000 + 456 and r.m2 == 0
+
+
+def test_time_multiset_operation_library(spark):
+    """Round 7: the operations Flink defines OVER the two
+    convention-mapped types — TIME literals/rendering on INT
+    millis-of-day, CARDINALITY / element-count / UNION ALL on the
+    map<value,count> multiset."""
+    assert ffn.time_literal_millis("10:30:00.5") == 10 * 3600_000 + 30 * 60_000 + 500
+    assert ffn.time_literal_millis("00:00:00") == 0
+    with pytest.raises(ValueError):
+        ffn.time_literal_millis("25:00:00")
+
+    r = spark.range(1).select(
+        ffn.time_format(F.lit(ffn.time_literal_millis("01:02:03.456"))).alias("s")
+    ).first()
+    assert r.s == "01:02:03.456"
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a"), (2, "c")], ["k", "v"]
+    )
+    ms = df.groupBy("k").agg(ffn.collect_multiset("v").alias("ms"))
+    got = {
+        r.k: (r.card, r.n_a)
+        for r in ms.select(
+            "k",
+            ffn.multiset_cardinality("ms").alias("card"),
+            ffn.multiset_count_of("ms", F.lit("a")).alias("n_a"),
+        ).collect()
+    }
+    assert got == {1: (3, 2), 2: (1, 0)}
+
+    two = ms.alias("x").join(
+        ms.withColumnRenamed("ms", "ms2").alias("y"), "k"
+    ).select("k", ffn.multiset_union("ms", "ms2").alias("u"))
+    u = {r.k: dict(r.u) for r in two.collect()}
+    assert u == {1: {"a": 4, "b": 2}, 2: {"c": 2}}
 
 
 # ------------------------- per-record async lookup (round 6, §3.11)
