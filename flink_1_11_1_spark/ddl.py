@@ -204,6 +204,9 @@ _SET_RE = re.compile(
     r"^SET(?:\s+('?[\w.\-]+'?)\s*=\s*(.+))?$", re.IGNORECASE
 )
 _RESET_RE = re.compile(r"^RESET(?:\s+('?[\w.\-]+'?))?$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(`?[\w.]+`?)$", re.IGNORECASE
+)
 
 _FLINK_CONF_MAP = {
     "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
@@ -371,6 +374,11 @@ class DdlCatalog:
         ms = _SET_RE.match(s)
         if ms:
             return self._set_statement(ms.group(1), ms.group(2))
+        if up == "SHOW TABLES":
+            return self._show_tables()
+        mdesc = _DESCRIBE_RE.match(s)
+        if mdesc and _strip_ticks(mdesc.group(1)) in self.tables:
+            return self._describe(_strip_ticks(mdesc.group(1)))
         mr = _RESET_RE.match(s)
         if mr:
             key = _strip_quotes(mr.group(1)) if mr.group(1) else None
@@ -487,6 +495,50 @@ class DdlCatalog:
         self.spark.conf.set(spark_key, _strip_quotes(value))
         self._set_keys.add(spark_key)
         return None
+
+    # -- sql-client catalog introspection --------------------------------
+
+    def _show_tables(self) -> DataFrame:
+        """SHOW TABLES incl. DECLARED tables that have no batch scan yet
+        (a sink-only CREATE TABLE is listed by Flink's sql-client even
+        though nothing is readable) — Spark's native SHOW TABLES only
+        sees registered views, so declared-only names are appended."""
+        native = self.spark.sql("SHOW TABLES")
+        listed = {r.tableName for r in native.collect()}
+        extra = [
+            ("", name, True)
+            for name in sorted(self.tables)
+            if name not in listed
+        ]
+        if not extra:
+            return native
+        return native.unionByName(
+            self.spark.createDataFrame(extra, native.schema)
+        )
+
+    def _describe(self, name: str) -> DataFrame:
+        """DESCRIBE of a DECLARED table renders the DECLARATION — the
+        Flink sql-client shape: physical columns with NOT NULL, computed
+        columns with their expression, and the WATERMARK row — rather
+        than Spark's view of whatever backing scan happens to exist."""
+        ct = self.tables[name]
+        rows = [
+            (n, t.upper() + (" NOT NULL" if nn else ""), None)
+            for n, t, nn in ct.columns
+        ]
+        rows += [
+            (n, "COMPUTED", f"AS {expr}") for n, expr in ct.computed.items()
+        ]
+        if ct.watermark_col:
+            rows.append(
+                ("WATERMARK", "", f"FOR {ct.watermark_col} AS {ct.watermark_col}"
+                 f" - INTERVAL '{ct.watermark_delay}'")
+            )
+        if ct.primary_key:
+            rows.append(("PRIMARY KEY", "", ", ".join(ct.primary_key)))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
 
     # -- multi-sink common-subgraph reuse --------------------------------
     #

@@ -679,3 +679,44 @@ def test_single_sink_script_keeps_plain_view(tenv, tmp_path):
     assert tenv.ddl.last_script_reuse == {}
     tenv.execute_sql("DROP VIEW ss_v")
     tenv.execute_sql("DROP TABLE ss_a")
+
+
+# ----------------- sql-client introspection: SHOW TABLES / DESCRIBE
+
+
+def test_show_tables_includes_declared_only_sinks(tenv, tmp_path):
+    """A sink-only CREATE TABLE (no readable path yet) must appear in
+    SHOW TABLES, like Flink's sql-client catalog listing — Spark's
+    native SHOW TABLES alone misses it."""
+    tenv.execute_sql(
+        f"""CREATE TABLE intro_sink (x INT)
+        WITH ('connector'='filesystem', 'path'='{tmp_path / "nope"}',
+              'format'='parquet')"""
+    )
+    names = {r.tableName for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "intro_sink" in names
+    tenv.execute_sql("DROP TABLE intro_sink")
+    names = {r.tableName for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "intro_sink" not in names
+
+
+def test_describe_declared_table_renders_declaration(tenv, tmp_path):
+    """DESCRIBE of a declared table shows the DECLARATION: NOT NULL,
+    computed columns, and the WATERMARK row (sql-client shape)."""
+    tenv.execute_sql(
+        f"""CREATE TABLE intro_t (
+              id BIGINT NOT NULL,
+              v DOUBLE,
+              ts TIMESTAMP(3),
+              doubled AS v * 2,
+              WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+            ) WITH ('connector'='filesystem',
+                    'path'='{tmp_path / "intro_t"}', 'format'='parquet')"""
+    )
+    rows = {r.col_name: (r.data_type, r.comment)
+            for r in tenv.execute_sql("DESCRIBE intro_t").collect()}
+    assert rows["id"][0].startswith("BIGINT") and "NOT NULL" in rows["id"][0]
+    assert rows["v"][0] == "DOUBLE"
+    assert rows["doubled"] == ("COMPUTED", "AS v * 2")
+    assert "WATERMARK" in rows and "ts" in rows["WATERMARK"][1]
+    tenv.execute_sql("DROP TABLE intro_t")
