@@ -376,6 +376,16 @@ class DdlCatalog:
             return self._set_statement(ms.group(1), ms.group(2))
         if up == "SHOW TABLES":
             return self._show_tables()
+        if up.startswith("EXPLAIN PLAN FOR "):
+            # Flink's EXPLAIN statement (FLIP-84 TableEnvironment
+            # .explainSql): one STRING row with the plan sections
+            q = s[len("EXPLAIN PLAN FOR "):]
+            qe = self.spark.sql(q)._jdf.queryExecution()
+            text = (
+                "== Optimized Logical Plan ==\n" + qe.optimizedPlan().toString()
+                + "\n== Physical Plan ==\n" + qe.executedPlan().toString()
+            )
+            return self.spark.createDataFrame([(text,)], "plan string")
         mdesc = _DESCRIBE_RE.match(s)
         if mdesc and _strip_ticks(mdesc.group(1)) in self.tables:
             return self._describe(_strip_ticks(mdesc.group(1)))

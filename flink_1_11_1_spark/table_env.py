@@ -299,8 +299,15 @@ class StatementSet:
         return self
 
     def execute(self) -> int:
-        """Run all buffered INSERTs; returns how many ran."""
-        for s in self._stmts:
-            self._tenv.execute_sql(s)
-        n, self._stmts = len(self._stmts), []
+        """Run all buffered INSERTs as ONE job; returns how many ran.
+
+        Delegates to execute_script so the multi-sink common-subgraph
+        reuse pass applies — a view feeding several buffered INSERTs is
+        materialized once (Flink's StatementSet exists precisely to let
+        StreamCommonSubGraphBasedOptimizer share subgraphs across the
+        buffered sinks; this is that contract)."""
+        n = len(self._stmts)
+        if n:
+            self._tenv.execute_script(";\n".join(self._stmts))
+        self._stmts = []
         return n

@@ -720,3 +720,42 @@ def test_describe_declared_table_renders_declaration(tenv, tmp_path):
     assert rows["doubled"] == ("COMPUTED", "AS v * 2")
     assert "WATERMARK" in rows and "ts" in rows["WATERMARK"][1]
     tenv.execute_sql("DROP TABLE intro_t")
+
+
+def test_statement_set_shares_view_materialization(tenv, tmp_path):
+    """StatementSet.execute runs its buffered INSERTs as one job: a
+    view feeding two of them goes through the common-subgraph reuse
+    pass (checkpointed once), like Flink's StatementSet."""
+    s1, s2 = str(tmp_path / "st_s1"), str(tmp_path / "st_s2")
+    for name, p in (("st_a", s1), ("st_b", s2)):
+        tenv.execute_sql(
+            f"""CREATE TABLE {name} (lang STRING, n BIGINT)
+            WITH ('connector'='filesystem', 'path'='{p}', 'format'='parquet')"""
+        )
+    tenv.execute_sql(
+        f"CREATE VIEW st_v AS SELECT lang, count(*) AS n "
+        f"FROM parquet.`{SF_SMOKE}/documents.parquet` GROUP BY lang"
+    )
+    ss = tenv.create_statement_set()
+    ss.add_insert_sql("INSERT INTO st_a SELECT lang, n FROM st_v")
+    ss.add_insert_sql("INSERT INTO st_b SELECT lang, n FROM st_v WHERE n > 0")
+    assert ss.execute() == 2
+    assert tenv.ddl.last_script_reuse["st_v"]["sinks"] == 2
+    a = {r.lang: r.n for r in tenv.spark.read.parquet(s1).collect()}
+    b = {r.lang: r.n for r in tenv.spark.read.parquet(s2).collect()}
+    assert a and b == {k: v for k, v in a.items() if v > 0}
+    for name in ("st_a", "st_b"):
+        tenv.execute_sql(f"DROP TABLE {name}")
+    tenv.execute_sql("DROP VIEW st_v")
+
+
+def test_explain_plan_for_statement(tenv):
+    """Flink's EXPLAIN PLAN FOR <query> returns one STRING row with
+    the plan sections."""
+    rows = tenv.execute_sql(
+        f"EXPLAIN PLAN FOR SELECT count(*) AS n "
+        f"FROM parquet.`{SF_SMOKE}/nation.parquet`"
+    ).collect()
+    assert len(rows) == 1
+    assert "Optimized Logical Plan" in rows[0].plan
+    assert "Physical Plan" in rows[0].plan
