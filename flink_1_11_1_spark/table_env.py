@@ -173,6 +173,37 @@ class TableEnvironment:
         watermark applied after the native readStream scan)."""
         return self.ddl.stream_table(name)
 
+    def create_temporal_table_function(
+        self, history: DataFrame, time_attr: str, primary_key: str | list[str]
+    ):
+        """``Table.createTemporalTableFunction(timeAttribute, primaryKey)``
+        (Flink 1.11 flink-table-api-java ``table/Table.java`` — the
+        Table-API front door to the temporal join, used as
+        ``LATERAL TABLE (rates(o.rowtime))``).
+
+        Returns a callable ``f(probe, probe_time_attr)``: for each probe
+        row, the history version with the greatest
+        ``time_attr <= probe.probe_time_attr`` per key — delegated to
+        the batch as-of join (one keyed shuffle, no broadcast of the
+        history side).  The streaming twin is
+        ``streaming.temporal.streaming_temporal_rowtime_join``.
+        """
+        from .operators.joins import asof_join
+
+        keys = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+        right_cols = [
+            c for c in history.columns if c not in keys and c != time_attr
+        ]
+
+        def apply(probe: DataFrame, probe_time_attr: str) -> DataFrame:
+            return asof_join(
+                probe, history, on=keys,
+                left_time=probe_time_attr, right_time=time_attr,
+                right_cols=right_cols, how="inner",
+            )
+
+        return apply
+
     def create_statement_set(self) -> StatementSet:
         """FLIP-84 ``StatementSet``: buffer INSERT statements, run them
         together on ``execute()`` (Flink optimizes multi-sink DAGs

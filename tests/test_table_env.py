@@ -206,3 +206,24 @@ def test_async_enrich_timeout_modes(spark):
         async_enrich(
             df, "k", "r", "long", mock, timeout_s=0.5, on_timeout="error"
         ).collect()
+
+
+def test_create_temporal_table_function(spark):
+    """Table.createTemporalTableFunction parity: the returned function
+    joins each probe row to the history version valid at its time —
+    the classic rates example."""
+    tenv = TableEnvironment(spark)
+    rates = spark.createDataFrame(
+        [("eur", 100, 1.10), ("eur", 200, 1.20), ("usd", 100, 1.00)],
+        "ccy string, rt long, rate double",
+    ).select("ccy", F.timestamp_seconds(F.col("rt")).alias("rt"), "rate")
+    orders = spark.createDataFrame(
+        [(1, "eur", 150, 10.0), (2, "eur", 250, 20.0), (3, "usd", 50, 5.0)],
+        "oid long, ccy string, ot long, amount double",
+    ).select("oid", "ccy", F.timestamp_seconds(F.col("ot")).alias("ot"), "amount")
+
+    rates_fn = tenv.create_temporal_table_function(rates, "rt", "ccy")
+    got = {r.oid: r.rate for r in rates_fn(orders, "ot").collect()}
+    # order 1 at t=150 -> eur rate@100 (1.10); order 2 at 250 -> 1.20;
+    # order 3 at t=50 predates any usd version -> dropped (inner)
+    assert got == {1: 1.10, 2: 1.20}
