@@ -66,6 +66,7 @@ SELECT channel, yr, rev, n FROM per
 UNION ALL
 SELECT 'all' AS channel, yr, cast(sum(rev) AS bigint) rev, cast(sum(n) AS bigint) n
 FROM per GROUP BY yr
+ORDER BY channel, yr
 """
 
 # q18/q67: ROLLUP over (channel, nation) with count + cents measures;
@@ -82,6 +83,7 @@ FROM (
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey)
 GROUP BY ROLLUP (channel, n_name)
+ORDER BY channel NULLS FIRST, n_name NULLS FIRST
 """
 
 # q36: share of a nation's revenue per market segment + rank within the
@@ -99,6 +101,7 @@ SELECT n_name, seg, cents,
        cast(cents AS double) / cast(sum(cents) OVER (PARTITION BY n_name) AS double) AS share,
        cast(rank() OVER (PARTITION BY n_name ORDER BY cents DESC, seg) AS bigint) rnk
 FROM agg
+ORDER BY n_name, seg
 """
 
 # q10/q35: customers active in the period AND present in the returns
@@ -118,6 +121,7 @@ WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
 GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, n_name
 """
 
 # q11/q4: customers whose 1998 spend grew >10% over 1997 — the growth
@@ -131,6 +135,7 @@ SELECT c_custkey, c_name, y1.cents cents_1997, y2.cents cents_1998
 FROM yr y1 JOIN yr y2 ON y1.ck = y2.ck
 JOIN customer ON c_custkey = y1.ck
 WHERE y1.y = 1997 AND y2.y = 1998 AND y2.cents * 10 > y1.cents * 11
+ORDER BY c_custkey
 """
 
 # q47/q57: monthly revenue vs the 3-month moving window, deviation kept
@@ -152,6 +157,7 @@ FROM (
          cast(count(*) OVER (PARTITION BY n_name ORDER BY mi ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bigint) n3
   FROM m)
 WHERE n3 = 3 AND (3 * cents) * 5 < sum3 * 4
+ORDER BY n_name, mi
 """
 
 # q51: cumulative store vs web revenue by month, FULL OUTER JOIN of the
@@ -172,6 +178,7 @@ w2 AS (SELECT mi, cast(sum(cents) OVER (ORDER BY mi) AS bigint) cum FROM web)
 SELECT coalesce(s2.mi, w2.mi) AS mi, s2.cum AS store_cum, w2.cum AS web_cum
 FROM s2 FULL OUTER JOIN w2 ON s2.mi = w2.mi
 WHERE coalesce(w2.cum, 0) > coalesce(s2.cum, 0)
+ORDER BY mi
 """
 
 # q23: above-average-frequency parts × top-half spenders, one summary
@@ -215,6 +222,7 @@ FROM (SELECT l_orderkey, cast(count(*) AS bigint) cnt
       HAVING count(*) BETWEEN 6 AND 13) b
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
 """
 
 # q49: per-channel worst returns under TWO rankings (by return rate,
@@ -232,6 +240,7 @@ r AS (
   FROM base)
 SELECT channel, l_partkey, ret_qty, qty, rate_rank, amt_rank
 FROM r WHERE rate_rank <= 10 OR amt_rank <= 10
+ORDER BY channel, l_partkey
 """
 
 # q75: (channel, brand) pairs whose revenue dropped >10% year over year
@@ -250,6 +259,7 @@ FROM s cur JOIN s prev
   ON cur.channel = prev.channel AND cur.p_brand = prev.p_brand
  AND cur.yr = prev.yr + 1
 WHERE cur.cents * 10 < prev.cents * 9
+ORDER BY cur.channel, cur.p_brand, cur.yr
 """
 
 # q14: parts sold through ALL three channels (two INTERSECTs), revenue
@@ -266,6 +276,7 @@ SELECT p_brand, cast(count(*) AS bigint) n,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_partkey IN (SELECT l_partkey FROM common)
 GROUP BY p_brand
+ORDER BY p_brand
 """
 
 # q93: net value after excluding returns — sales LEFT JOIN a derived
@@ -287,6 +298,7 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 HAVING sum((cast(l_quantity AS bigint) - coalesce(rq, 0))
            * cast(floor(p_retailprice * 100) AS bigint)) > 0
+ORDER BY c_custkey
 """
 
 # q54/q58: a part's revenue in one month vs its own monthly average —
@@ -307,6 +319,7 @@ FROM pm p
 JOIN tot t ON p.l_partkey = t.l_partkey
 JOIN part ON p.l_partkey = p_partkey
 WHERE p.mi = 23970 AND p.cents * t.nm * 2 > t.tc * 3
+ORDER BY p.l_partkey
 """
 
 _SHAPES = {
