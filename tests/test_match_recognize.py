@@ -388,3 +388,43 @@ def test_logical_offset_rejects_running_and_aggregates(spark):
     ev = _events(spark, [(1, 0, "V", 0.0)])
     with pytest.raises(ValueError, match="logical offset"):
         match_recognize(spark, sql, events=ev)
+
+
+def test_greedy_no_backtrack_delta_characterized(spark):
+    """Pin the documented deterministic-greedy delta vs Flink's
+    backtracking NFA ([cep]nfa/NFA.java) with an explicit overlap:
+
+    PATTERN (A+ B), A := value >= 10, B := value >= 50, rows
+    [10, 60, 90].  Rows 60/90 satisfy BOTH conditions.  This engine's
+    greedy A+ absorbs them (extend-current-state-first, no fork), so B
+    is never bound and NO match emits — Flink would backtrack and emit
+    A+=[10, 60], B=90.  With the prescribed mutually-exclusive DEFINE
+    (the event_type-dispatch shape) the same data matches identically
+    to Flink.  If a future NFA change adds backtracking, this test
+    MUST be updated together with the documented-deltas docstring and
+    the fold-equivalence matrix."""
+    sql_overlap = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_first, LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+ B)
+      DEFINE A AS A.value >= 10, B AS B.value >= 50
+    )
+    """
+    ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 60), (3, 20, "x", 90)])
+    assert match_recognize(spark, sql_overlap, events=ev).collect() == []
+
+    # the prescribed mutually-exclusive dispatch: same rows, same
+    # pattern intent, Flink-identical result
+    sql_disjoint = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_first, LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+ B)
+      DEFINE A AS A.value >= 10 AND A.value < 50, B AS B.value >= 50
+    )
+    """
+    rows = match_recognize(spark, sql_disjoint, events=ev).collect()
+    assert [(r.a_first, r.b_id) for r in rows] == [(1, 2)]
