@@ -96,8 +96,12 @@ def dedup_first_ttl(
         if use_col_clock:
             batch = batch.sort_values(time_col, kind="stable")
         keep = []
-        for i, row in batch.iterrows():
-            now = int(row[time_col]) if use_col_clock else int(time.time() * 1000)
+        clock = (
+            (int(v) for v in batch[time_col])
+            if use_col_clock
+            else (int(time.time() * 1000) for _ in range(len(batch)))
+        )
+        for i, now in zip(batch.index, clock):
             if expire_at is None or now >= expire_at:
                 # state absent or expired-at-access (NeverReturnExpired):
                 # this row is FIRST; (re)create the state
