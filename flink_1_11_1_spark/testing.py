@@ -92,3 +92,27 @@ def compare(
         if ra != rb:
             return False, f"row {i}: spark={ra} duck={rb}"
     return True, "ok"
+
+
+def plan_fingerprint(df) -> str:
+    """Normalized optimized-logical-plan string — the golden-plan-test
+    fingerprint (the reference's plan tests assert checked-in optimizer
+    output per query: flink-table-planner-blink
+    ``src/test/resources/.../plan/**/*.xml``; this is that harness with
+    Catalyst's optimized plan as the asserted artifact).
+
+    Normalization strips everything environment- or run-specific:
+    expression ids (#123), file paths, the sf fixture dir, and
+    whitespace — the residue is the operator tree + expressions, which
+    is deterministic for a pinned Spark version."""
+    import re as _re
+
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = _re.sub(r"#\d+[A-Za-z]?", "#", s)
+    # generated alias counters are session-global, not per-plan
+    s = _re.sub(r"_common_expr_\d+", "_common_expr_", s)
+    s = _re.sub(r"_groupingexpression\d*", "_groupingexpression", s)
+    s = _re.sub(r"file:[^\],\s]+", "<path>", s)
+    s = _re.sub(r"/root/testdata/sf[\d.]+", "<sf>", s)
+    s = _re.sub(r"\s+", " ", s)
+    return s.strip()
