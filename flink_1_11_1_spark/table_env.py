@@ -5,8 +5,10 @@ Reference parity:
   FLIP-84 ``executeSql``/``TableResult``): the single entry object users
   hold.  Here it wraps a SparkSession — ``execute_sql`` IS ``spark.sql``
   plus the engine's function registrations and catalog bootstrap; the
-  fluent Table API is the DataFrame itself (returned directly, no
-  wrapper — SURVEY.md §4.2: Spark's DataFrame *is* that layer).
+  fluent Table API is ``table_api.Table`` — a thin façade whose calls
+  delegate 1:1 to DataFrame ops (SURVEY.md §4.2: Spark's DataFrame
+  *is* that layer); Flink expression strings are parsed by
+  ``expr.ExprParser``.
 - ``TableSpec`` mirrors Flink DDL ``CREATE TABLE`` surface the SQL
   parser stores in TableSchema: declared physical columns, COMPUTED
   COLUMNS (``c AS expr``), and a WATERMARK spec
@@ -153,9 +155,29 @@ class TableEnvironment:
     def create_table(self, name: str, spec: TableSpec) -> None:
         spec.load(self.spark).createOrReplaceTempView(name)
 
-    def from_path(self, name: str) -> DataFrame:
-        """Table API entry: returns the DataFrame (the fluent layer)."""
-        return self.spark.table(name)
+    def from_path(self, name: str):
+        """Table API entry (PyFlink ``t_env.from_path``): returns a
+        fluent ``table_api.Table`` accepting Flink expression strings
+        (``.select("a, b.sum as total")``); its ``.df`` is the
+        underlying Spark DataFrame for direct DataFrame-API use."""
+        from .table_api import Table
+
+        return Table(self.spark.table(name), tenv=self)
+
+    scan = from_path  # Flink 1.11's deprecated-but-present name
+
+    def from_elements(self, elements, schema=None):
+        """PyFlink ``from_elements``: an inline VALUES table."""
+        from .table_api import Table
+
+        df = self.spark.createDataFrame(elements, schema=schema)
+        return Table(df, tenv=self)
+
+    def from_dataframe(self, df: DataFrame):
+        """Engine-native bridge: wrap an existing DataFrame as a Table."""
+        from .table_api import Table
+
+        return Table(df, tenv=self)
 
     # -- execution -----------------------------------------------------
 

@@ -26,9 +26,11 @@ def test_table_environment_front_door(spark):
     assert df.count() == 5
     # Flink-only SQL names are registered by the environment
     assert env.execute_sql("SELECT SPLIT_INDEX('a:b', ':', 0) s").first().s == "a"
-    # fluent layer: from_path returns the DataFrame itself
+    # fluent layer: from_path returns the Table façade; .df is the
+    # underlying DataFrame, and both string and Column predicates work
     t = env.from_path("customer")
-    assert t.where(F.col("c_custkey") < 10).count() == 10
+    assert t.where("c_custkey < 10").df.count() == 10
+    assert t.where(F.col("c_custkey") < 10).df.count() == 10
 
 
 def test_table_spec_computed_column_and_watermark(spark):
