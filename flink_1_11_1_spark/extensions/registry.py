@@ -64,9 +64,12 @@ def _load() -> None:
         declared_ops3,
     )
 
+    from . import table_api_entries
+
     declared_ops.register_all()
     declared_ops2.register_all()
     declared_ops3.register_all()
     declared_cep.register_all()
     declared_mr.register_all()
+    table_api_entries.register_all()
     _LOADED = True
