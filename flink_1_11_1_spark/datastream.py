@@ -1,0 +1,445 @@
+"""DataStream API façade (Flink 1.11 ``flink-streaming-java``).
+
+Reference parity: ``flink-streaming-java/src/main/java/org/apache/
+flink/streaming/api/datastream/{DataStream,KeyedStream,
+WindowedStream}.java`` and ``environment/StreamExecutionEnvironment
+.java`` — the fluent program shape
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    (env.from_collection(rows, schema)
+        .key_by("user_id")
+        .window(TumblingEventTimeWindows.of("10 minutes"))
+        .sum("amount"))
+
+re-expressed over DataFrames (SURVEY.md §4.3: each fluent call wraps a
+Transformation there, a LogicalPlan node here).  Bounded inputs run as
+batch DataFrames (Flink 1.12's batch-on-DataStream semantics: final
+result per key, not per-record running emissions — the delta Flink
+itself documents for bounded execution); unbounded inputs (a streaming
+DataFrame from ``table_env.TableSpec.stream`` / ``ddl.stream_table``)
+flow through the same operators where Spark supports them.
+
+User functions: expression STRINGS take the native JVM path (full
+codegen); Python callables run via Arrow ``mapInPandas``/
+``applyInPandas`` (the documented slow path — same tiering as Flink's
+own Python DataStream API, which ships rows to a Beam worker).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .session import configure
+
+__all__ = [
+    "StreamExecutionEnvironment", "DataStream", "KeyedStream",
+    "WindowedStream", "TumblingEventTimeWindows",
+    "SlidingEventTimeWindows", "EventTimeSessionWindows",
+]
+
+
+# ------------------------------------------------------ window assigners
+
+@dataclass
+class WindowAssigner:
+    kind: str            # tumble | slide | session
+    size: str            # interval string
+    slide: str | None = None
+
+
+class TumblingEventTimeWindows:
+    """``TumblingEventTimeWindows.of(Time.minutes(10))`` — interval as
+    a Spark duration string ("10 minutes")."""
+
+    @staticmethod
+    def of(size: str) -> WindowAssigner:
+        return WindowAssigner("tumble", size)
+
+
+class SlidingEventTimeWindows:
+    @staticmethod
+    def of(size: str, slide: str) -> WindowAssigner:
+        return WindowAssigner("slide", size, slide)
+
+
+class EventTimeSessionWindows:
+    @staticmethod
+    def with_gap(gap: str) -> WindowAssigner:
+        return WindowAssigner("session", gap)
+
+
+# ---------------------------------------------------------- environment
+
+class StreamExecutionEnvironment:
+    """``StreamExecutionEnvironment`` shape over a SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = configure(spark)
+
+    @classmethod
+    def get_execution_environment(
+            cls, spark: SparkSession) -> StreamExecutionEnvironment:
+        return cls(spark)
+
+    def from_collection(self, data: Sequence, schema=None) -> DataStream:
+        """``env.fromCollection`` — a bounded inline source."""
+        return DataStream(self.spark.createDataFrame(data, schema=schema),
+                          env=self)
+
+    def from_dataframe(self, df: DataFrame) -> DataStream:
+        """Engine-native bridge: wrap any (batch or streaming)
+        DataFrame — the ``env.addSource(...)`` slot; sources come from
+        ``sources/`` / ``table_env`` / ``ddl.stream_table``."""
+        return DataStream(df, env=self)
+
+    add_source = from_dataframe
+
+    def execute(self, job_name: str = "job") -> None:
+        """``env.execute()``: a no-op here — Spark actions run eagerly
+        at each sink (documented architectural delta: Flink builds a
+        JobGraph and submits once; Spark runs a job per action)."""
+        return None
+
+
+def _rowtime_meta(df: DataFrame) -> str | None:
+    # remember the assigned event-time column on the plan's schema
+    for f_ in df.schema.fields:
+        if f_.metadata.get("__rowtime__"):
+            return f_.name
+    return None
+
+
+# ------------------------------------------------------------ DataStream
+
+class DataStream:
+    def __init__(self, df: DataFrame, env: StreamExecutionEnvironment,
+                 rowtime: str | None = None):
+        self.df = df
+        self._env = env
+        self._rowtime = rowtime or _rowtime_meta(df)
+
+    def _wrap(self, df: DataFrame) -> DataStream:
+        return DataStream(df, self._env, self._rowtime)
+
+    # -- stateless transforms -----------------------------------------
+    def map(self, fn: str | Sequence[str] | Callable,
+            output_type: str | None = None) -> DataStream:
+        """``DataStream.map``: expression string(s) → native projection
+        (one output column per expression, ``AS`` aliases honored);
+        Python callable (Row -> tuple) → Arrow ``mapInPandas`` with
+        ``output_type`` as the result schema DDL."""
+        if isinstance(fn, str):
+            fn = [fn]
+        if not callable(fn):
+            return self._wrap(self.df.selectExpr(*fn))
+        if output_type is None:
+            raise ValueError("a Python map() needs output_type (schema DDL)")
+        from pyspark.sql import Row
+        from pyspark.sql.types import StructType
+
+        names = [f_.name for f_ in StructType.fromDDL(output_type).fields]
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                # to_dict (not itertuples): leading-underscore columns
+                # survive, and Row(**d) keeps the field order
+                rows = [tuple(fn(Row(**d)))
+                        for d in pdf.to_dict("records")]
+                yield pd.DataFrame(rows, columns=names)
+
+        return self._wrap(self.df.mapInPandas(run, schema=output_type))
+
+    def flat_map(self, fn: Callable, output_type: str) -> DataStream:
+        """``DataStream.flatMap``: the callable yields 0..n tuples per
+        input row (Collector.collect parity); Arrow-batched."""
+        from pyspark.sql import Row
+        from pyspark.sql.types import StructType
+
+        names = [f_.name for f_ in StructType.fromDDL(output_type).fields]
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                out = [tuple(t) for d in pdf.to_dict("records")
+                       for t in fn(Row(**d))]
+                yield pd.DataFrame(out, columns=names)
+
+        return self._wrap(self.df.mapInPandas(run, schema=output_type))
+
+    def filter(self, fn: str | Column | Callable) -> DataStream:
+        if isinstance(fn, (str, Column)):
+            return self._wrap(self.df.filter(fn))
+        from pyspark.sql import Row
+
+        def run(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                mask = [bool(fn(Row(**d))) for d in pdf.to_dict("records")]
+                yield pdf[mask]
+
+        return self._wrap(self.df.mapInPandas(run, schema=self.df.schema))
+
+    def union(self, *others: DataStream) -> DataStream:
+        out = self.df
+        for o in others:
+            out = out.union(o.df)
+        return self._wrap(out)
+
+    def connect(self, other: DataStream):
+        """``DataStream.connect``: the tagged union the two-input
+        operators consume (``__side`` 0 = this stream, 1 = other;
+        schemas null-padded to their union).  The keyed CoProcess
+        tier over this shape lives in ``streaming/connect.py``."""
+        left = self.df.withColumn("__side", F.lit(0))
+        right = other.df.withColumn("__side", F.lit(1))
+        return self._wrap(
+            left.unionByName(right, allowMissingColumns=True))
+
+    # -- partitioning markers -----------------------------------------
+    def key_by(self, *fields: str) -> KeyedStream:
+        return KeyedStream(self, list(fields))
+
+    def rebalance(self) -> DataStream:
+        return self._wrap(self.df.repartition(
+            self.df.sparkSession.sparkContext.defaultParallelism))
+
+    def broadcast(self) -> DataStream:
+        return self._wrap(F.broadcast(self.df))
+
+    # -- event time ----------------------------------------------------
+    def assign_timestamps_and_watermarks(
+            self, ts_col: str, max_out_of_orderness: str) -> DataStream:
+        """BoundedOutOfOrderness watermark strategy: streaming inputs
+        get ``withWatermark``; bounded inputs just record the rowtime
+        column (batch ignores watermarks, same as Flink batch mode)."""
+        df = self.df
+        if df.isStreaming:
+            df = df.withWatermark(ts_col, max_out_of_orderness)
+        return DataStream(df, self._env, rowtime=ts_col)
+
+    # -- sinks ---------------------------------------------------------
+    def print(self, n: int = 20) -> None:  # noqa: A003 - Flink name
+        self.df.show(n, truncate=False)
+
+    def add_sink(self, path: str, fmt: str = "parquet",
+                 mode: str = "append"):
+        """Bounded: eager file write.  Unbounded: exactly-once
+        streaming file sink from ``sources/files.py``."""
+        if self.df.isStreaming:
+            from .sources.files import write_stream_files
+
+            return write_stream_files(self.df, path, fmt=fmt)
+        self.df.write.mode(mode).format(fmt).save(path)
+        return None
+
+    def execute_and_collect(self, limit: int | None = None):
+        df = self.df.limit(limit) if limit else self.df
+        return iter(df.collect())
+
+
+# ------------------------------------------------------------ KeyedStream
+
+class KeyedStream:
+    def __init__(self, stream: DataStream, keys: list[str]):
+        self._stream = stream
+        self._keys = keys
+
+    @property
+    def df(self) -> DataFrame:
+        return self._stream.df
+
+    # -- running aggregates (bounded → final per key) ------------------
+    def _field_agg(self, field: str, agg: Callable[[str], Column]
+                   ) -> DataStream:
+        others = [c for c in self.df.columns
+                  if c not in self._keys and c != field]
+        aggs = [agg(field).alias(field)] + \
+            [F.first(c).alias(c) for c in others]
+        out = self.df.groupBy(*self._keys).agg(*aggs) \
+            .select(*self.df.columns)  # original column order
+        return self._stream._wrap(out)
+
+    def sum(self, field: str) -> DataStream:  # noqa: A003 - Flink name
+        """``KeyedStream.sum``: bounded result = the final running
+        value per key; non-key non-agg fields take an arbitrary row's
+        value (Flink documents the same 'arbitrary' contract)."""
+        return self._field_agg(field, F.sum)
+
+    def min(self, field: str) -> DataStream:  # noqa: A003
+        return self._field_agg(field, F.min)
+
+    def max(self, field: str) -> DataStream:  # noqa: A003
+        return self._field_agg(field, F.max)
+
+    def _by(self, field: str, asc: bool) -> DataStream:
+        """min_by/max_by: the whole row achieving the extreme, ties by
+        first arrival order (here: earliest in a deterministic
+        total order over the remaining columns)."""
+        order = [F.col(field).asc() if asc else F.col(field).desc()] + \
+            [F.col(c) for c in self.df.columns if c != field]
+        w = Window.partitionBy(*self._keys).orderBy(*order)
+        return self._stream._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn"))
+
+    def min_by(self, field: str) -> DataStream:
+        return self._by(field, asc=True)
+
+    def max_by(self, field: str) -> DataStream:
+        return self._by(field, asc=False)
+
+    def reduce(self, fn: Callable, output_same: bool = True) -> DataStream:
+        """``KeyedStream.reduce``: pairwise fold of whole rows.
+        Bounded result = the final fold per key (Arrow per-key stage;
+        the fold order is the rowtime order if assigned, else the
+        stable input order)."""
+        import functools
+
+        from pyspark.sql import Row
+
+        cols = list(self.df.columns)
+        rowtime = self._stream._rowtime
+
+        def fold(pdf):
+            import pandas as pd
+
+            if rowtime is not None and rowtime in pdf.columns:
+                pdf = pdf.sort_values(rowtime, kind="stable")
+            rows = [Row(**d) for d in pdf.to_dict("records")]
+            acc = functools.reduce(fn, rows)
+            return pd.DataFrame([tuple(acc)], columns=cols)
+
+        return self._stream._wrap(
+            self.df.groupBy(*self._keys).applyInPandas(
+                fold, schema=self.df.schema))
+
+    # -- windows -------------------------------------------------------
+    def window(self, assigner: WindowAssigner) -> WindowedStream:
+        if self._stream._rowtime is None:
+            raise ValueError(
+                "event-time windows need "
+                "assign_timestamps_and_watermarks(...) upstream")
+        return WindowedStream(self, assigner)
+
+    def count_window(self, size: int) -> CountWindowedStream:
+        return CountWindowedStream(self, size)
+
+    def process(self, fn: Callable, schema: str,
+                state_fold: bool = False) -> DataStream:
+        """``KeyedProcessFunction`` slot: bounded inputs run the
+        callable per key over the rowtime-ordered pandas frame
+        (``fn(key_tuple, pdf) -> pdf``); the streaming keyed-state
+        twin is the ``applyInPandasWithState`` tier in
+        ``streaming/cep.py``."""
+        rowtime = self._stream._rowtime
+
+        def run(key, pdf):
+            if rowtime is not None and rowtime in pdf.columns:
+                pdf = pdf.sort_values(rowtime, kind="stable")
+            return fn(key, pdf)
+
+        return self._stream._wrap(
+            self.df.groupBy(*self._keys).applyInPandas(run, schema=schema))
+
+
+# --------------------------------------------------------- window streams
+
+class WindowedStream:
+    def __init__(self, keyed: KeyedStream, assigner: WindowAssigner):
+        self._keyed = keyed
+        self._assigner = assigner
+
+    def _grouped(self):
+        a, ks = self._assigner, self._keyed
+        ts = ks._stream._rowtime
+        if a.kind == "tumble":
+            wcol = F.window(ts, a.size)
+            struct = "window"
+        elif a.kind == "slide":
+            wcol = F.window(ts, a.size, a.slide)
+            struct = "window"
+        else:
+            wcol = F.session_window(ts, a.size)
+            struct = "session_window"
+        return ks.df.groupBy(wcol, *ks._keys), struct
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        """``WindowedStream.aggregate(AggregateFunction)`` with the
+        aggregate expressed as Spark agg Columns — window_start/end
+        appended like ``operators/windows.tumble_agg``."""
+        g, struct = self._grouped()
+        out = (g.agg(*aggs)
+               .withColumn("window_start", F.col(f"{struct}.start"))
+               .withColumn("window_end", F.col(f"{struct}.end"))
+               .drop(struct))
+        return self._keyed._stream._wrap(out)
+
+    def sum(self, field: str) -> DataStream:  # noqa: A003
+        return self.aggregate(F.sum(field).alias(field))
+
+    def reduce(self, fn: Callable) -> DataStream:
+        """Per-window whole-row fold (Arrow per (key, window) group)."""
+        import functools
+
+        from pyspark.sql import Row
+
+        ks = self._keyed
+        ts = ks._stream._rowtime
+        a = self._assigner
+        if a.kind != "tumble":
+            raise ValueError("reduce() on slide/session: use aggregate()")
+        cols = list(ks.df.columns)
+        bucketed = ks.df.withColumn("__w", F.window(ts, a.size))
+
+        def fold(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ts, kind="stable")
+            rows = [Row(**{c: d[c] for c in cols})
+                    for d in pdf.to_dict("records")]
+            acc = functools.reduce(fn, rows)
+            first = pdf.iloc[0]["__w"]
+            return pd.DataFrame(
+                [tuple(acc) + (first["start"], first["end"])],
+                columns=cols + ["window_start", "window_end"])
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in ks.df.schema.fields
+        ) + ", window_start timestamp, window_end timestamp"
+        out = bucketed.groupBy("__w", *ks._keys).applyInPandas(
+            fold, schema=schema)
+        return ks._stream._wrap(out)
+
+
+class CountWindowedStream:
+    """``KeyedStream.countWindow(n)`` — tumbling count windows; the
+    bounded assigner is ``operators/windows.count_tumble`` (index per
+    key in rowtime order, else a deterministic column order)."""
+
+    def __init__(self, keyed: KeyedStream, size: int):
+        self._keyed = keyed
+        self._size = size
+
+    def _assigned(self) -> DataFrame:
+        from .operators.windows import count_tumble
+
+        ks = self._keyed
+        order = [ks._stream._rowtime] if ks._stream._rowtime else \
+            [c for c in ks.df.columns if c not in ks._keys]
+        return count_tumble(ks.df, ks._keys, self._size, order=order)
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        ks = self._keyed
+        out = self._assigned().groupBy(*ks._keys, "count_window").agg(*aggs)
+        return ks._stream._wrap(out)
+
+    def sum(self, field: str) -> DataStream:  # noqa: A003
+        return self.aggregate(F.sum(field).alias(field))

@@ -1,0 +1,175 @@
+"""DataStream API façade battery — each fluent pipeline vs its
+DataFrame/SQL twin (bounded semantics: final result per key, Flink's
+own batch-execution contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark import catalog
+from flink_1_11_1_spark.datastream import (
+    EventTimeSessionWindows,
+    SlidingEventTimeWindows,
+    StreamExecutionEnvironment,
+    TumblingEventTimeWindows,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+def rows(ds):
+    return sorted(map(tuple, ds.df.collect()))
+
+
+def test_map_expression_and_python(env):
+    s = env.from_collection([(1, "a"), (2, "b")], schema="x int, s string")
+    got = s.map(["x * 2 as x2", "upper(s) as up"])
+    assert rows(got) == [(2, "A"), (4, "B")]
+    got = s.map(lambda r: (r.x * 2, r.s.upper()),
+                output_type="x2 int, up string")
+    assert rows(got) == [(2, "A"), (4, "B")]
+    with pytest.raises(ValueError, match="output_type"):
+        s.map(lambda r: r)
+
+
+def test_flat_map_filter_union(env):
+    s = env.from_collection([(1, "a b"), (2, "c")], schema="k int, s string")
+    got = s.flat_map(lambda r: [(r.k, w) for w in r.s.split()],
+                     output_type="k int, w string")
+    assert rows(got) == [(1, "a"), (1, "b"), (2, "c")]
+    assert rows(s.filter("k > 1")) == [(2, "c")]
+    assert rows(s.filter(lambda r: r.k > 1)) == [(2, "c")]
+    both = s.union(s)
+    assert len(rows(both)) == 4
+
+
+def test_keyed_running_aggregates(env):
+    s = env.from_collection(
+        [("a", 1, 10), ("a", 2, 20), ("b", 5, 30)],
+        schema="k string, v int, w int")
+    assert rows(s.key_by("k").sum("v")) == [("a", 3, 10), ("b", 5, 30)]
+    assert rows(s.key_by("k").max("v")) == [("a", 2, 10), ("b", 5, 30)]
+    # min_by / max_by return the achieving ROW
+    assert rows(s.key_by("k").min_by("w")) == [("a", 1, 10), ("b", 5, 30)]
+    assert rows(s.key_by("k").max_by("w")) == [("a", 2, 20), ("b", 5, 30)]
+
+
+def test_keyed_reduce_fold_order(env):
+    # fold concatenates in rowtime order — the fold order is observable
+    s = env.from_collection(
+        [("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z")],
+        schema="k string, ts int, s string")
+    # reduce without assigned time: stable input order (x, y, z)
+    out = s.key_by("k").reduce(
+        lambda a, b: Row(k=a.k, ts=b.ts, s=a.s + b.s))
+    assert rows(out) == [("a", 2, "xyz")]
+    # with event time: fold in ts order (y, z, x)
+    out = (s.assign_timestamps_and_watermarks("ts", "0 seconds")
+           .key_by("k")
+           .reduce(lambda a, b: Row(k=a.k, ts=b.ts, s=a.s + b.s)))
+    assert rows(out) == [("a", 3, "yzx")]
+
+
+def test_event_time_window_sum(env, spark):
+    events = catalog.load_table(spark, SF_SMOKE, "events")
+    ds = (env.from_dataframe(events)
+          .assign_timestamps_and_watermarks("ts", "10 minutes")
+          .key_by("event_type")
+          .window(TumblingEventTimeWindows.of("1 hour"))
+          .aggregate(F.count("*").alias("n"),
+                     F.sum("value").alias("sv")))
+    want = (events.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .select("event_type",
+                    F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"), "n", "sv"))
+    got = set(map(tuple, ds.df.select(
+        "event_type", "window_start", "window_end", "n", "sv").collect()))
+    assert got == set(map(tuple, want.collect()))
+
+
+def test_window_requires_rowtime(env):
+    s = env.from_collection([("a", 1)], schema="k string, v int")
+    with pytest.raises(ValueError, match="assign_timestamps"):
+        s.key_by("k").window(TumblingEventTimeWindows.of("1 hour"))
+
+
+def test_sliding_and_session_assigners(env, spark):
+    events = catalog.load_table(spark, SF_SMOKE, "events") \
+        .filter("user_id < 30")
+    base = (env.from_dataframe(events)
+            .assign_timestamps_and_watermarks("ts", "10 minutes")
+            .key_by("user_id"))
+    slid = base.window(
+        SlidingEventTimeWindows.of("1 hour", "30 minutes")).sum("value")
+    want = events.groupBy(F.window("ts", "1 hour", "30 minutes"), "user_id") \
+        .agg(F.sum("value").alias("value")).count()
+    assert slid.df.count() == want
+    sess = base.window(
+        EventTimeSessionWindows.with_gap("30 minutes")).sum("value")
+    want = events.groupBy(F.session_window("ts", "30 minutes"), "user_id") \
+        .agg(F.sum("value").alias("value")).count()
+    assert sess.df.count() == want
+
+
+def test_window_reduce(env):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [("a", t0, 1), ("a", t0 + dt.timedelta(minutes=5), 2),
+            ("a", t0 + dt.timedelta(minutes=90), 10)]
+    s = (env.from_collection(data, schema="k string, ts timestamp, v int")
+         .assign_timestamps_and_watermarks("ts", "1 minute"))
+    out = s.key_by("k").window(TumblingEventTimeWindows.of("1 hour")) \
+        .reduce(lambda a, b: Row(k=a.k, ts=b.ts, v=a.v + b.v))
+    got = sorted((r.k, r.v, r.window_start.hour) for r in out.df.collect())
+    assert got == [("a", 3, 0), ("a", 10, 1)]
+
+
+def test_count_window(env, spark):
+    events = catalog.load_table(spark, SF_SMOKE, "events") \
+        .filter("user_id < 20")
+    ds = (env.from_dataframe(events)
+          .assign_timestamps_and_watermarks("ts", "10 minutes")
+          .key_by("user_id").count_window(5)
+          .aggregate(F.count("*").alias("n")))
+    # every window except possibly the per-key last has exactly 5 rows
+    pdf = ds.df.toPandas()
+    last = pdf.groupby("user_id")["count_window"].transform("max")
+    assert (pdf[pdf.count_window < last]["n"] == 5).all()
+    assert pdf.groupby("user_id")["n"].sum().sum() == events.count()
+
+
+def test_keyed_process_and_sink(env, tmp_path):
+    s = env.from_collection(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 5.0)],
+        schema="k string, ts int, v double")
+
+    def dedup_first(key, pdf):
+        return pdf.head(1)
+
+    out = (s.assign_timestamps_and_watermarks("ts", "0 seconds")
+           .key_by("k")
+           .process(dedup_first, schema="k string, ts int, v double"))
+    assert rows(out) == [("a", 1, 1.0), ("b", 1, 5.0)]
+    out.add_sink(str(tmp_path / "sink"))
+    back = env.spark.read.parquet(str(tmp_path / "sink"))
+    assert back.count() == 2
+    assert list(out.execute_and_collect(limit=1))
+    env.execute("job")  # no-op contract
+
+
+def test_connect_tags(env):
+    a = env.from_collection([(1,)], schema="v int")
+    b = env.from_collection([(2.5,)], schema="w double")
+    tagged = a.connect(b)
+    got = sorted(map(tuple, tagged.df.select("v", "w", "__side").collect()),
+                 key=str)
+    assert got == [(1, None, 0), (None, 2.5, 1)]
