@@ -322,6 +322,90 @@ WHERE p.mi = 23970 AND p.cents * t.nm * 2 > t.tc * 3
 ORDER BY p.l_partkey
 """
 
+# q36/q70 "lochierarchy": ROLLUP + RANK within each grouping level —
+# the window partitions on the GROUPING() depth and, for the detail
+# level, the parent dimension; ties broken deterministically.
+ROLLUP_RANK = """
+WITH a AS (
+  SELECT r_name, n_name,
+         cast(grouping(r_name) + grouping(n_name) AS bigint) lochierarchy,
+         cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name))
+SELECT r_name, n_name, lochierarchy, cents,
+       cast(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN r_name END
+         ORDER BY cents DESC, n_name NULLS FIRST) AS bigint) rnk
+FROM a
+ORDER BY lochierarchy DESC, r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+# q17/q29 bought → returned → re-bought chain: three passes over the
+# same fact, chained on (part, customer) with strictly increasing
+# order dates; integer quantity sums per part.
+REBUY = """
+WITH s AS (
+  SELECT l_partkey pk, o_custkey ck, o_orderdate d,
+         cast(floor(l_quantity) AS bigint) q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'N'),
+r AS (
+  SELECT l_partkey pk, o_custkey ck, o_orderdate d,
+         cast(floor(l_quantity) AS bigint) q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R')
+SELECT s.pk AS l_partkey,
+       cast(count(*) AS bigint) chains,
+       cast(sum(s.q) AS bigint) sold_q,
+       cast(sum(r.q) AS bigint) returned_q,
+       cast(sum(c.q) AS bigint) rebought_q
+FROM s
+JOIN r ON s.pk = r.pk AND s.ck = r.ck AND r.d > s.d
+JOIN s c ON c.pk = r.pk AND c.ck = r.ck AND c.d > r.d
+GROUP BY s.pk
+ORDER BY l_partkey
+"""
+
+# q46/q68 cross-city baskets: per-order spend on lines whose supplier
+# nation differs from the customer's, kept only when such a line
+# exists; keyed subsample bounds the declared output.
+CROSS_NATION = """
+SELECT o_orderkey, c_name,
+       cast(sum(CASE WHEN s_nationkey <> c_nationkey
+                     THEN cast(floor(l_extendedprice * 100) AS bigint)
+                     ELSE 0 END) AS bigint) cross_cents,
+       cast(count(*) AS bigint) nlines
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE o_orderkey % 53 = 0
+GROUP BY o_orderkey, c_name
+HAVING sum(CASE WHEN s_nationkey <> c_nationkey THEN 1 ELSE 0 END) > 0
+ORDER BY o_orderkey
+"""
+
+# q64 two-period entity pairing: the per-(part, year) aggregate joined
+# to itself on the consecutive year, kept where revenue halved —
+# the comparison is an integer cross-multiplication.
+YEAR_PAIR = """
+WITH py AS (
+  SELECT l_partkey pk,
+         cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  GROUP BY l_partkey, extract(year FROM l_shipdate))
+SELECT a.pk AS l_partkey, a.yr AS yr1, a.cents AS c1, b.cents AS c2
+FROM py a
+JOIN py b ON a.pk = b.pk AND b.yr = a.yr + 1
+WHERE b.cents * 2 < a.cents
+ORDER BY l_partkey, yr1
+"""
+
 _SHAPES = {
     "x_tpcds_channels": CHANNELS,
     "x_tpcds_rollup": ROLLUP_CHANNELS,
@@ -338,6 +422,10 @@ _SHAPES = {
     "x_tpcds_intersect": INTERSECT_CHANNELS,
     "x_tpcds_returns_net": RETURNS_NET,
     "x_tpcds_period_vs_avg": PERIOD_VS_AVG,
+    "x_tpcds_rollup_rank": ROLLUP_RANK,
+    "x_tpcds_rebuy": REBUY,
+    "x_tpcds_cross_nation": CROSS_NATION,
+    "x_tpcds_year_pair": YEAR_PAIR,
 }
 
 
@@ -351,3 +439,49 @@ def _runner(sql: str):
 
 for _name, _sql in _SHAPES.items():
     registry.register(_name, _runner(_sql), _sql)
+
+
+# q59/q66 pivot idiom: one measure spread across a small dimension's
+# values as columns (weekly-sales-by-weekday / monthly-by-ship-mode).
+# The Spark side exercises the NATIVE pivot operator
+# (RelationalGroupedDataset.pivot with explicit values → a single
+# PartialAggregate + final, no per-value scans); the oracle is the
+# equivalent conditional aggregation.
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_COLS = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+
+
+def tpcds_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = base.groupBy("yr").pivot("prio", _PRIORITIES).agg(
+        F.sum("cents"))
+    for old, new in zip(_PRIORITIES, _PIVOT_COLS):
+        out = out.withColumnRenamed(old, new)
+    return out.orderBy("yr")
+
+
+TPCDS_PIVOT_ORACLE = """
+SELECT cast(extract(year FROM o_orderdate) AS bigint) yr,
+       cast(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN cast(floor(o_totalprice * 100) AS bigint) END) AS bigint) p_urgent,
+       cast(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                THEN cast(floor(o_totalprice * 100) AS bigint) END) AS bigint) p_high,
+       cast(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                THEN cast(floor(o_totalprice * 100) AS bigint) END) AS bigint) p_medium,
+       cast(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                THEN cast(floor(o_totalprice * 100) AS bigint) END) AS bigint) p_notspec,
+       cast(sum(CASE WHEN o_orderpriority = '5-LOW'
+                THEN cast(floor(o_totalprice * 100) AS bigint) END) AS bigint) p_low
+FROM orders
+GROUP BY extract(year FROM o_orderdate)
+ORDER BY yr
+"""
+
+registry.register("x_tpcds_pivot", tpcds_pivot, TPCDS_PIVOT_ORACLE)
