@@ -257,3 +257,37 @@ def test_cosine_lsh_entry_uses_band_join_not_gemm(spark):
     assert "ArrowEvalPython" in plan                 # vectorized code udf
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan               # (band, code) equi-join
+
+
+def test_tpcds_pivot_is_single_aggregate(spark):
+    """Native pivot with explicit values compiles to ONE two-phase
+    aggregate over the scan — no join, no per-value re-scan, no
+    Python stage (q59/q66 idiom)."""
+    plan = _entry_plan(spark, "x_tpcds_pivot")
+    assert "Join" not in plan
+    assert "Pandas" not in plan and "Python" not in plan
+    # Spark's pivot-with-values: pre-aggregate on (yr, prio), then the
+    # pivotfirst spread on yr — two agg shuffles + the ORDER BY range
+    # partition, never a per-value re-scan (one FileScan only)
+    assert "pivotfirst" in plan
+    assert plan.count("Exchange") <= 3
+    assert plan.count("FileScan") == 1
+
+
+def test_table_api_entries_are_native(spark):
+    """The fluent façade delegates 1:1 to DataFrame ops: every
+    declared Table-API entry must be free of Python stages and keep
+    whole-stage codegen on the agg paths."""
+    for name in ("x_tapi_agg", "x_tapi_window", "x_tapi_over",
+                 "x_tapi_join_setops"):
+        plan = _entry_plan(spark, name)
+        assert "Pandas" not in plan and "Python" not in plan, name
+
+
+def test_tapi_window_groups_by_struct(spark):
+    """The façade's tumble grouping must ride the window STRUCT (the
+    event-time-metadata-preserving form), visible as the `window`
+    struct in the aggregate's grouping key."""
+    plan = _entry_plan(spark, "x_tapi_window")
+    assert "window#" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
