@@ -40,9 +40,15 @@ Documented deltas (the NFA's deterministic-greedy contract):
   pre-pass — batch only, may only navigate the defining variable's own
   rows, and may not be mixed with cross-variable references in one
   DEFINE.
-- Quantified variables are greedy without backtracking: DEFINE
-  conditions of adjacent pattern variables should be mutually exclusive
-  (true for the event_type-dispatch shape virtually all funnels use).
+- Quantified variables are regex-greedy WITH backtracking when it can
+  matter: patterns whose adjacent DEFINE conditions are not provably
+  disjoint (literal-equality prover) run the branching NFA fold
+  (``PatternSeq.with_backtracking`` — Flink [cep]nfa/NFA.java
+  semantics: ``A+ B`` over rows satisfying both binds the maximal
+  ``A+`` that still completes).  Provably-disjoint dispatch patterns
+  (the event_type funnels) keep the deterministic-greedy mode, where
+  the two semantics coincide and the native lowerings apply; the
+  ``backtracking`` argument overrides the auto-detection either way.
 - The last pattern variable must be exactly quantified ({n} or bare),
   as completion is emitted the moment it is satisfied (same restriction
   Flink documents for greedy-final-variable).
@@ -246,11 +252,51 @@ def _last_ts(label: str):
     )
 
 
+def _needs_backtracking(states) -> bool:
+    """True when the pattern admits an ambiguous transition — an event
+    that could BOTH extend a quantified variable and advance (or enter
+    more than one optional-skippable target) — and the involved DEFINE
+    conditions are not PROVABLY disjoint (literal-equality conjunct
+    check, the same prover the native lowering uses).  SQL
+    MATCH_RECOGNIZE semantics are regex-greedy WITH backtracking
+    (Flink [cep]nfa/NFA.java explores the fork), so such patterns run
+    the branching fold; provably-disjoint dispatch patterns (the
+    common event-type funnels) keep the deterministic-greedy mode and
+    its native lowerings — for them the two semantics coincide."""
+    from ..streaming.nfa_lowering import _contradictory, _state_literals
+
+    lits = [_state_literals(s) for s in states]
+    n = len(states)
+    for i in range(n):
+        s = states[i]
+        targets = []
+        j = i + 1
+        while j < n:
+            targets.append(j)
+            if states[j].min_count == 0:
+                j += 1
+                continue
+            break
+        pairs = []
+        if s.max_count is None or s.max_count > s.min_count:
+            pairs += [(i, t) for t in targets]  # extend-vs-advance fork
+        pairs += [
+            (t1, t2)
+            for a, t1 in enumerate(targets)
+            for t2 in targets[a + 1:]
+        ]  # multi-target (optional) fork
+        for a, b in pairs:
+            if not _contradictory(lits[a], lits[b]):
+                return True
+    return False
+
+
 def match_recognize(
     spark: SparkSession,
     sql: str,
     sf_dir: str | None = None,
     events: DataFrame | None = None,
+    backtracking: bool | None = None,
 ) -> DataFrame:
     """Parse and execute a MATCH_RECOGNIZE statement (subset above).
 
@@ -375,6 +421,12 @@ def match_recognize(
         pat = pat.within(f"{c.group('within_n')} {c.group('within_unit')}")
     else:
         pat = pat.within("36500 days")  # effectively unbounded
+    # SQL semantics are regex-greedy WITH backtracking; switch to the
+    # branching fold when an ambiguous transition is possible (override
+    # with the explicit ``backtracking`` argument either way)
+    if backtracking if backtracking is not None else _needs_backtracking(
+            pat.states):
+        pat = pat.with_backtracking()
 
     if events is None:
         events = (

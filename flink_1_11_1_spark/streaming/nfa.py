@@ -133,6 +133,20 @@ class PatternSeq:
     # py_cond cross-variable predicates can read them.  Numeric / string
     # / bool columns only (state is JSON-serialized for streaming).
     value_cols: tuple[str, ...] = ()
+    # Full-backtracking mode (Flink nfa/NFA.java branching semantics):
+    # an event viable for BOTH extending the current quantified state
+    # and advancing forks the partial; completed lower-priority
+    # branches wait until every greedier sibling dies, so the emitted
+    # match is the regex-greedy one (A+ B over rows satisfying both
+    # emits A+ maximal-with-B, where the default deterministic-greedy
+    # fold absorbs everything into A+ and misses).  Opt-in because the
+    # native lowerings implement the deterministic-greedy contract;
+    # with backtracking on, the Python fold always runs.
+    backtrack: bool = False
+    # Branch cap per match start under backtracking — greedier branches
+    # are kept when the fork fan-out exceeds it (Flink has no cap; its
+    # shared buffer grows the same exponential worst case).
+    max_branches: int = 64
 
     # -- construction -------------------------------------------------
     @staticmethod
@@ -192,6 +206,15 @@ class PatternSeq:
             raise ValueError("max_partials must be >= 1")
         return replace(self, max_partials=n)
 
+    def with_backtracking(self, max_branches: int = 64) -> "PatternSeq":
+        """Switch to Flink's branching-NFA semantics (see field doc).
+        For mutually-exclusive DEFINE conditions no fork can occur and
+        results are identical to the default mode — only the plan
+        differs (fold instead of a possible native lowering)."""
+        if max_branches < 2:
+            raise ValueError("max_branches must be >= 2")
+        return replace(self, backtrack=True, max_branches=max_branches)
+
     def after_match_skip(self, strategy: str) -> "PatternSeq":
         """``no_skip`` | ``to_next`` | ``past_last`` |
         ``to_first:<VAR>`` | ``to_last:<VAR>`` (Flink
@@ -228,7 +251,7 @@ class PatternSeq:
         ``lowering=False`` forces the fold (used by equivalence tests)."""
         self._check()
         flagged = _with_flags(events, self.states, key, self.value_cols)
-        if lowering:
+        if lowering and not self.backtrack:
             from .nfa_lowering import try_lower_batch
 
             lowered = try_lower_batch(
@@ -241,7 +264,8 @@ class PatternSeq:
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["ts", "event_id"])
-            out, _ = _fold_events(pdf[key].iloc[0], pdf, [], spec)
+            out, _ = _fold_events(pdf[key].iloc[0], pdf, [], spec,
+                                  finalize=True)
             return _out_frame(out, key)
 
         return flagged.groupBy(key).applyInPandas(fold, schema)
@@ -319,6 +343,8 @@ def _spec(p: PatternSeq) -> dict:
         "horizon_us": p.horizon_s * 1_000_000,
         "skip": p.skip,
         "max_partials": p.max_partials,
+        "backtrack": p.backtrack,
+        "max_branches": p.max_branches,
     }
 
 
@@ -383,7 +409,8 @@ def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
 
 
 def _fold_events(
-    key: int, events: pd.DataFrame, partials: list[dict], spec: dict
+    key: int, events: pd.DataFrame, partials: list[dict], spec: dict,
+    finalize: bool = False,
 ) -> tuple[list[tuple], list[dict]]:
     """Fold a (ts, event_id)-sorted batch into partial-match state.
 
@@ -393,7 +420,14 @@ def _fold_events(
     (first-event micros), sid (start event id, for to_next).
     Returns (completed matches, surviving partials) — shared by the
     batch and streaming backends so semantics cannot drift.
+
+    ``spec["backtrack"]`` routes to the branching fold
+    (``_fold_events_bt``); ``finalize`` only matters there (bounded
+    input exhausted → resolve buffered completions) — the
+    deterministic fold emits at completion, so it ignores it.
     """
+    if spec.get("backtrack"):
+        return _fold_events_bt(key, events, partials, spec, finalize)
     states = spec["states"]
     horizon = spec["horizon_us"]
     skip = spec["skip"]
@@ -567,6 +601,261 @@ def _fold_events(
             stacklevel=2,
         )
     return out, partials
+
+
+def _fold_events_bt(
+    key: int, events: pd.DataFrame, partials: list[dict], spec: dict,
+    finalize: bool = False,
+) -> tuple[list[tuple], list[dict]]:
+    """Branching (backtracking) fold — Flink nfa/NFA.java parity.
+
+    Differences from the deterministic fold:
+    - An event viable for several transitions (extend the current
+      quantified state / enter any optional-skippable later state)
+      FORKS the partial; each branch carries a decision string
+      ``deck`` (0 = greediest choice at that fork, lexicographic
+      order = greedy preference — Flink's dewey-number version order).
+    - A branch reaching the final state buffers as a pending match
+      (``done``) instead of emitting: it emits only once NO live
+      sibling of the same match start has a strictly smaller deck —
+      so the emitted match per start is the regex-greedy one, exactly
+      one match per start (SQL MATCH_RECOGNIZE contract).  Siblings
+      die at emission.
+    - ``past_last`` prunes by the emitted match's last row
+      (start-row > last-row survives), which on the per-event path is
+      the same everything-dies rule as the deterministic fold.
+    - ``finalize=True`` (bounded input exhausted): live branches can
+      never complete, so pending matches resolve unconditionally.
+
+    With mutually-exclusive conditions no fork can occur, every group
+    has one branch with an empty deck, and the flow reduces to the
+    deterministic fold's (regression-tested equivalence).
+    """
+    states = spec["states"]
+    horizon = spec["horizon_us"]
+    skip = spec["skip"]
+    max_partials = spec.get("max_partials") or 100_000
+    max_branches = spec.get("max_branches") or 64
+    py_conds = spec.get("py_conds") or [None] * len(states)
+    value_cols = spec.get("value_cols") or []
+    n_states = len(states)
+    out: list[tuple] = []
+    live = [p for p in partials if not p.get("done")]
+    pend = [p for p in partials if p.get("done")]
+    n_events = len(events)
+
+    def _plain(v):
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if hasattr(v, "item"):
+            return v.item()
+        return str(v)
+
+    def _emit(p: dict) -> None:
+        out.append(
+            (
+                key,
+                pd.Timestamp(p["start"] * 1000),
+                pd.Timestamp(p["tss"][-1] * 1000),
+                list(p["labels"]),
+                list(p["ids"]),
+                [pd.Timestamp(t * 1000) for t in p["tss"]],
+            )
+        )
+
+    def _resolve(survivors: list[dict], at_event: bool,
+                 ts_us: int | None) -> tuple[list[dict], bool]:
+        """Emit every pending match whose greedier siblings are all
+        dead (all of them, when finalizing).  Returns (survivors,
+        suppress_start_at_this_event)."""
+        nonlocal pend
+        if not pend:
+            return survivors, False
+        skip_mode, _, skip_var = skip.partition(":")
+        live_min: dict[tuple, list] = {}
+        if at_event:
+            for s in survivors:
+                g = (s["start"], s["sid"])
+                d = s.get("deck", [])
+                if g not in live_min or d < live_min[g]:
+                    live_min[g] = d
+        groups: dict[tuple, list[dict]] = {}
+        for c in pend:
+            groups.setdefault((c["start"], c["sid"]), []).append(c)
+        new_pend: list[dict] = []
+        resume_row: tuple[int, int] | None = None  # past_last last-row
+        min_start: tuple[int, int] | None = None   # to_first/to_last ref
+        suppress = False
+        for g in sorted(groups):
+            cands = sorted(groups[g], key=lambda c: c.get("deck", []))
+            best = cands[0]
+            if resume_row is not None:
+                if g <= resume_row:
+                    continue  # consumed by the past_last match
+                new_pend.extend(groups[g])
+                continue  # starts after the resume row: left pending
+            if min_start is not None and g < min_start:
+                continue  # pruned by a skip-to emission
+            lm = live_min.get(g)
+            if lm is not None and lm < best.get("deck", []):
+                new_pend.extend(groups[g])  # a greedier branch is live
+                continue
+            _emit(best)  # siblings of g die (one match per start)
+            if skip_mode == "past_last":
+                resume_row = (best["tss"][-1], best["ids"][-1])
+                survivors = [
+                    s for s in survivors
+                    if (s["start"], s["sid"]) > resume_row
+                ]
+                new_pend = [
+                    c for c in new_pend
+                    if (c["start"], c["sid"]) > resume_row
+                ]
+                if at_event and ts_us is not None \
+                        and best["tss"][-1] == ts_us:
+                    suppress = True
+            elif skip_mode == "to_next":
+                survivors = [s for s in survivors if s["sid"] != best["sid"]]
+            elif skip_mode in ("to_first", "to_last"):
+                idxs = [i for i, l in enumerate(best["labels"])
+                        if l == skip_var]
+                if idxs:
+                    i = idxs[0] if skip_mode == "to_first" else idxs[-1]
+                    ref = (best["tss"][i], best["ids"][i])
+                    if min_start is None or ref > min_start:
+                        min_start = ref
+            survivors = [
+                s for s in survivors if (s["start"], s["sid"]) != g
+            ]
+        if min_start is not None:
+            survivors = [
+                s for s in survivors if (s["start"], s["sid"]) >= min_start
+            ]
+            new_pend = [
+                c for c in new_pend if (c["start"], c["sid"]) >= min_start
+            ]
+        pend = new_pend
+        return survivors, suppress
+
+    if n_events:
+        ts_arr = (
+            events["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
+        eid_arr = events["event_id"].astype("int64").tolist()
+        flag_arrs = [
+            events[f"f{i}"].astype(bool).tolist() for i in range(n_states)
+        ]
+        val_arrs = {c: events[f"v_{c}"].tolist() for c in value_cols}
+
+        for ei in range(n_events):
+            ts_us = ts_arr[ei]
+            eid = eid_arr[ei]
+            flags = [fa[ei] for fa in flag_arrs]
+            evvals = {c: _plain(val_arrs[c][ei]) for c in value_cols}
+
+            def _ok(j: int, p: dict | None) -> bool:
+                if not flags[j]:
+                    return False
+                code = py_conds[j]
+                return code is None or _py_cond_ok(code, p, evvals)
+
+            if not live and not pend and not flags[0]:
+                continue
+            expired = {
+                (p["start"], p["sid"])
+                for p in live if ts_us > p["start"] + horizon
+            }
+            live = [p for p in live if (p["start"], p["sid"]) not in expired]
+            survivors: list[dict] = []
+            for p in live:
+                si = p["si"]
+                name, mn, mx, strict_in, consec = states[si]
+                can_extend = (
+                    not p["closed"]
+                    and (mx is None or p["cnt"] < mx)
+                    and _ok(si, p)
+                )
+                adv: list[int] = []
+                if p["cnt"] >= mn:
+                    j = si + 1
+                    while j < n_states:
+                        if _ok(j, p):
+                            adv.append(j)
+                        if states[j][1] == 0:
+                            j += 1
+                            continue
+                        break
+                choices = ([("x", si)] if can_extend else []) \
+                    + [("a", j) for j in adv]
+                if not choices:
+                    if consec and p["cnt"] < mn:
+                        continue
+                    if consec:
+                        p["closed"] = True
+                    nxt = si + 1
+                    if p["cnt"] >= mn and nxt < n_states and states[nxt][3]:
+                        continue
+                    survivors.append(p)
+                    continue
+                fork = len(choices) > 1
+                gid = (p["start"], p["sid"])
+                n_in_group = sum(
+                    1 for s in survivors
+                    if (s["start"], s["sid"]) == gid
+                )
+                created = 0
+                for ci, (kind, j) in enumerate(choices):
+                    if fork and ci > 0 \
+                            and n_in_group + created >= max_branches:
+                        break  # cap: greediest branches kept
+                    if fork:
+                        q = {
+                            "si": p["si"], "cnt": p["cnt"],
+                            "closed": p["closed"],
+                            "labels": list(p["labels"]),
+                            "ids": list(p["ids"]),
+                            "tss": list(p["tss"]),
+                            "vals": list(p.get("vals", [])),
+                            "start": p["start"], "sid": p["sid"],
+                            "deck": list(p.get("deck", [])) + [ci],
+                        }
+                    else:
+                        q = p
+                    if kind == "x":
+                        q["cnt"] += 1
+                    else:
+                        q.update(si=j, cnt=1, closed=False)
+                    q["labels"].append(states[q["si"]][0])
+                    q["ids"].append(eid)
+                    q["tss"].append(ts_us)
+                    q.setdefault("vals", []).append(evvals)
+                    created += 1
+                    if q["si"] == n_states - 1 \
+                            and q["cnt"] == states[-1][1]:
+                        q["done"] = True
+                        pend.append(q)
+                    else:
+                        survivors.append(q)
+            # expired groups may unblock pending siblings; completions
+            # this event resolve in the same pass
+            survivors, suppress_start = _resolve(survivors, True, ts_us)
+            live = survivors
+            if not suppress_start and _ok(0, None):
+                name0, mn0, mx0, _, _ = states[0]
+                p0 = {
+                    "si": 0, "cnt": 1, "closed": False,
+                    "labels": [name0], "ids": [eid], "tss": [ts_us],
+                    "vals": [evvals], "start": ts_us, "sid": eid,
+                    "deck": [],
+                }
+                if n_states == 1 and mn0 == 1:
+                    _emit({**p0, "done": True})
+                elif len(live) < max_partials:
+                    live.append(p0)
+    if finalize:
+        live, _ = _resolve([], False, None)
+        live = []
+    return out, live + pend
 
 
 def _out_frame(out: list[tuple], key: str = "user_id") -> pd.DataFrame:

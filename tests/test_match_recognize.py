@@ -390,19 +390,18 @@ def test_logical_offset_rejects_running_and_aggregates(spark):
         match_recognize(spark, sql, events=ev)
 
 
-def test_greedy_no_backtrack_delta_characterized(spark):
-    """Pin the documented deterministic-greedy delta vs Flink's
-    backtracking NFA ([cep]nfa/NFA.java) with an explicit overlap:
+def test_backtracking_closes_the_greedy_delta(spark):
+    """The round-7 backtracking tier closes the documented
+    deterministic-greedy delta vs Flink's NFA ([cep]nfa/NFA.java):
 
     PATTERN (A+ B), A := value >= 10, B := value >= 50, rows
-    [10, 60, 90].  Rows 60/90 satisfy BOTH conditions.  This engine's
-    greedy A+ absorbs them (extend-current-state-first, no fork), so B
-    is never bound and NO match emits — Flink would backtrack and emit
-    A+=[10, 60], B=90.  With the prescribed mutually-exclusive DEFINE
-    (the event_type-dispatch shape) the same data matches identically
-    to Flink.  If a future NFA change adds backtracking, this test
-    MUST be updated together with the documented-deltas docstring and
-    the fold-equivalence matrix."""
+    [10, 60, 90].  Rows 60/90 satisfy BOTH conditions; the overlap is
+    not provably disjoint, so match_recognize auto-selects the
+    branching fold and emits Flink's answer — A+ = [10, 60], B = 90
+    (the regex-greedy allocation).  Forcing backtracking=False
+    reproduces the legacy deterministic-greedy behavior (A+ absorbs
+    everything, no match), and the prescribed mutually-exclusive
+    DEFINE keeps the native-lowered path with the identical result."""
     sql_overlap = """
     SELECT * FROM ev MATCH_RECOGNIZE (
       PARTITION BY user_id ORDER BY ts, event_id
@@ -413,10 +412,15 @@ def test_greedy_no_backtrack_delta_characterized(spark):
     )
     """
     ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 60), (3, 20, "x", 90)])
-    assert match_recognize(spark, sql_overlap, events=ev).collect() == []
+    rows = match_recognize(spark, sql_overlap, events=ev).collect()
+    assert [(r.a_first, r.b_id) for r in rows] == [(1, 3)]
 
-    # the prescribed mutually-exclusive dispatch: same rows, same
-    # pattern intent, Flink-identical result
+    # explicit opt-out: the deterministic-greedy legacy behavior
+    assert match_recognize(
+        spark, sql_overlap, events=ev, backtracking=False).collect() == []
+
+    # the mutually-exclusive dispatch stays on the greedy/lowered path
+    # (auto-detection proves disjointness) with the same final answer
     sql_disjoint = """
     SELECT * FROM ev MATCH_RECOGNIZE (
       PARTITION BY user_id ORDER BY ts, event_id
@@ -428,3 +432,28 @@ def test_greedy_no_backtrack_delta_characterized(spark):
     """
     rows = match_recognize(spark, sql_disjoint, events=ev).collect()
     assert [(r.a_first, r.b_id) for r in rows] == [(1, 2)]
+
+
+def test_backtracking_optional_overlap(spark):
+    """A B? C with B and C satisfiable by the same row: the branching
+    fold skips the optional when taking it would kill the match
+    (Flink parity); when both bindings complete, the greedy one (B
+    taken) wins."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_id, LAST(C.event_id) AS c_id,
+               COUNT(B.*) AS nb
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B? C)
+      DEFINE A AS A.value < 50, B AS B.value >= 50, C AS C.value >= 50
+    )
+    """
+    # one high row: backtrack binds it to C (optional skipped)
+    ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 60)])
+    rows = match_recognize(spark, sql, events=ev).collect()
+    assert [(r.a_id, r.c_id, r.nb) for r in rows] == [(1, 2, 0)]
+    # two high rows: greedy takes the optional
+    ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 60), (3, 20, "x", 70)])
+    rows = match_recognize(spark, sql, events=ev).collect()
+    assert [(r.a_id, r.c_id, r.nb) for r in rows] == [(1, 3, 1)]

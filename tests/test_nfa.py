@@ -380,3 +380,103 @@ def test_string_key_pattern(spark):
     for lowering in (True, False):
         got = pat.match_batch(ev, key="session", lowering=lowering).collect()
         assert [(r.session, tuple(r.ids)) for r in got] == [("s1", (1, 2))], lowering
+
+
+# ------------------------------------------------ backtracking tier (r7)
+
+from flink_1_11_1_spark.streaming.nfa import PatternSeq  # noqa: E402
+
+
+def _bt_events(spark, vals):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i + 1, t0 + dt.timedelta(seconds=10 * i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+
+
+def test_backtracking_extend_vs_advance_fork(spark):
+    """A+ B with overlapping conditions: the branching fold emits the
+    regex-greedy allocation (maximal A+ that still completes) where
+    the deterministic fold absorbs everything into A+ and misses."""
+    p = (PatternSeq.begin("A", "value >= 10").one_or_more()
+         .followed_by("B", "value >= 50").after_match_skip("past_last"))
+    ev = _bt_events(spark, [10, 60, 90])
+    assert p.match_batch(ev).collect() == []  # deterministic greedy
+    got = p.with_backtracking().match_batch(ev).collect()
+    assert [(r.labels, r.ids) for r in got] == [(["A", "A", "B"], [1, 2, 3])]
+
+
+def test_backtracking_identical_on_exclusive_conditions(spark):
+    """No fork can occur for mutually-exclusive conditions: both modes
+    (and the native lowering) agree — the reduction contract."""
+    p = (PatternSeq.begin("A", "value < 50").one_or_more()
+         .followed_by("B", "value >= 50").after_match_skip("past_last"))
+    ev = _bt_events(spark, [10, 20, 60, 30, 70])
+    rows = lambda df: sorted((tuple(r.labels), tuple(r.ids))
+                             for r in df.collect())
+    lowered = rows(p.match_batch(ev))
+    fold = rows(p.match_batch(ev, lowering=False))
+    bt = rows(p.with_backtracking().match_batch(ev))
+    assert lowered == fold == bt != []
+
+
+def test_backtracking_optional_fork_and_greedy_preference(spark):
+    p = (PatternSeq.begin("A", "value < 50")
+         .followed_by("B", "value >= 50").optional()
+         .followed_by("C", "value >= 50").after_match_skip("past_last")
+         .with_backtracking())
+    # one high row: C binds it (optional skipped — Flink would too)
+    got = p.match_batch(_bt_events(spark, [10, 60])).collect()
+    assert [(r.labels, r.ids) for r in got] == [(["A", "C"], [1, 2])]
+    # two high rows: greedy branch (optional taken) wins
+    got = p.match_batch(_bt_events(spark, [10, 60, 70])).collect()
+    assert [(r.labels, r.ids) for r in got] == [(["A", "B", "C"], [1, 2, 3])]
+
+
+def test_backtracking_no_skip_multiple_starts(spark):
+    p = (PatternSeq.begin("A", "value >= 10").one_or_more()
+         .followed_by("B", "value >= 50").with_backtracking())
+    got = p.match_batch(_bt_events(spark, [10, 20, 60])).collect()
+    assert sorted(tuple(r.ids) for r in got) == [(1, 2, 3), (2, 3)]
+
+
+def test_backtracking_streaming_fold_parity(spark):
+    """Chunked replay through the shared fold == the unfinalized batch
+    fold (the batch/streaming no-drift contract, backtracking mode).
+    Completed-but-pending matches survive in state across chunks and
+    resolve deterministically at finalization."""
+    from flink_1_11_1_spark.streaming.nfa import (
+        _fold_events, _spec, _with_flags)
+
+    p = (PatternSeq.begin("A", "value >= 10").times(1, 3)
+         .followed_by("B", "value >= 50").after_match_skip("past_last")
+         .with_backtracking())
+    ev = _bt_events(spark, [10, 60, 20, 70, 80, 15])
+    flagged = _with_flags(ev, p.states, "user_id", ())
+    pdf = flagged.toPandas().sort_values(["ts", "event_id"])
+    spec = _spec(p)
+    whole, _ = _fold_events(1, pdf, [], spec)
+    chunked, st = [], []
+    for lo, hi in [(0, 2), (2, 3), (3, 6)]:
+        o, st = _fold_events(1, pdf.iloc[lo:hi], st, spec)
+        chunked.extend(o)
+    assert [t[4] for t in chunked] == [t[4] for t in whole]
+    # finalization resolves the rest identically from either state
+    fin_whole, _ = _fold_events(1, pdf, [], spec, finalize=True)
+    o, _ = _fold_events(1, pdf.iloc[0:0], st, spec, finalize=True)
+    assert [t[4] for t in chunked + o] == [t[4] for t in fin_whole]
+
+
+def test_backtracking_bounded_quantifier_emits_at_cap(spark):
+    """A{1,2} B overlap: greedy takes 2 A's then B; the cap (max 2)
+    forces emission even while rows keep satisfying A."""
+    p = (PatternSeq.begin("A", "value >= 10").times(1, 2)
+         .followed_by("B", "value >= 50").after_match_skip("past_last")
+         .with_backtracking())
+    got = p.match_batch(_bt_events(spark, [10, 60, 90])).collect()
+    assert [(r.labels, r.ids) for r in got] == [(["A", "A", "B"], [1, 2, 3])]
