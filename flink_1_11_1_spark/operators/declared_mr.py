@@ -462,7 +462,56 @@ ORDER BY a.user_id, v_first
 """
 
 
+# ------------------------------------------------ backtracking (round 7)
+# PATTERN (A B? C) where B and C share the SAME value condition — not
+# provably disjoint, so match_recognize auto-selects the branching NFA
+# (streaming/nfa._fold_events_bt, Flink [cep]nfa/NFA.java semantics):
+# at the row after A the fold FORKS (bind it to B, or skip B and bind
+# it to C); the greedy branch (B taken) wins iff a second qualifying
+# row completes C, else the backtrack branch (B skipped) emits.  The
+# deterministic-greedy fold would always bind B and miss every
+# single-qualifying-row match.  SKIP TO NEXT ROW keeps every start
+# independent, so the oracle is a two-step lead() case analysis.
+
+MR_BACKTRACK_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, FIRST(B.event_id) AS b_id,
+           LAST(C.event_id) AS c_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A B? C)
+  DEFINE A AS A.event_type = 'view',
+         B AS B.value >= 69.0,
+         C AS C.value >= 69.0
+)
+"""
+
+
+def mr_backtrack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_BACKTRACK_SQL, sf_dir) \
+        .orderBy("user_id", "a_id")
+
+
+MR_BACKTRACK_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, event_type,
+         lead(value, 1) OVER w AS v1, lead(event_id, 1) OVER w AS i1,
+         lead(value, 2) OVER w AS v2, lead(event_id, 2) OVER w AS i2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS a_id,
+       CASE WHEN v2 >= 69.0 THEN i1 END AS b_id,
+       CASE WHEN v2 >= 69.0 THEN i2 ELSE i1 END AS c_id
+FROM seq
+WHERE event_type = 'view' AND v1 >= 69.0
+ORDER BY user_id, a_id
+"""
+
+
 def register_all() -> None:
+    registry.register("x_mr_backtrack", mr_backtrack, MR_BACKTRACK_ORACLE)
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
     registry.register("x_mr_optional", mr_optional, MR_OPTIONAL_ORACLE)
