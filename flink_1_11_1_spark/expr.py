@@ -536,7 +536,12 @@ class ExprParser:
                 return PE(col=_PREFIX[name](*[x.col for x in args]),
                           is_agg=any(x.is_agg for x in args),
                           agg_names=[n for x in args for n in x.agg_names])
-            raise ValueError(f"unknown function {name}(...) in {self.text!r}")
+            # registered-function fallback (PyFlink: udfs called by name
+            # inside expression strings); resolution/typo errors surface
+            # at Catalyst analysis, same as Flink's late binding
+            return PE(col=F.call_udf(name, *[x.col for x in args]),
+                      is_agg=any(x.is_agg for x in args),
+                      agg_names=[n for x in args for n in x.agg_names])
         if self.resolver is not None:
             r = self.resolver(t.text)
             if r is not None:

@@ -179,6 +179,21 @@ class TableEnvironment:
 
         return Table(df, tenv=self)
 
+    def register_function(self, name: str, f) -> None:
+        """PyFlink ``t_env.register_function``: a ``udf.udf``/``udtf``
+        wrapper, or any plain Python callable + the wrapper types from
+        ``flink_1_11_1_spark.udf``.  Registered names are callable
+        from SQL and from Table API expression strings."""
+        from .udf import UserDefinedFunction, UserDefinedTableFunction
+
+        if isinstance(f, (UserDefinedFunction, UserDefinedTableFunction)):
+            f.register(self.spark, name)
+        else:
+            self.spark.udf.register(name, f)
+
+    create_temporary_function = register_function
+    create_temporary_system_function = register_function
+
     # -- execution -----------------------------------------------------
 
     def execute_sql(self, sql: str) -> DataFrame | None:
