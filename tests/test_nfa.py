@@ -480,3 +480,45 @@ def test_backtracking_bounded_quantifier_emits_at_cap(spark):
          .with_backtracking())
     got = p.match_batch(_bt_events(spark, [10, 60, 90])).collect()
     assert [(r.labels, r.ids) for r in got] == [(["A", "A", "B"], [1, 2, 3])]
+
+
+def test_backtracking_stream_equals_unfinalized_fold(spark, tmp_path):
+    """The REAL streaming backend (applyInPandasWithState) in
+    backtracking mode: forked partials AND pending completed matches
+    survive the JSON state round-trip across micro-batches.  The
+    reference is the unfinalized shared fold over the full data —
+    chunk-invariant (test_backtracking_streaming_fold_parity), so the
+    stream's per-hour micro-batches must reproduce it exactly."""
+    import pandas as pd
+
+    from flink_1_11_1_spark.streaming.nfa import (
+        _fold_events, _spec, _with_flags)
+
+    d = str(tmp_path / "replay_bt")
+    replay.write_replay(spark, SF_SMOKE, d, parts=5)
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'view'")
+        .next_("b", "value >= 69.0")
+        .optional()
+        .next_("c", "value >= 69.0")
+        .within("48 hours")
+        .with_backtracking()
+    )
+    sel = ["user_id", "event_id", "ts", "event_type", "value"]
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select(*sel)), "append", "s_bt_nfa"
+    )
+    events = catalog.load_table(spark, SF_SMOKE, "events").select(*sel)
+    flagged = _with_flags(events, pat.states, "user_id", ()).toPandas()
+    spec = _spec(pat)
+    want = set()
+    for uid, pdf in flagged.groupby("user_id"):
+        out, _ = _fold_events(
+            uid, pdf.sort_values(["ts", "event_id"]), [], spec)
+        want |= {(uid, tuple(t[4])) for t in out}
+    assert {(r.user_id, tuple(r.ids)) for r in got} == want
+    assert len(want) > 0
+    # both binding shapes occur in the data (forks genuinely exercised)
+    lens = {len(ids) for _, ids in want}
+    assert lens == {2, 3}
