@@ -427,6 +427,14 @@ class DdlCatalog:
             return self.insert_into(
                 _strip_ticks(mi.group(2)), mi.group(3), overwrite=overwrite
             )
+        if "MATCH_RECOGNIZE" in up:
+            # Spark SQL has no MATCH_RECOGNIZE — route the Flink
+            # statement shape through the engine's front door
+            # (extensions/match_recognize → NFA / native lowering)
+            from .extensions.match_recognize import _MR_RE, match_recognize
+
+            if _MR_RE.match(s):
+                return match_recognize(self.spark, s)
         return self.spark.sql(s)
 
     # -- FLIP-113 dynamic table options ----------------------------------

@@ -759,3 +759,31 @@ def test_explain_plan_for_statement(tenv):
     assert len(rows) == 1
     assert "Optimized Logical Plan" in rows[0].plan
     assert "Physical Plan" in rows[0].plan
+
+
+def test_execute_sql_routes_match_recognize(spark):
+    """The sql-client front door runs MATCH_RECOGNIZE statements (Spark
+    SQL has no such syntax): routed to the engine's MR implementation,
+    resolving the source as a registered view."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, i, base + dt.timedelta(seconds=10 * i), t, 0.0)
+         for i, t in enumerate(["click", "purchase", "click"], start=1)],
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double",
+    ).createOrReplaceTempView("mr_ddl_ev")
+    rows = env.execute_sql("""
+        SELECT * FROM mr_ddl_ev MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        )""").collect()
+    assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
