@@ -130,6 +130,38 @@ def events_ddl(sf_dir: str, name: str = "events_ddl",
     """
 
 
+class EnvironmentSettings:
+    """PyFlink ``EnvironmentSettings`` shim: the builder shape parses,
+    the mode is advisory (Spark's engine is unified — batch reads and
+    streaming reads share one session; ``readStream`` vs ``read``
+    decides boundedness per source, not a session-wide planner)."""
+
+    def __init__(self, streaming: bool = True):
+        self.streaming = streaming
+
+    @classmethod
+    def new_instance(cls) -> "EnvironmentSettings.Builder":
+        return EnvironmentSettings.Builder()
+
+    class Builder:
+        def __init__(self):
+            self._streaming = True
+
+        def in_streaming_mode(self) -> "EnvironmentSettings.Builder":
+            self._streaming = True
+            return self
+
+        def in_batch_mode(self) -> "EnvironmentSettings.Builder":
+            self._streaming = False
+            return self
+
+        def use_blink_planner(self) -> "EnvironmentSettings.Builder":
+            return self  # the only planner here IS Catalyst
+
+        def build(self) -> "EnvironmentSettings":
+            return EnvironmentSettings(self._streaming)
+
+
 class TableEnvironment:
     """The engine's front door (Flink ``TableEnvironment`` shape)."""
 
@@ -141,8 +173,34 @@ class TableEnvironment:
         self.ddl = DdlCatalog(self.spark)
 
     @classmethod
-    def create(cls, master: str | None = None) -> TableEnvironment:
+    def create(cls, settings: "EnvironmentSettings | str | None" = None,
+               master: str | None = None) -> TableEnvironment:
+        """Accepts an ``EnvironmentSettings`` (PyFlink shape) or a
+        Spark master string (engine-native shape)."""
+        if isinstance(settings, str) and master is None:
+            master = settings
         return cls(get_spark(master=master))
+
+    # -- DataStream bridge (PyFlink StreamTableEnvironment) ------------
+
+    def from_data_stream(self, ds):
+        """``StreamTableEnvironment.from_data_stream``: wrap a
+        DataStream's rows as a Table."""
+        from .table_api import Table
+
+        return Table(ds.df, tenv=self)
+
+    def to_append_stream(self, table):
+        """``to_append_stream``: a Table's rows as a DataStream (valid
+        for append-only results — Spark raises at execution on
+        update-mode streaming plans, same constraint Flink enforces
+        at translation).  The retract twin is
+        ``streaming/changelog.RetractStreamWriter`` (+ ``read_retracts``
+        / ``fold_retracts``)."""
+        from .datastream import DataStream, StreamExecutionEnvironment
+
+        return DataStream(table.df,
+                          StreamExecutionEnvironment(self.spark))
 
     # -- catalog -------------------------------------------------------
 

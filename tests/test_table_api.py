@@ -328,3 +328,21 @@ def test_explain_and_print_schema(tenv, capsys):
     assert "Physical Plan" in plan
     t.print_schema()
     assert "n_name: string" in capsys.readouterr().out
+
+
+def test_environment_settings_and_datastream_bridge(tenv):
+    from flink_1_11_1_spark.datastream import DataStream
+    from flink_1_11_1_spark.table_env import (
+        EnvironmentSettings, TableEnvironment)
+
+    settings = EnvironmentSettings.new_instance() \
+        .in_streaming_mode().use_blink_planner().build()
+    assert settings.streaming
+    env2 = TableEnvironment.create(settings)
+    assert env2.spark is tenv.spark  # one unified session
+
+    ds = tenv.to_append_stream(tenv.from_path("region"))
+    assert isinstance(ds, DataStream)
+    back = tenv.from_data_stream(ds.map(["r_regionkey * 2 as k"]))
+    got = sorted(r.k for r in back.execute().collect())
+    assert got == [0, 2, 4, 6, 8]
