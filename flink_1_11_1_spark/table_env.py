@@ -252,7 +252,23 @@ class TableEnvironment:
     create_temporary_function = register_function
     create_temporary_system_function = register_function
 
+    # -- configuration -------------------------------------------------
+
+    def get_config(self) -> "TableConfig":
+        """PyFlink ``t_env.get_config()``: the returned object's
+        ``get_configuration().set_string(k, v)`` maps Flink keys to
+        their Spark twins through the same ``_FLINK_CONF_MAP`` the
+        sql-client ``SET`` statement uses."""
+        return TableConfig(self)
+
     # -- execution -----------------------------------------------------
+
+    def sql_update(self, sql: str) -> None:
+        """Flink 1.11's deprecated-but-present ``sqlUpdate``: DDL and
+        INSERT statements (delta: runs eagerly — Spark actions execute
+        per sink; Flink buffers until ``env.execute()``, which is a
+        no-op here)."""
+        self.execute_sql(sql)
 
     def execute_sql(self, sql: str) -> DataFrame | None:
         """FLIP-84 executeSql: Flink DDL statements (CREATE TABLE ...
@@ -407,6 +423,27 @@ class TableEnvironment:
             + "\n== Physical Plan ==\n"
             + qe.executedPlan().toString()
         )
+
+
+class TableConfig:
+    """``pyflink.table.TableConfig`` shim (see
+    ``TableEnvironment.get_config``)."""
+
+    def __init__(self, tenv: TableEnvironment):
+        self._tenv = tenv
+
+    def get_configuration(self) -> "TableConfig":
+        return self  # PyFlink nests Configuration inside TableConfig
+
+    def set_string(self, key: str, value: str) -> "TableConfig":
+        self._tenv.ddl._set_statement(key, value)
+        return self
+
+    def get_string(self, key: str, default: str | None = None) -> str | None:
+        from .ddl import _FLINK_CONF_MAP
+
+        return self._tenv.spark.conf.get(
+            _FLINK_CONF_MAP.get(key, key), default)
 
 
 class StatementSet:

@@ -346,3 +346,19 @@ def test_environment_settings_and_datastream_bridge(tenv):
     back = tenv.from_data_stream(ds.map(["r_regionkey * 2 as k"]))
     got = sorted(r.k for r in back.execute().collect())
     assert got == [0, 2, 4, 6, 8]
+
+
+def test_table_config_set_string(tenv):
+    cfg = tenv.get_config().get_configuration()
+    old = cfg.get_string("table.exec.resource.default-parallelism")
+    try:
+        cfg.set_string("table.exec.resource.default-parallelism", "7")
+        assert tenv.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert cfg.get_string(
+            "table.exec.resource.default-parallelism") == "7"
+        # sql_update runs DDL/DML eagerly (documented delta)
+        tenv.sql_update("CREATE VIEW cfg_v AS SELECT 1 AS one")
+        assert tenv.execute_sql("SELECT * FROM cfg_v").first().one == 1
+    finally:
+        cfg.set_string("table.exec.resource.default-parallelism", old)
+        tenv.execute_sql("DROP VIEW cfg_v")
