@@ -218,9 +218,13 @@ class DataStream:
             self, ts_col: str, max_out_of_orderness: str) -> DataStream:
         """BoundedOutOfOrderness watermark strategy: streaming inputs
         get ``withWatermark``; bounded inputs just record the rowtime
-        column (batch ignores watermarks, same as Flink batch mode)."""
+        column (batch ignores watermarks, same as Flink batch mode).
+        A source that already carries a watermark on ``ts_col`` (e.g.
+        a DDL-declared stream) keeps it — Spark disallows redefining."""
         df = self.df
-        if df.isStreaming:
+        has_wm = "spark.watermarkDelayMs" in \
+            df.schema[ts_col].metadata if ts_col in df.columns else False
+        if df.isStreaming and not has_wm:
             df = df.withWatermark(ts_col, max_out_of_orderness)
         return DataStream(df, self._env, rowtime=ts_col)
 
@@ -229,13 +233,15 @@ class DataStream:
         self.df.show(n, truncate=False)
 
     def add_sink(self, path: str, fmt: str = "parquet",
-                 mode: str = "append"):
-        """Bounded: eager file write.  Unbounded: exactly-once
-        streaming file sink from ``sources/files.py``."""
+                 mode: str = "append", checkpoint: str | None = None):
+        """Bounded: eager file write.  Unbounded: the exactly-once
+        streaming file sink from ``sources/files.py`` (returns the
+        StreamingQuery; checkpoint defaults beside the sink path)."""
         if self.df.isStreaming:
             from .sources.files import write_stream_files
 
-            return write_stream_files(self.df, path, fmt=fmt)
+            return write_stream_files(
+                self.df, path, checkpoint or f"{path}__ckpt", fmt=fmt)
         self.df.write.mode(mode).format(fmt).save(path)
         return None
 
