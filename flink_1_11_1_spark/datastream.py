@@ -326,6 +326,39 @@ class KeyedStream:
             self.df.groupBy(*self._keys).applyInPandas(
                 fold, schema=self.df.schema))
 
+    # -- two-input joins ----------------------------------------------
+    def interval_join(self, other: KeyedStream) -> "IntervalJoinBuilder":
+        """``KeyedStream.intervalJoin(other).between(lo, hi)`` —
+        pairs sharing the key with ``other.ts ∈ [self.ts + lo,
+        self.ts + hi]``.  Both sides need
+        ``assign_timestamps_and_watermarks`` upstream; key column
+        names must match (Flink joins on key equality)."""
+        if self._stream._rowtime is None or other._stream._rowtime is None:
+            raise ValueError("interval_join needs "
+                             "assign_timestamps_and_watermarks on BOTH sides")
+        if len(self._keys) != len(other._keys):
+            raise ValueError("interval_join: key arity differs")
+        return IntervalJoinBuilder(self, other)
+
+    def window_join(self, other: KeyedStream, assigner: WindowAssigner
+                    ) -> DataStream:
+        """``a.join(b).where(k).equalTo(k).window(assigner)`` — pairs
+        sharing the key AND the tumbling window
+        (``operators/windows.window_join``: one equi-join on
+        (key, bucket), no time-range residual)."""
+        from .operators.windows import window_join as _wj
+
+        if assigner.kind != "tumble":
+            raise ValueError("window_join supports tumbling windows "
+                             "(JoinedStreams over sliding: use "
+                             "interval_join)")
+        if self._keys != other._keys:
+            raise ValueError("window_join: key columns must match")
+        out = _wj(self.df, other.df.withColumnRenamed(
+            other._stream._rowtime, f"__rts"),
+            self._keys, self._stream._rowtime, "__rts", assigner.size)
+        return self._stream._wrap(out.drop("__rts"))
+
     # -- windows -------------------------------------------------------
     def window(self, assigner: WindowAssigner) -> WindowedStream:
         if self._stream._rowtime is None:
@@ -353,6 +386,37 @@ class KeyedStream:
 
         return self._stream._wrap(
             self.df.groupBy(*self._keys).applyInPandas(run, schema=schema))
+
+
+class IntervalJoinBuilder:
+    """``intervalJoin(...).between(lower, upper)`` (Flink
+    KeyedStream.intervalJoin → IntervalJoined.between).  Output = left
+    columns + the right side's non-key columns, with the right rowtime
+    renamed ``<name>_r``; right key columns are dropped (equal to the
+    left's by the join).  Non-key column names must otherwise be
+    unique across the two sides."""
+
+    def __init__(self, left: KeyedStream, right: KeyedStream):
+        self._l = left
+        self._r = right
+
+    def between(self, lower: str, upper: str, how: str = "inner"
+                ) -> DataStream:
+        from .operators.joins import interval_join as _ij
+
+        l, r = self._l, self._r
+        rts = r._stream._rowtime
+        rdf = r.df.withColumnRenamed(rts, f"{rts}_r")
+        rkeys = []
+        for i, k in enumerate(r._keys):
+            rdf = rdf.withColumnRenamed(k, f"__rk{i}")
+            rkeys.append(f"__rk{i}")
+        on = F.lit(True)
+        for lk, rk in zip(l._keys, rkeys):
+            on = on & (F.col(lk) == F.col(rk))
+        out = _ij(l.df, rdf, on, l._stream._rowtime, f"{rts}_r",
+                  lower, upper, how=how)
+        return l._stream._wrap(out.drop(*rkeys))
 
 
 # --------------------------------------------------------- window streams

@@ -212,3 +212,50 @@ def test_streaming_capstone_window_to_file_sink(env, spark, tmp_path):
     # the unemitted remainder is only the per-key tail window(s)
     max_emitted = max(w for _, w, _, _ in got)
     assert all(w >= max_emitted for _, w, _, _ in missing)
+
+
+def test_interval_join(env, spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows, schema):
+        return env.from_collection(
+            [(k, t0 + dt.timedelta(minutes=m), v) for k, m, v in rows],
+            schema=schema).assign_timestamps_and_watermarks("ts", "1 hour")
+
+    orders = mk([("a", 0, 1), ("a", 60, 2), ("b", 0, 3)],
+                "k string, ts timestamp, oid int")
+    ships = mk([("a", 10, 101), ("a", 59, 102), ("a", 120, 103),
+                ("b", 45, 104)],
+               "k string, ts timestamp, sid int")
+    got = (orders.key_by("k")
+           .interval_join(ships.key_by("k"))
+           .between("0 minutes", "45 minutes"))
+    pairs = sorted((r.oid, r.sid) for r in got.df.collect())
+    # a@0 → ship@10 (in [0,45]); a@60 → ship@59 before, @120 past 105;
+    # b@0 → ship@45 exactly at the inclusive upper bound
+    assert pairs == [(1, 101), (3, 104)]
+    # right rowtime is exposed as ts_r
+    assert "ts_r" in got.df.columns
+
+
+def test_window_join(env, spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    a = env.from_collection(
+        [("a", t0 + dt.timedelta(minutes=10), 1),
+         ("a", t0 + dt.timedelta(minutes=70), 2)],
+        schema="k string, ts timestamp, av int") \
+        .assign_timestamps_and_watermarks("ts", "1 hour")
+    b = env.from_collection(
+        [("a", t0 + dt.timedelta(minutes=20), 9),
+         ("a", t0 + dt.timedelta(minutes=50), 8),
+         ("a", t0 + dt.timedelta(minutes=80), 7)],
+        schema="k string, bts timestamp, bv int") \
+        .assign_timestamps_and_watermarks("bts", "1 hour")
+    got = a.key_by("k").window_join(
+        b.key_by("k"), TumblingEventTimeWindows.of("1 hour"))
+    pairs = sorted((r.av, r.bv) for r in got.df.collect())
+    assert pairs == [(1, 8), (1, 9), (2, 7)]
