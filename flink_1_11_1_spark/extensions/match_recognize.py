@@ -266,7 +266,14 @@ def _needs_backtracking(states) -> bool:
     from ..streaming.nfa_lowering import _contradictory, _state_literals
 
     lits = [_state_literals(s) for s in states]
+    rngs = [_state_ranges(s) for s in states]
     n = len(states)
+
+    def disjoint(a: int, b: int) -> bool:
+        if _contradictory(lits[a], lits[b]):
+            return True
+        return _ranges_disjoint(rngs[a], rngs[b])
+
     for i in range(n):
         s = states[i]
         targets = []
@@ -286,8 +293,62 @@ def _needs_backtracking(states) -> bool:
             for t2 in targets[a + 1:]
         ]  # multi-target (optional) fork
         for a, b in pairs:
-            if not _contradictory(lits[a], lits[b]):
+            if not disjoint(a, b):
                 return True
+    return False
+
+
+_RANGE_RE = re.compile(
+    r"^(?:(\w+)\.)?(\w+)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$")
+
+
+def _state_ranges(s) -> dict[str, tuple]:
+    """``col -> (lo, lo_incl, hi, hi_incl)`` intervals proven by
+    top-level numeric-comparison conjuncts of the state's own row
+    condition (``V.col OP number`` / bare refs) — the range twin of
+    the literal-equality prover."""
+    from ..streaming.nfa_lowering import _split_top_and
+
+    src = s.sql_cond if s.py_cond is not None else s.cond
+    if src is None:
+        return {}
+    out: dict[str, tuple] = {}
+    for part in _split_top_and(src):
+        m = _RANGE_RE.match(part.strip())
+        if not m:
+            continue
+        pre, col, op, num = m.groups()
+        if pre is not None and pre != s.name and pre != "THIS":
+            continue
+        v = float(num)
+        lo, lo_i, hi, hi_i = out.get(
+            col, (float("-inf"), False, float("inf"), False))
+        if op in (">", ">="):
+            if v > lo or (v == lo and op == ">"):
+                lo, lo_i = v, op == ">="
+        elif op in ("<", "<="):
+            if v < hi or (v == hi and op == "<"):
+                hi, hi_i = v, op == "<="
+        else:  # '=' pins both bounds
+            if v > lo:
+                lo, lo_i = v, True
+            if v < hi:
+                hi, hi_i = v, True
+        out[col] = (lo, lo_i, hi, hi_i)
+    return out
+
+
+def _ranges_disjoint(a: dict[str, tuple], b: dict[str, tuple]) -> bool:
+    """True when some shared column's proven intervals cannot
+    intersect (conservative: unknown columns prove nothing)."""
+    for col in set(a) & set(b):
+        alo, alo_i, ahi, ahi_i = a[col]
+        blo, blo_i, bhi, bhi_i = b[col]
+        # a entirely below b?
+        if ahi < blo or (ahi == blo and not (ahi_i and blo_i)):
+            return True
+        if bhi < alo or (bhi == alo and not (bhi_i and alo_i)):
+            return True
     return False
 
 

@@ -457,3 +457,50 @@ def test_backtracking_optional_overlap(spark):
     ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 60), (3, 20, "x", 70)])
     rows = match_recognize(spark, sql, events=ev).collect()
     assert [(r.a_id, r.c_id, r.nb) for r in rows] == [(1, 3, 1)]
+
+
+def test_range_prover_keeps_disjoint_ranges_on_fast_path(spark):
+    """Numeric-range dispatch (value bands) is provably disjoint: the
+    auto-detection must NOT select backtracking (the deterministic
+    fold/lowering applies), and the result is the expected band match."""
+    from flink_1_11_1_spark.extensions.match_recognize import (
+        _needs_backtracking, _ranges_disjoint, _state_ranges)
+    from flink_1_11_1_spark.streaming.nfa import PatternSeq
+
+    p = (PatternSeq.begin("A", "value >= 10 AND value < 50").one_or_more()
+         .followed_by("B", "value >= 50"))
+    assert not _needs_backtracking(p.states)
+    p2 = (PatternSeq.begin("A", "value >= 10").one_or_more()
+          .followed_by("B", "value >= 50"))
+    assert _needs_backtracking(p2.states)
+
+    # boundary semantics: [_, 50) vs [50, _] disjoint; [_, 50] vs
+    # [50, _] touch at an included point -> NOT disjoint
+    lo = {"v": (float("-inf"), False, 50.0, False)}
+    lo_incl = {"v": (float("-inf"), False, 50.0, True)}
+    hi = {"v": (50.0, True, float("inf"), False)}
+    assert _ranges_disjoint(lo, hi)
+    assert not _ranges_disjoint(lo_incl, hi)
+
+    class S:
+        name, py_cond, sql_cond = "A", None, None
+        cond = "value >= 10 AND value < 50 AND other = 3"
+
+    r = _state_ranges(S())
+    assert r["value"] == (10.0, True, 50.0, False)
+    assert r["other"] == (3.0, True, 3.0, True)
+
+    # end-to-end: the banded SQL runs the greedy path with the same
+    # answer the backtracking mode gives (no fork is possible)
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_first, LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+ B)
+      DEFINE A AS A.value >= 10 AND A.value < 50, B AS B.value >= 50
+    )
+    """
+    ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 20), (3, 20, "x", 60)])
+    rows = match_recognize(spark, sql, events=ev).collect()
+    assert [(r.a_first, r.b_id) for r in rows] == [(1, 3)]
