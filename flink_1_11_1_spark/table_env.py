@@ -173,10 +173,16 @@ class TableEnvironment:
         self.ddl = DdlCatalog(self.spark)
 
     @classmethod
-    def create(cls, settings: "EnvironmentSettings | str | None" = None,
-               master: str | None = None) -> TableEnvironment:
-        """Accepts an ``EnvironmentSettings`` (PyFlink shape) or a
-        Spark master string (engine-native shape)."""
+    def create(cls, settings=None, master: str | None = None,
+               environment_settings=None) -> TableEnvironment:
+        """Accepts an ``EnvironmentSettings``, a
+        ``StreamExecutionEnvironment`` (PyFlink
+        ``StreamTableEnvironment.create(env)`` — shares its session),
+        or a Spark master string (engine-native shape)."""
+        from .datastream import StreamExecutionEnvironment
+
+        if isinstance(settings, StreamExecutionEnvironment):
+            return cls(settings.spark)
         if isinstance(settings, str) and master is None:
             master = settings
         return cls(get_spark(master=master))
