@@ -367,8 +367,11 @@ class KeyedStream:
                 "assign_timestamps_and_watermarks(...) upstream")
         return WindowedStream(self, assigner)
 
-    def count_window(self, size: int) -> CountWindowedStream:
-        return CountWindowedStream(self, size)
+    def count_window(self, size: int,
+                     slide: int | None = None) -> CountWindowedStream:
+        """``countWindow(size[, slide])``: tumbling, or sliding count
+        windows (fire every ``slide`` elements over the last ``size``)."""
+        return CountWindowedStream(self, size, slide)
 
     def process(self, fn: Callable, schema: str,
                 state_fold: bool = False) -> DataStream:
@@ -490,13 +493,20 @@ class WindowedStream:
 
 
 class CountWindowedStream:
-    """``KeyedStream.countWindow(n)`` — tumbling count windows; the
-    bounded assigner is ``operators/windows.count_tumble`` (index per
-    key in rowtime order, else a deterministic column order)."""
+    """``KeyedStream.countWindow(n[, slide])`` — tumbling count windows
+    via ``operators/windows.count_tumble`` (index per key in rowtime
+    order, else a deterministic column order); sliding count windows
+    fire at every ``slide``-th element over the trailing ``size``
+    (Flink CountTrigger + CountEvictor pair): row ``rn`` (1-based)
+    belongs to every window ``k`` with ``k*slide`` in
+    ``[rn, rn + size - 1]`` — assigned by one sequence+explode, so the
+    fan-out is the inherent ceil(size/slide) copies per row."""
 
-    def __init__(self, keyed: KeyedStream, size: int):
+    def __init__(self, keyed: KeyedStream, size: int,
+                 slide: int | None = None):
         self._keyed = keyed
         self._size = size
+        self._slide = slide
 
     def _assigned(self) -> DataFrame:
         from .operators.windows import count_tumble
@@ -504,11 +514,38 @@ class CountWindowedStream:
         ks = self._keyed
         order = [ks._stream._rowtime] if ks._stream._rowtime else \
             [c for c in ks.df.columns if c not in ks._keys]
-        return count_tumble(ks.df, ks._keys, self._size, order=order)
+        if self._slide is None:
+            return count_tumble(ks.df, ks._keys, self._size, order=order)
+        w = Window.partitionBy(*ks._keys).orderBy(*order)
+        size, slide = self._size, self._slide
+        d = ks.df.withColumn("__rn", F.row_number().over(w))
+        # smallest k with k*slide >= rn .. largest with k*slide <= rn+size-1
+        lo = F.ceil(F.col("__rn") / F.lit(slide)).cast("long")
+        hi = F.floor((F.col("__rn") + F.lit(size - 1)) / F.lit(slide)) \
+            .cast("long")
+        return (d.withColumn("__k", F.explode(F.sequence(lo, hi)))
+                .withColumn("count_window", F.col("__k") - 1)
+                .drop("__k", "__rn"))
 
     def aggregate(self, *aggs: Column) -> DataStream:
         ks = self._keyed
         out = self._assigned().groupBy(*ks._keys, "count_window").agg(*aggs)
+        if self._slide is not None:
+            # Flink fires a sliding count window only when its slide
+            # point is reached: complete windows have exactly
+            # min(size, k*slide at-or-under the key's row count) rows —
+            # emit only windows whose fire element exists
+            ks2 = self._keyed
+            order = [ks2._stream._rowtime] if ks2._stream._rowtime else \
+                [c for c in ks2.df.columns if c not in ks2._keys]
+            w = Window.partitionBy(*ks2._keys).orderBy(*order)
+            totals = (ks2.df.withColumn("__rn", F.row_number().over(w))
+                      .groupBy(*ks2._keys)
+                      .agg(F.max("__rn").alias("__n")))
+            out = (out.join(totals, list(ks2._keys))
+                   .where((F.col("count_window") + 1) * self._slide
+                          <= F.col("__n"))
+                   .drop("__n"))
         return ks._stream._wrap(out)
 
     def sum(self, field: str) -> DataStream:  # noqa: A003

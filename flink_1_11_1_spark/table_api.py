@@ -325,6 +325,52 @@ class Table:
                         predicate: str | Column | None = None) -> Table:
         return self._join(right, predicate, "full")
 
+    def _join_lateral(self, call: str, how: str) -> Table:
+        import re
+
+        m = re.match(
+            r"^\s*(\w+)\s*\((.*?)\)\s*"
+            r"(?:[aA][sS]\s*\(\s*([\w\s,]+?)\s*\)\s*)?$", call, re.S)
+        if not m:
+            raise ValueError(
+                "join_lateral expects 'fn(args) [as (c1, c2, ...)]'")
+        name, args, aliases = m.group(1), m.group(2), m.group(3)
+        spark = self.df.sparkSession
+        view = "__tapi_lateral_src"
+        self.df.createOrReplaceTempView(view)
+        lat = f"LATERAL (SELECT * FROM {name}({args})) __lat"
+        if how == "inner":
+            sql = f"SELECT {view}.*, __lat.* FROM {view}, {lat}"
+        else:
+            sql = (f"SELECT {view}.*, __lat.* FROM {view} "
+                   f"LEFT OUTER JOIN {lat} ON true")
+        try:
+            out = spark.sql(sql)
+        finally:
+            spark.catalog.dropTempView(view)
+        if aliases:
+            names = [a.strip() for a in aliases.split(",")]
+            new_cols = out.columns[len(self.df.columns):]
+            if len(names) != len(new_cols):
+                raise ValueError(
+                    f"alias arity {len(names)} != function arity "
+                    f"{len(new_cols)}")
+            for old, new in zip(new_cols, names):
+                out = out.withColumnRenamed(old, new)
+        return self._wrap(out)
+
+    def join_lateral(self, call: str) -> Table:
+        """``Table.joinLateral("split(line) as (word, cnt)")`` — the
+        UDTF correlate (Flink LATERAL TABLE); the function must be
+        registered via ``TableEnvironment.register_function``.  Args
+        are spliced as SQL (column refs / literals)."""
+        return self._join_lateral(call, "inner")
+
+    def left_outer_join_lateral(self, call: str) -> Table:
+        """As ``join_lateral`` but rows with no UDTF output survive
+        with NULLs (Flink leftOuterJoinLateral)."""
+        return self._join_lateral(call, "left")
+
     # -- set operations ------------------------------------------------
     def union(self, right: Table) -> Table:
         return self._wrap(self.df.union(right.df).distinct())

@@ -259,3 +259,19 @@ def test_window_join(env, spark):
         b.key_by("k"), TumblingEventTimeWindows.of("1 hour"))
     pairs = sorted((r.av, r.bv) for r in got.df.collect())
     assert pairs == [(1, 8), (1, 9), (2, 7)]
+
+
+def test_sliding_count_window(env):
+    """countWindow(3, 2): fires at elements 2, 4, 6... each window =
+    the trailing 3 elements at the fire point (Flink CountTrigger +
+    CountEvictor semantics)."""
+    s = env.from_collection(
+        [("a", i, i) for i in range(1, 8)],  # 7 elements, v = 1..7
+        schema="k string, ts int, v int") \
+        .assign_timestamps_and_watermarks("ts", "0 seconds")
+    got = s.key_by("k").count_window(3, 2).aggregate(
+        F.sum("v").alias("sv"), F.count("*").alias("n"))
+    rows = sorted((r.count_window, r.sv, r.n) for r in got.df.collect())
+    # fires at rn=2 (window {1,2}), rn=4 ({2,3,4}), rn=6 ({4,5,6});
+    # rn=8 never reached with 7 elements
+    assert rows == [(0, 3, 2), (1, 9, 3), (2, 15, 3)]

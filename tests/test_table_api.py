@@ -362,3 +362,24 @@ def test_table_config_set_string(tenv):
     finally:
         cfg.set_string("table.exec.resource.default-parallelism", old)
         tenv.execute_sql("DROP VIEW cfg_v")
+
+
+def test_join_lateral_udtf(tenv):
+    from flink_1_11_1_spark.udf import DataTypes, udtf
+
+    split = udtf(lambda line: [(w, len(w)) for w in (line or "").split()],
+                 [DataTypes.STRING()],
+                 [DataTypes.STRING(), DataTypes.INT()],
+                 field_names=["word", "wlen"])
+    tenv.register_function("lat_split", split)
+    t = tenv.from_elements([(1, "ab c"), (2, "")], schema="id int, s string")
+    got = t.join_lateral("lat_split(s) as (w, n)") \
+        .select("id, w, n").order_by("id.asc, w.asc")
+    assert [tuple(r) for r in got.execute().collect()] == [
+        (1, "ab", 2), (1, "c", 1)]
+    outer = t.left_outer_join_lateral("lat_split(s)") \
+        .select("id, word").order_by("id.asc, word.asc")
+    assert [tuple(r) for r in outer.execute().collect()] == [
+        (1, "ab"), (1, "c"), (2, None)]
+    with pytest.raises(ValueError, match="arity"):
+        t.join_lateral("lat_split(s) as (only_one)").df.collect()
