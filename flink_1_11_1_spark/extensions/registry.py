@@ -64,7 +64,7 @@ def _load() -> None:
         declared_ops3,
     )
 
-    from . import table_api_entries
+    from . import ds_entries, table_api_entries
 
     declared_ops.register_all()
     declared_ops2.register_all()
@@ -72,4 +72,5 @@ def _load() -> None:
     declared_cep.register_all()
     declared_mr.register_all()
     table_api_entries.register_all()
+    ds_entries.register_all()
     _LOADED = True
