@@ -94,7 +94,8 @@ _CLAUSE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_QUANT_RE = re.compile(r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?$")
+_QUANT_RE = re.compile(
+    r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<rel>\?)?$")
 
 _MEASURE_RE = re.compile(
     r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
@@ -131,24 +132,34 @@ def _split_top(text: str) -> list[str]:
     return parts
 
 
-def _parse_quant(tok: str) -> tuple[str, int, int | None]:
+def _parse_quant(tok: str) -> tuple[str, int, int | None, bool]:
+    """(var, min, max, greedy) — a trailing ``?`` AFTER a quantifier
+    makes it reluctant (``A+?``/``A*?``/``A{1,3}?``; bare ``A?`` is the
+    optional quantifier, greedy)."""
     m = _QUANT_RE.match(tok)
     if not m:
         raise ValueError(f"unsupported pattern token {tok!r}")
-    var, q = m.group("var"), m.group("q")
+    var, q, rel = m.group("var"), m.group("q"), m.group("rel")
+    greedy = rel is None
     if q is None:
-        return var, 1, 1
+        if rel is not None:  # `A?` lexes as q='?' — rel-only is invalid
+            raise ValueError(f"unsupported pattern token {tok!r}")
+        return var, 1, 1, True
     if q == "+":
-        return var, 1, None
+        return var, 1, None, greedy
     if q == "*":
-        return var, 0, None
+        return var, 0, None, greedy
     if q == "?":
-        return var, 0, 1
+        if rel is not None:
+            return var, 0, 1, False  # `A??`: reluctant optional
+        return var, 0, 1, True
     inner = q[1:-1]
     if "," in inner:
         lo, hi = inner.split(",")
-        return var, int(lo), (int(hi) if hi else None)
-    return var, int(inner), int(inner)
+        return var, int(lo), (int(hi) if hi else None), greedy
+    if rel is not None:
+        raise ValueError(f"exact {{n}} cannot be reluctant: {tok!r}")
+    return var, int(inner), int(inner), True
 
 
 def _row_local(cond: str, variables: list[str], this: str) -> str:
@@ -383,7 +394,7 @@ def match_recognize(
     # pattern → quantified variables
     toks = c.group("pattern").split()
     seq = [_parse_quant(t) for t in toks]
-    variables = [v for v, _, _ in seq]
+    variables = [v for v, _, _, _ in seq]
     if len(set(variables)) != len(variables):
         raise ValueError("repeated pattern variables are not supported")
 
@@ -452,13 +463,15 @@ def match_recognize(
     # lower onto PatternSeq: MATCH_RECOGNIZE concatenation is strict
     # row-contiguity → strict_in edges + consecutive repeats
     pat = nfa.PatternSeq.begin(seq[0][0], defines[seq[0][0]])
-    pat = pat._mod_last(min_count=seq[0][1], max_count=seq[0][2], consecutive=True)
+    pat = pat._mod_last(min_count=seq[0][1], max_count=seq[0][2],
+                        consecutive=True, greedy=seq[0][3])
     if seq[0][0] in xconds:
         expr0, cols0, raw0 = xconds[seq[0][0]]
         pat = pat.where_iterative(expr0, *cols0, sql_cond=raw0)
-    for var, lo, hi in seq[1:]:
+    for var, lo, hi, greedy in seq[1:]:
         pat = pat.next_(var, defines[var])
-        pat = pat._mod_last(min_count=lo, max_count=hi, consecutive=True)
+        pat = pat._mod_last(min_count=lo, max_count=hi, consecutive=True,
+                            greedy=greedy)
         if var in xconds:
             expr_v, cols_v, raw_v = xconds[var]
             pat = pat.where_iterative(expr_v, *cols_v, sql_cond=raw_v)
@@ -484,9 +497,13 @@ def match_recognize(
         pat = pat.within("36500 days")  # effectively unbounded
     # SQL semantics are regex-greedy WITH backtracking; switch to the
     # branching fold when an ambiguous transition is possible (override
-    # with the explicit ``backtracking`` argument either way)
-    if backtracking if backtracking is not None else _needs_backtracking(
-            pat.states):
+    # with the explicit ``backtracking`` argument either way).  Reluctant
+    # quantifiers always need it (their preference order IS a branching
+    # policy).
+    has_reluctant = any(not st.greedy for st in pat.states)
+    if has_reluctant or (
+            backtracking if backtracking is not None
+            else _needs_backtracking(pat.states)):
         pat = pat.with_backtracking()
 
     if events is None:

@@ -100,6 +100,12 @@ class State:
     max_count: int | None = 1  # None = unbounded
     strict_in: bool = False  # Flink next(): edge contiguity into this state
     consecutive: bool = False  # Flink consecutive(): contiguity between repeats
+    # Reluctant quantifier (Flink greedy()/default vs SQL `+?`): a
+    # non-greedy state PREFERS advancing over extending at an
+    # ambiguous event — meaningful only under the backtracking fold
+    # (the deterministic mode rejects it; the delta cannot arise for
+    # provably-disjoint conditions either way).
+    greedy: bool = True
     # Cross-variable condition (Flink IterativeCondition): a Python
     # expression over EV["col"] (current event), FIRST/LAST("Var","col")
     # (bound rows of earlier variables) and COUNT_VAR("Var"), evaluated
@@ -178,6 +184,13 @@ class PatternSeq:
     def consecutive(self) -> "PatternSeq":
         return self._mod_last(consecutive=True)
 
+    def reluctant(self) -> "PatternSeq":
+        """SQL `+?`/`*?`/`{n,m}?` on the LAST added state: prefer the
+        shortest match (advance before extend).  Needs
+        ``with_backtracking()`` and must not be the final state
+        (Flink rejects patterns ending in a reluctant quantifier)."""
+        return self._mod_last(greedy=False)
+
     def where_iterative(
         self, py_cond: str, *value_cols: str, sql_cond: str | None = None
     ) -> "PatternSeq":
@@ -240,6 +253,14 @@ class PatternSeq:
                 "final state must be bounded with min == max >= 1 "
                 "(completion is emitted when its count is reached)"
             )
+        if not last.greedy:
+            raise ValueError(
+                "a pattern may not END with a reluctant quantifier "
+                "(Flink's own restriction)")
+        if any(not s.greedy for s in self.states) and not self.backtrack:
+            raise ValueError(
+                "reluctant quantifiers need with_backtracking() — the "
+                "deterministic-greedy mode cannot express them")
 
     # -- execution ------------------------------------------------------
     def match_batch(
@@ -345,6 +366,7 @@ def _spec(p: PatternSeq) -> dict:
         "max_partials": p.max_partials,
         "backtrack": p.backtrack,
         "max_branches": p.max_branches,
+        "greedy": [s.greedy for s in p.states],
     }
 
 
@@ -638,6 +660,7 @@ def _fold_events_bt(
     max_branches = spec.get("max_branches") or 64
     py_conds = spec.get("py_conds") or [None] * len(states)
     value_cols = spec.get("value_cols") or []
+    greedy_flags = spec.get("greedy") or [True] * len(states)
     n_states = len(states)
     out: list[tuple] = []
     live = [p for p in partials if not p.get("done")]
@@ -785,8 +808,9 @@ def _fold_events_bt(
                             j += 1
                             continue
                         break
-                choices = ([("x", si)] if can_extend else []) \
-                    + [("a", j) for j in adv]
+                ext = [("x", si)] if can_extend else []
+                advs = [("a", j) for j in adv]
+                choices = ext + advs if greedy_flags[si] else advs + ext
                 if not choices:
                     if consec and p["cnt"] < mn:
                         continue

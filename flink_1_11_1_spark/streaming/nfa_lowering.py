@@ -281,6 +281,8 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
     """Which lowering applies to this pattern (None → NFA fold)."""
     if len({s.name for s in states}) != len(states):
         return None
+    if any(not getattr(s, "greedy", True) for s in states):
+        return None  # reluctant quantifiers: backtracking fold only
     unbounded = horizon_s >= _UNBOUNDED_S
     s0 = states[0]
     contiguous = all(s.strict_in for s in states[1:])

@@ -21,15 +21,22 @@ def _events(spark, rows):
 
 
 def test_quantifier_parse():
-    assert _parse_quant("A") == ("A", 1, 1)
-    assert _parse_quant("A+") == ("A", 1, None)
-    assert _parse_quant("A*") == ("A", 0, None)
-    assert _parse_quant("A?") == ("A", 0, 1)
-    assert _parse_quant("A{2}") == ("A", 2, 2)
-    assert _parse_quant("A{2,}") == ("A", 2, None)
-    assert _parse_quant("A{1,3}") == ("A", 1, 3)
+    assert _parse_quant("A") == ("A", 1, 1, True)
+    assert _parse_quant("A+") == ("A", 1, None, True)
+    assert _parse_quant("A*") == ("A", 0, None, True)
+    assert _parse_quant("A?") == ("A", 0, 1, True)
+    assert _parse_quant("A{2}") == ("A", 2, 2, True)
+    assert _parse_quant("A{2,}") == ("A", 2, None, True)
+    assert _parse_quant("A{1,3}") == ("A", 1, 3, True)
+    # reluctant forms (SQL `+?` family)
+    assert _parse_quant("A+?") == ("A", 1, None, False)
+    assert _parse_quant("A*?") == ("A", 0, None, False)
+    assert _parse_quant("A??") == ("A", 0, 1, False)
+    assert _parse_quant("A{1,3}?") == ("A", 1, 3, False)
     with pytest.raises(ValueError):
         _parse_quant("A++")
+    with pytest.raises(ValueError):
+        _parse_quant("A{2}?")
 
 
 _MR = """
@@ -504,3 +511,43 @@ def test_range_prover_keeps_disjoint_ranges_on_fast_path(spark):
     ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 20), (3, 20, "x", 60)])
     rows = match_recognize(spark, sql, events=ev).collect()
     assert [(r.a_first, r.b_id) for r in rows] == [(1, 3)]
+
+
+def test_reluctant_quantifier(spark):
+    """A+? B (reluctant): the SHORTEST A+ that completes wins — over
+    [10, 60, 90] that is A=[10], B=60; the greedy twin binds
+    A=[10, 60], B=90.  A pattern may not END reluctant (Flink rule)."""
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(A.event_id) AS a_first, LAST(A.event_id) AS a_last,
+               LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+? B)
+      DEFINE A AS A.value >= 10, B AS B.value >= 50
+    )
+    """
+    ev = _events(spark, [(1, 0, "x", 10), (2, 10, "x", 60), (3, 20, "x", 90)])
+    rows = match_recognize(spark, sql, events=ev).collect()
+    assert [(r.a_first, r.a_last, r.b_id) for r in rows] == [(1, 1, 2)]
+
+    # a pattern cannot END reluctant: via SQL the bounded-final rule
+    # already rejects every reluctant-capable final quantifier
+    with pytest.raises(ValueError, match="final state|reluctant"):
+        match_recognize(spark, sql.replace("(A+? B)", "(A B+?)"), events=ev)
+
+
+def test_reluctant_needs_backtracking_mode():
+    from flink_1_11_1_spark.streaming.nfa import PatternSeq
+
+    p = (PatternSeq.begin("A", "value >= 10").one_or_more().reluctant()
+         .followed_by("B", "value >= 50"))
+    with pytest.raises(ValueError, match="with_backtracking"):
+        p._check()
+    p.with_backtracking()._check()  # fine
+    # manually-built reluctant FINAL state (unreachable via SQL parse)
+    bad = (PatternSeq.begin("A", "value >= 10")
+           .followed_by("B", "value >= 50").times(2)
+           .reluctant().with_backtracking())
+    with pytest.raises(ValueError, match="END with a reluctant"):
+        bad._check()
