@@ -272,14 +272,24 @@ class PatternSeq:
         ``lowering=False`` forces the fold (used by equivalence tests)."""
         self._check()
         flagged = _with_flags(events, self.states, key, self.value_cols)
-        if lowering and not self.backtrack:
-            from .nfa_lowering import try_lower_batch
+        if lowering:
+            from .nfa_lowering import eligible_tier, try_lower_batch
 
-            lowered = try_lower_batch(
-                flagged, self.states, key, self.value_cols, self.horizon_s, self.skip
-            )
-            if lowered is not None:
-                return lowered
+            # Backtracking mode can still lower tier A: the bounded
+            # count-vector CASE enumeration tries allocations in greedy
+            # priority order and takes the first that satisfies every
+            # condition — exactly regex backtracking, so the two agree
+            # on ANY conditions (equivalence-tested).  Tiers B–D encode
+            # the deterministic-greedy contract (no fallback binding)
+            # and stay fold-only under backtracking.
+            tier = eligible_tier(self.states, self.horizon_s, self.skip)
+            if tier is not None and (not self.backtrack or tier == "A"):
+                lowered = try_lower_batch(
+                    flagged, self.states, key, self.value_cols,
+                    self.horizon_s, self.skip, backtrack=self.backtrack
+                )
+                if lowered is not None:
+                    return lowered
         spec = _spec(self)
         schema = match_schema(key, events.schema[key].dataType)
 

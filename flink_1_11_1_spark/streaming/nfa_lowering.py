@@ -403,13 +403,17 @@ def try_lower_batch(
     value_cols: tuple[str, ...],
     horizon_s: int,
     skip: str,
+    backtrack: bool = False,
 ) -> DataFrame | None:
     tier = eligible_tier(states, horizon_s, skip)
     if tier is None:
         return None
+    if backtrack and tier != "A":
+        return None  # tiers B-D encode deterministic-greedy semantics
     try:
         if tier == "A":
-            return _lower_fixed(flagged, states, key, value_cols, horizon_s)
+            return _lower_fixed(flagged, states, key, value_cols, horizon_s,
+                                backtrack=backtrack)
         if tier == "B":
             return _lower_run(flagged, states[0], key, skip.partition(":")[0])
         if tier == "C":
@@ -440,9 +444,21 @@ def _case(branches: list[tuple[str, str]]) -> str:
 
 
 def _lower_fixed(
-    flagged: DataFrame, states, key: str, value_cols, horizon_s: int
+    flagged: DataFrame, states, key: str, value_cols, horizon_s: int,
+    backtrack: bool = False,
 ) -> DataFrame:
-    """Tier A: enumerate greedy count vectors over lead() columns."""
+    """Tier A: enumerate count vectors over lead() columns.
+
+    Deterministic-greedy mode (default): each vector carries
+    greedy-consistency NEGATIONS (the next extension / the skipped
+    optional must NOT have matched), making vectors mutually exclusive
+    — the fold's one-path semantics.
+
+    Backtracking mode: negations are dropped and the CASE tries
+    vectors in DESCENDING lexicographic count order (prefer more rows
+    in earlier states — the regex-greedy allocation, reluctant states
+    ascending) so the first satisfiable allocation wins, exactly the
+    branching fold's resolution (equivalence-tested)."""
     leads = _Leads()
     n = len(states)
     ranges = [
@@ -456,7 +472,7 @@ def _lower_fixed(
             return leads.ref(f"f{i}", off)
         return _instantiate(s.sql_cond, s.name, off, bound, leads, value_cols)
 
-    branches: list[tuple[str, dict]] = []
+    branches: list[tuple[tuple, str, dict]] = []
     for vec in itertools.product(*ranges):
         offsets: list[list[int]] = []
         pos = 0
@@ -484,8 +500,8 @@ def _lower_fixed(
                 break
         if dead:
             continue
-        # greedy-consistency negations
-        for i in range(n - 1):
+        # greedy-consistency negations (deterministic mode only)
+        for i in range(n - 1) if not backtrack else ():
             if not offsets[i]:
                 # skipped optional: must fail where the next state matched
                 p = next(offsets[j][0] for j in range(i + 1, n) if offsets[j])
@@ -509,6 +525,7 @@ def _lower_fixed(
         tss = ", ".join(leads.ref("ts", o) for o in range(L))
         branches.append(
             (
+                vec,
                 " AND ".join(f"({c})" for c in conds),
                 {
                     "end_ts": leads.ref("ts", L - 1),
@@ -520,6 +537,12 @@ def _lower_fixed(
         )
     if not branches:
         raise _Unlowerable("all count vectors statically dead")
+    if backtrack:
+        # regex preference: greedy states want MORE rows (descending),
+        # reluctant states fewer (ascending) — lexicographic by state
+        branches.sort(key=lambda b: tuple(
+            -c if states[i].greedy else c for i, c in enumerate(b[0])))
+    branches = [(c, e) for _, c, e in branches]
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     enriched = leads.attach(flagged, w)
     any_cond = " OR ".join(f"({c})" for c, _ in branches)

@@ -528,3 +528,63 @@ def test_fuzzed_funnel_optionals_equal_fold(spark):
         )
     ev.unpersist()
     assert checked >= 12 and modes["uni1"] >= 2 and modes["uni2"] >= 2, modes
+
+
+# ------------------------------------------- backtracking ∩ tier A (r7)
+
+
+def test_tier_a_equals_backtracking_fold_on_overlap(spark):
+    """Tier A's greedy count-vector enumeration IS regex backtracking
+    for bounded strict-contiguous patterns: on OVERLAPPING conditions
+    it must equal the branching fold exactly (the equivalence that
+    justifies lowering backtracking-mode tier-A patterns)."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.streaming.nfa import PatternSeq
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(vals):
+        rows = [(1, i + 1, t0 + dt.timedelta(seconds=10 * i), float(v))
+                for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double")
+
+    def norm(df):
+        return sorted((tuple(r.labels), tuple(r.ids)) for r in df.collect())
+
+    shapes = [
+        # A B? C, B and C share the condition (the x_mr_backtrack shape)
+        (PatternSeq.begin("A", "value < 50")
+         .next_("B", "value >= 50").optional().consecutive()
+         .next_("C", "value >= 50").consecutive()
+         .after_match_skip("to_next").with_backtracking()),
+        # A{1,2} B, overlapping: greedy takes 2 A's when B still fits
+        (PatternSeq.begin("A", "value >= 10").times(1, 2).consecutive()
+         .next_("B", "value >= 50").consecutive()
+         .after_match_skip("to_next").with_backtracking()),
+    ]
+    datasets = [
+        [10, 60], [10, 60, 70], [10, 60, 70, 80], [10, 20, 60, 90],
+        [60, 60, 60], [10, 20, 30], [90, 10, 60, 70, 10, 55],
+    ]
+    for p in shapes:
+        for vals in datasets:
+            e = ev(vals)
+            lowered = p.match_batch(e)  # tier A allowed under backtrack
+            fold = p.match_batch(e, lowering=False)
+            assert norm(lowered) == norm(fold), (vals, norm(fold))
+
+
+def test_backtracking_tier_a_is_native_for_entry_shape(spark):
+    """The x_mr_backtrack statement (strict A B? C, TO NEXT ROW) must
+    plan natively — no Python stage — now that backtracking-mode
+    tier A lowers."""
+    from flink_1_11_1_spark.extensions import registry
+
+    from .conftest import SF_SMOKE
+
+    df = registry.queries()["x_mr_backtrack"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
