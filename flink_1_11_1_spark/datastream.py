@@ -355,7 +355,7 @@ class KeyedStream:
         if self._keys != other._keys:
             raise ValueError("window_join: key columns must match")
         out = _wj(self.df, other.df.withColumnRenamed(
-            other._stream._rowtime, f"__rts"),
+            other._stream._rowtime, "__rts"),
             self._keys, self._stream._rowtime, "__rts", assigner.size)
         return self._stream._wrap(out.drop("__rts"))
 
