@@ -377,9 +377,8 @@ class KeyedStream:
                 state_fold: bool = False) -> DataStream:
         """``KeyedProcessFunction`` slot: bounded inputs run the
         callable per key over the rowtime-ordered pandas frame
-        (``fn(key_tuple, pdf) -> pdf``); the streaming keyed-state
-        twin is the ``applyInPandasWithState`` tier in
-        ``streaming/cep.py``."""
+        (``fn(key_tuple, pdf) -> pdf``); the streaming stateful twin
+        is ``process_with_state``."""
         rowtime = self._stream._rowtime
 
         def run(key, pdf):
@@ -389,6 +388,28 @@ class KeyedStream:
 
         return self._stream._wrap(
             self.df.groupBy(*self._keys).applyInPandas(run, schema=schema))
+
+    def process_with_state(self, fn: Callable, schema: str,
+                           state_schema: str,
+                           output_mode: str = "append") -> DataStream:
+        """The streaming ``KeyedProcessFunction`` tier: the callable
+        gets ``(key_tuple, frames_iterator, GroupState)`` per trigger
+        and yields output frames — Spark's ``applyInPandasWithState``
+        under Flink's name (the same backend every keyed-state operator
+        in ``streaming/`` runs on; ``transformWithState`` needs
+        protobuf, absent in this sandbox).  Bounded inputs: use
+        ``process`` — state across a single bounded pass is the fold
+        itself."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        if not self.df.isStreaming:
+            raise ValueError("process_with_state needs a streaming "
+                             "input; bounded inputs use process()")
+        configure(self.df.sparkSession)
+        out = self.df.groupBy(*self._keys).applyInPandasWithState(
+            fn, schema, state_schema, output_mode,
+            GroupStateTimeout.NoTimeout)
+        return self._stream._wrap(out)
 
 
 class IntervalJoinBuilder:

@@ -275,3 +275,45 @@ def test_sliding_count_window(env):
     # fires at rn=2 (window {1,2}), rn=4 ({2,3,4}), rn=6 ({4,5,6});
     # rn=8 never reached with 7 elements
     assert rows == [(0, 3, 2), (1, 9, 3), (2, 15, 3)]
+
+
+def test_process_with_state_running_count(env, spark, tmp_path):
+    """The generic streaming KeyedProcessFunction tier: a running
+    per-key count kept in GroupState across micro-batches equals the
+    batch count."""
+    import pandas as pd
+
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+
+    d = str(tmp_path / "replay_pws")
+    replay.write_replay(spark, SF_SMOKE, d, parts=3)
+    # user_id >= 0 drops the replay harness's flush sentinel row
+    stream = replay.events_stream(spark, d) \
+        .filter("user_id >= 0").select("user_id", "event_id")
+
+    def running_count(key, frames, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in frames:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    ds = (env.from_dataframe(stream)
+          .key_by("user_id")
+          .process_with_state(running_count,
+                              schema="user_id long, n long",
+                              state_schema="n long",
+                              output_mode="update"))
+    got, _ = replay.run_stream(ds.df, "update", "pws_count")
+    final = {}
+    for r in got:  # last update per key wins
+        final[r.user_id] = r.n
+    want = dict(catalog.load_table(spark, SF_SMOKE, "events")
+                .groupBy("user_id").count().collect())
+    assert final == want
+
+    bounded = env.from_collection([(1, 1)], schema="user_id long, v int")
+    with pytest.raises(ValueError, match="streaming"):
+        bounded.key_by("user_id").process_with_state(
+            running_count, "user_id long, n long", "n long")
