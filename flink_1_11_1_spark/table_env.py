@@ -196,6 +196,35 @@ class TableEnvironment:
 
         return Table(ds.df, tenv=self)
 
+    def to_retract_stream(self, table, keys, workdir: str,
+                          checkpoint: str | None = None):
+        """``StreamTableEnvironment.toRetractStream`` parity.
+
+        Streaming (update-mode) Table: starts the foreachBatch query
+        rendering boolean-tagged records via
+        ``streaming/changelog.RetractStreamWriter`` (retract-before-
+        add, executor-side); returns the StreamingQuery — read the
+        stream with ``read_retracts`` / reconstruct with
+        ``fold_retracts``.  Bounded Table: returns the ``(add, …)``
+        DataFrame directly — a bounded table's retract stream is
+        all-adds (Flink's bounded case)."""
+        from pyspark.sql import functions as _F
+
+        from .streaming.changelog import RetractStreamWriter
+
+        df = table.df
+        if not df.isStreaming:
+            return df.select(_F.lit(True).alias("add"), "*")
+        writer = RetractStreamWriter(list(keys), workdir)
+        # complete mode: the writer's contract is a full snapshot per
+        # trigger (it renders the retract pairs from the snapshot DIFF
+        # executor-side) — update mode would hand it partial tables
+        return (df.writeStream.outputMode("complete")
+                .foreachBatch(writer)
+                .option("checkpointLocation",
+                        checkpoint or f"{workdir}/__ckpt")
+                .start())
+
     def to_append_stream(self, table):
         """``to_append_stream``: a Table's rows as a DataStream (valid
         for append-only results — Spark raises at execution on

@@ -383,3 +383,41 @@ def test_join_lateral_udtf(tenv):
         (1, "ab"), (1, "c"), (2, None)]
     with pytest.raises(ValueError, match="arity"):
         t.join_lateral("lat_split(s) as (only_one)").df.collect()
+
+
+def test_to_retract_stream_streaming_and_bounded(tenv, tmp_path):
+    """`t_env.to_retract_stream` name-parity: streaming update-mode
+    aggregate → boolean-tagged records whose fold equals the batch
+    result; bounded table → all-adds DataFrame."""
+    from flink_1_11_1_spark import catalog as _catalog
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.changelog import (
+        fold_retracts, read_retracts)
+
+    # bounded case
+    t = tenv.from_path("region").select("r_regionkey")
+    b = tenv.to_retract_stream(t, ["r_regionkey"], str(tmp_path / "na"))
+    assert b.columns[0] == "add" and b.count() == 5
+    assert all(r.add for r in b.collect())
+
+    # streaming case: per-type count over replayed events
+    d = str(tmp_path / "replay_trs")
+    replay.write_replay(tenv.spark, SF_SMOKE, d, parts=3)
+    from pyspark.sql import functions as F
+
+    stream = replay.events_stream(tenv.spark, d).filter("user_id >= 0") \
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+    q = tenv.to_retract_stream(
+        tenv.from_dataframe(stream), ["event_type"],
+        str(tmp_path / "trs"))
+    q.processAllAvailable()
+    q.stop()
+    recs = [(r.add, (r.event_type, r.n))
+            for r in read_retracts(tenv.spark, str(tmp_path / "trs"))
+            .collect()]
+    folded = sorted(fold_retracts(recs))
+    want = sorted(
+        (r.event_type, r.n)
+        for r in _catalog.load_table(tenv.spark, SF_SMOKE, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect())
+    assert folded == want
