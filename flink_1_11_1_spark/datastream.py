@@ -221,12 +221,20 @@ class DataStream:
         column (batch ignores watermarks, same as Flink batch mode).
         A source that already carries a watermark on ``ts_col`` (e.g.
         a DDL-declared stream) keeps it — Spark disallows redefining."""
-        df = self.df
+        raw = self.df
         has_wm = "spark.watermarkDelayMs" in \
-            df.schema[ts_col].metadata if ts_col in df.columns else False
-        if df.isStreaming and not has_wm:
-            df = df.withWatermark(ts_col, max_out_of_orderness)
-        return DataStream(df, self._env, rowtime=ts_col)
+            raw.schema[ts_col].metadata if ts_col in raw.columns else False
+        df = raw
+        if raw.isStreaming and not has_wm:
+            df = raw.withWatermark(ts_col, max_out_of_orderness)
+        out = DataStream(df, self._env, rowtime=ts_col)
+        # kept for allowed_lateness (watermark widening needs the
+        # pre-watermark plan: Spark disallows redefining) and for the
+        # side-output adapter (its own stateless consumer of the raw
+        # source)
+        out._pre_wm = raw if not has_wm else None
+        out._wm_delay = max_out_of_orderness
+        return out
 
     # -- sinks ---------------------------------------------------------
     def print(self, n: int = 20) -> None:  # noqa: A003 - Flink name
@@ -449,6 +457,64 @@ class WindowedStream:
     def __init__(self, keyed: KeyedStream, assigner: WindowAssigner):
         self._keyed = keyed
         self._assigner = assigner
+
+    def allowed_lateness(self, lateness: str) -> WindowedStream:
+        """``WindowedStream.allowedLateness``: late rows within the
+        extra bound still reach their window.  Spark has one knob —
+        the watermark delay — so the effective delay becomes
+        ``out_of_orderness + lateness`` and each late arrival RE-FIRES
+        its window when the aggregate is consumed in update mode
+        (UpsertStreamWriter renders the +I/+U revisions — the S18
+        contract).  Needs the pre-watermark source (assign the
+        watermark through the façade, not at the source)."""
+        from .streaming.pattern import _parse_interval
+
+        ks = self._keyed
+        st = ks._stream
+        raw = getattr(st, "_pre_wm", None)
+        delay = getattr(st, "_wm_delay", None)
+        if not st.df.isStreaming:
+            return self  # batch ignores lateness (no watermark drops)
+        if raw is None or delay is None:
+            raise ValueError(
+                "allowed_lateness needs the façade-assigned watermark "
+                "(assign_timestamps_and_watermarks on the raw source)")
+        total_s = _parse_interval(delay) + _parse_interval(lateness)
+        widened = DataStream(
+            raw.withWatermark(st._rowtime, f"{total_s} seconds"),
+            st._env, rowtime=st._rowtime)
+        widened._pre_wm = raw
+        widened._wm_delay = f"{total_s} seconds"
+        return WindowedStream(KeyedStream(widened, ks._keys),
+                              self._assigner)
+
+    def side_output_late_data(self, sink_path: str,
+                              checkpoint: str | None = None):
+        """``WindowedStream.sideOutputLateData(tag)``: starts the
+        dual-watermark side-output capture
+        (``streaming/late.LateSideOutput``) over the raw source —
+        window-level rule from this window's size, so captured rows
+        are exactly the aggregate's ``numRowsDroppedByWatermark``.
+        Returns the side StreamingQuery; read the captured rows from
+        ``sink_path`` with ``spark.read.parquet``."""
+        from .streaming.late import LateSideOutput
+
+        ks = self._keyed
+        st = ks._stream
+        raw = getattr(st, "_pre_wm", None)
+        delay = getattr(st, "_wm_delay", None)
+        if raw is None or delay is None or not st.df.isStreaming:
+            raise ValueError(
+                "side_output_late_data needs a streaming source with a "
+                "façade-assigned watermark")
+        size = self._assigner.size if self._assigner.kind == "tumble" \
+            else None
+        adapter = LateSideOutput(st._rowtime, delay, sink_path,
+                                 window_size=size)
+        return (raw.writeStream.foreachBatch(adapter)
+                .option("checkpointLocation",
+                        checkpoint or f"{sink_path}__ckpt")
+                .start())
 
     def _grouped(self):
         a, ks = self._assigner, self._keyed

@@ -317,3 +317,52 @@ def test_process_with_state_running_count(env, spark, tmp_path):
     with pytest.raises(ValueError, match="streaming"):
         bounded.key_by("user_id").process_with_state(
             running_count, "user_id long, n long", "n long")
+
+
+def test_windowed_lateness_facade(env, spark, tmp_path):
+    """allowed_lateness widens the effective watermark (S18 contract)
+    and side_output_late_data captures exactly the aggregate's
+    watermark-dropped rows (S20 contract) — through the façade names."""
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.late import read_late_rows
+
+    base = (1_700_000_000 // 3600) * 3600
+
+    def frame(rows):  # (event_id, minute)
+        return spark.createDataFrame(
+            [(i, (base + int(m * 60)) * 10**6, 0) for i, m in rows],
+            "event_id long, us long, k int",
+        ).select("event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+                 "k")
+
+    frames = [frame([(1, 10), (2, 70)]), frame([(3, 400)]),
+              frame([(4, 30), (5, 90), (6, 350)])]
+    rdir = str(tmp_path / "late_facade")
+    replay.write_replay_frames(frames, rdir)
+    src = (spark.readStream.format("parquet").schema(frames[0].schema)
+           .option("maxFilesPerTrigger", 1).load(rdir))
+    ws = (env.from_dataframe(src)
+          .assign_timestamps_and_watermarks("ts", "60 minutes")
+          .key_by("k")
+          .window(TumblingEventTimeWindows.of("1 hour")))
+
+    # side output: the dual-watermark capture
+    side = str(tmp_path / "side_out")
+    q = ws.side_output_late_data(side, checkpoint=str(tmp_path / "sck"))
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.event_id
+                  for r in read_late_rows(spark, side).collect()) == [4, 5]
+
+    # allowed_lateness: the effective watermark widens on the plan
+    widened = ws.allowed_lateness("300 minutes")
+    meta = widened._keyed.df.schema["ts"].metadata
+    assert meta["spark.watermarkDelayMs"] == (60 + 300) * 60 * 1000
+
+    # a non-façade watermark cannot be widened (documented guard)
+    pre = env.from_dataframe(src.withWatermark("ts", "60 minutes")) \
+        .assign_timestamps_and_watermarks("ts", "60 minutes")
+    with pytest.raises(ValueError, match="faç|fac"):
+        pre.key_by("k").window(
+            TumblingEventTimeWindows.of("1 hour")) \
+            .allowed_lateness("10 minutes")
