@@ -86,6 +86,15 @@ class StreamExecutionEnvironment:
             cls, spark: SparkSession) -> StreamExecutionEnvironment:
         return cls(spark)
 
+    def set_parallelism(self, n: int) -> "StreamExecutionEnvironment":
+        """``env.setParallelism``: maps onto the shuffle partition
+        count (the knob that decides per-stage task fan-out here)."""
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return self
+
+    def get_parallelism(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+
     def from_collection(self, data: Sequence, schema=None) -> DataStream:
         """``env.fromCollection`` — a bounded inline source."""
         return DataStream(self.spark.createDataFrame(data, schema=schema),
