@@ -18,7 +18,17 @@ NOT already give us:
                    SimHash / n-gram Jaccard), embedding similarity search,
                    text analysis, multimodal column plumbing
 - ``streaming``    file-stream replay harness, watermark wiring,
-                   changelog capability matrix, CEP-lite
+                   changelog capability matrix, CEP / NFA (deterministic
+                   + branching backtracking folds, native lowerings)
+- ``table_env``    TableEnvironment front door (FLIP-84), DDL router,
+                   EnvironmentSettings / TableConfig / StatementSet
+- ``table_api``    fluent Table API (PyFlink 1.11 shape) over the
+                   expression-string DSL in ``expr``
+- ``datastream``   DataStream API façade (env / keyed / windowed
+                   streams, event-time + count windows, fluent joins)
+- ``udf``          PyFlink udf/udtf/DataTypes shim
+- ``pyflink_shim`` ``import …pyflink_shim`` → verbatim PyFlink 1.11
+                   programs run unchanged (see examples/)
 """
 
 __version__ = "0.1.0"
