@@ -1,0 +1,131 @@
+"""Regex-oracle differential fuzzer for the branching (backtracking)
+NFA fold and the tier-A backtracking lowering.
+
+For STRICT-contiguous patterns (consecutive repeats + strict edges —
+the MATCH_RECOGNIZE shape) the match semantics ARE regular-expression
+semantics, and Python's ``re`` engine is a true independent
+backtracking implementation: greedy/reluctant quantifier preference,
+fork exploration, one match per start.  Each fuzz case builds
+
+- a random pattern (2–4 states; count ranges incl. unbounded;
+  random greedy/reluctant on non-final quantified states; conditions =
+  random value-class subsets, so overlap arises naturally), and
+- a random event sequence of value classes,
+
+then compares THREE implementations:
+  1. the branching fold (``match_batch(lowering=False)``),
+  2. the tier-A backtracking lowering (bounded shapes only),
+  3. the ``re`` oracle (named groups recover each state's span,
+     TO NEXT ROW = a match at every start, PAST LAST ROW = leftmost
+     match then resume after its end).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import re
+
+import pytest
+
+from flink_1_11_1_spark.streaming.nfa import PatternSeq, State
+
+N_CASES = 40
+SEED = 1311
+
+_CLASSES = "abc"  # row value classes; row char = its class letter
+
+
+def _random_pattern(rng: random.Random):
+    n_states = rng.randint(2, 4)
+    states = []
+    for i in range(n_states):
+        last = i == n_states - 1
+        subset = sorted(rng.sample(_CLASSES, rng.randint(1, 2)))
+        cond = "(" + " OR ".join(f"cls = '{c}'" for c in subset) + ")"
+        if last:
+            mn = mx = rng.randint(1, 2)
+            greedy = True
+        else:
+            # state 0 keeps min >= 1: a partial starts where state 0
+            # matches (Flink's leading-optional start relaxation is a
+            # documented non-goal of the fold)
+            ranges = [(1, 1), (1, 2), (1, 3), (2, 2), (1, None)]
+            if i > 0:
+                ranges += [(0, 1), (0, None)]
+            mn, mx = rng.choice(ranges)
+            greedy = rng.random() < 0.7
+            if mn == mx:
+                greedy = True  # exact counts have no preference
+        states.append(
+            State(f"S{i}", cond, min_count=mn, max_count=mx,
+                  strict_in=True, consecutive=True, greedy=greedy))
+    skip = rng.choice(["to_next", "past_last"])
+    return (PatternSeq(states=tuple(states), horizon_s=36500 * 86400,
+                       skip=skip).with_backtracking(max_branches=256),
+            [set(re.findall(r"'(\w)'", s.cond)) for s in states], skip)
+
+
+def _regex_for(states, subsets) -> re.Pattern:
+    parts = []
+    for i, (s, subset) in enumerate(zip(states, subsets)):
+        cls = "[" + "".join(sorted(subset)) + "]"
+        mn, mx = s.min_count, s.max_count
+        quant = f"{{{mn},{'' if mx is None else mx}}}"
+        lazy = "" if s.greedy else "?"
+        parts.append(f"(?P<g{i}>{cls}{quant}{lazy})")
+    return re.compile("".join(parts))
+
+
+def _oracle(rx: re.Pattern, states, text: str, skip: str):
+    """Expected matches as (start_index, labels tuple)."""
+    out = []
+
+    def labels_of(m, base: int):
+        labs = []
+        for i, s in enumerate(states):
+            a, b = m.span(f"g{i}")
+            labs.extend([s.name] * (b - a))
+        return labs
+
+    if skip == "to_next":
+        for p in range(len(text)):
+            m = rx.match(text, p)
+            if m and m.end() > m.start():
+                out.append((p, tuple(labels_of(m, p))))
+        return out
+    p = 0
+    while p < len(text):
+        m = rx.match(text, p)
+        if m and m.end() > m.start():
+            out.append((p, tuple(labels_of(m, p))))
+            p = m.end()
+        else:
+            p += 1
+    return out
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_backtracking_matches_regex_oracle(spark, case):
+    rng = random.Random(SEED + case)
+    pat, subsets, skip = _random_pattern(rng)
+    text = "".join(rng.choice(_CLASSES) for _ in range(rng.randint(8, 14)))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(seconds=i), ch)
+            for i, ch in enumerate(text)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, cls string")
+
+    want = sorted(_oracle(_regex_for(pat.states, subsets), pat.states,
+                          text, skip))
+    fold = pat.match_batch(ev, lowering=False)
+    got_fold = sorted((r.ids[0], tuple(r.labels)) for r in fold.collect())
+    assert got_fold == want, (
+        f"fold vs regex: pattern="
+        f"{[(s.min_count, s.max_count, s.greedy, sorted(ss)) for s, ss in zip(pat.states, subsets)]} "
+        f"skip={skip} text={text!r}")
+
+    # the tier-A lowering must agree wherever it applies
+    lowered = pat.match_batch(ev)
+    got_low = sorted((r.ids[0], tuple(r.labels)) for r in lowered.collect())
+    assert got_low == want, f"lowering vs regex: text={text!r}"
