@@ -490,6 +490,12 @@ def _fold_events(
     eid_arr = events["event_id"].astype("int64").tolist()
     flag_arrs = [events[f"f{i}"].astype(bool).tolist() for i in range(n_states)]
     val_arrs = {c: events[f"v_{c}"].tolist() for c in value_cols}
+    # a match may START at any state reachable through leading
+    # optional (min 0) states — Flink's A? B matches a bare B
+    start_chain = [0]
+    while start_chain[-1] < n_states - 1 \
+            and states[start_chain[-1]][1] == 0:
+        start_chain.append(start_chain[-1] + 1)
 
     for ei in range(n_events):
         ts_us = ts_arr[ei]
@@ -503,7 +509,7 @@ def _fold_events(
             code = py_conds[j]
             return code is None or _py_cond_ok(code, p, evvals)
 
-        if not partials and not flags[0]:
+        if not partials and not any(flags[j] for j in start_chain):
             continue  # nothing live and nothing can start — skip fast
         partials = [p for p in partials if ts_us <= p["start"] + horizon]
         survivors: list[dict] = []
@@ -593,11 +599,13 @@ def _fold_events(
         if min_start is not None:
             survivors = [s for s in survivors if (s["start"], s["sid"]) >= min_start]
         partials = survivors
-        # NO_SKIP (and to_next) start a new partial at every state-0 match
-        if not suppress_start and _ok(0, None):
-            name0, mn0, mx0, _, _ = states[0]
+        # NO_SKIP (and to_next) start a new partial at every match of a
+        # startable state (state 0, or any state behind leading optionals)
+        j0 = next((j for j in start_chain if _ok(j, None)), None)
+        if not suppress_start and j0 is not None:
+            name0, mn0, mx0, _, _ = states[j0]
             p0 = {
-                "si": 0,
+                "si": j0,
                 "cnt": 1,
                 "closed": False,
                 "labels": [name0],
@@ -607,7 +615,7 @@ def _fold_events(
                 "start": ts_us,
                 "sid": eid,
             }
-            if n_states == 1 and mn0 == 1:
+            if j0 == n_states - 1 and mn0 == 1:
                 out.append(
                     (
                         key,
@@ -770,6 +778,12 @@ def _fold_events_bt(
         pend = new_pend
         return survivors, suppress
 
+    # startable states: state 0 plus states behind leading optionals
+    start_chain = [0]
+    while start_chain[-1] < n_states - 1 \
+            and states[start_chain[-1]][1] == 0:
+        start_chain.append(start_chain[-1] + 1)
+
     if n_events:
         ts_arr = (
             events["ts"].astype("datetime64[ns]").astype("int64") // 1000
@@ -792,7 +806,8 @@ def _fold_events_bt(
                 code = py_conds[j]
                 return code is None or _py_cond_ok(code, p, evvals)
 
-            if not live and not pend and not flags[0]:
+            if not live and not pend \
+                    and not any(flags[j] for j in start_chain):
                 continue
             expired = {
                 (p["start"], p["sid"])
@@ -874,16 +889,23 @@ def _fold_events_bt(
             # this event resolve in the same pass
             survivors, suppress_start = _resolve(survivors, True, ts_us)
             live = survivors
-            if not suppress_start and _ok(0, None):
-                name0, mn0, mx0, _, _ = states[0]
+            startable = [] if suppress_start else \
+                [j for j in start_chain if _ok(j, None)]
+            fork0 = len(startable) > 1
+            for ci, j0 in enumerate(startable):
+                name0, mn0 = states[j0][0], states[j0][1]
                 p0 = {
-                    "si": 0, "cnt": 1, "closed": False,
+                    "si": j0, "cnt": 1, "closed": False,
                     "labels": [name0], "ids": [eid], "tss": [ts_us],
                     "vals": [evvals], "start": ts_us, "sid": eid,
-                    "deck": [],
+                    "deck": [ci] if fork0 else [],
                 }
-                if n_states == 1 and mn0 == 1:
-                    _emit({**p0, "done": True})
+                if j0 == n_states - 1 and mn0 == 1:
+                    if n_states == 1:
+                        _emit({**p0, "done": True})
+                    else:  # instant complete behind leading optionals:
+                        p0["done"] = True  # resolve vs greedier starts
+                        pend.append(p0)
                 elif len(live) < max_partials:
                     live.append(p0)
     if finalize:

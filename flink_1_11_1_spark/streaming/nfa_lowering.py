@@ -283,6 +283,9 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         return None
     if any(not getattr(s, "greedy", True) for s in states):
         return None  # reluctant quantifiers: backtracking fold only
+    if states[0].min_count == 0:
+        return None  # leading-optional starts: fold only (the tier-A
+        # first-range max(1, ·) cannot represent a skipped first state)
     unbounded = horizon_s >= _UNBOUNDED_S
     s0 = states[0]
     contiguous = all(s.strict_in for s in states[1:])

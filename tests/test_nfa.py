@@ -522,3 +522,21 @@ def test_backtracking_stream_equals_unfinalized_fold(spark, tmp_path):
     # both binding shapes occur in the data (forks genuinely exercised)
     lens = {len(ids) for _, ids in want}
     assert lens == {2, 3}
+
+
+def test_leading_optional_start(spark):
+    """A? B matches a bare B (Flink: a pattern may start at any state
+    reachable through leading optionals) — in BOTH fold modes; under
+    backtracking, an event satisfying A and B forks the start and the
+    greedy (A-taken) branch wins when it completes."""
+    p = (PatternSeq.begin("A", "value < 50").optional()
+         .followed_by("B", "value >= 50").after_match_skip("to_next"))
+    ev = _bt_events(spark, [60])
+    for q in (p, p.with_backtracking()):
+        got = q.match_batch(ev, lowering=False).collect()
+        assert [(r.labels, r.ids) for r in got] == [(["B"], [1])]
+    # overlap at the start: 10 satisfies A only; 60 satisfies B
+    ev = _bt_events(spark, [10, 60])
+    got = p.with_backtracking().match_batch(ev, lowering=False).collect()
+    assert sorted((tuple(r.labels), tuple(r.ids)) for r in got) == [
+        (("A", "B"), (1, 2)), (("B",), (2,))]  # starts at 1 AND at 2

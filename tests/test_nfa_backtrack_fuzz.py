@@ -47,16 +47,16 @@ def _random_pattern(rng: random.Random):
             mn = mx = rng.randint(1, 2)
             greedy = True
         else:
-            # state 0 keeps min >= 1: a partial starts where state 0
-            # matches (Flink's leading-optional start relaxation is a
-            # documented non-goal of the fold)
-            ranges = [(1, 1), (1, 2), (1, 3), (2, 2), (1, None)]
-            if i > 0:
-                ranges += [(0, 1), (0, None)]
+            ranges = [(1, 1), (1, 2), (1, 3), (2, 2), (1, None),
+                      (0, 1), (0, None)]
             mn, mx = rng.choice(ranges)
             greedy = rng.random() < 0.7
             if mn == mx:
                 greedy = True  # exact counts have no preference
+            if i == 0 and mn == 0:
+                # leading-optional start forks are state-ordered; the
+                # reluctant leading-optional preference is undefined
+                greedy = True
         states.append(
             State(f"S{i}", cond, min_count=mn, max_count=mx,
                   strict_in=True, consecutive=True, greedy=greedy))
