@@ -112,6 +112,13 @@ class State:
     # per (event, partial) inside the fold.  ``cond`` stays the JVM-side
     # row-local prefilter ("true" when nothing is row-local).
     py_cond: str | None = None
+    # Negative edge guard (flink-cep Pattern.notNext / notFollowedBy,
+    # pattern/Pattern.java): while a partial waits to ENTER this state,
+    # an un-consumed event matching ``neg_cond`` kills it.
+    # ``neg_strict`` = notNext: only the event IMMEDIATELY after the
+    # previous state's last bound row is checked.
+    neg_cond: str | None = None
+    neg_strict: bool = False
     # Original SQL text of a cross-variable condition (``Var.col`` /
     # FIRST/LAST(Var.col) references).  Optional: when present, the
     # native lowering (nfa_lowering.py) can instantiate the condition at
@@ -159,11 +166,37 @@ class PatternSeq:
     def begin(name: str, cond: str) -> "PatternSeq":
         return PatternSeq(states=(State(name, cond),))
 
+    # a declared-but-unattached negative guard (notFollowedBy/notNext
+    # waiting for the next positive state)
+    pending_neg: tuple[str, bool] | None = None
+
     def followed_by(self, name: str, cond: str) -> "PatternSeq":
-        return replace(self, states=self.states + (State(name, cond),))
+        return self._append(State(name, cond))
 
     def next_(self, name: str, cond: str) -> "PatternSeq":
-        return replace(self, states=self.states + (State(name, cond, strict_in=True),))
+        return self._append(State(name, cond, strict_in=True))
+
+    def _append(self, st: State) -> "PatternSeq":
+        if self.pending_neg is not None:
+            cond, strict = self.pending_neg
+            st = replace(st, neg_cond=cond, neg_strict=strict)
+        return replace(self, states=self.states + (st,), pending_neg=None)
+
+    def not_followed_by(self, cond: str) -> "PatternSeq":
+        """Flink ``notFollowedBy``: no event matching ``cond`` may
+        occur between the previous state's completion and the next
+        state's first row (un-consumed events only — an event bound by
+        the next positive state is never a violation)."""
+        if self.pending_neg is not None:
+            raise ValueError("two consecutive negative patterns")
+        return replace(self, pending_neg=(cond, False))
+
+    def not_next(self, cond: str) -> "PatternSeq":
+        """Flink ``notNext``: the event IMMEDIATELY after the previous
+        state's last bound row must not match ``cond``."""
+        if self.pending_neg is not None:
+            raise ValueError("two consecutive negative patterns")
+        return replace(self, pending_neg=(cond, True))
 
     # -- quantifiers (apply to the LAST added state) -------------------
     def _mod_last(self, **kw) -> "PatternSeq":
@@ -257,6 +290,11 @@ class PatternSeq:
             raise ValueError(
                 "a pattern may not END with a reluctant quantifier "
                 "(Flink's own restriction)")
+        if self.pending_neg is not None:
+            raise ValueError(
+                "a pattern may not END with notNext/notFollowedBy "
+                "(Flink's own restriction; bound it with a following "
+                "state or WITHIN)")
         if any(not s.greedy for s in self.states) and not self.backtrack:
             raise ValueError(
                 "reluctant quantifiers need with_backtracking() — the "
@@ -355,6 +393,11 @@ def _with_flags(
             F.coalesce(F.expr(s.cond), F.lit(False)).alias(f"f{i}")
             for i, s in enumerate(states)
         ],
+        *[
+            F.coalesce(F.expr(s.neg_cond), F.lit(False)).alias(f"g{i}")
+            for i, s in enumerate(states)
+            if s.neg_cond is not None
+        ],
         *[F.col(c).alias(f"v_{c}") for c in value_cols],
     )
 
@@ -377,6 +420,7 @@ def _spec(p: PatternSeq) -> dict:
         "backtrack": p.backtrack,
         "max_branches": p.max_branches,
         "greedy": [s.greedy for s in p.states],
+        "neg": [(s.neg_cond is not None, s.neg_strict) for s in p.states],
     }
 
 
@@ -490,6 +534,11 @@ def _fold_events(
     eid_arr = events["event_id"].astype("int64").tolist()
     flag_arrs = [events[f"f{i}"].astype(bool).tolist() for i in range(n_states)]
     val_arrs = {c: events[f"v_{c}"].tolist() for c in value_cols}
+    neg = spec.get("neg") or [(False, False)] * n_states
+    neg_arrs = {
+        i: events[f"g{i}"].astype(bool).tolist()
+        for i in range(n_states) if neg[i][0]
+    }
     # a match may START at any state reachable through leading
     # optional (min 0) states — Flink's A? B matches a bare B
     start_chain = [0]
@@ -525,6 +574,7 @@ def _fold_events(
                 p["ids"].append(eid)
                 p["tss"].append(ts_us)
                 p.setdefault("vals", []).append(evvals)
+                p["ng"] = True  # re-arm the notNext slot
                 if si == n_states - 1 and p["cnt"] == mn:
                     completed.append(p)
                 else:
@@ -542,6 +592,7 @@ def _fold_events(
                         p["ids"].append(eid)
                         p["tss"].append(ts_us)
                         p.setdefault("vals", []).append(evvals)
+                        p["ng"] = True
                         if j == n_states - 1 and jmn == 1:
                             completed.append(p)
                         else:
@@ -562,6 +613,15 @@ def _fold_events(
             nxt = si + 1
             if p["cnt"] >= mn and nxt < n_states and states[nxt][3]:
                 continue  # strict_in edge violated — dead
+            if p["cnt"] >= mn and nxt < n_states and neg[nxt][0]:
+                # negative edge guard (notNext/notFollowedBy): an
+                # UN-consumed event matching the guard kills the partial
+                hit = neg_arrs[nxt][ei]
+                strict_neg = neg[nxt][1]
+                if hit and (not strict_neg or p.get("ng", True)):
+                    continue  # killed by the negative pattern
+                if strict_neg:
+                    p["ng"] = False  # the immediate slot has passed
             survivors.append(p)
         # emission order: oldest start first (stable by start event id)
         completed.sort(key=lambda p: (p["start"], p["sid"]))
@@ -793,6 +853,11 @@ def _fold_events_bt(
             events[f"f{i}"].astype(bool).tolist() for i in range(n_states)
         ]
         val_arrs = {c: events[f"v_{c}"].tolist() for c in value_cols}
+        neg = spec.get("neg") or [(False, False)] * n_states
+        neg_arrs = {
+            i: events[f"g{i}"].astype(bool).tolist()
+            for i in range(n_states) if neg[i][0]
+        }
 
         for ei in range(n_events):
             ts_us = ts_arr[ei]
@@ -844,6 +909,13 @@ def _fold_events_bt(
                     nxt = si + 1
                     if p["cnt"] >= mn and nxt < n_states and states[nxt][3]:
                         continue
+                    if p["cnt"] >= mn and nxt < n_states and neg[nxt][0]:
+                        hit = neg_arrs[nxt][ei]
+                        strict_neg = neg[nxt][1]
+                        if hit and (not strict_neg or p.get("ng", True)):
+                            continue  # killed by the negative pattern
+                        if strict_neg:
+                            p["ng"] = False
                     survivors.append(p)
                     continue
                 fork = len(choices) > 1
@@ -874,6 +946,7 @@ def _fold_events_bt(
                         q["cnt"] += 1
                     else:
                         q.update(si=j, cnt=1, closed=False)
+                    q["ng"] = True  # consume re-arms the notNext slot
                     q["labels"].append(states[q["si"]][0])
                     q["ids"].append(eid)
                     q["tss"].append(ts_us)

@@ -286,6 +286,8 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
     if states[0].min_count == 0:
         return None  # leading-optional starts: fold only (the tier-A
         # first-range max(1, ·) cannot represent a skipped first state)
+    if any(getattr(s, "neg_cond", None) is not None for s in states):
+        return None  # negative edge guards: fold only
     unbounded = horizon_s >= _UNBOUNDED_S
     s0 = states[0]
     contiguous = all(s.strict_in for s in states[1:])

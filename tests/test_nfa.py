@@ -540,3 +540,41 @@ def test_leading_optional_start(spark):
     got = p.with_backtracking().match_batch(ev, lowering=False).collect()
     assert sorted((tuple(r.labels), tuple(r.ids)) for r in got) == [
         (("A", "B"), (1, 2)), (("B",), (2,))]  # starts at 1 AND at 2
+
+
+def test_not_followed_by(spark):
+    """notFollowedBy: an un-consumed matching event between the states
+    kills the partial; a clean gap matches; the blocker being bound by
+    the next state is no violation."""
+    p = (PatternSeq.begin("A", "value = 1")
+         .not_followed_by("value = 9")
+         .followed_by("B", "value = 2").after_match_skip("to_next"))
+    ok = _bt_events(spark, [1, 5, 2])      # gap event 5 is neutral
+    bad = _bt_events(spark, [1, 9, 2])     # 9 blocks
+    assert [tuple(r.ids) for r in p.match_batch(ok).collect()] == [(1, 3)]
+    assert p.match_batch(bad).collect() == []
+    # identical under backtracking
+    assert [tuple(r.ids) for r in
+            p.with_backtracking().match_batch(ok).collect()] == [(1, 3)]
+    assert p.with_backtracking().match_batch(bad).collect() == []
+
+
+def test_not_next(spark):
+    """notNext checks only the event IMMEDIATELY after the previous
+    state's completion."""
+    p = (PatternSeq.begin("A", "value = 1")
+         .not_next("value = 9")
+         .followed_by("B", "value = 2").after_match_skip("to_next"))
+    late_nine = _bt_events(spark, [1, 5, 9, 2])  # 9 is NOT immediate
+    immediate = _bt_events(spark, [1, 9, 2])
+    direct = _bt_events(spark, [1, 2])           # B itself is immediate
+    assert [tuple(r.ids) for r in
+            p.match_batch(late_nine).collect()] == [(1, 4)]
+    assert p.match_batch(immediate).collect() == []
+    assert [tuple(r.ids) for r in p.match_batch(direct).collect()] == [(1, 2)]
+
+
+def test_trailing_negative_rejected(spark):
+    p = (PatternSeq.begin("A", "value = 1").not_followed_by("value = 9"))
+    with pytest.raises(ValueError, match="END with notNext"):
+        p.match_batch(_bt_events(spark, [1]))
