@@ -7,8 +7,21 @@ Reference parity: flink-libraries/flink-cep pattern/Pattern.java
 (NO_SKIP / SKIP_TO_NEXT / SKIP_PAST_LAST_EVENT).  SQL MATCH_RECOGNIZE
 lowers onto this engine (extensions/match_recognize.py).
 
-Semantic contract (deterministic greedy subset — documented deltas vs
-Flink's branching NFA):
+Two execution modes share one event-at-a-time contract:
+- DEFAULT (deterministic greedy): one path per partial, no branching —
+  identical to Flink wherever adjacent conditions are disjoint (the
+  dispatch shapes every funnel uses), and the mode the native
+  lowerings (nfa_lowering.py) encode.
+- BACKTRACKING (``with_backtracking()``, Flink nfa/NFA.java parity):
+  ambiguous transitions fork (``_fold_events_bt``), completed branches
+  resolve by regex-greedy priority (reluctant states reverse it), and
+  matches may start at any state behind leading optionals — validated
+  against Python's ``re`` engine by the 41-case differential fuzzer.
+Negative edge guards (``not_next``/``not_followed_by``) kill a waiting
+partial on an un-consumed matching event in BOTH modes.
+
+Deterministic-mode contract in detail (documented deltas vs the
+branching mode):
 - A pattern is a sequence of states; each state has a SQL condition, a
   count range [min, max] (``max=None`` = unbounded), an edge-contiguity
   flag (``strict_in`` = Flink ``next()``), and an internal-contiguity
@@ -19,7 +32,8 @@ Flink's branching NFA):
   the first later state whose condition holds, skipping optional states.
   One path per partial — no branching; alternatives surface as separate
   partials started at later events (NO_SKIP starts a new partial at
-  every state-0 match).
+  every match of a startable state — state 0, or any state behind
+  leading min-0 optionals).
 - ``consecutive``: an intervening non-matching event kills the partial
   while the state is below ``min``, and freezes the state (no further
   extends) once ``min`` is reached.  ``strict_in``: an event that
