@@ -578,3 +578,42 @@ def test_trailing_negative_rejected(spark):
     p = (PatternSeq.begin("A", "value = 1").not_followed_by("value = 9"))
     with pytest.raises(ValueError, match="END with notNext"):
         p.match_batch(_bt_events(spark, [1]))
+
+
+def test_backtracking_skip_to_variants_match_deterministic(spark):
+    """to_first/to_last skips under backtracking on EXCLUSIVE
+    conditions == the deterministic fold (the skip machinery is shared
+    through the pend-resolution path)."""
+    for skip in ["to_first:A", "to_last:A"]:
+        p = (PatternSeq.begin("A", "value < 50").times(1, 2)
+             .followed_by("B", "value >= 50").after_match_skip(skip))
+        e = _bt_events(spark, [10, 20, 60, 30, 70, 40, 80])
+        det = sorted(tuple(r.ids)
+                     for r in p.match_batch(e, lowering=False).collect())
+        bt = sorted(tuple(r.ids)
+                    for r in p.with_backtracking().match_batch(e).collect())
+        assert det == bt and det
+
+
+def test_backtracking_cross_variable_identity(spark):
+    """IterativeCondition evaluation under backtracking: forked
+    branches carry their own bound values; exclusive conditions give
+    the deterministic answer."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i + 1, t0 + dt.timedelta(seconds=10 * i), ty, float(v))
+            for i, (ty, v) in enumerate(
+                [("a", 5), ("b", 9), ("a", 5), ("b", 3)])]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string, value double")
+    p = (PatternSeq.begin("A", "event_type = 'a'")
+         .followed_by("B", "event_type = 'b'")
+         .where_iterative('EV["value"] > LAST("A","value")', "value")
+         .within("1 hour"))
+    det = sorted(tuple(r.ids)
+                 for r in p.match_batch(ev, lowering=False).collect())
+    bt = sorted(tuple(r.ids)
+                for r in p.with_backtracking().match_batch(ev).collect())
+    assert det == bt == [(1, 2)]

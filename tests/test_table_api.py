@@ -421,3 +421,36 @@ def test_to_retract_stream_streaming_and_bounded(tenv, tmp_path):
         for r in _catalog.load_table(tenv.spark, SF_SMOKE, "events")
         .groupBy("event_type").agg(F.count("*").alias("n")).collect())
     assert folded == want
+
+
+def test_expression_precedence_matrix(tenv):
+    """Mixed-operator precedence vs SQL (the per-op fuzzer shapes are
+    single-operator; this pins the ladder)."""
+    t = tenv.from_path("lineitem")
+    cases = [
+        ("l_orderkey + l_linenumber * 3 as x",
+         "l_orderkey + l_linenumber * 3 x"),
+        ("(l_orderkey + l_linenumber) * 3 as x",
+         "(l_orderkey + l_linenumber) * 3 x"),
+        ("-l_linenumber + 10 as x", "-l_linenumber + 10 x"),
+        ("l_orderkey % 7 = 0 && !(l_linenumber > 3) as x",
+         "l_orderkey % 7 = 0 AND NOT (l_linenumber > 3) x"),
+        ("if(l_linenumber > 2, l_orderkey, -1) + 1 as x",
+         "IF(l_linenumber > 2, l_orderkey, -1) + 1 x"),
+    ]
+    for fe, se in cases:
+        a = [r.x for r in t.select(fe).order_by("x.asc").fetch(50)
+             .df.collect()]
+        b = [r.x for r in tenv.spark.sql(
+            f"SELECT {se} FROM lineitem ORDER BY x LIMIT 50").collect()]
+        assert a == b, fe
+
+
+def test_group_by_expression_key(tenv):
+    got = sorted(map(tuple, tenv.from_path("nation")
+                 .group_by("n_regionkey % 2 as par")
+                 .select("par, *.count as n").df.collect()))
+    want = sorted(map(tuple, tenv.spark.sql(
+        "SELECT n_regionkey % 2 par, count(*) n FROM nation GROUP BY 1"
+    ).collect()))
+    assert got == want
