@@ -717,6 +717,18 @@ def _fold_events(
     return out, partials
 
 
+def _target_prio(chain: list[int], greedy_flags: list[bool]) -> list[int]:
+    """Regex preference order over an optional-skippable state chain:
+    depth-first through the left-to-right take/skip decisions — a
+    greedy state's TAKE outranks every alternative reached by skipping
+    it; a reluctant state's TAKE ranks below them."""
+    if not chain:
+        return []
+    j, rest = chain[0], chain[1:]
+    alts = _target_prio(rest, greedy_flags)
+    return [j] + alts if greedy_flags[j] else alts + [j]
+
+
 def _fold_events_bt(
     key: int, events: pd.DataFrame, partials: list[dict], spec: dict,
     finalize: bool = False,
@@ -902,16 +914,21 @@ def _fold_events_bt(
                     and (mx is None or p["cnt"] < mx)
                     and _ok(si, p)
                 )
-                adv: list[int] = []
+                chain: list[int] = []
                 if p["cnt"] >= mn:
                     j = si + 1
                     while j < n_states:
-                        if _ok(j, p):
-                            adv.append(j)
+                        chain.append(j)
                         if states[j][1] == 0:
                             j += 1
                             continue
                         break
+                # advance-target priority is the regex nested-decision
+                # order: a GREEDY optional prefers being entered over
+                # skipped; a RELUCTANT one prefers being skipped —
+                # evaluated left-to-right through the skippable chain
+                adv = [j for j in _target_prio(chain, greedy_flags)
+                       if _ok(j, p)]
                 ext = [("x", si)] if can_extend else []
                 advs = [("a", j) for j in adv]
                 choices = ext + advs if greedy_flags[si] else advs + ext

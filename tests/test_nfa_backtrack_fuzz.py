@@ -30,8 +30,11 @@ import pytest
 
 from flink_1_11_1_spark.streaming.nfa import PatternSeq, State
 
-N_CASES = 40
-SEED = 1311
+# two seed bands: the original 40 + a second band whose cases 1/75/92
+# caught the reluctant-optional advance-ordering bug (fixed: the
+# target priority is the regex nested take/skip decision order)
+_SEEDS = [1311 + i for i in range(40)] + [900_000 + i for i in
+                                          (1, 75, 92, *range(100, 117))]
 
 _CLASSES = "abc"  # row value classes; row char = its class letter
 
@@ -105,9 +108,9 @@ def _oracle(rx: re.Pattern, states, text: str, skip: str):
     return out
 
 
-@pytest.mark.parametrize("case", range(N_CASES))
+@pytest.mark.parametrize("case", _SEEDS)
 def test_backtracking_matches_regex_oracle(spark, case):
-    rng = random.Random(SEED + case)
+    rng = random.Random(case)
     pat, subsets, skip = _random_pattern(rng)
     text = "".join(rng.choice(_CLASSES) for _ in range(rng.randint(8, 14)))
     t0 = dt.datetime(2024, 1, 1)
