@@ -448,9 +448,38 @@ def _bind_val(p: dict, var: str, col: str, first: bool):
     return None
 
 
+class _SqlNull:
+    """SQL NULL stand-in for unbound-variable / null-event operands in
+    py_cond expressions: EVERY comparison is UNKNOWN → False (including
+    ``!=``, where Python's ``x != None`` would otherwise be True — the
+    one operator whose native semantics silently violate ternary
+    logic), truthiness is False, and arithmetic raises TypeError (which
+    ``_py_cond_ok`` attributes to the null operand and maps to False)."""
+
+    __slots__ = ()
+
+    def _no(self, _other):  # NULL <op> anything → UNKNOWN → False
+        return False
+
+    __eq__ = __ne__ = __lt__ = __le__ = __gt__ = __ge__ = _no
+
+    def __bool__(self):
+        return False
+
+    def __hash__(self):  # dataclass/dict safety; never keyed in practice
+        return 0
+
+    def __repr__(self):
+        return "SQL_NULL"
+
+
+_SQL_NULL = _SqlNull()
+
+
 class _NoneTracking(dict):
-    """EV namespace that records whether a null value was read, so a
-    TypeError can be attributed to SQL-null semantics vs a genuine bug."""
+    """EV namespace that records whether a null value was read (and
+    substitutes the SQL-NULL comparison stand-in), so a TypeError can be
+    attributed to SQL-null semantics vs a genuine bug."""
 
     def __init__(self, vals: dict):
         super().__init__(vals)
@@ -460,6 +489,7 @@ class _NoneTracking(dict):
         v = super().__getitem__(k)  # missing column → KeyError (genuine)
         if v is None:
             self.saw_none = True
+            return _SQL_NULL
         return v
 
 
@@ -467,8 +497,10 @@ def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
     """Evaluate a compiled cross-variable condition for (partial, event).
 
     Comparisons against an unbound variable (no row of that label yet)
-    or a null event value are False, matching Flink's IterativeCondition
-    contract and SQL ternary logic.  A TypeError with NO null operand in
+    or a null event value are False — ALL of them, ``!=`` included
+    (``_SqlNull``) — matching Flink's IterativeCondition contract, SQL
+    ternary logic, and the native lowering (where ``x <> NULL`` is
+    UNKNOWN and filters out).  A TypeError with NO null operand in
     play (e.g. comparing a string column to a number) is a genuine
     condition bug and is re-raised with the compiled condition's name
     (``<py_cond:VAR>``) in the traceback rather than silently treated as
@@ -482,6 +514,7 @@ def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
         v = _bind_val(pp, var, col, first)
         if v is None:
             saw_none[0] = True
+            return _SQL_NULL
         return v
 
     env = {
@@ -993,8 +1026,15 @@ def _fold_events_bt(
             # this event resolve in the same pass
             survivors, suppress_start = _resolve(survivors, True, ts_us)
             live = survivors
+            # Start-fork priority follows the same regex nested
+            # take/skip decision order as advances: entering state j
+            # means skipping every optional before it, so a RELUCTANT
+            # leading optional is preferentially skipped (its own take
+            # ranks below the states behind it) — raw chain order would
+            # hand it the greedier deck.
             startable = [] if suppress_start else \
-                [j for j in start_chain if _ok(j, None)]
+                [j for j in _target_prio(start_chain, greedy_flags)
+                 if _ok(j, None)]
             fork0 = len(startable) > 1
             for ci, j0 in enumerate(startable):
                 name0, mn0 = states[j0][0], states[j0][1]
