@@ -90,6 +90,22 @@ _DRIVER_GREEN_HISTORY = {
     # these appended every r01–r06 entry has a recorded driver green;
     # the round-7 window leads with whatever round 7 adds.
     "x_repetition", "x_session_dynamic", "x_cep_overlap_opt",
+    # round-7 greens (CORRECTNESS_r07.json: 50/50 hash-green rows —
+    # the 28 new round-7 entries + q01–q22 re-verifies).  All 181
+    # entries now have a recorded green across r01–r07; the round-8
+    # window leads with round-8 additions plus re-verification of
+    # whatever code round 8 touches (MR/CEP entries, per the NFA
+    # fold/resolve fixes).
+    "x_dedup_cosine_lsh", "x_mr_backtrack",
+    "x_tapi_agg", "x_tapi_window", "x_tapi_over", "x_tapi_join_setops",
+    "x_ds_maxby", "x_ds_reduce",
+    "x_tpcds_channels", "x_tpcds_rollup", "x_tpcds_share",
+    "x_tpcds_exists_chain", "x_tpcds_yoy", "x_tpcds_moving_avg",
+    "x_tpcds_cumulative", "x_tpcds_frequent", "x_tpcds_multicount",
+    "x_tpcds_basket", "x_tpcds_channel_delta", "x_tpcds_cross_nation",
+    "x_tpcds_dual_rank", "x_tpcds_intersect", "x_tpcds_period_vs_avg",
+    "x_tpcds_pivot", "x_tpcds_rebuy", "x_tpcds_returns_net",
+    "x_tpcds_rollup_rank", "x_tpcds_year_pair",
 }
 
 
@@ -101,6 +117,20 @@ _DRIVER_GREEN_HISTORY = {
 # regime) and re-verifies proven ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
+# With all 181 entries proven (r01–r07), re-verification slots go
+# first to entries whose implementation the CURRENT round touched —
+# round 8 changed the NFA fold (_py_cond_ok v2 contract, backtracking
+# _resolve ordering, finalize fixpoint) and the MR PATTERN grammar
+# (alternation), so every MATCH_RECOGNIZE / CEP-routed entry re-runs
+# inside the window.
+_REVERIFY_FIRST: tuple[str, ...] = (
+    "x_mr_backtrack", "x_mr_next", "x_mr_plus", "x_mr_optional",
+    "x_mr_xvar", "x_mr_allrows", "x_mr_prev", "x_mr_skip_to_last",
+    "x_mr_agg", "x_mr_allrows_running", "x_mr_offsets",
+    "x_cep_times_df", "x_cep_optional_df", "x_cep_funnel3",
+    "x_cep_overlap_opt", "x_repetition", "x_session_dynamic",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
@@ -111,7 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fresh = {k: v for k, v in out.items() if k not in _DRIVER_GREEN_HISTORY}
     deferred = {k: fresh.pop(k) for k in _DEFER_FIRST if k in fresh}
     proven = {k: v for k, v in out.items() if k in _DRIVER_GREEN_HISTORY}
-    return {**fresh, **deferred, **proven}
+    reverify = {k: proven.pop(k) for k in _REVERIFY_FIRST if k in proven}
+    return {**fresh, **deferred, **reverify, **proven}
 
 
 def oracle_sql() -> dict[str, str]:

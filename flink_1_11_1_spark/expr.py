@@ -103,6 +103,7 @@ class PE:
     alias: str | None = None                 # AS name
     over: str | None = None                  # OVER window alias
     sort: str | None = None                  # 'asc' | 'desc'
+    flatten: bool = False                    # expand composite to fields
     agg_names: list[str] = field(default_factory=list)  # fields under aggs
 
 
@@ -154,7 +155,6 @@ _SUFFIX0: dict[str, Callable[[Column], Column]] = {
     "md5": F.md5, "sha256": lambda c: F.sha2(c, 256),
     "hex": F.hex, "bin": F.bin,
     "rowtime": lambda c: c, "proctime": lambda c: c,
-    "flatten": lambda c: c,
 }
 
 _AGG_SUFFIX: dict[str, Callable[[Column], Column]] = {
@@ -403,6 +403,18 @@ class ExprParser:
             # only directly under an aggregate: a.count.distinct
             raise ValueError(
                 "use SQL for DISTINCT aggregates (documented delta)")
+        if name == "flatten":
+            # Flink's flatten expands a composite (ROW) field into its
+            # flat fields — a MULTI-column select item, resolved at the
+            # Table.select layer (Spark ``col.*``); field names follow
+            # Spark's convention (bare field names, not Flink's a$f0).
+            if has_args and self._parse_args():
+                raise ValueError("flatten takes no arguments")
+            if pe.name is None:
+                raise ValueError(
+                    "flatten applies to a direct composite field "
+                    "reference (Spark: select 'col.*')")
+            return replace(pe, flatten=True)
         if not has_args:
             if name in _SUFFIX0:
                 return replace(pe, col=_SUFFIX0[name](pe.col), name=None)
@@ -465,9 +477,14 @@ class ExprParser:
         if name == "log":
             return out(F.log(float(args[0].lit_val), c))
         if name == "truncate":
+            # round toward ZERO (Flink TRUNCATE): floor for positives,
+            # ceil for negatives — bare floor would send -1.23 to -1.3
             n = args[0].lit_val if args else 0
             p = 10 ** n
-            return out(F.floor(c * p) / p)
+            return out(
+                F.when(c >= 0, F.floor(c * p) / p)
+                .otherwise(F.ceil(c * p) / p)
+            )
         if name == "position":
             return out(F.instr(a[0], c))
         if name == "regexpReplace":

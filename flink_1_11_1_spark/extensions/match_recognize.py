@@ -210,13 +210,11 @@ def _to_python(cond: str, variables: list[str], this: str) -> str:
                 f"DEFINE {this}: {fn}({var}.{col}) references unknown "
                 f"pattern variable {var!r} (known: {variables})"
             )
-        if var == this:
-            if fn == "LAST":
-                return f'EV["{col}"]'
-            return (
-                f'(FIRST("{var}","{col}") if FIRST("{var}","{col}") '
-                f'is not None else EV["{col}"])'
-            )
+        if var == this and fn == "LAST":
+            return f'EV["{col}"]'
+        # same-var FIRST relies on the fold's py_cond v2 contract: an
+        # unbound same-variable reference binds the current row (SQL
+        # running semantics) — see streaming/nfa._py_cond_ok.
         return f'{fn}("{var}","{col}")'
 
     expr = _FNREF_RE.sub(fnrepl, cond)

@@ -138,6 +138,22 @@ class State:
     # native lowering (nfa_lowering.py) can instantiate the condition at
     # static offsets instead of falling back to the Python fold.
     sql_cond: str | None = None
+    # Alternation group — MATCH_RECOGNIZE ``(A | B)`` (Calcite pattern
+    # grammar; flink-cep has no direct API twin): extra (name, cond,
+    # py_cond) alternatives beyond the primary.  Each repetition of the
+    # state consumes ONE event matching ANY alternative and labels it
+    # with that alternative's name.  Alternative order is regex ``|``
+    # priority: the deterministic fold takes the first match; the
+    # backtracking fold forks with leftmost-greedier decks.  States
+    # with alternatives never lower natively (fold-only).
+    alts: tuple[tuple[str, str, str | None], ...] = ()
+    # Stop condition (Flink ``Pattern.until()``, pattern/Pattern.java —
+    # oneOrMore/timesOrMore only): once an event matches it while a
+    # partial sits in this state, the state stops accepting repetitions
+    # (the matching event is NOT consumed into the loop; it may still
+    # advance the partial — including at that same event).  A partial
+    # frozen below min_count is dead.
+    until_cond: str | None = None
 
 
 @dataclass(frozen=True)
@@ -256,6 +272,38 @@ class PatternSeq:
             + (replace(self.states[-1], py_cond=py_cond, sql_cond=sql_cond),),
             value_cols=merged,
         )
+
+    def alt(self, name: str, cond: str, py_cond: str | None = None,
+            *value_cols: str) -> "PatternSeq":
+        """Add an ALTERNATIVE variable to the LAST added state —
+        MATCH_RECOGNIZE ``(A | B)``: each repetition consumes one event
+        matching any alternative, labeled with that alternative's name.
+        Order is regex ``|`` priority (leftmost preferred).  A state
+        with alternatives is fold-only (never lowers natively)."""
+        last = self.states[-1]
+        if any(name == s.name for s in self.states) or any(
+                name == a[0] for s in self.states for a in s.alts):
+            raise ValueError(f"duplicate pattern variable {name!r}")
+        merged = tuple(dict.fromkeys(self.value_cols + value_cols))
+        return replace(
+            self,
+            states=self.states[:-1]
+            + (replace(last, alts=last.alts + ((name, cond, py_cond),)),),
+            value_cols=merged,
+        )
+
+    def until(self, cond: str) -> "PatternSeq":
+        """Flink ``Pattern.until()``: stop condition on the LAST added
+        (unbounded) state — an event matching ``cond`` freezes the
+        loop (the event itself is not consumed into it).  Row-local
+        conditions only (Flink accepts IterativeCondition; documented
+        delta)."""
+        last = self.states[-1]
+        if last.max_count is not None:
+            raise ValueError(
+                "until() applies to an unbounded quantifier "
+                "(oneOrMore/timesOrMore) — Flink's own restriction")
+        return self._mod_last(until_cond=cond)
 
     def within(self, interval: str | int) -> "PatternSeq":
         return replace(self, horizon_s=_parse_interval(interval))
@@ -408,9 +456,19 @@ def _with_flags(
             for i, s in enumerate(states)
         ],
         *[
+            F.coalesce(F.expr(cond), F.lit(False)).alias(f"f{i}x{k}")
+            for i, s in enumerate(states)
+            for k, (_nm, cond, _pc) in enumerate(s.alts)
+        ],
+        *[
             F.coalesce(F.expr(s.neg_cond), F.lit(False)).alias(f"g{i}")
             for i, s in enumerate(states)
             if s.neg_cond is not None
+        ],
+        *[
+            F.coalesce(F.expr(s.until_cond), F.lit(False)).alias(f"u{i}")
+            for i, s in enumerate(states)
+            if s.until_cond is not None
         ],
         *[F.col(c).alias(f"v_{c}") for c in value_cols],
     )
@@ -435,6 +493,15 @@ def _spec(p: PatternSeq) -> dict:
         "max_branches": p.max_branches,
         "greedy": [s.greedy for s in p.states],
         "neg": [(s.neg_cond is not None, s.neg_strict) for s in p.states],
+        "alts": [[a[0] for a in s.alts] for s in p.states],
+        "alt_py_conds": [
+            [
+                compile(a[2], f"<py_cond:{a[0]}>", "eval") if a[2] else None
+                for a in s.alts
+            ]
+            for s in p.states
+        ],
+        "until": [s.until_cond is not None for s in p.states],
     }
 
 
@@ -493,18 +560,31 @@ class _NoneTracking(dict):
         return v
 
 
-def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
+def _py_cond_ok(code, p: dict | None, evvals: dict,
+                cur_var: str | None = None) -> bool:
     """Evaluate a compiled cross-variable condition for (partial, event).
 
-    Comparisons against an unbound variable (no row of that label yet)
-    or a null event value are False — ALL of them, ``!=`` included
-    (``_SqlNull``) — matching Flink's IterativeCondition contract, SQL
-    ternary logic, and the native lowering (where ``x <> NULL`` is
-    UNKNOWN and filters out).  A TypeError with NO null operand in
-    play (e.g. comparing a string column to a number) is a genuine
-    condition bug and is re-raised with the compiled condition's name
-    (``<py_cond:VAR>``) in the traceback rather than silently treated as
-    a non-match.
+    py_cond NULL contract (v2, round 8 — matches the native lowering):
+
+    - ``FIRST``/``LAST`` of the variable CURRENTLY being matched
+      (``cur_var``) with no accepted row yet bind the **current event**
+      — SQL MATCH_RECOGNIZE running semantics, where the candidate row
+      is already part of the match prefix (``B.value >= FIRST(B.value)``
+      is vacuously true at rep 0).  Once a row of that variable is
+      bound, FIRST/LAST navigate the bound rows as usual.
+    - An unbound OTHER-variable reference, and any null event value,
+      evaluates as SQL NULL: EVERY comparison is UNKNOWN → False,
+      ``!=`` included (``_SqlNull``) — matching Flink's
+      IterativeCondition contract and the lowering (``x <> NULL`` is
+      UNKNOWN and filters out).  ``FIRST("X",...) is None`` is never
+      True under this contract (v1 returned ``None`` here; conditions
+      relying on that should compare against the documented rep-0
+      current-row binding instead).
+
+    A TypeError with NO null operand in play (e.g. comparing a string
+    column to a number) is a genuine condition bug and is re-raised
+    with the compiled condition's name (``<py_cond:VAR>``) in the
+    traceback rather than silently treated as a non-match.
     """
     pp = p if p is not None else {"labels": [], "vals": []}
     ev = _NoneTracking(evvals)
@@ -512,6 +592,8 @@ def _py_cond_ok(code, p: dict | None, evvals: dict) -> bool:
 
     def _bind(var: str, col: str, first: bool):
         v = _bind_val(pp, var, col, first)
+        if v is None and var == cur_var and var not in pp["labels"]:
+            v = evvals.get(col)  # rep 0: the candidate row binds itself
         if v is None:
             saw_none[0] = True
             return _SQL_NULL
@@ -586,6 +668,18 @@ def _fold_events(
         i: events[f"g{i}"].astype(bool).tolist()
         for i in range(n_states) if neg[i][0]
     }
+    alts = spec.get("alts") or [[] for _ in range(n_states)]
+    alt_codes = spec.get("alt_py_conds") or [[] for _ in range(n_states)]
+    alt_arrs = {
+        i: [events[f"f{i}x{k}"].astype(bool).tolist()
+            for k in range(len(alts[i]))]
+        for i in range(n_states) if alts[i]
+    }
+    until = spec.get("until") or [False] * n_states
+    until_arrs = {
+        i: events[f"u{i}"].astype(bool).tolist()
+        for i in range(n_states) if until[i]
+    }
     # a match may START at any state reachable through leading
     # optional (min 0) states — Flink's A? B matches a bare B
     start_chain = [0]
@@ -599,13 +693,28 @@ def _fold_events(
         flags = [fa[ei] for fa in flag_arrs]
         evvals = {c: _plain(val_arrs[c][ei]) for c in value_cols}
 
-        def _ok(j: int, p: dict | None) -> bool:
-            if not flags[j]:
-                return False
-            code = py_conds[j]
-            return code is None or _py_cond_ok(code, p, evvals)
+        def _lbl(j: int, p: dict | None) -> str | None:
+            """Label consumed if the event can enter/extend state j —
+            the primary variable, else the first matching alternative
+            (regex ``|`` order) — or None."""
+            if flags[j]:
+                code = py_conds[j]
+                if code is None or _py_cond_ok(code, p, evvals, states[j][0]):
+                    return states[j][0]
+            for k, nm in enumerate(alts[j]):
+                if alt_arrs[j][k][ei]:
+                    code = alt_codes[j][k]
+                    if code is None or _py_cond_ok(code, p, evvals, nm):
+                        return nm
+            return None
 
-        if not partials and not any(flags[j] for j in start_chain):
+        def _ok(j: int, p: dict | None) -> bool:
+            return _lbl(j, p) is not None
+
+        def _startable(j: int) -> bool:
+            return flags[j] or any(a[ei] for a in alt_arrs.get(j, ()))
+
+        if not partials and not any(_startable(j) for j in start_chain):
             continue  # nothing live and nothing can start — skip fast
         partials = [p for p in partials if ts_us <= p["start"] + horizon]
         survivors: list[dict] = []
@@ -614,10 +723,22 @@ def _fold_events(
         for p in partials:
             si = p["si"]
             name, mn, mx, strict_in, consec = states[si]
+            # until() stop condition: freeze the loop BEFORE the extend
+            # check (the matching event is never consumed into it); a
+            # partial frozen below min can never complete — dead
+            if until[si] and until_arrs[si][ei] and not p["closed"]:
+                p["closed"] = True
+                if p["cnt"] < mn:
+                    continue
             # greedy: extend current state first
-            if not p["closed"] and (mx is None or p["cnt"] < mx) and _ok(si, p):
+            ext_lbl = (
+                _lbl(si, p)
+                if not p["closed"] and (mx is None or p["cnt"] < mx)
+                else None
+            )
+            if ext_lbl is not None:
                 p["cnt"] += 1
-                p["labels"].append(name)
+                p["labels"].append(ext_lbl)
                 p["ids"].append(eid)
                 p["tss"].append(ts_us)
                 p.setdefault("vals", []).append(evvals)
@@ -633,9 +754,10 @@ def _fold_events(
                 j = si + 1
                 while j < n_states:
                     jname, jmn, jmx, jstrict, jconsec = states[j]
-                    if _ok(j, p):
+                    jlbl = _lbl(j, p)
+                    if jlbl is not None:
                         p.update(si=j, cnt=1, closed=False)
-                        p["labels"].append(jname)
+                        p["labels"].append(jlbl)
                         p["ids"].append(eid)
                         p["tss"].append(ts_us)
                         p.setdefault("vals", []).append(evvals)
@@ -827,11 +949,23 @@ def _fold_events_bt(
                  ts_us: int | None) -> tuple[list[dict], bool]:
         """Emit every pending match whose greedier siblings are all
         dead (all of them, when finalizing).  Returns (survivors,
-        suppress_start_at_this_event)."""
+        suppress_start_at_this_event).
+
+        Under ORDER-SENSITIVE skip modes (past_last, to_first/to_last
+        — where an emission prunes other groups by row position), a
+        later-start pending match must never emit past an earlier
+        group that is still unresolved: either pending-blocked by a
+        live greedier sibling, or live with no completion yet.  SQL
+        MATCH_RECOGNIZE scans leftmost-first, so the earlier group —
+        if it ever completes — owns the rows and its skip decides the
+        later group's fate, not the reverse.  Such groups (and every
+        group after them) stay pending until the blocker resolves or
+        dies; ``finalize`` drains the queue to a fixpoint."""
         nonlocal pend
         if not pend:
             return survivors, False
         skip_mode, _, skip_var = skip.partition(":")
+        order_sensitive = skip_mode in ("past_last", "to_first", "to_last")
         live_min: dict[tuple, list] = {}
         if at_event:
             for s in survivors:
@@ -842,10 +976,19 @@ def _fold_events_bt(
         groups: dict[tuple, list[dict]] = {}
         for c in pend:
             groups.setdefault((c["start"], c["sid"]), []).append(c)
+        # earliest live group with no pending candidate: leftmost order
+        # is undecidable past it under an order-sensitive skip
+        first_live_only: tuple | None = None
+        if order_sensitive:
+            for lg in live_min:
+                if lg not in groups and (
+                        first_live_only is None or lg < first_live_only):
+                    first_live_only = lg
         new_pend: list[dict] = []
         resume_row: tuple[int, int] | None = None  # past_last last-row
         min_start: tuple[int, int] | None = None   # to_first/to_last ref
         suppress = False
+        deferred = False  # an earlier group was left unresolved
         for g in sorted(groups):
             cands = sorted(groups[g], key=lambda c: c.get("deck", []))
             best = cands[0]
@@ -856,9 +999,16 @@ def _fold_events_bt(
                 continue  # starts after the resume row: left pending
             if min_start is not None and g < min_start:
                 continue  # pruned by a skip-to emission
+            if order_sensitive and (
+                    deferred
+                    or (first_live_only is not None and first_live_only < g)):
+                new_pend.extend(groups[g])  # blocked behind an earlier
+                deferred = True             # unresolved group
+                continue
             lm = live_min.get(g)
             if lm is not None and lm < best.get("deck", []):
                 new_pend.extend(groups[g])  # a greedier branch is live
+                deferred = True
                 continue
             _emit(best)  # siblings of g die (one match per start)
             if skip_mode == "past_last":
@@ -928,7 +1078,8 @@ def _fold_events_bt(
                 if not flags[j]:
                     return False
                 code = py_conds[j]
-                return code is None or _py_cond_ok(code, p, evvals)
+                return code is None or _py_cond_ok(
+                    code, p, evvals, states[j][0])
 
             if not live and not pend \
                     and not any(flags[j] for j in start_chain):
@@ -1053,7 +1204,15 @@ def _fold_events_bt(
                 elif len(live) < max_partials:
                     live.append(p0)
     if finalize:
-        live, _ = _resolve([], False, None)
+        # One _resolve pass emits at most one past_last match and
+        # defers every group behind its resume row; iterate to a
+        # fixpoint (resume_row resets per pass) so matches starting
+        # after an emitted match's last row still resolve.
+        while pend:
+            before = len(pend)
+            _resolve([], False, None)
+            if len(pend) == before:
+                break  # no progress — nothing left resolvable
         live = []
     return out, live + pend
 

@@ -267,6 +267,10 @@ class Table:
         for i, pe in enumerate(items):
             if pe.name == "*":
                 cols.append(F.col("*"))
+            elif pe.flatten:
+                # Flink flatten: expand the composite field into all of
+                # its fields (one select item → N output columns)
+                cols.append(F.col(f"{pe.name}.*"))
             else:
                 cols.append(_finalize(pe, i))
         return self._wrap(self.df.select(*cols))

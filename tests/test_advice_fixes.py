@@ -344,3 +344,128 @@ def test_late_side_output_retry_and_restart_exact(spark, tmp_path):
     # id 6: W1 end 120 <= 440 late; id 7: W7 end 480 > 440 kept
     got = sorted(r.event_id for r in read_late_rows(spark, side).collect())
     assert got == [3, 6]
+
+
+# ---------------- round-8 advisor findings (ADVICE.md r7)
+
+
+def _valued_events(spark, values):
+    """One user; event i (1-based) at second i with the given value."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (1, i + 1, base + dt.timedelta(seconds=i + 1), float(v))
+            for i, v in enumerate(values)
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+
+
+def _bt_matches(pat, ev):
+    df = pat.match_batch(ev, lowering=False)
+    return [list(r.ids) for r in df.orderBy("start_ts", "end_ts").collect()]
+
+
+def test_bt_past_last_defers_behind_blocked_earlier_group(spark):
+    """ADVICE r7 #1: under past_last a later-start pending match must
+    not emit while an earlier-start group is still blocked by a live
+    greedier sibling — the resume-row prune would kill the leftmost
+    match.  A+ B relaxed, B AS value > FIRST(A)*2 over values
+    [10,22,4,9]: leftmost-greedy gives [1,2] then [3,4]; the pre-fix
+    fold emitted only [3,4]."""
+    from flink_1_11_1_spark.streaming import nfa
+
+    pat = (
+        nfa.PatternSeq.begin("A", "value % 2 = 0")
+        .one_or_more()
+        .followed_by("B", "true")
+        .where_iterative('EV["value"] > FIRST("A","value") * 2', "value")
+        .with_backtracking()
+        .after_match_skip("past_last")
+        .within("1 hour")
+    )
+    ev = _valued_events(spark, [10, 22, 4, 9])
+    assert _bt_matches(pat, ev) == [[1, 2], [3, 4]]
+
+
+def test_bt_finalize_resolves_deferred_groups_to_fixpoint(spark):
+    """ADVICE r7 #2: finalize must iterate _resolve to a fixpoint —
+    groups deferred behind a past_last resume row in the first pass
+    are matches, not droppable partials.  Strict-contiguity variant:
+    both groups stay pending (blocked by live greedy A-extensions)
+    until input exhausts; the pre-fix fold emitted only [1,2]."""
+    from flink_1_11_1_spark.streaming import nfa
+
+    pat = (
+        nfa.PatternSeq.begin("A", "true")
+        .one_or_more()
+        .consecutive()
+        .next_("B", "true")
+        .where_iterative('EV["value"] > FIRST("A","value") * 2', "value")
+        .with_backtracking()
+        .after_match_skip("past_last")
+        .within("1 hour")
+    )
+    ev = _valued_events(spark, [10, 22, 4, 9])
+    assert _bt_matches(pat, ev) == [[1, 2], [3, 4]]
+
+
+def test_py_cond_v2_same_var_rep0_binds_current_row():
+    """py_cond v2 contract (round 8): FIRST/LAST of the variable being
+    matched with no accepted row binds the current event (SQL running
+    semantics); unbound OTHER-variable refs compare as SQL NULL."""
+    from flink_1_11_1_spark.streaming.nfa import _py_cond_ok
+
+    code = compile('EV["v"] >= FIRST("B","v")', "<py_cond:B>", "eval")
+    empty = {"labels": [], "vals": []}
+    # rep 0 of B: FIRST(B) is the candidate row itself -> vacuously true
+    assert _py_cond_ok(code, empty, {"v": 5.0}, "B") is True
+    # rep 1: FIRST(B) is the bound rep-0 row
+    bound = {"labels": ["B"], "vals": [{"v": 7.0}]}
+    assert _py_cond_ok(code, bound, {"v": 5.0}, "B") is False
+    assert _py_cond_ok(code, bound, {"v": 9.0}, "B") is True
+    # same shape evaluated for a DIFFERENT variable: B unbound -> NULL
+    assert _py_cond_ok(code, empty, {"v": 5.0}, "C") is False
+    # a bound row whose column is null stays NULL (no current-row
+    # fallback for bound-but-null)
+    nullrow = {"labels": ["B"], "vals": [{"v": None}]}
+    assert _py_cond_ok(code, nullrow, {"v": 5.0}, "B") is False
+
+
+def test_expr_truncate_rounds_toward_zero(spark):
+    """ADVICE r7: TRUNCATE is round-toward-zero — truncate(-1.23, 1)
+    is -1.2, not floor's -1.3."""
+    from flink_1_11_1_spark.table_api import Table
+
+    t = Table(
+        spark.createDataFrame(
+            [(1.29,), (-1.29,), (-1.21,), (0.0,), (None,)], "v double"
+        )
+    )
+    rows = t.select("v.truncate(1) as tv, v").df.collect()
+    got = {r.v: r.tv for r in rows}
+    assert got[1.29] == 1.2
+    assert got[-1.29] == -1.2
+    assert got[-1.21] == -1.2
+    assert got[0.0] == 0.0
+    assert got[None] is None
+
+
+def test_expr_flatten_expands_composite(spark):
+    """ADVICE r7: flatten expands a ROW field into its fields (was a
+    silent identity)."""
+    from flink_1_11_1_spark.table_api import Table
+
+    df = spark.createDataFrame(
+        [(1, (10, "a")), (2, (20, "b"))],
+        "id long, s struct<x: long, y: string>",
+    )
+    t = Table(df)
+    out = t.select("id, s.flatten()").df
+    assert out.columns == ["id", "x", "y"]
+    assert [(r.id, r.x, r.y) for r in out.orderBy("id").collect()] == [
+        (1, 10, "a"), (2, 20, "b")
+    ]
+    # non-field-reference target is a loud error, not a silent identity
+    with pytest.raises(ValueError, match="composite field"):
+        t.select("(id + 1).flatten()")
