@@ -95,6 +95,21 @@ class StreamExecutionEnvironment:
     def get_parallelism(self) -> int:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # -- accumulators (RuntimeContext.addAccumulator / IntCounter;
+    #    results via JobExecutionResult.getAccumulatorResult) ----------
+    def register_accumulator(self, name: str, zero=0):
+        """Register a counter accumulator; rich callables add to it via
+        ``ctx.add_accumulator_value(name, v)`` and the driver reads it
+        with ``get_accumulator_result`` after an action ran (Spark
+        accumulators: task-side adds fold on task completion)."""
+        if not hasattr(self, "_accs"):
+            self._accs = {}
+        self._accs[name] = self.spark.sparkContext.accumulator(zero)
+        return self
+
+    def get_accumulator_result(self, name: str):
+        return self._accs[name].value
+
     def from_collection(self, data: Sequence, schema=None) -> DataStream:
         """``env.fromCollection`` — a bounded inline source."""
         return DataStream(self.spark.createDataFrame(data, schema=schema),
@@ -125,15 +140,58 @@ def _rowtime_meta(df: DataFrame) -> str | None:
 
 # ------------------------------------------------------------ DataStream
 
+class RuntimeContext:
+    """Flink ``RichFunction`` runtime context slice: broadcast
+    variables (DataSet ``withBroadcastSet``) and accumulators
+    (``IntCounter`` family) — [java]DataSet.java /
+    api/common/functions/RuntimeContext.java.  Passed as the second
+    argument to map/flat_map/filter callables that declare one."""
+
+    def __init__(self, bc: dict, accs: dict):
+        self._bc = bc
+        self._accs = accs
+
+    def get_broadcast_variable(self, name: str) -> list:
+        if name not in self._bc:
+            raise KeyError(f"no broadcast set {name!r} "
+                           f"(known: {sorted(self._bc)})")
+        return self._bc[name].value
+
+    def add_accumulator_value(self, name: str, value=1) -> None:
+        if name not in self._accs:
+            raise KeyError(f"accumulator {name!r} not registered on the "
+                           f"environment (known: {sorted(self._accs)})")
+        self._accs[name] += value
+
+
+def _wants_ctx(fn: Callable) -> bool:
+    import inspect
+
+    try:
+        params = [
+            p for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+    except (TypeError, ValueError):
+        return False
+    return len(params) >= 2
+
+
 class DataStream:
     def __init__(self, df: DataFrame, env: StreamExecutionEnvironment,
                  rowtime: str | None = None):
         self.df = df
         self._env = env
         self._rowtime = rowtime or _rowtime_meta(df)
+        self._bc: dict = {}
 
     def _wrap(self, df: DataFrame) -> DataStream:
-        return DataStream(df, self._env, self._rowtime)
+        out = DataStream(df, self._env, self._rowtime)
+        out._bc = self._bc
+        return out
+
+    def _ctx(self) -> RuntimeContext:
+        return RuntimeContext(self._bc, getattr(self._env, "_accs", {}))
 
     # -- stateless transforms -----------------------------------------
     def map(self, fn: str | Sequence[str] | Callable,
@@ -152,6 +210,7 @@ class DataStream:
         from pyspark.sql.types import StructType
 
         names = [f_.name for f_ in StructType.fromDDL(output_type).fields]
+        ctx = self._ctx() if _wants_ctx(fn) else None
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -159,8 +218,11 @@ class DataStream:
             for pdf in batches:
                 # to_dict (not itertuples): leading-underscore columns
                 # survive, and Row(**d) keeps the field order
-                rows = [tuple(fn(Row(**d)))
-                        for d in pdf.to_dict("records")]
+                rows = [
+                    tuple(fn(Row(**d)) if ctx is None
+                          else fn(Row(**d), ctx))
+                    for d in pdf.to_dict("records")
+                ]
                 yield pd.DataFrame(rows, columns=names)
 
         return self._wrap(self.df.mapInPandas(run, schema=output_type))
@@ -172,13 +234,17 @@ class DataStream:
         from pyspark.sql.types import StructType
 
         names = [f_.name for f_ in StructType.fromDDL(output_type).fields]
+        ctx = self._ctx() if _wants_ctx(fn) else None
 
         def run(batches: Iterator) -> Iterator:
             import pandas as pd
 
             for pdf in batches:
-                out = [tuple(t) for d in pdf.to_dict("records")
-                       for t in fn(Row(**d))]
+                out = [
+                    tuple(t) for d in pdf.to_dict("records")
+                    for t in (fn(Row(**d)) if ctx is None
+                              else fn(Row(**d), ctx))
+                ]
                 yield pd.DataFrame(out, columns=names)
 
         return self._wrap(self.df.mapInPandas(run, schema=output_type))
@@ -188,9 +254,14 @@ class DataStream:
             return self._wrap(self.df.filter(fn))
         from pyspark.sql import Row
 
+        ctx = self._ctx() if _wants_ctx(fn) else None
+
         def run(batches: Iterator) -> Iterator:
             for pdf in batches:
-                mask = [bool(fn(Row(**d))) for d in pdf.to_dict("records")]
+                mask = [
+                    bool(fn(Row(**d)) if ctx is None else fn(Row(**d), ctx))
+                    for d in pdf.to_dict("records")
+                ]
                 yield pdf[mask]
 
         return self._wrap(self.df.mapInPandas(run, schema=self.df.schema))
@@ -221,6 +292,64 @@ class DataStream:
 
     def broadcast(self) -> DataStream:
         return self._wrap(F.broadcast(self.df))
+
+    # -- DataSet niches (SURVEY §3.4; [java]DataSet.java) ---------------
+    def sort_partition(self, field: str | Column,
+                       order: str = "asc") -> DataStream:
+        """DataSet ``sortPartition``: sort WITHIN each physical
+        partition, no shuffle (Spark ``sortWithinPartitions``).
+        Chained calls compose as secondary sort keys on the same
+        partitioning, like Flink's builder."""
+        col = F.col(field) if isinstance(field, str) else field
+        key = col.desc() if order.lower().startswith("desc") else col.asc()
+        base = getattr(self, "_sp_base", self.df)
+        keys = getattr(self, "_sp_keys", []) + [key]
+        out = self._wrap(base.sortWithinPartitions(*keys))
+        out._sp_base, out._sp_keys = base, keys
+        return out
+
+    def partition_custom(self, partitioner: Callable | str, field: str,
+                         num_partitions: int | None = None) -> DataStream:
+        """DataSet ``partitionCustom``: co-locate rows by a caller
+        partition function (key -> int).  An expression string stays
+        native (repartition on the computed id); a Python callable
+        runs as a vectorized pandas transform.  Delta vs Flink,
+        documented: rows with equal partitioner results land in ONE
+        physical partition (the co-location contract), but the
+        id -> physical-partition mapping is Spark's hash of the id,
+        not the identity."""
+        n = num_partitions or self.df.sparkSession.sparkContext \
+            .defaultParallelism
+        if callable(partitioner):
+            from pyspark.sql.functions import pandas_udf
+
+            # no type hints: they would resolve against module globals
+            # (pandas isn't imported there), so declare the UDF type
+            # via the returnType argument alone
+            def _pid(s):
+                return s.map(partitioner).astype("int32")
+
+            pid = pandas_udf(_pid, "int")(F.col(field))
+        else:
+            pid = F.expr(partitioner).cast("int")
+        tagged = self.df.withColumn("__custom_part", pid)
+        out = tagged.repartition(n, F.col("__custom_part")) \
+            .drop("__custom_part")
+        return self._wrap(out)
+
+    def with_broadcast_set(self, name: str, other: DataStream) -> DataStream:
+        """DataSet ``withBroadcastSet``: materialize the (bounded)
+        other stream and ship it to every task as a broadcast
+        variable; rich callables receive it via
+        ``RuntimeContext.get_broadcast_variable(name)`` (declare a
+        second ``ctx`` parameter on the map/flat_map/filter fn)."""
+        if other.df.isStreaming:
+            raise ValueError("broadcast sets are bounded (DataSet API)")
+        sc = self.df.sparkSession.sparkContext
+        rows = other.df.collect()
+        out = self._wrap(self.df)
+        out._bc = {**self._bc, name: sc.broadcast(rows)}
+        return out
 
     # -- event time ----------------------------------------------------
     def assign_timestamps_and_watermarks(

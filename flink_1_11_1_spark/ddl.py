@@ -352,6 +352,22 @@ class DdlCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, CreateTable] = {}
+        # Multi-catalog surface (Flink CatalogManager +
+        # GenericInMemoryCatalog, flink-table-common catalog/Catalog.java):
+        # catalogs → their databases; (catalog, database, table) →
+        # session view alias.  Tables in the default path keep their
+        # plain name (full back-compat); elsewhere they mangle to
+        # __cat_<catalog>__<db>__<table> and qualified references in
+        # statements rewrite to the alias (same technique as the
+        # FLIP-113 hint rewrite).
+        self.catalogs: dict[str, set[str]] = {
+            "default_catalog": {"default_database"}
+        }
+        self._default_db: dict[str, str] = {
+            "default_catalog": "default_database"
+        }
+        self.current: tuple[str, str] = ("default_catalog", "default_database")
+        self.qualified: dict[tuple[str, str, str], str] = {}
         self._hint_n = 0
         self._hint_aliases: dict[tuple, str] = {}
         # Spark conf keys applied via SET, so a bare RESET can undo all
@@ -369,6 +385,10 @@ class DdlCatalog:
     def execute(self, sql: str) -> DataFrame | None:
         """Route one statement: DDL handled here, everything else → Catalyst."""
         s = sql.strip().rstrip(";").strip()
+        cat_stmt = self._catalog_statement(s)
+        if cat_stmt is not NotImplemented:
+            return cat_stmt
+        s = self._qualify_names(s)
         s = self._apply_table_hints(s)
         up = s.upper()
         ms = _SET_RE.match(s)
@@ -404,7 +424,12 @@ class DdlCatalog:
                 self._set_keys.clear()
             return None
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
-            self.create_table(parse_create_table(s))
+            ct = parse_create_table(s)
+            cat, db, tbl = self._resolve_name(ct.name)
+            self._check_db(cat, db)
+            ct.name = self._view_name(cat, db, tbl)
+            self.qualified[(cat, db, tbl)] = ct.name
+            self.create_table(ct)
             return None
         mv = _CREATE_VIEW_RE.match(s)
         if mv:
@@ -418,6 +443,9 @@ class DdlCatalog:
             name = _strip_ticks(md.group(4))
             self.tables.pop(name, None)
             self.views.pop(name, None)
+            self.qualified = {
+                k: v for k, v in self.qualified.items() if v != name
+            }
             self._evict_hint_aliases(name)
             self.spark.catalog.dropTempView(name)
             return None
@@ -436,6 +464,157 @@ class DdlCatalog:
             if _MR_RE.match(s):
                 return match_recognize(self.spark, s)
         return self.spark.sql(s)
+
+    # -- multi-catalog (CatalogManager / GenericInMemoryCatalog) ---------
+
+    def _resolve_name(self, raw: str) -> tuple[str, str, str]:
+        """1/2/3-part table name → (catalog, database, table) against
+        the current context (Flink CatalogManager.qualifyIdentifier)."""
+        parts = _strip_ticks(raw).split(".")
+        cat, db = self.current
+        if len(parts) == 1:
+            return cat, db, parts[0]
+        if len(parts) == 2:
+            return cat, parts[0], parts[1]
+        if len(parts) == 3:
+            return parts[0], parts[1], parts[2]
+        raise ValueError(f"too many name parts in {raw!r}")
+
+    def _check_db(self, cat: str, db: str) -> None:
+        if cat not in self.catalogs:
+            raise ValueError(f"unknown catalog {cat!r} "
+                             f"(known: {sorted(self.catalogs)})")
+        if db not in self.catalogs[cat]:
+            raise ValueError(
+                f"unknown database {db!r} in catalog {cat!r} "
+                f"(known: {sorted(self.catalogs[cat])})")
+
+    @staticmethod
+    def _view_name(cat: str, db: str, tbl: str) -> str:
+        if (cat, db) == ("default_catalog", "default_database"):
+            return tbl  # default path keeps the plain session name
+        return f"__cat_{cat}__{db}__{tbl}"
+
+    def _catalog_statement(self, s: str):
+        """Handle catalog/database statements; NotImplemented → not one."""
+        up = re.sub(r"\s+", " ", s).upper()
+        m = re.match(r"^CREATE CATALOG (\w+)(?: WITH \(|$)", up)
+        if m:
+            name = re.match(r"^create\s+catalog\s+(\w+)", s,
+                            re.IGNORECASE).group(1)
+            props = dict(_PROP_RE.findall(s))
+            ctype = props.get("type", "generic_in_memory")
+            if ctype != "generic_in_memory":
+                raise ValueError(
+                    f"CREATE CATALOG: unsupported type {ctype!r} "
+                    "(generic_in_memory only; Hive goes through "
+                    "sources/hive.HiveCatalog)")
+            db0 = props.get("default-database", "default")
+            self.catalogs.setdefault(name, set()).add(db0)
+            self._default_db.setdefault(name, db0)
+            return None
+        m = re.match(r"^DROP CATALOG (?:IF EXISTS )?(\w+)$", up)
+        if m:
+            name = s.split()[-1].replace("`", "")
+            if name == "default_catalog":
+                raise ValueError("cannot drop the default catalog")
+            if name == self.current[0]:
+                raise ValueError("cannot drop the current catalog")
+            self.catalogs.pop(name, None)
+            self._default_db.pop(name, None)
+            return None
+        m = re.match(r"^USE CATALOG (\w+)$", up)
+        if m:
+            name = s.split()[-1].replace("`", "")
+            if name not in self.catalogs:
+                raise ValueError(f"unknown catalog {name!r}")
+            self.current = (name, self._default_db[name])
+            return None
+        m = re.match(r"^(CREATE|DROP) DATABASE (?:IF (?:NOT )?EXISTS )?"
+                     r"([\w.]+)$", up)
+        if m:
+            raw = s.split()[-1].replace("`", "")
+            parts = raw.split(".")
+            cat = self.current[0] if len(parts) == 1 else parts[0]
+            db = parts[-1]
+            if cat not in self.catalogs:
+                raise ValueError(f"unknown catalog {cat!r}")
+            if m.group(1) == "CREATE":
+                self.catalogs[cat].add(db)
+            else:
+                if (cat, db) == self.current:
+                    raise ValueError("cannot drop the current database")
+                self.catalogs[cat].discard(db)
+                self.qualified = {
+                    k: v for k, v in self.qualified.items()
+                    if (k[0], k[1]) != (cat, db)
+                }
+            return None
+        m = re.match(r"^USE ([\w.]+)$", up)
+        if m and up != "USE CATALOG":
+            raw = re.match(r"^use\s+([\w.`]+)$", s, re.IGNORECASE).group(1)
+            parts = _strip_ticks(raw).split(".")
+            cat = self.current[0] if len(parts) == 1 else parts[0]
+            db = parts[-1]
+            if cat in self.catalogs and db in self.catalogs[cat]:
+                self.current = (cat, db)
+                return None
+            return NotImplemented  # not ours → Spark USE <database>
+        if up == "SHOW CATALOGS":
+            return self.spark.createDataFrame(
+                [(c,) for c in sorted(self.catalogs)], "catalog_name string")
+        if up == "SHOW CURRENT CATALOG":
+            return self.spark.createDataFrame(
+                [(self.current[0],)], "current_catalog_name string")
+        if up == "SHOW DATABASES":
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(self.catalogs[self.current[0]])],
+                "database_name string")
+        if up == "SHOW CURRENT DATABASE":
+            return self.spark.createDataFrame(
+                [(self.current[1],)], "current_database_name string")
+        return NotImplemented
+
+    def _qualify_names(self, s: str) -> str:
+        """Rewrite registered catalog-qualified table references (and,
+        under a non-default current context, bare registered names) to
+        their session view aliases — outside string literals, like the
+        FLIP-113 hint rewrite."""
+        if not self.qualified:
+            return s
+        if _CREATE_TABLE_HEAD_RE.match(s):
+            return s  # a declaration's own name must not re-mangle
+        pats: list[tuple[str, str]] = []
+        cur_cat, cur_db = self.current
+        for (cat, db, tbl), alias in self.qualified.items():
+            pats.append((
+                rf"\b`?{re.escape(cat)}`?\s*\.\s*`?{re.escape(db)}`?"
+                rf"\s*\.\s*`?{re.escape(tbl)}`?\b", alias))
+            if cat == cur_cat:
+                pats.append((
+                    rf"(?<![\w.`]){re.escape(db)}\s*\.\s*`?"
+                    rf"{re.escape(tbl)}`?(?![\w.])", alias))
+            if (cat, db) == (cur_cat, cur_db) and alias != tbl:
+                pats.append((
+                    rf"(?<![\w.`])`?{re.escape(tbl)}`?(?![\w.])", alias))
+        spans = _quoted_spans(s)
+
+        def in_literal(pos: int) -> bool:
+            return any(a <= pos < b for a, b in spans)
+
+        for pat, alias in pats:
+            out, last = [], 0
+            for m in re.finditer(pat, s):
+                if in_literal(m.start()):
+                    continue
+                out.append(s[last:m.start()])
+                out.append(alias)
+                last = m.end()
+            if out:
+                out.append(s[last:])
+                s = "".join(out)
+                spans = _quoted_spans(s)
+        return s
 
     # -- FLIP-113 dynamic table options ----------------------------------
 
@@ -521,12 +700,24 @@ class DdlCatalog:
         (a sink-only CREATE TABLE is listed by Flink's sql-client even
         though nothing is readable) — Spark's native SHOW TABLES only
         sees registered views, so declared-only names are appended."""
-        native = self.spark.sql("SHOW TABLES")
+        if self.current != ("default_catalog", "default_database"):
+            # non-default context: only this catalog.database's tables,
+            # by their simple names (Flink sql-client scoping)
+            names = sorted(
+                tbl for (cat, db, tbl) in self.qualified
+                if (cat, db) == self.current
+            )
+            return self.spark.createDataFrame(
+                [("", n, True) for n in names],
+                self.spark.sql("SHOW TABLES").schema,
+            )
+        native = self.spark.sql(
+            "SHOW TABLES").where("tableName NOT LIKE '\\_\\_cat\\_%'")
         listed = {r.tableName for r in native.collect()}
         extra = [
             ("", name, True)
             for name in sorted(self.tables)
-            if name not in listed
+            if name not in listed and not name.startswith("__cat_")
         ]
         if not extra:
             return native

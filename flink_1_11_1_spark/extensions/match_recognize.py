@@ -88,7 +88,7 @@ _CLAUSE_RE = re.compile(
     r"(?:(?P<permatch>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"(?:AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
     r"|TO\s+FIRST\s+\w+|TO\s+LAST\s+\w+)\s+)?"
-    r"PATTERN\s*\(\s*(?P<pattern>[^)]*?)\s*\)\s+"
+    r"PATTERN\s*\(\s*(?P<pattern>[^()]*(?:\([^()]*\)[^()]*)*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
     r"DEFINE\s+(?P<define>.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -96,6 +96,42 @@ _CLAUSE_RE = re.compile(
 
 _QUANT_RE = re.compile(
     r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<rel>\?)?$")
+
+# one pattern token: an alternation group ``(A | B)`` or a bare
+# variable, either followed by an optional quantifier (+ * ? {n,m})
+# and an optional reluctance marker
+_PATTOK_RE = re.compile(
+    r"\(\s*\w+(?:\s*\|\s*\w+)*\s*\)(?:[+*?]|\{\d+(?:,\d*)?\})?\??"
+    r"|\w+(?:[+*?]|\{\d+(?:,\d*)?\})?\??"
+)
+
+
+def _parse_pattern(pattern: str) -> list[tuple[list[str], int, int | None, bool]]:
+    """PATTERN body → [(variables, min, max, greedy)] per position.
+
+    ``variables`` has one entry for a plain token, several for an
+    alternation group ``(A | B)`` (Calcite/SQL:2016 pattern alternation
+    — each repetition matches ONE event via any alternative, labeled
+    with that alternative's name).  Multi-variable sequences inside a
+    group (``(A B | C)``) are not supported (documented delta)."""
+    toks = _PATTOK_RE.findall(pattern)
+    if "".join(toks).replace(" ", "") != re.sub(r"\s+", "", pattern):
+        raise ValueError(f"unsupported PATTERN syntax: {pattern!r}")
+    out = []
+    for t in toks:
+        if t.startswith("("):
+            inner, _, quant = t.rpartition(")")
+            names = [v.strip() for v in inner[1:].split("|")]
+            if len(names) < 2:
+                raise ValueError(
+                    f"a pattern group needs >= 2 alternatives: {t!r}")
+            # reuse the single-token quantifier parser on a placeholder
+            _, lo, hi, greedy = _parse_quant("X" + quant)
+            out.append((names, lo, hi, greedy))
+        else:
+            var, lo, hi, greedy = _parse_quant(t)
+            out.append(([var], lo, hi, greedy))
+    return out
 
 _MEASURE_RE = re.compile(
     r"^(?:(?P<sem>RUNNING|FINAL)\s+)?"
@@ -272,16 +308,42 @@ def _needs_backtracking(states) -> bool:
     the branching fold; provably-disjoint dispatch patterns (the
     common event-type funnels) keep the deterministic-greedy mode and
     its native lowerings — for them the two semantics coincide."""
+    from dataclasses import replace as _dc_replace
+
     from ..streaming.nfa_lowering import _contradictory, _state_literals
 
-    lits = [_state_literals(s) for s in states]
-    rngs = [_state_ranges(s) for s in states]
+    # Each state contributes one condition unit per alternative (the
+    # primary + any (A|B) alternation members); two states are disjoint
+    # only if EVERY cross-pair of their units is.
+    units: list[list] = []
+    for s in states:
+        u = [s]
+        for nm, cond, pc in getattr(s, "alts", ()):
+            u.append(_dc_replace(
+                s, name=nm, cond=cond, py_cond=pc, sql_cond=None,
+                alts=(),
+            ))
+        units.append(u)
+    lits = [[_state_literals(u) for u in us] for us in units]
+    rngs = [[_state_ranges(u) for u in us] for us in units]
     n = len(states)
 
     def disjoint(a: int, b: int) -> bool:
-        if _contradictory(lits[a], lits[b]):
-            return True
-        return _ranges_disjoint(rngs[a], rngs[b])
+        for la, ra in zip(lits[a], rngs[a]):
+            for lb, rb in zip(lits[b], rngs[b]):
+                if not (_contradictory(la, lb) or _ranges_disjoint(ra, rb)):
+                    return False
+        return True
+
+    # an event matching TWO alternatives of one state forks the
+    # labeling even at {1} counts
+    for i in range(n):
+        us = units[i]
+        for a in range(len(us)):
+            for b in range(a + 1, len(us)):
+                if not (_contradictory(lits[i][a], lits[i][b])
+                        or _ranges_disjoint(rngs[i][a], rngs[i][b])):
+                    return True
 
     for i in range(n):
         s = states[i]
@@ -389,10 +451,9 @@ def match_recognize(
     if order not in (["ts"], ["ts", "event_id"]):
         raise ValueError("ORDER BY must be ts [, event_id] (NFA fold order)")
 
-    # pattern → quantified variables
-    toks = c.group("pattern").split()
-    seq = [_parse_quant(t) for t in toks]
-    variables = [v for v, _, _, _ in seq]
+    # pattern → quantified variables / alternation groups
+    seq = _parse_pattern(c.group("pattern"))
+    variables = [v for names, _, _, _ in seq for v in names]
     if len(set(variables)) != len(variables):
         raise ValueError("repeated pattern variables are not supported")
 
@@ -459,20 +520,32 @@ def match_recognize(
         raise ValueError(f"PATTERN variables with no DEFINE: {missing}")
 
     # lower onto PatternSeq: MATCH_RECOGNIZE concatenation is strict
-    # row-contiguity → strict_in edges + consecutive repeats
-    pat = nfa.PatternSeq.begin(seq[0][0], defines[seq[0][0]])
-    pat = pat._mod_last(min_count=seq[0][1], max_count=seq[0][2],
-                        consecutive=True, greedy=seq[0][3])
-    if seq[0][0] in xconds:
-        expr0, cols0, raw0 = xconds[seq[0][0]]
-        pat = pat.where_iterative(expr0, *cols0, sql_cond=raw0)
-    for var, lo, hi, greedy in seq[1:]:
-        pat = pat.next_(var, defines[var])
+    # row-contiguity → strict_in edges + consecutive repeats; an
+    # alternation group's first variable is the state's primary, the
+    # rest attach as .alt() alternatives (labels carry whichever
+    # alternative matched each repetition)
+    def _attach(pat: nfa.PatternSeq, names: list[str]) -> nfa.PatternSeq:
+        if names[0] in xconds:
+            expr_v, cols_v, raw_v = xconds[names[0]]
+            pat = pat.where_iterative(expr_v, *cols_v, sql_cond=raw_v)
+        for nm in names[1:]:
+            if nm in xconds:
+                expr_a, cols_a, _raw = xconds[nm]
+                pat = pat.alt(nm, defines[nm], expr_a, *cols_a)
+            else:
+                pat = pat.alt(nm, defines[nm])
+        return pat
+
+    names0, lo0, hi0, greedy0 = seq[0]
+    pat = nfa.PatternSeq.begin(names0[0], defines[names0[0]])
+    pat = pat._mod_last(min_count=lo0, max_count=hi0,
+                        consecutive=True, greedy=greedy0)
+    pat = _attach(pat, names0)
+    for names, lo, hi, greedy in seq[1:]:
+        pat = pat.next_(names[0], defines[names[0]])
         pat = pat._mod_last(min_count=lo, max_count=hi, consecutive=True,
                             greedy=greedy)
-        if var in xconds:
-            expr_v, cols_v, raw_v = xconds[var]
-            pat = pat.where_iterative(expr_v, *cols_v, sql_cond=raw_v)
+        pat = _attach(pat, names)
     skip_raw = c.group("skip") or "PAST LAST ROW"
     su = re.sub(r"\s+", " ", skip_raw.upper())
     if su.startswith("PAST"):

@@ -10,6 +10,7 @@ that is exactly what the oracle contract verifies.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import catalog
 from . import registry
@@ -194,7 +195,57 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def _catalog_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-catalog routing (Flink CatalogManager +
+    GenericInMemoryCatalog, [t-common]catalog/Catalog.java): CREATE
+    CATALOG / CREATE DATABASE / a table declared under a 3-part name,
+    read once fully qualified from the default context and once as a
+    bare name after USE CATALOG + USE — both against the same parquet,
+    so the oracle is the plain orders aggregate.  The union of the two
+    reads doubles counts iff both context paths resolved to the same
+    table."""
+    from ..table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("DROP TABLE IF EXISTS cat_mart.sales.orders_q")
+    tenv.execute_sql("CREATE CATALOG cat_mart WITH ('type'='generic_in_memory')")
+    tenv.execute_sql("CREATE DATABASE IF NOT EXISTS cat_mart.sales")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE cat_mart.sales.orders_q (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP(3), o_orderpriority STRING
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{sf_dir}/orders.parquet',
+          'format' = 'parquet'
+        )
+        """
+    )
+    q = ("SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS s "
+         "FROM {t} GROUP BY o_orderstatus")
+    qualified = tenv.execute_sql(q.format(t="cat_mart.sales.orders_q"))
+    tenv.execute_sql("USE CATALOG cat_mart")
+    tenv.execute_sql("USE sales")
+    bare = tenv.execute_sql(q.format(t="orders_q"))
+    tenv.execute_sql("USE CATALOG default_catalog")
+    return (
+        qualified.unionAll(bare)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n2"), F.sum("s").alias("s2"))
+        .orderBy("o_orderstatus")
+    )
+
+
+CATALOG_QUALIFIED_DUCK = """
+SELECT o_orderstatus, 2 * count(*) AS n2,
+       cast(2 * sum(o_custkey) as bigint) AS s2
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
+registry.register("x_catalog_qualified", _catalog_qualified, CATALOG_QUALIFIED_DUCK)
 registry.register("x_ddl_options_hint", _ddl_options_hint, DDL_HINT_DUCK)
 registry.register("x_explode_correlate", _sql_runner(EXPLODE_SPARK), EXPLODE_DUCK)
 registry.register("x_array_ops", _sql_runner(ARRAY_SPARK), ARRAY_DUCK)

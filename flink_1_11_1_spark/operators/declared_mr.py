@@ -510,8 +510,55 @@ ORDER BY user_id, a_id
 """
 
 
+MR_ALTERNATION_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id,
+           LAST(C.event_id) AS c_id, LAST(D.event_id) AS d_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A (B | C) D)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view',
+         C AS C.event_type = 'error', D AS D.event_type = 'purchase'
+)
+"""
+
+
+def mr_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN alternation ``(B | C)`` (SQL:2016 pattern grammar;
+    Calcite parses it for Flink — flink-table-planner
+    MatchRecognizeITCase): click, then view OR error, then purchase on
+    consecutive rows.  The unmatched alternative's measure is NULL.
+    Alternative types are disjoint, so candidates cannot overlap and
+    PAST LAST ROW keeps every one (oracle = plain lead() adjacency)."""
+    return match_recognize(spark, MR_ALTERNATION_SQL, sf_dir) \
+        .orderBy("user_id", "a_id")
+
+
+MR_ALTERNATION_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS nt1, lead(event_id, 1) OVER w AS nid1,
+         lead(event_type, 2) OVER w AS nt2, lead(event_id, 2) OVER w AS nid2,
+         lead(ts, 2) OVER w AS nts2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS a_id,
+       CASE WHEN nt1 = 'view' THEN nid1 END AS b_id,
+       CASE WHEN nt1 = 'error' THEN nid1 END AS c_id,
+       nid2 AS d_id
+FROM seq
+WHERE event_type = 'click' AND nt1 IN ('view', 'error')
+  AND nt2 = 'purchase' AND nts2 <= ts + INTERVAL 7 DAY
+ORDER BY user_id, a_id
+"""
+
+
 def register_all() -> None:
     registry.register("x_mr_backtrack", mr_backtrack, MR_BACKTRACK_ORACLE)
+    registry.register("x_mr_alternation", mr_alternation, MR_ALTERNATION_ORACLE)
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
     registry.register("x_mr_optional", mr_optional, MR_OPTIONAL_ORACLE)

@@ -830,9 +830,12 @@ def _fold_events(
         partials = survivors
         # NO_SKIP (and to_next) start a new partial at every match of a
         # startable state (state 0, or any state behind leading optionals)
-        j0 = next((j for j in start_chain if _ok(j, None)), None)
+        j0, name0 = next(
+            ((j, lb) for j in start_chain for lb in [_lbl(j, None)] if lb),
+            (None, None),
+        )
         if not suppress_start and j0 is not None:
-            name0, mn0, mx0, _, _ = states[j0]
+            mn0 = states[j0][1]
             p0 = {
                 "si": j0,
                 "cnt": 1,
@@ -1067,6 +1070,18 @@ def _fold_events_bt(
             i: events[f"g{i}"].astype(bool).tolist()
             for i in range(n_states) if neg[i][0]
         }
+        alts = spec.get("alts") or [[] for _ in range(n_states)]
+        alt_codes = spec.get("alt_py_conds") or [[] for _ in range(n_states)]
+        alt_arrs = {
+            i: [events[f"f{i}x{k}"].astype(bool).tolist()
+                for k in range(len(alts[i]))]
+            for i in range(n_states) if alts[i]
+        }
+        until = spec.get("until") or [False] * n_states
+        until_arrs = {
+            i: events[f"u{i}"].astype(bool).tolist()
+            for i in range(n_states) if until[i]
+        }
 
         for ei in range(n_events):
             ts_us = ts_arr[ei]
@@ -1074,15 +1089,28 @@ def _fold_events_bt(
             flags = [fa[ei] for fa in flag_arrs]
             evvals = {c: _plain(val_arrs[c][ei]) for c in value_cols}
 
-            def _ok(j: int, p: dict | None) -> bool:
-                if not flags[j]:
-                    return False
-                code = py_conds[j]
-                return code is None or _py_cond_ok(
-                    code, p, evvals, states[j][0])
+            def _lbls(j: int, p: dict | None) -> list[str]:
+                """Matching labels for state j in regex ``|`` priority
+                order (primary variable first, then alternatives) —
+                each is a separate fork choice."""
+                out_l: list[str] = []
+                if flags[j]:
+                    code = py_conds[j]
+                    if code is None or _py_cond_ok(
+                            code, p, evvals, states[j][0]):
+                        out_l.append(states[j][0])
+                for k, nm in enumerate(alts[j]):
+                    if alt_arrs[j][k][ei]:
+                        code = alt_codes[j][k]
+                        if code is None or _py_cond_ok(code, p, evvals, nm):
+                            out_l.append(nm)
+                return out_l
+
+            def _startable(j: int) -> bool:
+                return flags[j] or any(a[ei] for a in alt_arrs.get(j, ()))
 
             if not live and not pend \
-                    and not any(flags[j] for j in start_chain):
+                    and not any(_startable(j) for j in start_chain):
                 continue
             expired = {
                 (p["start"], p["sid"])
@@ -1093,10 +1121,17 @@ def _fold_events_bt(
             for p in live:
                 si = p["si"]
                 name, mn, mx, strict_in, consec = states[si]
-                can_extend = (
-                    not p["closed"]
-                    and (mx is None or p["cnt"] < mx)
-                    and _ok(si, p)
+                # until() stop condition: freeze the loop before the
+                # extend choice is even considered; frozen below min
+                # can never complete
+                if until[si] and until_arrs[si][ei] and not p["closed"]:
+                    p["closed"] = True
+                    if p["cnt"] < mn:
+                        continue
+                ext_lbls = (
+                    _lbls(si, p)
+                    if not p["closed"] and (mx is None or p["cnt"] < mx)
+                    else []
                 )
                 chain: list[int] = []
                 if p["cnt"] >= mn:
@@ -1110,11 +1145,12 @@ def _fold_events_bt(
                 # advance-target priority is the regex nested-decision
                 # order: a GREEDY optional prefers being entered over
                 # skipped; a RELUCTANT one prefers being skipped —
-                # evaluated left-to-right through the skippable chain
-                adv = [j for j in _target_prio(chain, greedy_flags)
-                       if _ok(j, p)]
-                ext = [("x", si)] if can_extend else []
-                advs = [("a", j) for j in adv]
+                # evaluated left-to-right through the skippable chain;
+                # within one target, alternatives fork in ``|`` order
+                ext = [("x", si, lb) for lb in ext_lbls]
+                advs = [("a", j, lb)
+                        for j in _target_prio(chain, greedy_flags)
+                        for lb in _lbls(j, p)]
                 choices = ext + advs if greedy_flags[si] else advs + ext
                 if not choices:
                     if consec and p["cnt"] < mn:
@@ -1140,7 +1176,7 @@ def _fold_events_bt(
                     if (s["start"], s["sid"]) == gid
                 )
                 created = 0
-                for ci, (kind, j) in enumerate(choices):
+                for ci, (kind, j, lbl) in enumerate(choices):
                     if fork and ci > 0 \
                             and n_in_group + created >= max_branches:
                         break  # cap: greediest branches kept
@@ -1162,7 +1198,7 @@ def _fold_events_bt(
                     else:
                         q.update(si=j, cnt=1, closed=False)
                     q["ng"] = True  # consume re-arms the notNext slot
-                    q["labels"].append(states[q["si"]][0])
+                    q["labels"].append(lbl)
                     q["ids"].append(eid)
                     q["tss"].append(ts_us)
                     q.setdefault("vals", []).append(evvals)
@@ -1184,20 +1220,24 @@ def _fold_events_bt(
             # ranks below the states behind it) — raw chain order would
             # hand it the greedier deck.
             startable = [] if suppress_start else \
-                [j for j in _target_prio(start_chain, greedy_flags)
-                 if _ok(j, None)]
+                [(j, lb) for j in _target_prio(start_chain, greedy_flags)
+                 for lb in _lbls(j, None)]
             fork0 = len(startable) > 1
-            for ci, j0 in enumerate(startable):
-                name0, mn0 = states[j0][0], states[j0][1]
+            for ci, (j0, lbl0) in enumerate(startable):
+                mn0 = states[j0][1]
                 p0 = {
                     "si": j0, "cnt": 1, "closed": False,
-                    "labels": [name0], "ids": [eid], "tss": [ts_us],
+                    "labels": [lbl0], "ids": [eid], "tss": [ts_us],
                     "vals": [evvals], "start": ts_us, "sid": eid,
                     "deck": [ci] if fork0 else [],
                 }
                 if j0 == n_states - 1 and mn0 == 1:
                     if n_states == 1:
-                        _emit({**p0, "done": True})
+                        if ci == 0:  # leftmost alternative only: a
+                            # single-state match is decided at this
+                            # event; later alternatives are the same
+                            # match with a lower-priority labeling
+                            _emit({**p0, "done": True})
                     else:  # instant complete behind leading optionals:
                         p0["done"] = True  # resolve vs greedier starts
                         pend.append(p0)

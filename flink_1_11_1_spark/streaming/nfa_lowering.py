@@ -288,6 +288,9 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         # first-range max(1, ·) cannot represent a skipped first state)
     if any(getattr(s, "neg_cond", None) is not None for s in states):
         return None  # negative edge guards: fold only
+    if any(getattr(s, "alts", ()) or getattr(s, "until_cond", None)
+           for s in states):
+        return None  # alternation groups / until() stops: fold only
     unbounded = horizon_s >= _UNBOUNDED_S
     s0 = states[0]
     contiguous = all(s.strict_in for s in states[1:])

@@ -314,6 +314,73 @@ class TableEnvironment:
 
     sql_query = execute_sql
 
+    def execute_environment_file(self, path: str) -> list[str]:
+        """Bootstrap a session from a Flink sql-client YAML environment
+        file (flink-table/flink-sql-client
+        conf/sql-client-defaults.yaml; Environment.java parses the
+        same sections).  Supported sections:
+
+        - ``configuration:`` — each key SET as a session property
+        - ``catalogs:`` — ``name`` + ``type: generic_in_memory``
+          (CREATE CATALOG); other types error loudly
+        - ``tables:`` — ``type: source-table``/``source`` entries with
+          ``connector.type: filesystem``, ``connector.path``,
+          ``format.type`` and a ``schema:`` list of
+          ``{name, data-type}`` — synthesized into the CREATE TABLE
+          DDL front door (same code path as typed DDL)
+
+        ``functions:`` entries (Java class UDFs) have no Python-side
+        equivalent and raise — a loud delta, not a silent skip.
+        Returns the executed statements (for tests/diagnostics)."""
+        try:
+            import yaml
+        except ImportError as ex:  # pragma: no cover - baked-in here
+            raise RuntimeError(
+                "environment files need PyYAML (pip install pyyaml)"
+            ) from ex
+        with open(path) as fh:
+            env = yaml.safe_load(fh) or {}
+        ran: list[str] = []
+        for k, v in (env.get("configuration") or {}).items():
+            stmt = f"SET '{k}' = '{v}'"
+            self.execute_sql(stmt)
+            ran.append(stmt)
+        for c in env.get("catalogs") or []:
+            ctype = c.get("type", "generic_in_memory")
+            stmt = (f"CREATE CATALOG {c['name']} WITH "
+                    f"('type'='{ctype}')")
+            self.execute_sql(stmt)
+            ran.append(stmt)
+        if env.get("functions"):
+            names = [f.get("name") for f in env["functions"]]
+            raise ValueError(
+                f"environment functions {names} declare Java/Scala "
+                "classes — register Python UDFs via "
+                "register_function() instead (documented delta)")
+        for t in env.get("tables") or []:
+            ttype = t.get("type", "source-table")
+            if ttype not in ("source-table", "source", "both"):
+                raise ValueError(
+                    f"table {t.get('name')}: unsupported type {ttype!r}")
+            conn = t.get("connector") or {}
+            if conn.get("type") != "filesystem":
+                raise ValueError(
+                    f"table {t.get('name')}: only filesystem connector "
+                    f"entries are supported (got {conn.get('type')!r})")
+            fmt = (t.get("format") or {}).get("type", "parquet")
+            cols = ", ".join(
+                f"{c['name']} {c.get('data-type', c.get('type', 'STRING'))}"
+                for c in t.get("schema") or []
+            )
+            stmt = (
+                f"CREATE TABLE {t['name']} ({cols}) WITH ("
+                f"'connector'='filesystem', "
+                f"'path'='{conn['path']}', 'format'='{fmt}')"
+            )
+            self.execute_sql(stmt)
+            ran.append(stmt)
+        return ran
+
     def stream_table(self, name: str) -> DataFrame:
         """Streaming scan of a DDL-declared table (computed columns +
         watermark applied after the native readStream scan)."""

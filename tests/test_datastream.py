@@ -366,3 +366,91 @@ def test_windowed_lateness_facade(env, spark, tmp_path):
         pre.key_by("k").window(
             TumblingEventTimeWindows.of("1 hour")) \
             .allowed_lateness("10 minutes")
+
+
+# ---------------- DataSet niches (round 8) ----------------------------
+
+
+def test_sort_partition_sorts_within_not_across(env):
+    s = env.from_collection(
+        [(i, i % 4, 100 - i) for i in range(40)], schema="id int, g int, v int"
+    )
+    # force a known partitioning first, then sort within it
+    parted = s._wrap(s.df.repartition(4, "g"))
+    out = parted.sort_partition("v").df
+    import pyspark.sql.functions as F
+
+    pdf = out.withColumn("pid", F.spark_partition_id()).toPandas()
+    # within every physical partition the v column is non-decreasing
+    for _, grp in pdf.groupby("pid"):
+        vs = list(grp["v"])
+        assert vs == sorted(vs)
+    # no shuffle happened: same partition count, same row placement keys
+    assert out.rdd.getNumPartitions() == parted.df.rdd.getNumPartitions()
+
+
+def test_sort_partition_chained_secondary_key(env):
+    s = env.from_collection(
+        [(1, 2, 9), (1, 1, 8), (2, 2, 7), (2, 1, 6)],
+        schema="a int, b int, c int",
+    )
+    one = s._wrap(s.df.coalesce(1))
+    got = [tuple(r) for r in
+           one.sort_partition("a").sort_partition("b", "desc").df.collect()]
+    assert got == [(1, 2, 9), (1, 1, 8), (2, 2, 7), (2, 1, 6)]
+
+
+def test_partition_custom_colocates_groups(env):
+    import pyspark.sql.functions as F
+
+    s = env.from_collection(
+        [(i,) for i in range(60)], schema="id bigint"
+    )
+    out = s.partition_custom(lambda k: int(k) % 5, "id", num_partitions=8)
+    pdf = out.df.withColumn("pid", F.spark_partition_id()) \
+        .withColumn("grp", F.col("id") % 5).toPandas()
+    # the co-location contract: one physical partition per custom group
+    assert (pdf.groupby("grp")["pid"].nunique() == 1).all()
+    # expression-string variant stays native (no Python stage)
+    out2 = s.partition_custom("id % 5", "id", num_partitions=8)
+    plan = out2.df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    pdf2 = out2.df.withColumn("pid", F.spark_partition_id()) \
+        .withColumn("grp", F.col("id") % 5).toPandas()
+    assert (pdf2.groupby("grp")["pid"].nunique() == 1).all()
+
+
+def test_broadcast_set_and_accumulator(env):
+    dim = env.from_collection(
+        [(1, "gold"), (2, "silver")], schema="k int, tier string"
+    )
+    fact = env.from_collection(
+        [(1, 10), (2, 20), (1, 30), (3, 40)], schema="k int, v int"
+    )
+    env.register_accumulator("n_misses")
+
+    def enrich(row, ctx):
+        tiers = {r.k: r.tier for r in ctx.get_broadcast_variable("tiers")}
+        t = tiers.get(row.k)
+        if t is None:
+            ctx.add_accumulator_value("n_misses")
+        return (row.k, row.v, t or "unknown")
+
+    out = (
+        fact.with_broadcast_set("tiers", dim)
+        .map(enrich, output_type="k int, v int, tier string")
+    )
+    got = rows(out)
+    assert got == [(1, 10, "gold"), (1, 30, "gold"), (2, 20, "silver"),
+                   (3, 40, "unknown")]
+    assert env.get_accumulator_result("n_misses") == 1
+
+
+def test_broadcast_set_missing_name_raises(env):
+    fact = env.from_collection([(1,)], schema="k int")
+
+    def f(row, ctx):
+        return (len(ctx.get_broadcast_variable("nope")),)
+
+    with pytest.raises(Exception, match="no broadcast set"):
+        fact.map(f, output_type="n int").df.collect()

@@ -787,3 +787,127 @@ def test_execute_sql_routes_match_recognize(spark):
                  B AS B.event_type = 'purchase'
         )""").collect()
     assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
+
+
+# ---------------- multi-catalog surface (round 8) ---------------------
+
+
+def test_use_catalog_routing(spark, tmp_path):
+    """CREATE CATALOG / CREATE DATABASE / USE CATALOG / USE: a table
+    declared under a 3-part name reads identically fully-qualified,
+    2-part under its catalog, and bare under its database context —
+    and the context switch back restores plain-name resolution."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "mc")
+    spark.range(9).selectExpr("id", "id * 3 AS v").write.parquet(p)
+    tenv.execute_sql("CREATE CATALOG mc1 WITH ('type'='generic_in_memory')")
+    tenv.execute_sql("CREATE DATABASE mc1.db1")
+    tenv.execute_sql(f"""CREATE TABLE mc1.db1.t (id BIGINT, v BIGINT)
+        WITH ('connector'='filesystem', 'path'='{p}', 'format'='parquet')""")
+    assert tenv.execute_sql(
+        "SELECT count(*) AS n FROM mc1.db1.t").collect()[0].n == 9
+    tenv.execute_sql("USE CATALOG mc1")
+    assert tenv.execute_sql(
+        "SHOW CURRENT CATALOG").collect()[0][0] == "mc1"
+    assert tenv.execute_sql(
+        "SELECT count(*) AS n FROM db1.t").collect()[0].n == 9
+    tenv.execute_sql("USE db1")
+    assert tenv.execute_sql(
+        "SHOW CURRENT DATABASE").collect()[0][0] == "db1"
+    assert tenv.execute_sql("SELECT sum(v) AS s FROM t").collect()[0].s == 108
+    assert [r.tableName for r in
+            tenv.execute_sql("SHOW TABLES").collect()] == ["t"]
+    # back to default: bare names resolve the session views again
+    tenv.execute_sql("USE CATALOG default_catalog")
+    spark.range(4).createOrReplaceTempView("mc_plain")
+    assert tenv.execute_sql(
+        "SELECT count(*) AS n FROM mc_plain").collect()[0].n == 4
+    names = [r.tableName for r in tenv.execute_sql("SHOW TABLES").collect()]
+    assert "mc_plain" in names and not any(n.startswith("__cat_") for n in names)
+    tenv.execute_sql("DROP TABLE mc1.db1.t")
+
+
+def test_catalog_errors_and_literal_safety(spark):
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="unknown catalog"):
+        tenv.execute_sql("USE CATALOG nope")
+    with pytest.raises(ValueError, match="unsupported type"):
+        tenv.execute_sql("CREATE CATALOG h WITH ('type'='hive')")
+    tenv.execute_sql("CREATE CATALOG mc2")
+    with pytest.raises(ValueError, match="unknown database"):
+        tenv.execute_sql("""CREATE TABLE mc2.missing.t (id BIGINT)
+            WITH ('connector'='filesystem','path'='/tmp/x','format'='parquet')""")
+    with pytest.raises(ValueError, match="current catalog"):
+        tenv.execute_sql("USE CATALOG mc2") or None
+        tenv.execute_sql("DROP CATALOG mc2")
+    tenv.execute_sql("USE CATALOG default_catalog")
+    tenv.execute_sql("DROP CATALOG mc2")
+    assert "mc2" not in [
+        r.catalog_name
+        for r in tenv.execute_sql("SHOW CATALOGS").collect()
+    ]
+    # a qualified-looking string literal is never rewritten
+    tenv.execute_sql("CREATE CATALOG mc3")
+    tenv.execute_sql("CREATE DATABASE mc3.d")
+    row = tenv.execute_sql("SELECT 'mc3.d.t' AS s").collect()[0]
+    assert row.s == "mc3.d.t"
+
+
+def test_sql_client_yaml_environment(spark, tmp_path):
+    """A Flink sql-client YAML environment file bootstraps the session:
+    configuration -> SET, catalogs -> CREATE CATALOG, tables -> the
+    CREATE TABLE front door; functions entries error loudly."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    p = str(tmp_path / "env_t")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(p)
+    envfile = tmp_path / "env.yaml"
+    envfile.write_text(f"""
+configuration:
+  table.exec.resource.default-parallelism: 6
+catalogs:
+  - name: yml_cat
+    type: generic_in_memory
+tables:
+  - name: yml_t
+    type: source-table
+    connector:
+      type: filesystem
+      path: "{p}"
+    format:
+      type: parquet
+    schema:
+      - name: id
+        data-type: BIGINT
+      - name: v
+        data-type: BIGINT
+""")
+    tenv = TableEnvironment(spark)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ran = tenv.execute_environment_file(str(envfile))
+        assert len(ran) == 3
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
+        assert "yml_cat" in [
+            r.catalog_name
+            for r in tenv.execute_sql("SHOW CATALOGS").collect()
+        ]
+        assert tenv.execute_sql(
+            "SELECT sum(v) AS s FROM yml_t").collect()[0].s == 20
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+        tenv.execute_sql("DROP TABLE IF EXISTS yml_t")
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("""
+functions:
+  - name: jf
+    from: class
+    class: com.example.F
+""")
+    with pytest.raises(ValueError, match="register_function"):
+        tenv.execute_environment_file(str(bad))

@@ -132,3 +132,122 @@ def test_backtracking_matches_regex_oracle(spark, case):
     lowered = pat.match_batch(ev)
     got_low = sorted((r.ids[0], tuple(r.labels)) for r in lowered.collect())
     assert got_low == want, f"lowering vs regex: text={text!r}"
+
+
+# ---------------- alternation band (round 8): (A | B) groups ----------
+#
+# One state per pattern is an alternation group with two alternatives
+# (class subsets that may overlap each other and the neighbors).  The
+# regex oracle encodes the group as (?:[..]|[..]){m,n} inside the
+# state's named span; per-char labels attribute to the FIRST
+# alternative whose class contains the char — exactly the regex
+# engine's leftmost-| preference (both alternatives consume one char,
+# so re never needs the second when the first contains it), and
+# exactly the fold's alternative fork order.
+
+_ALT_SEEDS = [950_000 + i for i in range(24)]
+
+
+def _random_pattern_alt(rng: random.Random):
+    n_states = rng.randint(2, 3)
+    alt_pos = rng.randrange(n_states)
+    states = []
+    classes = []  # per state: [subset] or [subset0, subset1]
+    for i in range(n_states):
+        last = i == n_states - 1
+        if last:
+            mn = mx = rng.randint(1, 2)
+            greedy = True
+        else:
+            mn, mx = rng.choice(
+                [(1, 1), (1, 2), (1, 3), (2, 2), (1, None), (0, 1)])
+            greedy = rng.random() < 0.7
+            if mn == mx or (i == 0 and mn == 0):
+                greedy = True
+        subset = sorted(rng.sample(_CLASSES, rng.randint(1, 2)))
+        cond = "(" + " OR ".join(f"cls = '{c}'" for c in subset) + ")"
+        if i == alt_pos:
+            asub = sorted(rng.sample(_CLASSES, rng.randint(1, 2)))
+            acond = "(" + " OR ".join(f"cls = '{c}'" for c in asub) + ")"
+            states.append(State(
+                f"S{i}", cond, min_count=mn, max_count=mx,
+                strict_in=True, consecutive=True, greedy=greedy,
+                alts=((f"T{i}", acond, None),)))
+            classes.append([set(subset), set(asub)])
+        else:
+            states.append(State(
+                f"S{i}", cond, min_count=mn, max_count=mx,
+                strict_in=True, consecutive=True, greedy=greedy))
+            classes.append([set(subset)])
+    skip = rng.choice(["to_next", "past_last"])
+    return (PatternSeq(states=tuple(states), horizon_s=36500 * 86400,
+                       skip=skip).with_backtracking(max_branches=256),
+            classes, skip)
+
+
+def _regex_for_alt(states, classes) -> re.Pattern:
+    parts = []
+    for i, (s, subs) in enumerate(zip(states, classes)):
+        body = "|".join("[" + "".join(sorted(ss)) + "]" for ss in subs)
+        mn, mx = s.min_count, s.max_count
+        quant = f"{{{mn},{'' if mx is None else mx}}}"
+        lazy = "" if s.greedy else "?"
+        parts.append(f"(?P<g{i}>(?:{body}){quant}{lazy})")
+    return re.compile("".join(parts))
+
+
+def _oracle_alt(rx, states, classes, text: str, skip: str):
+    def labels_of(m):
+        labs = []
+        for i, (s, subs) in enumerate(zip(states, classes)):
+            a, b = m.span(f"g{i}")
+            for ch in text[a:b]:
+                if ch in subs[0]:
+                    labs.append(s.name)
+                else:
+                    labs.append(s.alts[0][0])
+        return labs
+
+    out = []
+    if skip == "to_next":
+        for p in range(len(text)):
+            m = rx.match(text, p)
+            if m and m.end() > m.start():
+                out.append((p, tuple(labels_of(m))))
+        return out
+    p = 0
+    while p < len(text):
+        m = rx.match(text, p)
+        if m and m.end() > m.start():
+            out.append((p, tuple(labels_of(m))))
+            p = m.end()
+        else:
+            p += 1
+    return out
+
+
+@pytest.mark.parametrize("case", _ALT_SEEDS)
+def test_alternation_matches_regex_oracle(spark, case):
+    rng = random.Random(case)
+    pat, classes, skip = _random_pattern_alt(rng)
+    text = "".join(rng.choice(_CLASSES) for _ in range(rng.randint(8, 14)))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(seconds=i), ch)
+            for i, ch in enumerate(text)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, cls string")
+
+    want = sorted(_oracle_alt(
+        _regex_for_alt(pat.states, classes), pat.states, classes,
+        text, skip))
+    fold = pat.match_batch(ev, lowering=False)
+    got = sorted((r.ids[0], tuple(r.labels)) for r in fold.collect())
+    assert got == want, (
+        f"fold vs regex: states="
+        f"{[(s.min_count, s.max_count, s.greedy, subs) for s, subs in zip(pat.states, classes)]} "
+        f"skip={skip} text={text!r}")
+    # alternation states never lower — match_batch must route to the
+    # fold and still agree
+    assert sorted(
+        (r.ids[0], tuple(r.labels)) for r in pat.match_batch(ev).collect()
+    ) == want
