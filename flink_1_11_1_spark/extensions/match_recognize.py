@@ -97,23 +97,32 @@ _CLAUSE_RE = re.compile(
 _QUANT_RE = re.compile(
     r"^(?P<var>\w+)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<rel>\?)?$")
 
-# one pattern token: an alternation group ``(A | B)`` or a bare
-# variable, either followed by an optional quantifier (+ * ? {n,m})
-# and an optional reluctance marker
+# one pattern token: an alternation group ``(A | B)``, a sequence
+# group ``(A B+)``, or a bare variable — each followed by an optional
+# quantifier (+ * ? {n,m}) and an optional reluctance marker
 _PATTOK_RE = re.compile(
-    r"\(\s*\w+(?:\s*\|\s*\w+)*\s*\)(?:[+*?]|\{\d+(?:,\d*)?\})?\??"
+    r"\(\s*\w+[+*?]?\??(?:\s*(?:\|\s*)?\w+[+*?]?\??"
+    r"|\s*(?:\|\s*)?\w+\{\d+(?:,\d*)?\}\??)*\s*\)"
+    r"(?:[+*?]|\{\d+(?:,\d*)?\})?\??"
     r"|\w+(?:[+*?]|\{\d+(?:,\d*)?\})?\??"
 )
 
 
-def _parse_pattern(pattern: str) -> list[tuple[list[str], int, int | None, bool]]:
-    """PATTERN body → [(variables, min, max, greedy)] per position.
+def _parse_pattern(pattern: str) -> list[tuple]:
+    """PATTERN body → one tuple per position:
 
-    ``variables`` has one entry for a plain token, several for an
-    alternation group ``(A | B)`` (Calcite/SQL:2016 pattern alternation
-    — each repetition matches ONE event via any alternative, labeled
-    with that alternative's name).  Multi-variable sequences inside a
-    group (``(A B | C)``) are not supported (documented delta)."""
+    - ``("alt", [variables], min, max, greedy)`` — a plain token
+      (one variable) or an alternation group ``(A | B)``
+      (Calcite/SQL:2016 pattern alternation — each repetition matches
+      ONE event via any alternative, labeled with that alternative's
+      name);
+    - ``("grp", [(var, mn, mx, greedy), ...], gmin, gmax, ggreedy)`` —
+      a quantified SEQUENCE group ``(A B){2}`` (SQL:2016 grouped
+      quantification; lowers onto the NFA's group loop-back edges).
+
+    Mixing the two inside one group (``(A B | C)``) is unsupported
+    (documented delta).
+    """
     toks = _PATTOK_RE.findall(pattern)
     if "".join(toks).replace(" ", "") != re.sub(r"\s+", "", pattern):
         raise ValueError(f"unsupported PATTERN syntax: {pattern!r}")
@@ -121,16 +130,24 @@ def _parse_pattern(pattern: str) -> list[tuple[list[str], int, int | None, bool]
     for t in toks:
         if t.startswith("("):
             inner, _, quant = t.rpartition(")")
-            names = [v.strip() for v in inner[1:].split("|")]
-            if len(names) < 2:
-                raise ValueError(
-                    f"a pattern group needs >= 2 alternatives: {t!r}")
-            # reuse the single-token quantifier parser on a placeholder
+            inner = inner[1:].strip()
             _, lo, hi, greedy = _parse_quant("X" + quant)
-            out.append((names, lo, hi, greedy))
+            if "|" in inner:
+                if any(q in inner for q in "+*?{"):
+                    raise ValueError(
+                        "quantifiers inside an alternation group are "
+                        f"unsupported: {t!r}")
+                names = [v.strip() for v in inner.split("|")]
+                out.append(("alt", names, lo, hi, greedy))
+                continue
+            members = [_parse_quant(m) for m in inner.split()]
+            if len(members) < 2:
+                raise ValueError(
+                    f"a pattern group needs >= 2 members: {t!r}")
+            out.append(("grp", members, lo, hi, greedy))
         else:
             var, lo, hi, greedy = _parse_quant(t)
-            out.append(([var], lo, hi, greedy))
+            out.append(("alt", [var], lo, hi, greedy))
     return out
 
 _MEASURE_RE = re.compile(
@@ -451,9 +468,13 @@ def match_recognize(
     if order not in (["ts"], ["ts", "event_id"]):
         raise ValueError("ORDER BY must be ts [, event_id] (NFA fold order)")
 
-    # pattern → quantified variables / alternation groups
+    # pattern → quantified variables / alternation / sequence groups
     seq = _parse_pattern(c.group("pattern"))
-    variables = [v for names, _, _, _ in seq for v in names]
+    variables = [
+        v
+        for kind, members, _, _, _ in seq
+        for v in (members if kind == "alt" else [m[0] for m in members])
+    ]
     if len(set(variables)) != len(variables):
         raise ValueError("repeated pattern variables are not supported")
 
@@ -536,13 +557,41 @@ def match_recognize(
                 pat = pat.alt(nm, defines[nm])
         return pat
 
-    names0, lo0, hi0, greedy0 = seq[0]
-    pat = nfa.PatternSeq.begin(names0[0], defines[names0[0]])
-    pat = pat._mod_last(min_count=lo0, max_count=hi0,
-                        consecutive=True, greedy=greedy0)
-    pat = _attach(pat, names0)
-    for names, lo, hi, greedy in seq[1:]:
-        pat = pat.next_(names[0], defines[names[0]])
+    def _seq_group(members) -> nfa.PatternSeq:
+        """Build the sub-pattern of a quantified sequence group —
+        strict edges and consecutive repeats like the outer pattern."""
+        sub: nfa.PatternSeq | None = None
+        for var, mn_, mx_, g_ in members:
+            sub = (nfa.PatternSeq.begin(var, defines[var]) if sub is None
+                   else sub.next_(var, defines[var]))
+            sub = sub._mod_last(min_count=mn_, max_count=mx_,
+                                consecutive=True, greedy=g_)
+            sub = _attach(sub, [var])
+        return sub
+
+    pat: nfa.PatternSeq | None = None
+    has_group = False
+    for kind, members, lo, hi, greedy in seq:
+        if kind == "grp":
+            from dataclasses import replace as _dcr
+
+            has_group = True
+            sub = _seq_group(members)
+            pat = (nfa.PatternSeq.begin_group(sub) if pat is None
+                   else pat.next_group(sub))
+            # MR concatenation is strict everywhere — including the
+            # group's loop-back edge (gs.strict_in governs both)
+            gs = pat.groups[-1][0]
+            sts = list(pat.states)
+            sts[gs] = _dcr(sts[gs], strict_in=True)
+            pat = _dcr(pat, states=tuple(sts))
+            pat = pat.times(lo, hi)
+            if not greedy:
+                pat = pat.reluctant()
+            continue
+        names = members
+        pat = (nfa.PatternSeq.begin(names[0], defines[names[0]])
+               if pat is None else pat.next_(names[0], defines[names[0]]))
         pat = pat._mod_last(min_count=lo, max_count=hi, consecutive=True,
                             greedy=greedy)
         pat = _attach(pat, names)
@@ -571,10 +620,14 @@ def match_recognize(
     # with the explicit ``backtracking`` argument either way).  Reluctant
     # quantifiers always need it (their preference order IS a branching
     # policy).
-    has_reluctant = any(not st.greedy for st in pat.states)
-    if has_reluctant or (
+    has_reluctant = any(not st.greedy for st in pat.states) or any(
+        not g[4] for g in pat.groups)
+    if has_reluctant or has_group or (
             backtracking if backtracking is not None
             else _needs_backtracking(pat.states)):
+        # sequence groups always run the branching fold: loop-vs-exit
+        # ambiguity needs regex-backtracking semantics, and the two
+        # modes coincide when conditions are disjoint anyway
         pat = pat.with_backtracking()
 
     if events is None:

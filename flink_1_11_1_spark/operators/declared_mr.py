@@ -556,9 +556,75 @@ ORDER BY user_id, a_id
 """
 
 
+MR_GROUP_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, COUNT(A.*) AS n_loops,
+           LAST(B.event_id) AS b_last, LAST(C.event_id) AS c_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN ((A B){1,2} C)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view',
+         C AS C.event_type = 'purchase'
+)
+"""
+
+
+def mr_group_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified SEQUENCE group ``(A B){1,2} C`` (SQL:2016 grouped
+    quantification; NFA group loop-back edges — flink-cep
+    pattern/GroupPattern.java is the API twin): one or two
+    click-view rounds then a purchase, consecutive rows, greedy.
+
+    Oracle reasoning (all on the 5-row/3-row type templates):
+    a 5-row candidate is never consumed by an earlier valid match
+    (every overlap position demands an impossible type), so all
+    5-row candidates emit; a 3-row candidate emits unless the same
+    start admits the greedy 5-row, or a 5-row two rows earlier
+    consumed it — the only feasible overlap."""
+    return match_recognize(spark, MR_GROUP_SQL, sf_dir) \
+        .orderBy("user_id", "a_id")
+
+
+MR_GROUP_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS i1,
+         lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS i2,
+         lead(event_type, 3) OVER w AS t3, lead(event_id, 3) OVER w AS i3,
+         lead(event_type, 4) OVER w AS t4, lead(event_id, 4) OVER w AS i4,
+         lead(ts, 2) OVER w AS ts2, lead(ts, 4) OVER w AS ts4
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+cand AS (
+  SELECT *,
+         (event_type = 'click' AND t1 = 'view' AND t2 = 'click'
+          AND t3 = 'view' AND t4 = 'purchase'
+          AND ts4 <= ts + INTERVAL 7 DAY) AS is5,
+         (event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+          AND ts2 <= ts + INTERVAL 7 DAY) AS is3
+  FROM seq),
+marked AS (
+  SELECT *, coalesce(lag(is5, 2) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id), false) AS eaten
+  FROM cand)
+SELECT user_id, event_id AS a_id, cast(2 AS bigint) AS n_loops,
+       i3 AS b_last, i4 AS c_id
+FROM marked WHERE is5
+UNION ALL
+SELECT user_id, event_id AS a_id, cast(1 AS bigint) AS n_loops,
+       i1 AS b_last, i2 AS c_id
+FROM marked WHERE is3 AND NOT is5 AND NOT eaten
+ORDER BY user_id, a_id
+"""
+
+
 def register_all() -> None:
     registry.register("x_mr_backtrack", mr_backtrack, MR_BACKTRACK_ORACLE)
     registry.register("x_mr_alternation", mr_alternation, MR_ALTERNATION_ORACLE)
+    registry.register("x_mr_group_funnel", mr_group_funnel, MR_GROUP_ORACLE)
     registry.register("x_mr_next", mr_next, MR_NEXT_ORACLE)
     registry.register("x_mr_plus", mr_plus, MR_PLUS_ORACLE)
     registry.register("x_mr_optional", mr_optional, MR_OPTIONAL_ORACLE)

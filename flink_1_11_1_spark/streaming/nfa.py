@@ -154,6 +154,16 @@ class State:
     # advance the partial — including at that same event).  A partial
     # frozen below min_count is dead.
     until_cond: str | None = None
+    # Flink ``followedByAny`` edge INTO this state (non-deterministic
+    # relaxed contiguity, pattern/Pattern.java): an event that could
+    # enter the state may ALSO be ignored — the waiting branch forks
+    # off so every later occurrence yields its own match.  Requires
+    # the backtracking fold + emit-all resolution.
+    any_in: bool = False
+    # Flink ``allowCombinations()`` on a quantified state: a matching
+    # event may be skipped instead of consumed into the loop — every
+    # repetition subset matches.  Same mode requirements as any_in.
+    combinations: bool = False
 
 
 @dataclass(frozen=True)
@@ -190,6 +200,16 @@ class PatternSeq:
     # are kept when the fork fan-out exceeds it (Flink has no cap; its
     # shared buffer grows the same exponential worst case).
     max_branches: int = 64
+    # Group patterns (Flink ``Pattern.begin(Pattern)``,
+    # pattern/GroupPattern.java): quantified CONTIGUOUS sub-sequences.
+    # Each entry is (start_idx, end_idx, gmin, gmax, greedy): reaching
+    # end_idx with its count satisfied may LOOP back to start_idx
+    # (another group repetition) or proceed past end_idx once gmin
+    # repetitions completed.  Non-nested, non-overlapping; a group's
+    # first state needs min_count >= 1.
+    groups: tuple[tuple[int, int, int, int | None, bool], ...] = ()
+    # index range of the group just appended (quantifiers bind to it)
+    pending_group: tuple[int, int] | None = None
 
     # -- construction -------------------------------------------------
     @staticmethod
@@ -203,6 +223,14 @@ class PatternSeq:
     def followed_by(self, name: str, cond: str) -> "PatternSeq":
         return self._append(State(name, cond))
 
+    def followed_by_any(self, name: str, cond: str) -> "PatternSeq":
+        """Flink ``followedByAny``: non-deterministic relaxed
+        contiguity — a matching event may also be IGNORED, so every
+        later occurrence produces its own match.  Implies the
+        branching fold with emit-all resolution (Flink CEP emits every
+        found match under NO_SKIP); only ``no_skip`` is supported."""
+        return self._append(State(name, cond, any_in=True))
+
     def next_(self, name: str, cond: str) -> "PatternSeq":
         return self._append(State(name, cond, strict_in=True))
 
@@ -210,7 +238,8 @@ class PatternSeq:
         if self.pending_neg is not None:
             cond, strict = self.pending_neg
             st = replace(st, neg_cond=cond, neg_strict=strict)
-        return replace(self, states=self.states + (st,), pending_neg=None)
+        return replace(self, states=self.states + (st,),
+                       pending_neg=None, pending_group=None)
 
     def not_followed_by(self, cond: str) -> "PatternSeq":
         """Flink ``notFollowedBy``: no event matching ``cond`` may
@@ -228,31 +257,130 @@ class PatternSeq:
             raise ValueError("two consecutive negative patterns")
         return replace(self, pending_neg=(cond, True))
 
-    # -- quantifiers (apply to the LAST added state) -------------------
+    # -- group patterns (Pattern.begin(Pattern)) ------------------------
+    def _append_group(self, sub: "PatternSeq", strict_first: bool
+                      ) -> "PatternSeq":
+        if sub.groups or len(sub.states) < 2:
+            raise ValueError(
+                "a group pattern is a flat sub-sequence of >= 2 states "
+                "(nested groups unsupported; single states take plain "
+                "quantifiers)")
+        if sub.states[0].min_count < 1:
+            raise ValueError(
+                "a group's first state needs min_count >= 1 (the "
+                "loop-back target must be unambiguous)")
+        if self.pending_neg is not None:
+            raise ValueError("a negative pattern cannot guard a group")
+        gs = len(self.states)
+        first = replace(sub.states[0], strict_in=strict_first)
+        new_states = (first,) + sub.states[1:]
+        ge = gs + len(new_states) - 1
+        merged = tuple(dict.fromkeys(self.value_cols + sub.value_cols))
+        return replace(
+            self,
+            states=self.states + new_states,
+            groups=self.groups + ((gs, ge, 1, 1, True),),
+            pending_group=(gs, ge),
+            value_cols=merged,
+        )
+
+    @staticmethod
+    def begin_group(sub: "PatternSeq") -> "PatternSeq":
+        """Flink ``Pattern.begin(Pattern)``: the whole sub-sequence is
+        one quantifiable unit — ``.times(2)`` after this repeats the
+        SEQUENCE (fold loops from its last state back to its first)."""
+        return PatternSeq()._append_group(sub, strict_first=False)
+
+    def followed_by_group(self, sub: "PatternSeq") -> "PatternSeq":
+        """Flink ``Pattern.followedBy(Pattern)``."""
+        return self._append_group(sub, strict_first=False)
+
+    def next_group(self, sub: "PatternSeq") -> "PatternSeq":
+        """Flink ``Pattern.next(Pattern)``."""
+        return self._append_group(sub, strict_first=True)
+
+    def _mod_group(self, gmin=None, gmax=..., greedy=None) -> "PatternSeq":
+        gs, ge = self.pending_group
+        out = []
+        for g in self.groups:
+            if (g[0], g[1]) == (gs, ge):
+                out.append((
+                    gs, ge,
+                    g[2] if gmin is None else gmin,
+                    g[3] if gmax is ... else gmax,
+                    g[4] if greedy is None else greedy,
+                ))
+            else:
+                out.append(g)
+        return replace(self, groups=tuple(out))
+
+    # -- quantifiers (apply to the LAST added state or group) -----------
     def _mod_last(self, **kw) -> "PatternSeq":
         return replace(self, states=self.states[:-1] + (replace(self.states[-1], **kw),))
 
     def times(self, n: int, m: int | None = None) -> "PatternSeq":
+        if self.pending_group is not None:
+            return self._mod_group(gmin=n, gmax=n if m is None else m)
         return self._mod_last(min_count=n, max_count=n if m is None else m)
 
     def times_or_more(self, n: int) -> "PatternSeq":
+        if self.pending_group is not None:
+            return self._mod_group(gmin=n, gmax=None)
         return self._mod_last(min_count=n, max_count=None)
 
     def one_or_more(self) -> "PatternSeq":
         return self.times_or_more(1)
 
     def optional(self) -> "PatternSeq":
+        if self.pending_group is not None:
+            raise ValueError("optional groups are unsupported "
+                             "(a group's min repetition count is 1)")
         return self._mod_last(min_count=0)
 
     def consecutive(self) -> "PatternSeq":
         return self._mod_last(consecutive=True)
 
+    def allow_combinations(self) -> "PatternSeq":
+        """Flink ``allowCombinations()``: the LAST added (quantified)
+        state may SKIP matching events between repetitions — every
+        combination of occurrences matches.  Same execution mode as
+        ``followed_by_any`` (branching fold, emit-all, no_skip)."""
+        last = self.states[-1]
+        if (last.max_count or 2) <= 1:
+            raise ValueError(
+                "allow_combinations() applies to a quantified state "
+                "(oneOrMore/times) — Flink's own restriction")
+        return self._mod_last(combinations=True)
+
     def reluctant(self) -> "PatternSeq":
-        """SQL `+?`/`*?`/`{n,m}?` on the LAST added state: prefer the
-        shortest match (advance before extend).  Needs
-        ``with_backtracking()`` and must not be the final state
+        """SQL `+?`/`*?`/`{n,m}?` on the LAST added state or group:
+        prefer the shortest match (advance/exit before extend/loop).
+        Needs ``with_backtracking()`` and must not be the final state
         (Flink rejects patterns ending in a reluctant quantifier)."""
+        if self.pending_group is not None:
+            return self._mod_group(greedy=False)
         return self._mod_last(greedy=False)
+
+    def where(self, cond: str) -> "PatternSeq":
+        """Flink ``Pattern.where()``: AND another row-local condition
+        into the LAST added state (conditions on the same state
+        compose conjunctively — pattern/Pattern.java#where)."""
+        last = self.states[-1]
+        return self._mod_last(cond=f"({last.cond}) AND ({cond})")
+
+    def or_(self, cond: str) -> "PatternSeq":
+        """Flink ``Pattern.or()``: OR a row-local condition into the
+        LAST added state."""
+        last = self.states[-1]
+        return self._mod_last(cond=f"({last.cond}) OR ({cond})")
+
+    def subtype(self, cond: str) -> "PatternSeq":
+        """Flink ``Pattern.subtype(Class)``: narrow the accepted events
+        by a type predicate.  Java subtypes have no Python-row
+        equivalent, so the discriminator is an explicit row condition
+        (e.g. ``event_type = 'SubEvent'``) — composed conjunctively
+        like ``where``."""
+        return self.where(cond)
 
     def where_iterative(
         self, py_cond: str, *value_cols: str, sql_cond: str | None = None
@@ -361,6 +489,29 @@ class PatternSeq:
             raise ValueError(
                 "reluctant quantifiers need with_backtracking() — the "
                 "deterministic-greedy mode cannot express them")
+        for gs, ge, gmn, gmx, ggreedy in self.groups:
+            if gmn < 1 or (gmx is not None and gmx < gmn):
+                raise ValueError(
+                    f"group [{gs},{ge}]: repetition range ({gmn},{gmx}) "
+                    "invalid (min >= 1, max >= min)")
+            if ge == len(self.states) - 1 and gmx != gmn:
+                raise ValueError(
+                    "a pattern-final group must be bounded with "
+                    "min == max repetitions (same rule as the final "
+                    "state: completion is emitted at the count)")
+            if not ggreedy and not self.backtrack:
+                raise ValueError(
+                    "reluctant groups need with_backtracking()")
+        if any(s.any_in or s.combinations for s in self.states):
+            if not self.backtrack:
+                raise ValueError(
+                    "followed_by_any/allow_combinations need "
+                    "with_backtracking() (they ARE branching semantics)")
+            if self.skip != "no_skip":
+                raise ValueError(
+                    "followed_by_any/allow_combinations emit every "
+                    "found match (Flink CEP NO_SKIP); other skip "
+                    "strategies are unsupported with emit-all")
 
     # -- execution ------------------------------------------------------
     def match_batch(
@@ -382,7 +533,9 @@ class PatternSeq:
             # on ANY conditions (equivalence-tested).  Tiers B–D encode
             # the deterministic-greedy contract (no fallback binding)
             # and stay fold-only under backtracking.
-            tier = eligible_tier(self.states, self.horizon_s, self.skip)
+            tier = (None if self.groups
+                    else eligible_tier(self.states, self.horizon_s,
+                                       self.skip))
             if tier is not None and (not self.backtrack or tier == "A"):
                 lowered = try_lower_batch(
                     flagged, self.states, key, self.value_cols,
@@ -502,6 +655,10 @@ def _spec(p: PatternSeq) -> dict:
             for s in p.states
         ],
         "until": [s.until_cond is not None for s in p.states],
+        "any_in": [s.any_in for s in p.states],
+        "comb": [s.combinations for s in p.states],
+        "emit_all": any(s.any_in or s.combinations for s in p.states),
+        "groups": [list(g) for g in p.groups],
     }
 
 
@@ -636,6 +793,10 @@ def _fold_events(
     states = spec["states"]
     horizon = spec["horizon_us"]
     skip = spec["skip"]
+    groups = spec.get("groups") or []
+    # group-end state index → (start, gmin, gmax, greedy, group idx)
+    gend = {g[1]: (g[0], g[2], g[3], g[4], gi)
+            for gi, g in enumerate(groups)}
     max_partials = spec.get("max_partials") or 100_000
     rejected_starts = 0
     py_conds = spec.get("py_conds") or [None] * len(states)
@@ -736,6 +897,17 @@ def _fold_events(
                 if not p["closed"] and (mx is None or p["cnt"] < mx)
                 else None
             )
+            def _complete_at(q: dict, j: int) -> bool:
+                """Reaching state j's min completes the PATTERN unless
+                j ends a group still below its repetition count."""
+                if j != n_states - 1:
+                    return False
+                if j in gend:
+                    gs_, gmn_, _gmx, _gg, gi_ = gend[j]
+                    done = (q.get("gc") or [0] * len(groups))[gi_] + 1
+                    return done >= gmn_
+                return True
+
             if ext_lbl is not None:
                 p["cnt"] += 1
                 p["labels"].append(ext_lbl)
@@ -743,35 +915,57 @@ def _fold_events(
                 p["tss"].append(ts_us)
                 p.setdefault("vals", []).append(evvals)
                 p["ng"] = True  # re-arm the notNext slot
-                if si == n_states - 1 and p["cnt"] == mn:
+                if p["cnt"] == mn and _complete_at(p, si):
                     completed.append(p)
                 else:
                     survivors.append(p)
                 continue
-            # advance: first later state whose flag holds, skipping optionals
+            # advance: group loop-back first (greedy: another repetition
+            # outranks proceeding), then the first later state whose
+            # flag holds, skipping optionals
             advanced = False
             if p["cnt"] >= mn:
-                j = si + 1
-                while j < n_states:
-                    jname, jmn, jmx, jstrict, jconsec = states[j]
-                    jlbl = _lbl(j, p)
-                    if jlbl is not None:
-                        p.update(si=j, cnt=1, closed=False)
-                        p["labels"].append(jlbl)
-                        p["ids"].append(eid)
-                        p["tss"].append(ts_us)
-                        p.setdefault("vals", []).append(evvals)
-                        p["ng"] = True
-                        if j == n_states - 1 and jmn == 1:
-                            completed.append(p)
-                        else:
+                proceed_ok = True
+                if si in gend:
+                    gs_, gmn_, gmx_, _gg, gi_ = gend[si]
+                    gc = p.get("gc") or [0] * len(groups)
+                    loops_done = gc[gi_] + 1
+                    if gmx_ is None or loops_done < gmx_:
+                        glbl = _lbl(gs_, p)
+                        if glbl is not None:
+                            gc[gi_] = loops_done
+                            p["gc"] = gc
+                            p.update(si=gs_, cnt=1, closed=False)
+                            p["labels"].append(glbl)
+                            p["ids"].append(eid)
+                            p["tss"].append(ts_us)
+                            p.setdefault("vals", []).append(evvals)
+                            p["ng"] = True
                             survivors.append(p)
-                        advanced = True
+                            advanced = True
+                    proceed_ok = not advanced and loops_done >= gmn_
+                if not advanced and proceed_ok:
+                    j = si + 1
+                    while j < n_states:
+                        jname, jmn, jmx, jstrict, jconsec = states[j]
+                        jlbl = _lbl(j, p)
+                        if jlbl is not None:
+                            p.update(si=j, cnt=1, closed=False)
+                            p["labels"].append(jlbl)
+                            p["ids"].append(eid)
+                            p["tss"].append(ts_us)
+                            p.setdefault("vals", []).append(evvals)
+                            p["ng"] = True
+                            if jmn == 1 and _complete_at(p, j):
+                                completed.append(p)
+                            else:
+                                survivors.append(p)
+                            advanced = True
+                            break
+                        if jmn == 0:
+                            j += 1
+                            continue
                         break
-                    if jmn == 0:
-                        j += 1
-                        continue
-                    break
             if advanced:
                 continue
             # neither extended nor advanced: contiguity kill rules
@@ -780,6 +974,21 @@ def _fold_events(
             if consec:
                 p["closed"] = True  # min reached: freeze, may still advance
             nxt = si + 1
+            if p["cnt"] >= mn and si in gend:
+                # waiting at a group end: dead only if EVERY available
+                # continuation (loop-back / proceed) is a strict edge
+                gs_, gmn_, gmx_, _gg, gi_ = gend[si]
+                loops_done = (p.get("gc") or [0] * len(groups))[gi_] + 1
+                loop_viable = gmx_ is None or loops_done < gmx_
+                proceed_viable = loops_done >= gmn_ and nxt < n_states
+                can_wait = (loop_viable and not states[gs_][3]) or \
+                    (proceed_viable and not states[nxt][3])
+                if not (loop_viable or proceed_viable):
+                    can_wait = False  # exhausted on both sides
+                if not can_wait:
+                    continue
+                survivors.append(p)
+                continue
             if p["cnt"] >= mn and nxt < n_states and states[nxt][3]:
                 continue  # strict_in edge violated — dead
             if p["cnt"] >= mn and nxt < n_states and neg[nxt][0]:
@@ -923,6 +1132,9 @@ def _fold_events_bt(
     py_conds = spec.get("py_conds") or [None] * len(states)
     value_cols = spec.get("value_cols") or []
     greedy_flags = spec.get("greedy") or [True] * len(states)
+    groups = spec.get("groups") or []
+    gend = {g[1]: (g[0], g[2], g[3], g[4], gi)
+            for gi, g in enumerate(groups)}
     n_states = len(states)
     out: list[tuple] = []
     live = [p for p in partials if not p.get("done")]
@@ -1082,6 +1294,9 @@ def _fold_events_bt(
             i: events[f"u{i}"].astype(bool).tolist()
             for i in range(n_states) if until[i]
         }
+        any_in = spec.get("any_in") or [False] * n_states
+        comb = spec.get("comb") or [False] * n_states
+        emit_all = bool(spec.get("emit_all"))
 
         for ei in range(n_events):
             ts_us = ts_arr[ei]
@@ -1134,30 +1349,70 @@ def _fold_events_bt(
                     else []
                 )
                 chain: list[int] = []
+                loop = []
+                ggreedy = True
                 if p["cnt"] >= mn:
-                    j = si + 1
-                    while j < n_states:
-                        chain.append(j)
-                        if states[j][1] == 0:
-                            j += 1
-                            continue
-                        break
+                    proceed_ok = True
+                    if si in gend:
+                        gs_, gmn_, gmx_, ggreedy, gi_ = gend[si]
+                        gc0 = p.get("gc") or [0] * len(groups)
+                        loops_done = gc0[gi_] + 1
+                        if gmx_ is None or loops_done < gmx_:
+                            loop = [("g", gs_, lb) for lb in _lbls(gs_, p)]
+                        proceed_ok = loops_done >= gmn_
+                    if proceed_ok:
+                        j = si + 1
+                        while j < n_states:
+                            chain.append(j)
+                            if states[j][1] == 0:
+                                j += 1
+                                continue
+                            break
                 # advance-target priority is the regex nested-decision
                 # order: a GREEDY optional prefers being entered over
                 # skipped; a RELUCTANT one prefers being skipped —
                 # evaluated left-to-right through the skippable chain;
-                # within one target, alternatives fork in ``|`` order
+                # within one target, alternatives fork in ``|`` order.
+                # Group loop-vs-exit nests OUTSIDE the state decision:
+                # a greedy group prefers another repetition over
+                # proceeding; a reluctant one the reverse.
                 ext = [("x", si, lb) for lb in ext_lbls]
                 advs = [("a", j, lb)
                         for j in _target_prio(chain, greedy_flags)
                         for lb in _lbls(j, p)]
-                choices = ext + advs if greedy_flags[si] else advs + ext
+                rest = loop + advs if ggreedy else advs + loop
+                choices = ext + rest if greedy_flags[si] else rest + ext
+                # non-deterministic edges (followedByAny / combinations,
+                # Flink SKIP_TILL_ANY): the event may also be IGNORED —
+                # allowed only when every viable take-edge is an
+                # ignorable kind (a combinations loop / an any-entry)
+                if emit_all and choices and all(
+                        (k == "x" and comb[j]) or (k == "a" and any_in[j])
+                        for k, j, _ in choices):
+                    choices = choices + [("i", si, None)]
                 if not choices:
                     if consec and p["cnt"] < mn:
                         continue
                     if consec:
                         p["closed"] = True
                     nxt = si + 1
+                    if p["cnt"] >= mn and si in gend:
+                        # waiting at a group end: dead only if every
+                        # available continuation is a strict edge
+                        gs_, gmn_, gmx_, _gg, gi_ = gend[si]
+                        loops_done = (p.get("gc")
+                                      or [0] * len(groups))[gi_] + 1
+                        loop_viable = gmx_ is None or loops_done < gmx_
+                        proceed_viable = loops_done >= gmn_ \
+                            and nxt < n_states
+                        can_wait = (
+                            (loop_viable and not states[gs_][3])
+                            or (proceed_viable and not states[nxt][3])
+                        )
+                        if not can_wait:
+                            continue
+                        survivors.append(p)
+                        continue
                     if p["cnt"] >= mn and nxt < n_states and states[nxt][3]:
                         continue
                     if p["cnt"] >= mn and nxt < n_states and neg[nxt][0]:
@@ -1191,10 +1446,22 @@ def _fold_events_bt(
                             "start": p["start"], "sid": p["sid"],
                             "deck": list(p.get("deck", [])) + [ci],
                         }
+                        if p.get("gc"):
+                            q["gc"] = list(p["gc"])
                     else:
                         q = p
+                    if kind == "i":  # ignore the event entirely: the
+                        # waiting branch lives on for later occurrences
+                        survivors.append(q)
+                        created += 1
+                        continue
                     if kind == "x":
                         q["cnt"] += 1
+                    elif kind == "g":  # group loop-back: one more rep
+                        gc_ = q.get("gc") or [0] * len(groups)
+                        gc_[gend[q["si"]][4]] += 1
+                        q["gc"] = gc_
+                        q.update(si=j, cnt=1, closed=False)
                     else:
                         q.update(si=j, cnt=1, closed=False)
                     q["ng"] = True  # consume re-arms the notNext slot
@@ -1203,10 +1470,20 @@ def _fold_events_bt(
                     q["tss"].append(ts_us)
                     q.setdefault("vals", []).append(evvals)
                     created += 1
-                    if q["si"] == n_states - 1 \
-                            and q["cnt"] == states[-1][1]:
-                        q["done"] = True
-                        pend.append(q)
+                    done_here = (
+                        q["si"] == n_states - 1
+                        and q["cnt"] == states[-1][1]
+                        and (n_states - 1 not in gend
+                             or (q.get("gc") or [0] * len(groups))[
+                                 gend[n_states - 1][4]] + 1
+                             >= gend[n_states - 1][1])
+                    )
+                    if done_here:
+                        if emit_all:
+                            _emit(q)  # Flink CEP: every found match
+                        else:
+                            q["done"] = True
+                            pend.append(q)
                     else:
                         survivors.append(q)
             # expired groups may unblock pending siblings; completions
@@ -1238,6 +1515,8 @@ def _fold_events_bt(
                             # event; later alternatives are the same
                             # match with a lower-priority labeling
                             _emit({**p0, "done": True})
+                    elif emit_all:
+                        _emit({**p0, "done": True})
                     else:  # instant complete behind leading optionals:
                         p0["done"] = True  # resolve vs greedier starts
                         pend.append(p0)

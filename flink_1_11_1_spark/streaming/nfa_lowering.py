@@ -289,8 +289,11 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
     if any(getattr(s, "neg_cond", None) is not None for s in states):
         return None  # negative edge guards: fold only
     if any(getattr(s, "alts", ()) or getattr(s, "until_cond", None)
+           or getattr(s, "any_in", False)
+           or getattr(s, "combinations", False)
            for s in states):
-        return None  # alternation groups / until() stops: fold only
+        return None  # alternation / until / non-deterministic edges:
+        # fold only (emit-all breaks one-match-per-start)
     unbounded = horizon_s >= _UNBOUNDED_S
     s0 = states[0]
     contiguous = all(s.strict_in for s in states[1:])

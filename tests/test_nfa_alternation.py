@@ -333,5 +333,31 @@ def test_mr_group_single_alternative_rejected(spark):
       DEFINE A AS A.event_type = 'click'
     )
     """
-    with pytest.raises(ValueError, match="alternatives"):
+    with pytest.raises(ValueError, match=">= 2"):
         _mr(spark, sql, ev)
+
+
+def test_where_or_subtype_compose(spark):
+    """Pattern.where/or_/subtype compose row-local conditions on the
+    last added state (flink-cep Pattern.java #where/#or/#subtype)."""
+    p = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .where("value >= 2")
+        .or_("value >= 100")
+        .followed_by("B", "true")
+        .subtype("event_type = 'purchase'")
+        .after_match_skip("past_last")
+        .within("1 hour")
+    )
+    ev = _events(
+        spark,
+        [(1, 0, "click", 1), (2, 1, "click", 3), (3, 2, "purchase", 0),
+         (4, 10, "view", 200), (5, 11, "purchase", 0)],
+    )
+    # event 1 fails where (1 < 2, not >= 100); event 2 passes the AND
+    # leg; event 4 passes the OR leg (value >= 100, any type); B only
+    # takes purchases (subtype narrows 'true')
+    assert _matches(p.match_batch(ev)) == [
+        ([2, 3], ["A", "B"]),
+        ([4, 5], ["A", "B"]),
+    ]

@@ -1,0 +1,155 @@
+"""Non-deterministic relaxed contiguity — Flink ``followedByAny`` and
+``allowCombinations()`` (pattern/Pattern.java, Quantifier.java
+SKIP_TILL_ANY / combinations): a matching event may also be IGNORED,
+and every found match emits (Flink CEP PatternStream under NO_SKIP).
+
+Hand fixtures with exhaustively-known match sets, plus a brute-force
+subset-enumeration band (small inputs, all combinations computable
+independently)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+import pytest
+
+from flink_1_11_1_spark.streaming import nfa
+
+
+def _events(spark, types):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(1, i + 1, base + dt.timedelta(seconds=i + 1), t)
+         for i, t in enumerate(types)],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+
+def _ids(df):
+    return sorted(tuple(r.ids) for r in df.collect())
+
+
+def test_followed_by_any_every_occurrence(spark):
+    p = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+         .followed_by_any("B", "event_type = 'b'")
+         .within("1 hour").with_backtracking())
+    ev = _events(spark, ["a", "b", "x", "b", "b"])
+    assert _ids(p.match_batch(ev)) == [(1, 2), (1, 4), (1, 5)]
+    # plain followedBy: first occurrence only
+    p1 = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+          .followed_by("B", "event_type = 'b'")
+          .within("1 hour").with_backtracking())
+    assert _ids(p1.match_batch(ev)) == [(1, 2)]
+
+
+def test_followed_by_any_multiple_starts(spark):
+    p = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+         .followed_by_any("B", "event_type = 'b'")
+         .within("1 hour").with_backtracking())
+    ev = _events(spark, ["a", "a", "b", "b"])
+    assert _ids(p.match_batch(ev)) == [(1, 3), (1, 4), (2, 3), (2, 4)]
+
+
+def test_allow_combinations_all_subsets(spark):
+    """A+ with allowCombinations then B: every subset of the a-run
+    containing the start event, crossed with the b."""
+    p = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+         .one_or_more().allow_combinations()
+         .followed_by("B", "event_type = 'b'")
+         .within("1 hour").with_backtracking())
+    ev = _events(spark, ["a", "a", "a", "b"])
+    got = _ids(p.match_batch(ev))
+    want = sorted(
+        tuple(sorted(set(sub) | {s})) + (4,)
+        for s in (1, 2, 3)
+        for k in range(0, 3)
+        for sub in itertools.combinations([x for x in (1, 2, 3) if x > s], k)
+    )
+    assert got == sorted(set(want))
+
+
+def test_any_edge_chained_states(spark):
+    """followedByAny composes across states: a->any b->any c."""
+    p = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+         .followed_by_any("B", "event_type = 'b'")
+         .followed_by_any("C", "event_type = 'c'")
+         .within("1 hour").with_backtracking())
+    ev = _events(spark, ["a", "b", "b", "c", "c"])
+    assert _ids(p.match_batch(ev)) == [
+        (1, 2, 4), (1, 2, 5), (1, 3, 4), (1, 3, 5)
+    ]
+
+
+def test_any_edge_validation():
+    p = (nfa.PatternSeq.begin("A", "true")
+         .followed_by_any("B", "true").within("1 hour"))
+    with pytest.raises(ValueError, match="with_backtracking"):
+        p._check()
+    with pytest.raises(ValueError, match="NO_SKIP"):
+        p.with_backtracking().after_match_skip("past_last")._check()
+    with pytest.raises(ValueError, match="quantified"):
+        nfa.PatternSeq.begin("A", "true").allow_combinations()
+
+
+# ---------------- brute-force enumeration band ------------------------
+#
+# Independent oracle: enumerate every (start, occurrence-choice)
+# combination for A(+comb?) ~any?~ B over random strings.  Small
+# inputs keep the cross product tiny.
+
+_SEEDS = [990_000 + i for i in range(16)]
+
+
+def _brute(text, comb: bool, any_b: bool):
+    """All matches of A[+comb] B with A='a', B='b'."""
+    n = len(text)
+    out = set()
+    a_pos = [i for i, c in enumerate(text) if c == "a"]
+    b_pos = [i for i, c in enumerate(text) if c == "b"]
+    for s in a_pos:
+        later_a = [i for i in a_pos if i > s]
+        if comb:
+            a_sets = [
+                tuple([s] + sorted(sub))
+                for k in range(len(later_a) + 1)
+                for sub in itertools.combinations(later_a, k)
+            ]
+        else:
+            # plain oneOrMore relaxed: the maximal run of a's from s
+            # (matching events must be consumed), i.e. every a >= s
+            a_sets = [tuple([s] + later_a)]
+        for aset in a_sets:
+            bs = [b for b in b_pos if b > aset[-1]]
+            if not bs:
+                continue
+            picks = bs if any_b else bs[:1]
+            # with a non-any B edge, intervening a's BETWEEN the run
+            # end and the b would extend the run first (relaxed loop:
+            # matching events must be consumed) — already handled by
+            # the maximal-run construction above for the non-comb
+            # case; for comb, any un-consumed 'a' before the b is
+            # ignorable by the combinations loop, so every b works
+            for b in picks:
+                out.add(tuple(x + 1 for x in aset) + (b + 1,))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("case", _SEEDS)
+def test_any_combinations_match_brute(spark, case):
+    rng = random.Random(case)
+    comb = rng.random() < 0.5
+    any_b = rng.random() < 0.5 if not comb else True
+    text = "".join(rng.choice("abx") for _ in range(rng.randint(5, 8)))
+    p = nfa.PatternSeq.begin("A", "event_type = 'a'").one_or_more()
+    if comb:
+        p = p.allow_combinations()
+    p = (p.followed_by_any("B", "event_type = 'b'") if any_b
+         else p.followed_by("B", "event_type = 'b'"))
+    p = p.within("1 hour").with_backtracking(max_branches=2048)
+    if not (comb or any_b):
+        return  # plain shape — covered elsewhere
+    got = _ids(p.match_batch(_events(spark, list(text))))
+    want = _brute(text, comb, any_b)
+    assert got == want, f"case={case} text={text!r} comb={comb} any={any_b}"

@@ -251,3 +251,129 @@ def test_alternation_matches_regex_oracle(spark, case):
     assert sorted(
         (r.ids[0], tuple(r.labels)) for r in pat.match_batch(ev).collect()
     ) == want
+
+
+# ---------------- negative-pattern band (round 8) ---------------------
+#
+# notNext / notFollowedBy kill semantics vs a lookahead-encoded regex
+# oracle.  Shape: S0 (quantified, consecutive, class cA) --relaxed edge
+# with neg guard g--> S1 (final, class cB, disjoint from cA).  The
+# fold's contract, encoded in regex:
+#
+# - the S0 run is maximal-contiguous (greedy a-run; the char ending it
+#   cannot extend, by cA/cB disjointness and the gap-start exclusion);
+# - gap chars are skipped UNLESS they match the guard: notFollowedBy
+#   excludes g from the whole gap, notNext only from the FIRST gap
+#   slot (the fold's ``ng`` re-arm);
+# - a char matching both g and cB is CONSUMED by S1 — never a
+#   violation (gap ends at the first cB char).
+#
+# Deterministic and branching folds must both agree with the oracle
+# (cA/cB disjoint → no forks, the two modes coincide).
+
+_NEG_SEEDS = [970_000 + i for i in range(24)]
+
+
+def _gen_neg(rng: random.Random):
+    ca = set(rng.sample(_CLASSES, rng.randint(1, 2)))
+    cb = set(_CLASSES) - ca if len(ca) == 2 else {
+        rng.choice(sorted(set(_CLASSES) - ca))}
+    cg = set(rng.sample(_CLASSES, rng.randint(1, 2)))
+    mn, mx = rng.choice([(1, 1), (1, 2), (1, 3), (2, 2), (1, None)])
+    strict_neg = rng.random() < 0.5
+    cond = lambda cls: "(" + " OR ".join(
+        f"cls = '{c}'" for c in sorted(cls)) + ")"
+    base = PatternSeq(
+        states=(State("S0", cond(ca), min_count=mn, max_count=mx,
+                      strict_in=False, consecutive=True),),
+        horizon_s=36500 * 86400,
+        skip=rng.choice(["to_next", "past_last"]),
+    )
+    base = (base.not_next(cond(cg)) if strict_neg
+            else base.not_followed_by(cond(cg)))
+    base = base.followed_by("S1", cond(cb))
+    return base, ca, cb, cg, strict_neg
+
+
+def _neg_regex(ca, cb, cg, mn, mx, strict_neg) -> re.Pattern:
+    """Lookahead/class-encoded oracle.  Gap rules: the FIRST gap slot
+    always excludes the guard (both modes) and cB (ends the gap); it
+    excludes cA only while the run could still extend (below max) —
+    at max, cA chars are skippable like any other.  Later slots
+    exclude cB and (notFollowedBy only) the guard.  Finite max needs
+    two branches because 'first slot excludes cA' depends on the
+    matched run length."""
+    a = "[" + "".join(sorted(ca)) + "]"
+    b = "[" + "".join(sorted(cb)) + "]"
+
+    def neg_cls(excl):
+        return "[^" + "".join(sorted(excl)) + "]"
+
+    rest = neg_cls(cb) if strict_neg else neg_cls(cb | cg)
+
+    def gap(first_excl):
+        return f"(?:{neg_cls(first_excl)}(?:{rest})*)?"
+
+    if mx is None:
+        return re.compile(
+            f"(?P<r1>{a}{{{mn},}})(?P<p1>{gap(ca | cb | cg)})(?P<g1>{b})")
+    branches = [f"(?P<r1>{a}{{{mx}}})(?P<p1>{gap(cb | cg)})"]
+    if mx > mn:
+        branches.append(
+            f"(?P<r2>{a}{{{mn},{mx - 1}}})(?P<p2>{gap(ca | cb | cg)})")
+    return re.compile(f"(?:{'|'.join(branches)})(?P<g1>{b})")
+
+
+def _neg_oracle(rx, text: str, skip: str):
+    out = []
+
+    def labels(m):
+        a0, a1 = m.span("r1")
+        if a0 < 0:  # the shorter-run branch matched
+            a0, a1 = m.span("r2")
+        return ["S0"] * (a1 - a0) + ["S1"], \
+            list(range(a0, a1)) + [m.start("g1")]
+
+    if skip == "to_next":
+        for p in range(len(text)):
+            m = rx.match(text, p)
+            if m:
+                labs, poss = labels(m)
+                out.append((p, tuple(labs), tuple(poss)))
+        return out
+    p = 0
+    while p < len(text):
+        m = rx.match(text, p)
+        if m:
+            labs, poss = labels(m)
+            out.append((p, tuple(labs), tuple(poss)))
+            p = m.end()
+        else:
+            p += 1
+    return out
+
+
+@pytest.mark.parametrize("case", _NEG_SEEDS)
+@pytest.mark.parametrize("backtrack", [False, True])
+def test_negative_guard_matches_lookahead_oracle(spark, case, backtrack):
+    rng = random.Random(case)
+    pat, ca, cb, cg, strict_neg = _gen_neg(rng)
+    if backtrack:
+        pat = pat.with_backtracking()
+    text = "".join(rng.choice(_CLASSES) for _ in range(rng.randint(8, 14)))
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, i, t0 + dt.timedelta(seconds=i), ch)
+         for i, ch in enumerate(text)],
+        "user_id long, event_id long, ts timestamp, cls string")
+
+    s0 = pat.states[0]
+    rx = _neg_regex(ca, cb, cg, s0.min_count, s0.max_count, strict_neg)
+    want = sorted(_neg_oracle(rx, text, pat.skip))
+    got = sorted(
+        (r.ids[0], tuple(r.labels), tuple(r.ids))
+        for r in pat.match_batch(ev, lowering=False).collect())
+    assert got == want, (
+        f"case={case} bt={backtrack} text={text!r} ca={sorted(ca)} "
+        f"cb={sorted(cb)} cg={sorted(cg)} strict_neg={strict_neg} "
+        f"quant=({s0.min_count},{s0.max_count}) skip={pat.skip}")
