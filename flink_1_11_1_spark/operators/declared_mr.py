@@ -563,7 +563,7 @@ SELECT * FROM events MATCH_RECOGNIZE (
   MEASURES FIRST(A.event_id) AS a_id, COUNT(A.*) AS n_loops,
            LAST(B.event_id) AS b_last, LAST(C.event_id) AS c_id
   ONE ROW PER MATCH
-  AFTER MATCH SKIP PAST LAST ROW
+  AFTER MATCH SKIP TO NEXT ROW
   PATTERN ((A B){1,2} C)
   WITHIN INTERVAL '7' DAY
   DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view',
@@ -574,16 +574,16 @@ SELECT * FROM events MATCH_RECOGNIZE (
 
 def mr_group_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified SEQUENCE group ``(A B){1,2} C`` (SQL:2016 grouped
-    quantification; NFA group loop-back edges — flink-cep
-    pattern/GroupPattern.java is the API twin): one or two
-    click-view rounds then a purchase, consecutive rows, greedy.
+    quantification; flink-cep pattern/GroupPattern.java is the API
+    twin): one or two click-view rounds then a purchase, consecutive
+    rows, greedy, one match per start (TO NEXT ROW).
 
-    Oracle reasoning (all on the 5-row/3-row type templates):
-    a 5-row candidate is never consumed by an earlier valid match
-    (every overlap position demands an impossible type), so all
-    5-row candidates emit; a 3-row candidate emits unless the same
-    start admits the greedy 5-row, or a 5-row two rows earlier
-    consumed it — the only feasible overlap."""
+    Plans NATIVELY: bounded groups unroll into tier-A lead() branches
+    ordered by the regex decision sequence
+    (nfa_lowering._lower_fixed_groups) — no Python stage; the NFA
+    group loop-back fold stays the general path (past_last,
+    unbounded reps).  Oracle: the greedy 5-row template wins its
+    start; the 3-row template emits where the 5-row can't."""
     return match_recognize(spark, MR_GROUP_SQL, sf_dir) \
         .orderBy("user_id", "a_id")
 
@@ -605,18 +605,14 @@ cand AS (
           AND ts4 <= ts + INTERVAL 7 DAY) AS is5,
          (event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
           AND ts2 <= ts + INTERVAL 7 DAY) AS is3
-  FROM seq),
-marked AS (
-  SELECT *, coalesce(lag(is5, 2) OVER
-    (PARTITION BY user_id ORDER BY ts, event_id), false) AS eaten
-  FROM cand)
+  FROM seq)
 SELECT user_id, event_id AS a_id, cast(2 AS bigint) AS n_loops,
        i3 AS b_last, i4 AS c_id
-FROM marked WHERE is5
+FROM cand WHERE is5
 UNION ALL
 SELECT user_id, event_id AS a_id, cast(1 AS bigint) AS n_loops,
        i1 AS b_last, i2 AS c_id
-FROM marked WHERE is3 AND NOT is5 AND NOT eaten
+FROM cand WHERE is3 AND NOT is5
 ORDER BY user_id, a_id
 """
 

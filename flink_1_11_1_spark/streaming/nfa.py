@@ -533,16 +533,25 @@ class PatternSeq:
             # on ANY conditions (equivalence-tested).  Tiers B–D encode
             # the deterministic-greedy contract (no fallback binding)
             # and stay fold-only under backtracking.
-            tier = (None if self.groups
-                    else eligible_tier(self.states, self.horizon_s,
-                                       self.skip))
-            if tier is not None and (not self.backtrack or tier == "A"):
+            if self.groups:
+                # bounded group patterns unroll into tier-A branches
+                # under backtracking semantics (see _groups_lowerable)
                 lowered = try_lower_batch(
                     flagged, self.states, key, self.value_cols,
-                    self.horizon_s, self.skip, backtrack=self.backtrack
+                    self.horizon_s, self.skip, backtrack=self.backtrack,
+                    groups=self.groups,
                 )
                 if lowered is not None:
                     return lowered
+            else:
+                tier = eligible_tier(self.states, self.horizon_s, self.skip)
+                if tier is not None and (not self.backtrack or tier == "A"):
+                    lowered = try_lower_batch(
+                        flagged, self.states, key, self.value_cols,
+                        self.horizon_s, self.skip, backtrack=self.backtrack
+                    )
+                    if lowered is not None:
+                        return lowered
         spec = _spec(self)
         schema = match_schema(key, events.schema[key].dataType)
 

@@ -288,12 +288,28 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         # first-range max(1, ·) cannot represent a skipped first state)
     if any(getattr(s, "neg_cond", None) is not None for s in states):
         return None  # negative edge guards: fold only
-    if any(getattr(s, "alts", ()) or getattr(s, "until_cond", None)
+    if any(getattr(s, "until_cond", None)
            or getattr(s, "any_in", False)
            or getattr(s, "combinations", False)
            for s in states):
-        return None  # alternation / until / non-deterministic edges:
-        # fold only (emit-all breaks one-match-per-start)
+        return None  # until / non-deterministic edges: fold only
+        # (emit-all breaks one-match-per-start)
+    has_alts = any(getattr(s, "alts", ()) for s in states)
+    if has_alts:
+        # Alternation lowers in tier A only, and only fully row-local:
+        # the state matches when ANY alternative's flag holds (span is
+        # alternative-independent) and the per-offset label is a CASE
+        # in ``|`` priority order — exactly both folds' leftmost
+        # preference.  Cross-variable conditions could make the CHOICE
+        # span-relevant, so they stay fold-only.
+        if any(s.py_cond is not None for s in states) or any(
+                a[2] is not None for s in states
+                for a in getattr(s, "alts", ())):
+            return None
+        names = [s.name for s in states] + [
+            a[0] for s in states for a in getattr(s, "alts", ())]
+        if len(set(names)) != len(names):
+            return None
     unbounded = horizon_s >= _UNBOUNDED_S
     s0 = states[0]
     contiguous = all(s.strict_in for s in states[1:])
@@ -328,13 +344,24 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
                         # match, so this is no_skip
                         return "A"
                     if mode in ("past_last", "to_last"):
-                        if unbounded and s0.consecutive and s0.py_cond is None:
+                        if unbounded and s0.consecutive \
+                                and s0.py_cond is None and not has_alts:
                             return "B"
                     return None
                 if mode == "past_last":
-                    lit0 = _state_literals(s0)
+                    def units(s):
+                        # every alternative contributes a literal set;
+                        # a contradiction proof must hold for ALL pairs
+                        return [_state_literals(s)] + [
+                            _literal_conjuncts(a[1], this=a[0])
+                            for a in getattr(s, "alts", ())
+                        ]
+
                     if s0.max_count == 1 and all(
-                        _contradictory(lit0, _state_literals(s)) for s in states[1:]
+                        _contradictory(ua, ub)
+                        for s in states[1:]
+                        for ua in units(s0)
+                        for ub in units(s)
                     ):
                         return "A"
             return None
@@ -351,7 +378,9 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
             and skip == "past_last"
         ):
             lit0 = _state_literals(s0)
-            if all(_contradictory(lit0, _state_literals(s)) for s in states[1:]):
+            if not has_alts and all(
+                    _contradictory(lit0, _state_literals(s))
+                    for s in states[1:]):
                 return "C"
         return None
 
@@ -373,7 +402,7 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
         and len(states[1:]) <= 5
         and states[-1].min_count == 1
     ):
-        if _segments_of(states[1:]) is not None:
+        if not has_alts and _segments_of(states[1:]) is not None:
             return "D"
     return None
 
@@ -415,7 +444,18 @@ def try_lower_batch(
     horizon_s: int,
     skip: str,
     backtrack: bool = False,
+    groups=(),
 ) -> DataFrame | None:
+    if groups:
+        # Group patterns lower ONLY through the bounded unrolled path
+        # (tier A analogue) under backtracking semantics
+        if not backtrack or not _groups_lowerable(states, groups, skip):
+            return None
+        try:
+            return _lower_fixed_groups(
+                flagged, states, key, value_cols, horizon_s, groups)
+        except _Unlowerable:
+            return None
     tier = eligible_tier(states, horizon_s, skip)
     if tier is None:
         return None
@@ -432,6 +472,181 @@ def try_lower_batch(
         return _lower_funnel(flagged, states, key, horizon_s)
     except _Unlowerable:
         return None
+
+
+def _groups_lowerable(states, groups, skip: str) -> bool:
+    """Bounded group patterns unroll into tier-A count vectors when:
+
+    - skip is no_skip/to_next (past_last would need a no-overlap proof,
+      which the group's own repeated start state defeats: an interior
+      loop row can always start another match);
+    - everything is strict/consecutive and row-local (regex shape);
+    - each group is bounded with a STRICT loop-back edge, and either
+      its repetition count is fixed or its member states are fixed
+      (so the regex decision sequence flattens positionally).
+    """
+    if skip.partition(":")[0] not in ("no_skip", "to_next"):
+        return False
+    if states[0].min_count == 0:
+        return False
+    if any(s.py_cond is not None
+           or getattr(s, "neg_cond", None) is not None
+           or getattr(s, "until_cond", None)
+           or getattr(s, "any_in", False)
+           or getattr(s, "combinations", False)
+           or any(a[2] is not None for a in getattr(s, "alts", ()))
+           for s in states):
+        return False
+    if not all(s.strict_in for s in states[1:]):
+        return False
+    if not all(s.consecutive for s in states
+               if s.max_count is None or s.max_count > 1):
+        return False
+    if any(s.max_count is None for s in states):
+        return False
+    names = [s.name for s in states] + [
+        a[0] for s in states for a in getattr(s, "alts", ())]
+    if len(set(names)) != len(names):
+        return False
+    for gs, ge, gmn, gmx, _gg in groups:
+        if gmx is None:
+            return False
+        if not states[gs].strict_in:
+            return False  # relaxed loop-back: fold-only
+        if gmn != gmx and any(
+                states[i].min_count != states[i].max_count
+                for i in range(gs, ge + 1)):
+            return False  # interleaved decisions: fold-only
+    return True
+
+
+def _lower_fixed_groups(
+    flagged: DataFrame, states, key: str, value_cols, horizon_s: int,
+    groups,
+) -> DataFrame:
+    """Unrolled tier A for bounded group patterns (backtracking mode):
+    every (group repetition count, per-occurrence state count)
+    assignment becomes one branch; branches are ordered by the
+    flattened regex decision sequence (greedy prefers more, reluctant
+    fewer, positionally left-to-right) and resolved by a first-match
+    CASE — exactly the branching fold's preference."""
+    leads = _Leads()
+    n = len(states)
+    gmap = {g[0]: tuple(g) for g in groups}
+    elements: list[tuple] = []
+    i = 0
+    while i < n:
+        if i in gmap:
+            elements.append(("g",) + gmap[i])
+            i = gmap[i][1] + 1
+        else:
+            elements.append(("s", i))
+            i += 1
+
+    def counts(i: int) -> range:
+        return range(states[i].min_count, states[i].max_count + 1)
+
+    def element_options(el) -> list[tuple[tuple, list[tuple[int, int]]]]:
+        if el[0] == "s":
+            i = el[1]
+            return [
+                ((-c if states[i].greedy else c,), [(i, c)])
+                for c in counts(i)
+            ]
+        _, gs, ge, gmn, gmx, gg = el
+        inner = list(range(gs, ge + 1))
+        opts = []
+        for reps in range(gmn, gmx + 1):
+            per_pos = [list(counts(i)) for _ in range(reps) for i in inner]
+            for combo in itertools.product(*per_pos):
+                positions: list[tuple[int, int]] = []
+                kp = [-reps if gg else reps]
+                it = iter(combo)
+                for _ in range(reps):
+                    for i in inner:
+                        c = next(it)
+                        positions.append((i, c))
+                        kp.append(-c if states[i].greedy else c)
+                opts.append((tuple(kp), positions))
+        return opts
+
+    all_opts = [element_options(el) for el in elements]
+    nbranch = 1
+    for o in all_opts:
+        nbranch *= len(o)
+    if nbranch > _MAX_VECTORS:
+        raise _Unlowerable(f"{nbranch} unrolled branches > cap")
+
+    def alt_or(i: int, off: int) -> str:
+        alts = getattr(states[i], "alts", ())
+        refs = [leads.ref(f"f{i}", off)] + [
+            leads.ref(f"f{i}x{k}", off) for k in range(len(alts))
+        ]
+        return "(" + " OR ".join(refs) + ")" if alts else refs[0]
+
+    def label_at(i: int, off: int) -> str:
+        alts = getattr(states[i], "alts", ())
+        if not alts:
+            return f"'{states[i].name}'"
+        whens = [f"WHEN {leads.ref(f'f{i}', off)} THEN '{states[i].name}'"]
+        whens += [
+            f"WHEN {leads.ref(f'f{i}x{k}', off)} THEN '{a[0]}'"
+            for k, a in enumerate(alts)
+        ]
+        return "CASE " + " ".join(whens) + " END"
+
+    raw = []
+    for combo in itertools.product(*all_opts):
+        sort_key = tuple(x for kp, _ in combo for x in kp)
+        positions = [p for _, ps in combo for p in ps]
+        raw.append((sort_key, positions))
+    raw.sort(key=lambda t: t[0])
+
+    branches: list[tuple[str, dict]] = []
+    for _, positions in raw:
+        L = sum(c for _, c in positions)
+        if L > _MAX_LEN:
+            raise _Unlowerable(f"unrolled length {L} > cap")
+        if L == 0:
+            continue
+        conds, labels, off = [], [], 0
+        for i, c in positions:
+            for _ in range(c):
+                conds.append(alt_or(i, off))
+                labels.append(label_at(i, off))
+                off += 1
+        if horizon_s < _UNBOUNDED_S and L > 1:
+            conds.append(
+                f"{leads.ref('ts', L - 1)} <= ts + INTERVAL {horizon_s} SECOND"
+            )
+        ids = ", ".join(leads.ref("event_id", o) for o in range(L))
+        tss = ", ".join(leads.ref("ts", o) for o in range(L))
+        branches.append((
+            " AND ".join(f"({c})" for c in conds),
+            {
+                "end_ts": leads.ref("ts", L - 1),
+                "labels": f"array({', '.join(labels)})",
+                "ids": f"array({ids})",
+                "tss": f"array({tss})",
+            },
+        ))
+    if not branches:
+        raise _Unlowerable("no live unrolled branches")
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    enriched = leads.attach(flagged, w)
+    any_cond = " OR ".join(f"({c})" for c, _ in branches)
+    out = enriched.filter(F.expr(any_cond))
+    return _out_select(
+        out,
+        key,
+        {
+            "start_ts": "ts",
+            "end_ts": _case([(c, e["end_ts"]) for c, e in branches]),
+            "labels": _case([(c, e["labels"]) for c, e in branches]),
+            "ids": _case([(c, e["ids"]) for c, e in branches]),
+            "tss": _case([(c, e["tss"]) for c, e in branches]),
+        },
+    )
 
 
 def _out_select(
@@ -480,8 +695,28 @@ def _lower_fixed(
     def full_cond(i: int, off: int, bound: dict[str, list[int]]) -> str | None:
         s = states[i]
         if s.py_cond is None:
+            alts = getattr(s, "alts", ())
+            if alts:  # the state matches when ANY alternative does
+                refs = [leads.ref(f"f{i}", off)] + [
+                    leads.ref(f"f{i}x{k}", off) for k in range(len(alts))
+                ]
+                return "(" + " OR ".join(refs) + ")"
             return leads.ref(f"f{i}", off)
         return _instantiate(s.sql_cond, s.name, off, bound, leads, value_cols)
+
+    def label_at(i: int, off: int) -> str:
+        """Per-offset label: the literal state name, or — for an
+        alternation group — a CASE in ``|`` priority order (the folds'
+        leftmost-alternative preference)."""
+        alts = getattr(states[i], "alts", ())
+        if not alts:
+            return f"'{states[i].name}'"
+        whens = [f"WHEN {leads.ref(f'f{i}', off)} THEN '{states[i].name}'"]
+        whens += [
+            f"WHEN {leads.ref(f'f{i}x{k}', off)} THEN '{a[0]}'"
+            for k, a in enumerate(alts)
+        ]
+        return "CASE " + " ".join(whens) + " END"
 
     branches: list[tuple[tuple, str, dict]] = []
     for vec in itertools.product(*ranges):
@@ -530,7 +765,7 @@ def _lower_fixed(
                 f"{leads.ref('ts', L - 1)} <= ts + INTERVAL {horizon_s} SECOND"
             )
         labels = ", ".join(
-            f"'{states[i].name}'" for i in range(n) for _ in offsets[i]
+            label_at(i, o) for i in range(n) for o in offsets[i]
         )
         ids = ", ".join(leads.ref("event_id", o) for o in range(L))
         tss = ", ".join(leads.ref("ts", o) for o in range(L))

@@ -108,13 +108,33 @@ def test_alternation_duplicate_variable_rejected():
         (nfa.PatternSeq.begin("A", "true").alt("A", "true"))
 
 
-def test_alternation_never_lowers():
+def test_alternation_lowering_eligibility():
+    """Row-local alternation lowers (tier A, OR span + CASE labels,
+    round 8); cross-variable alternatives stay fold-only."""
     pat = (
         nfa.PatternSeq.begin("A", "event_type = 'click'")
         .next_("B", "event_type = 'view'")
         .alt("C", "event_type = 'cart'")
     )
-    assert eligible_tier(pat.states, 3600, "past_last") is None
+    # past_last no-overlap proof checks every alternative's literals:
+    # click contradicts view AND cart -> lowerable
+    assert eligible_tier(pat.states, 3600, "past_last") == "A"
+    assert eligible_tier(pat.states, 3600, "to_next") == "A"
+    xpat = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "true")
+        .alt("C", "true", 'EV["value"] > LAST("A","value")', "value")
+    )
+    assert eligible_tier(xpat.states, 3600, "to_next") is None
+    # overlapping-alternative past_last: proof must FAIL when an
+    # alternative can collide with the start state
+    opat = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'view'")
+        .alt("C", "value >= 0")  # no literal -> could be a click
+    )
+    assert eligible_tier(opat.states, 3600, "past_last") is None
+    assert eligible_tier(opat.states, 3600, "to_next") == "A"
 
 
 def test_until_freezes_loop_without_consuming(spark):

@@ -226,6 +226,31 @@ def test_group_matches_regex_oracle(spark, case):
         for r in pat.match_batch(ev, lowering=False).collect())
     assert got == want, (
         f"case={case} text={text!r} rx={rx.pattern} skip={pat.skip}")
+    if pat.skip == "to_next":
+        # bounded groups may unroll into the native tier-A analogue
+        # under to_next — whichever path match_batch picks must agree
+        # (shapes with interleaved loop/inner decisions or too many
+        # branches legitimately stay on the fold)
+        from flink_1_11_1_spark.streaming.nfa_lowering import (
+            _groups_lowerable,
+        )
+
+        low = pat.match_batch(ev)
+        got_low = sorted((r.ids[0], r.ids[-1] + 1) for r in low.collect())
+        assert got_low == want, (
+            f"lowering: case={case} text={text!r} rx={rx.pattern}")
+        if _groups_lowerable(pat.states, pat.groups, pat.skip):
+            s0 = pat.states[0]
+            nb = sum(
+                (pat.states[1].max_count - pat.states[1].min_count + 1)
+                ** reps
+                for reps in range(pat.groups[0][2], pat.groups[0][3] + 1)
+            )
+            if nb <= 16:
+                plan = low._jdf.queryExecution() \
+                    .executedPlan().toString()
+                assert "FlatMapGroupsInPandas" not in plan, (
+                    f"case={case}: expected native unrolled plan")
 
 
 def test_mr_sequence_group_grammar(spark):
