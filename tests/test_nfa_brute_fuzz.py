@@ -494,3 +494,123 @@ def test_start_fork_respects_reluctant_preference():
     got = dict(_run(p, "bba"))
     # start 0: S1 skipped — S2 takes 'bb' (regex: c*b??[ab]{2} on 'bba')
     assert got[0] == ("S2", "S2")
+
+
+# ---------------------------------------------------------------------
+# Part 4 (round 8): chunked self-consistency for the new pattern
+# algebra — alternation states, until() stops, group loop-backs and
+# the emit-all any-edges.  Same contract as Part 2: one-shot
+# fold(finalize=True) == random chunks with JSON-round-tripped
+# partials (the streaming state trip — "gc" counters, alt labels and
+# frozen flags must all survive serialization).
+# ---------------------------------------------------------------------
+def _gen_r8(rng: random.Random):
+    feature = rng.choice(["alt", "until", "group", "any"])
+    bt = feature == "any" or rng.random() < 0.5
+
+    def cls():
+        return sorted(rng.sample(CLASSES, rng.randint(1, 2)))
+
+    def cond(c):
+        return "(" + " OR ".join(f"cls = '{x}'" for x in c) + ")"
+
+    groups = ()
+    if feature == "group":
+        pm = rng.choice([1, 2])
+        states = [
+            State("S0", cond(cls()), min_count=1, max_count=1,
+                  strict_in=rng.random() < 0.5, consecutive=True),
+            State("S1", cond(cls()), min_count=pm, max_count=pm,
+                  strict_in=True, consecutive=True),
+            State("S2", cond(cls()), min_count=1, max_count=1,
+                  strict_in=rng.random() < 0.5),
+        ]
+        gm = rng.choice([1, 2])
+        gx = rng.choice([gm, gm + 1])
+        groups = ((0, 1, gm, gx, rng.random() < 0.7 or not bt),)
+        if not groups[0][4] and not bt:
+            bt = True
+    elif feature == "alt":
+        states = [
+            State("S0", cond(cls()), min_count=1,
+                  max_count=rng.choice([1, 2, None]),
+                  consecutive=rng.random() < 0.5,
+                  alts=((f"T0", cond(cls()), None),)),
+            State("S1", cond(cls()), min_count=1, max_count=1,
+                  strict_in=rng.random() < 0.4),
+        ]
+        if states[0].max_count is None:
+            states[0] = State(**{**states[0].__dict__,
+                                 "consecutive": True})
+    elif feature == "until":
+        states = [
+            State("S0", cond(cls()), min_count=rng.choice([1, 2]),
+                  max_count=None, consecutive=rng.random() < 0.5,
+                  until_cond=cond(cls())),
+            State("S1", cond(cls()), min_count=1, max_count=1),
+        ]
+    else:  # any-edge
+        comb = rng.random() < 0.5
+        states = [
+            State("S0", cond(cls()), min_count=1,
+                  max_count=None if comb else 1,
+                  combinations=comb),
+            State("S1", cond(cls()), min_count=1, max_count=1,
+                  any_in=not comb or rng.random() < 0.5),
+        ]
+        if not states[0].combinations and not states[1].any_in:
+            states[1] = State(**{**states[1].__dict__, "any_in": True})
+    skip = "no_skip" if feature == "any" else rng.choice(
+        ["no_skip", "to_next", "past_last"])
+    p = PatternSeq(states=tuple(states), groups=groups, skip=skip,
+                   horizon_s=rng.choice([36500 * 86400, 6]),
+                   backtrack=bt, max_branches=128)
+    try:
+        p._check()
+    except ValueError:
+        return None
+    return p
+
+
+_R8_SEEDS = list(range(6000, 6048))
+
+
+@pytest.mark.parametrize("seed", _R8_SEEDS)
+def test_chunked_fold_equals_one_shot_r8_features(seed):
+    rng = random.Random(seed)
+    p = _gen_r8(rng)
+    if p is None:
+        pytest.skip("seed drew an invalid pattern")
+    n_ev = rng.randint(8, 16)
+    text = "".join(rng.choice(CLASSES) for _ in range(n_ev))
+    data = {"user_id": [1] * n_ev, "event_id": list(range(n_ev)),
+            "ts": pd.to_datetime(list(range(n_ev)), unit="s")}
+    for i, s in enumerate(p.states):
+        subset = set(_re.findall(r"'(\w)'", s.cond))
+        data[f"f{i}"] = [c in subset for c in text]
+        for k, (_nm, acond, _pc) in enumerate(s.alts):
+            asub = set(_re.findall(r"'(\w)'", acond))
+            data[f"f{i}x{k}"] = [c in asub for c in text]
+        if s.until_cond:
+            usub = set(_re.findall(r"'(\w)'", s.until_cond))
+            data[f"u{i}"] = [c in usub for c in text]
+    pdf = pd.DataFrame(data)
+    spec = _spec(p)
+
+    out1, _ = _fold_events(1, pdf, [], spec, finalize=True)
+
+    cuts = sorted(rng.sample(range(1, n_ev), rng.randint(1, min(4, n_ev - 1))))
+    bounds = [0] + cuts + [n_ev]
+    out2, partials = [], []
+    for a, b in zip(bounds, bounds[1:]):
+        o, partials = _fold_events(1, pdf.iloc[a:b], partials, spec)
+        partials = json.loads(json.dumps(partials))  # streaming state trip
+        out2.extend(o)
+    o, _ = _fold_events(1, pdf.iloc[0:0], partials, spec, finalize=True)
+    out2.extend(o)
+
+    k1 = sorted((tuple(r[3]), tuple(r[4])) for r in out1)
+    k2 = sorted((tuple(r[3]), tuple(r[4])) for r in out2)
+    assert k1 == k2, (
+        f"seed={seed} cuts={cuts} skip={p.skip} bt={p.backtrack} "
+        f"groups={p.groups}")
