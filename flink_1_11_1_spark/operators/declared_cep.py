@@ -232,7 +232,44 @@ ORDER BY user_id, a_id
 """
 
 
+def cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``followedByAny`` (SKIP_TILL_ANY, pattern/Pattern.java —
+    round 8): click followedByAny purchase WITHIN 6 hours emits EVERY
+    qualifying (click, later purchase) pair per user — not just the
+    first occurrence — which is exactly a time-bounded self-join.
+    Plans natively as that range join (tier E,
+    nfa_lowering._lower_any_pair); longer any-chains run the branching
+    fold's emit-all resolution.  The oracle is the same join in
+    DuckDB."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    pat = (
+        nfa.PatternSeq.begin("a", "event_type = 'click'")
+        .followed_by_any("b", "event_type = 'purchase'")
+        .within("6 hours")
+        .with_backtracking(max_branches=4096)
+    )
+    m = pat.match_batch(ev)
+    return m.select(
+        "user_id",
+        F.expr("get(ids, 0)").alias("a_id"),
+        F.expr("get(ids, 1)").alias("b_id"),
+    ).orderBy("user_id", "a_id", "b_id")
+
+
+CEP_ANY_ORACLE = f"""
+WITH e AS ({_E})
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM e a JOIN e b
+  ON b.user_id = a.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL 6 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY a.user_id, a_id, b_id
+"""
+
+
 def register_all() -> None:
+    registry.register("x_cep_any", cep_followed_by_any, CEP_ANY_ORACLE)
     registry.register("x_cep_times_df", cep_times_clicks, CEP_TIMES_ORACLE)
     registry.register("x_cep_optional_df", cep_optional_funnel, CEP_OPTIONAL_ORACLE)
     registry.register("x_cep_funnel3", cep_funnel3, CEP_FUNNEL3_ORACLE)

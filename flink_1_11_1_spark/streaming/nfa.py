@@ -545,7 +545,8 @@ class PatternSeq:
                     return lowered
             else:
                 tier = eligible_tier(self.states, self.horizon_s, self.skip)
-                if tier is not None and (not self.backtrack or tier == "A"):
+                if tier is not None and (
+                        not self.backtrack or tier in ("A", "E")):
                     lowered = try_lower_batch(
                         flagged, self.states, key, self.value_cols,
                         self.horizon_s, self.skip, backtrack=self.backtrack

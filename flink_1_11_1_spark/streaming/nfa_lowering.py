@@ -292,8 +292,27 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
            or getattr(s, "any_in", False)
            or getattr(s, "combinations", False)
            for s in states):
-        return None  # until / non-deterministic edges: fold only
-        # (emit-all breaks one-match-per-start)
+        # emit-all pair shape: A followedByAny B, both single-count and
+        # row-local — the match set IS the horizon-bounded (A, later B)
+        # pair set, i.e. a relational range self-join (tier E).  Any
+        # other until/any/combinations shape stays on the fold.
+        if (
+            len(states) == 2
+            and getattr(states[1], "any_in", False)
+            and skip == "no_skip"
+            and all(
+                s.min_count == s.max_count == 1
+                and s.py_cond is None
+                and not getattr(s, "alts", ())
+                and not getattr(s, "combinations", False)
+                and not getattr(s, "until_cond", None)
+                and s.neg_cond is None
+                for s in states
+            )
+            and not states[1].strict_in
+        ):
+            return "E"
+        return None  # fold only (emit-all breaks one-match-per-start)
     has_alts = any(getattr(s, "alts", ()) for s in states)
     if has_alts:
         # Alternation lowers in tier A only, and only fully row-local:
@@ -459,12 +478,14 @@ def try_lower_batch(
     tier = eligible_tier(states, horizon_s, skip)
     if tier is None:
         return None
-    if backtrack and tier != "A":
+    if backtrack and tier not in ("A", "E"):
         return None  # tiers B-D encode deterministic-greedy semantics
     try:
         if tier == "A":
             return _lower_fixed(flagged, states, key, value_cols, horizon_s,
                                 backtrack=backtrack)
+        if tier == "E":
+            return _lower_any_pair(flagged, states, key, horizon_s)
         if tier == "B":
             return _lower_run(flagged, states[0], key, skip.partition(":")[0])
         if tier == "C":
@@ -803,6 +824,50 @@ def _lower_fixed(
             "ids": _case([(c, e["ids"]) for c, e in branches]),
             "tss": _case([(c, e["tss"]) for c, e in branches]),
         },
+    )
+
+
+def _lower_any_pair(
+    flagged: DataFrame, states, key: str, horizon_s: int
+) -> DataFrame:
+    """Tier E: ``A followedByAny B`` (both {1}, row-local, NO_SKIP) —
+    Flink SKIP_TILL_ANY emits EVERY (A, later-B-within-horizon) pair,
+    which is exactly a horizon-bounded range self-join: no Python, no
+    branch fan-out, per-key join width bounded by the WITHIN horizon
+    (the same bound that caps the fold's branch pool)."""
+    a = flagged.filter("f0").select(
+        F.col(key).alias("__k"),
+        F.col("ts").alias("__a_ts"),
+        F.col("event_id").alias("__a_id"),
+    )
+    b = flagged.filter("f1").select(
+        F.col(key).alias("__k2"),
+        F.col("ts").alias("__b_ts"),
+        F.col("event_id").alias("__b_id"),
+    )
+    cond = (
+        (a["__k"] == b["__k2"])
+        & (
+            (b["__b_ts"] > a["__a_ts"])
+            | ((b["__b_ts"] == a["__a_ts"]) & (b["__b_id"] > a["__a_id"]))
+        )
+    )
+    if horizon_s < _UNBOUNDED_S:
+        cond = cond & (
+            b["__b_ts"] <= a["__a_ts"] + F.expr(
+                f"INTERVAL {horizon_s} SECOND")
+        )
+    la, lb = states[0].name, states[1].name
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("__k").alias(key),
+            F.col("__a_ts").alias("start_ts"),
+            F.col("__b_ts").alias("end_ts"),
+            F.expr(f"array('{la}', '{lb}')").alias("labels"),
+            F.array("__a_id", "__b_id").alias("ids"),
+            F.array("__a_ts", "__b_ts").alias("tss"),
+        )
     )
 
 

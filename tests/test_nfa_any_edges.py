@@ -153,3 +153,31 @@ def test_any_combinations_match_brute(spark, case):
     got = _ids(p.match_batch(_events(spark, list(text))))
     want = _brute(text, comb, any_b)
     assert got == want, f"case={case} text={text!r} comb={comb} any={any_b}"
+
+
+def test_any_pair_tier_e_equals_fold(spark):
+    """A followedByAny B (both {1}, row-local, no_skip) lowers to a
+    horizon-bounded range self-join (tier E) — same rows as the
+    emit-all fold, no Python stage."""
+    p = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+         .followed_by_any("B", "event_type = 'b'")
+         .within("5 seconds").with_backtracking())
+    ev = _events(spark, ["a", "b", "a", "x", "b", "b", "a"])
+    low = p.match_batch(ev)
+    plan = low._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    got_low = sorted(tuple(r.ids) for r in low.collect())
+    got_fold = sorted(
+        tuple(r.ids) for r in p.match_batch(ev, lowering=False).collect())
+    assert got_low == got_fold
+    # horizon bound: a1(t1) pairs with b2(t2),b5(t5),b6(t6) within 5s;
+    # a3(t3) with b5,b6; a7 with nothing
+    assert got_fold == [(1, 2), (1, 5), (1, 6), (3, 5), (3, 6)]
+    # a 3-state any-chain stays on the fold (tier E is the pair shape)
+    p3 = (nfa.PatternSeq.begin("A", "event_type = 'a'")
+          .followed_by_any("B", "event_type = 'b'")
+          .followed_by_any("C", "event_type = 'x'")
+          .within("1 hour").with_backtracking())
+    plan3 = p3.match_batch(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan3
