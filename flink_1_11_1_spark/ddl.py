@@ -213,6 +213,16 @@ _FLINK_CONF_MAP = {
     "table.local-time-zone": "spark.sql.session.timeZone",
 }
 
+# Flink's `SET 'table.sql-dialect' = 'hive'` switches to the
+# flink-sql-parser-hive front end.  Spark's OWN parser is
+# Hive-descended and already accepts the HiveQL surface that dialect
+# exists for (LATERAL VIEW, DISTRIBUTE/SORT/CLUSTER BY, named_struct,
+# TRANSFORM-less DML, backtick identifiers), so the switch is accepted
+# and recorded but routes to the same parser — a documented
+# architectural merge, not a silent ignore (DESCRIBE-able via the
+# session conf; unknown dialects still error).
+_SQL_DIALECTS = ("default", "hive")
+
 
 def _strip_quotes(v: str) -> str:
     v = v.strip()
@@ -688,8 +698,16 @@ class DdlCatalog:
         if key is None:
             return self.spark.sql("SET")
         k = _strip_quotes(key)
+        v = _strip_quotes(value)
+        if k == "table.sql-dialect":
+            if v.lower() not in _SQL_DIALECTS:
+                raise ValueError(
+                    f"unknown SQL dialect {v!r} "
+                    f"(supported: {_SQL_DIALECTS})")
+            # recorded for introspection; both dialects route to
+            # Spark's Hive-descended parser (see _SQL_DIALECTS note)
         spark_key = _FLINK_CONF_MAP.get(k, k)
-        self.spark.conf.set(spark_key, _strip_quotes(value))
+        self.spark.conf.set(spark_key, v)
         self._set_keys.add(spark_key)
         return None
 

@@ -381,3 +381,42 @@ def test_where_or_subtype_compose(spark):
         ([2, 3], ["A", "B"]),
         ([4, 5], ["A", "B"]),
     ]
+
+
+def test_alternation_stream_equals_unfinalized_fold(spark, tmp_path):
+    """Round-8 algebra through the REAL streaming backend
+    (applyInPandasWithState): alternation labels survive the JSON
+    state round-trip across micro-batches; reference = the
+    unfinalized shared fold over the full data."""
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.nfa import (
+        _fold_events, _spec, _with_flags)
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "replay_alt")
+    replay.write_replay(spark, SF_SMOKE, d, parts=5)
+    pat = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .followed_by("M", "event_type = 'view'")
+        .alt("E", "event_type = 'error'")
+        .followed_by("P", "event_type = 'purchase'")
+        .within("24 hours")
+    )
+    sel = ["user_id", "event_id", "ts", "event_type"]
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select(*sel)), "append", "s_alt_nfa")
+    events = catalog.load_table(spark, SF_SMOKE, "events").select(*sel)
+    flagged = _with_flags(events, pat.states, "user_id", ()).toPandas()
+    spec = _spec(pat)
+    want = set()
+    for uid, pdf in flagged.groupby("user_id"):
+        out, _ = _fold_events(
+            uid, pdf.sort_values(["ts", "event_id"]), [], spec)
+        want |= {(uid, tuple(t[3]), tuple(t[4])) for t in out}
+    assert {(r.user_id, tuple(r.labels), tuple(r.ids)) for r in got} == want
+    assert len(want) > 0
+    # both alternatives genuinely occur in the matched data
+    mids = {labs[1] for _, labs, _ in want}
+    assert mids == {"M", "E"}
