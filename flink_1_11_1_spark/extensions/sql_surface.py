@@ -244,7 +244,40 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def _hive_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's ``SET 'table.sql-dialect' = 'hive'`` front door
+    (flink-sql-parser-hive): the signature HiveQL shapes — LATERAL
+    VIEW explode with a CLUSTER BY subquery — run under the switch
+    (routed to Spark's Hive-descended parser; see ddl._SQL_DIALECTS).
+    The oracle is the equivalent ANSI unnest aggregation."""
+    from ..table_env import TableEnvironment
+
+    catalog.register(spark, sf_dir)
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("SET 'table.sql-dialect' = 'hive'")
+    try:
+        return tenv.execute_sql("""
+            SELECT lang, count(*) AS n_toks, count(DISTINCT tok) AS n_uniq
+            FROM (SELECT lang, doc_id, text FROM documents
+                  WHERE doc_id < 200 CLUSTER BY doc_id) d
+            LATERAL VIEW explode(split(trim(text), ' ')) t AS tok
+            GROUP BY lang ORDER BY lang
+        """)
+    finally:
+        tenv.execute_sql("RESET 'table.sql-dialect'")
+
+
+HIVE_DIALECT_DUCK = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 200)
+SELECT lang, count(*) AS n_toks, count(DISTINCT tok) AS n_uniq
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+
 registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
+registry.register("x_hive_dialect", _hive_dialect, HIVE_DIALECT_DUCK)
 registry.register("x_catalog_qualified", _catalog_qualified, CATALOG_QUALIFIED_DUCK)
 registry.register("x_ddl_options_hint", _ddl_options_hint, DDL_HINT_DUCK)
 registry.register("x_explode_correlate", _sql_runner(EXPLODE_SPARK), EXPLODE_DUCK)

@@ -294,3 +294,37 @@ def test_mr_sequence_group_grammar(spark):
         events=ev(["click", "view", "x", "click", "view", "purchase"])
     ).collect()
     assert sorted((r.a1, r.n_loops, r.c_id) for r in got2) == [(4, 1, 6)]
+
+
+def test_group_stream_equals_unfinalized_fold(spark, tmp_path):
+    """Group loop-back counters (``gc``) survive the REAL streaming
+    backend's JSON state trip across micro-batches; reference = the
+    unfinalized shared fold over the full data."""
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.nfa import (
+        _fold_events, _spec, _with_flags)
+
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "replay_grp")
+    replay.write_replay(spark, SF_SMOKE, d, parts=5)
+    sub = (nfa.PatternSeq.begin("A", "event_type = 'click'")
+           .next_("B", "event_type = 'view'"))
+    pat = (nfa.PatternSeq.begin_group(sub).times(1, 2)
+           .next_("P", "event_type = 'purchase'")
+           .within("24 hours").with_backtracking())
+    sel = ["user_id", "event_id", "ts", "event_type"]
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select(*sel)), "append", "s_grp_nfa")
+    events = catalog.load_table(spark, SF_SMOKE, "events").select(*sel)
+    flagged = _with_flags(events, pat.states, "user_id", ()).toPandas()
+    spec = _spec(pat)
+    want = set()
+    for uid, pdf in flagged.groupby("user_id"):
+        out, _ = _fold_events(
+            uid, pdf.sort_values(["ts", "event_id"]), [], spec)
+        want |= {(uid, tuple(t[3]), tuple(t[4])) for t in out}
+    assert {(r.user_id, tuple(r.labels), tuple(r.ids)) for r in got} == want
+    assert len(want) > 0
