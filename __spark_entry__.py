@@ -106,6 +106,13 @@ _DRIVER_GREEN_HISTORY = {
     "x_tpcds_dual_rank", "x_tpcds_intersect", "x_tpcds_period_vs_avg",
     "x_tpcds_pivot", "x_tpcds_rebuy", "x_tpcds_returns_net",
     "x_tpcds_rollup_rank", "x_tpcds_year_pair",
+    # round-8 greens (CORRECTNESS_r08.json: 50/50 hash-green rows —
+    # the 5 new round-8 entries + the MR/CEP/DDL/Table-API/DataStream
+    # re-verifies per _REVERIFY_FIRST).  All 186 entries now have a
+    # recorded driver green across r01–r08; the round-9 window leads
+    # with round-9 additions plus re-verification of touched modules.
+    "x_hive_dialect", "x_catalog_qualified", "x_cep_any",
+    "x_mr_alternation", "x_mr_group_funnel",
 }
 
 

@@ -101,7 +101,14 @@ class StreamExecutionEnvironment:
         """Register a counter accumulator; rich callables add to it via
         ``ctx.add_accumulator_value(name, v)`` and the driver reads it
         with ``get_accumulator_result`` after an action ran (Spark
-        accumulators: task-side adds fold on task completion)."""
+        accumulators: task-side adds fold on task completion).
+
+        Delta from Flink's once-per-job accumulators: the adds happen
+        inside transformations (mapInPandas), where Spark does NOT
+        guarantee exactly-once updates — a retried task, or a SECOND
+        action re-executing the lineage, double-counts.  Read the
+        result after exactly one action, and ``.cache()`` the stream
+        first if anything downstream will trigger another."""
         if not hasattr(self, "_accs"):
             self._accs = {}
         self._accs[name] = self.spark.sparkContext.accumulator(zero)

@@ -540,8 +540,11 @@ class DdlCatalog:
                 raise ValueError(f"unknown catalog {name!r}")
             self.current = (name, self._default_db[name])
             return None
-        m = re.match(r"^(CREATE|DROP) DATABASE (?:IF (?:NOT )?EXISTS )?"
-                     r"([\w.]+)$", up)
+        # Per-verb IF [NOT] EXISTS qualifiers: a shared alternation
+        # would accept the mismatched forms (CREATE DATABASE IF EXISTS
+        # / DROP DATABASE IF NOT EXISTS), which Flink's parser rejects.
+        m = re.match(r"^(CREATE) DATABASE (?:IF NOT EXISTS )?([\w.]+)$", up) \
+            or re.match(r"^(DROP) DATABASE (?:IF EXISTS )?([\w.]+)$", up)
         if m:
             raw = s.split()[-1].replace("`", "")
             parts = raw.split(".")
@@ -555,10 +558,20 @@ class DdlCatalog:
                 if (cat, db) == self.current:
                     raise ValueError("cannot drop the current database")
                 self.catalogs[cat].discard(db)
+                dropped = {
+                    k: v for k, v in self.qualified.items()
+                    if (k[0], k[1]) == (cat, db)
+                }
                 self.qualified = {
                     k: v for k, v in self.qualified.items()
-                    if (k[0], k[1]) != (cat, db)
+                    if k not in dropped
                 }
+                # the mangled __cat_ views must go with their mappings,
+                # or a later same-named declaration serves stale data
+                for alias in dropped.values():
+                    self.tables.pop(alias, None)
+                    self._evict_hint_aliases(alias)
+                    self.spark.catalog.dropTempView(alias)
             return None
         m = re.match(r"^USE ([\w.]+)$", up)
         if m and up != "USE CATALOG":
@@ -605,20 +618,27 @@ class DdlCatalog:
                     rf"(?<![\w.`]){re.escape(db)}\s*\.\s*`?"
                     rf"{re.escape(tbl)}`?(?![\w.])", alias))
             if (cat, db) == (cur_cat, cur_db) and alias != tbl:
+                # Bare registered names rewrite ONLY in table positions
+                # (after FROM/JOIN/INTO/TABLE/UPDATE) — an unanchored
+                # pattern would also mangle a column or alias that
+                # happens to share the table's name (``SELECT x AS
+                # orders_q``); the matched keyword is re-emitted.
                 pats.append((
-                    rf"(?<![\w.`])`?{re.escape(tbl)}`?(?![\w.])", alias))
+                    rf"\b((?i:FROM|JOIN|INTO|TABLE|UPDATE))\s+"
+                    rf"`?{re.escape(tbl)}`?(?![\w.])",
+                    rf"\1 {alias}"))
         spans = _quoted_spans(s)
 
         def in_literal(pos: int) -> bool:
             return any(a <= pos < b for a, b in spans)
 
-        for pat, alias in pats:
+        for pat, repl in pats:
             out, last = [], 0
             for m in re.finditer(pat, s):
                 if in_literal(m.start()):
                     continue
                 out.append(s[last:m.start()])
-                out.append(alias)
+                out.append(m.expand(repl))
                 last = m.end()
             if out:
                 out.append(s[last:])

@@ -478,12 +478,20 @@ class ExprParser:
             return out(F.log(float(args[0].lit_val), c))
         if name == "truncate":
             # round toward ZERO (Flink TRUNCATE): floor for positives,
-            # ceil for negatives — bare floor would send -1.23 to -1.3
+            # ceil for negatives — bare floor would send -1.23 to -1.3.
+            # Computed on the DECIMAL rendering of the value (Flink's
+            # SqlFunctions.struncate is BigDecimal-based): scaling the
+            # binary double directly yields 0.29*100 = 28.999..., so
+            # truncate(0.29, 2) would drop to 0.28.  Spark's double →
+            # decimal cast goes through Double.toString (shortest
+            # decimal form), matching BigDecimal.valueOf semantics.
             n = args[0].lit_val if args else 0
-            p = 10 ** n
+            d = c.cast("decimal(38,18)")
+            p = F.lit(10 ** n).cast("decimal(20,0)")
             return out(
-                F.when(c >= 0, F.floor(c * p) / p)
-                .otherwise(F.ceil(c * p) / p)
+                F.when(c >= 0, F.floor(d * p) / p)
+                .otherwise(F.ceil(d * p) / p)
+                .cast("double")
             )
         if name == "position":
             return out(F.instr(a[0], c))

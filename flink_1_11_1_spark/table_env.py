@@ -340,17 +340,10 @@ class TableEnvironment:
             ) from ex
         with open(path) as fh:
             env = yaml.safe_load(fh) or {}
-        ran: list[str] = []
-        for k, v in (env.get("configuration") or {}).items():
-            stmt = f"SET '{k}' = '{v}'"
-            self.execute_sql(stmt)
-            ran.append(stmt)
-        for c in env.get("catalogs") or []:
-            ctype = c.get("type", "generic_in_memory")
-            stmt = (f"CREATE CATALOG {c['name']} WITH "
-                    f"('type'='{ctype}')")
-            self.execute_sql(stmt)
-            ran.append(stmt)
+        # Validate EVERY section before executing ANY statement — a file
+        # rejected halfway (e.g. a functions: section after valid
+        # configuration keys) must not leave the session partially
+        # bootstrapped.
         if env.get("functions"):
             names = [f.get("name") for f in env["functions"]]
             raise ValueError(
@@ -367,6 +360,19 @@ class TableEnvironment:
                 raise ValueError(
                     f"table {t.get('name')}: only filesystem connector "
                     f"entries are supported (got {conn.get('type')!r})")
+        ran: list[str] = []
+        for k, v in (env.get("configuration") or {}).items():
+            stmt = f"SET '{k}' = '{v}'"
+            self.execute_sql(stmt)
+            ran.append(stmt)
+        for c in env.get("catalogs") or []:
+            ctype = c.get("type", "generic_in_memory")
+            stmt = (f"CREATE CATALOG {c['name']} WITH "
+                    f"('type'='{ctype}')")
+            self.execute_sql(stmt)
+            ran.append(stmt)
+        for t in env.get("tables") or []:
+            conn = t.get("connector") or {}
             fmt = (t.get("format") or {}).get("type", "parquet")
             cols = ", ".join(
                 f"{c['name']} {c.get('data-type', c.get('type', 'STRING'))}"

@@ -469,3 +469,128 @@ def test_expr_flatten_expands_composite(spark):
     # non-field-reference target is a loud error, not a silent identity
     with pytest.raises(ValueError, match="composite field"):
         t.select("(id + 1).flatten()")
+
+
+# ---------------- round-9 advisor findings (ADVICE.md r8) -------------
+
+
+def test_truncate_is_decimal_exact(spark):
+    """ADVICE r8: truncate must operate on the DECIMAL rendering —
+    truncate(0.29, 2) is 0.29, not the binary-scaling artifact 0.28
+    (0.29*100 == 28.999... in IEEE doubles)."""
+    from flink_1_11_1_spark.table_api import Table
+
+    t = Table(
+        spark.createDataFrame(
+            [(0.29,), (-0.29,), (1.005,), (-1.005,), (123.456,)], "v double"
+        )
+    )
+    rows = t.select("v.truncate(2) as tv, v").df.collect()
+    got = {r.v: r.tv for r in rows}
+    assert got[0.29] == 0.29
+    assert got[-0.29] == -0.29
+    assert got[1.005] == 1.0
+    assert got[-1.005] == -1.0
+    assert got[123.456] == 123.45
+    # declared-output type rule: result stays DOUBLE
+    assert dict(t.select("v.truncate(2) as tv").df.dtypes)["tv"] == "double"
+
+
+def test_qualified_bare_name_rewrite_anchored(spark, tmp_path):
+    """ADVICE r8: the bare-name rewrite in a non-default catalog context
+    must only fire in table positions — a column alias (or column)
+    sharing the table's name stays untouched."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "anchor_t")
+    spark.range(3).selectExpr("id", "id * 7 AS v").write.parquet(p)
+    tenv.execute_sql("CREATE CATALOG anc_cat WITH ('type'='generic_in_memory')")
+    tenv.execute_sql("CREATE DATABASE anc_cat.adb")
+    tenv.execute_sql(f"""CREATE TABLE anc_cat.adb.anchors (id BIGINT, v BIGINT)
+        WITH ('connector'='filesystem', 'path'='{p}', 'format'='parquet')""")
+    tenv.execute_sql("USE CATALOG anc_cat")
+    tenv.execute_sql("USE adb")
+    try:
+        # alias named like the table: must NOT mangle; the FROM ref must
+        rows = tenv.execute_sql(
+            "SELECT sum(v) AS anchors FROM anchors"
+        ).collect()
+        assert rows[0].anchors == 21
+        # JOIN position rewrites too (case-insensitive keyword)
+        rows = tenv.execute_sql(
+            "SELECT count(*) AS n FROM anchors a join anchors b ON a.id = b.id"
+        ).collect()
+        assert rows[0].n == 3
+    finally:
+        tenv.execute_sql("USE CATALOG default_catalog")
+        tenv.execute_sql("DROP TABLE anc_cat.adb.anchors")
+
+
+def test_database_qualifier_mismatch_rejected(spark):
+    """ADVICE r8: CREATE DATABASE IF EXISTS / DROP DATABASE IF NOT
+    EXISTS are parse errors (per-verb qualifiers), and DROP DATABASE
+    drops the orphaned __cat_ temp views with the mappings."""
+    import pytest as _pt
+
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("CREATE CATALOG dbq_cat")
+    tenv.execute_sql("CREATE DATABASE IF NOT EXISTS dbq_cat.d1")
+    with _pt.raises(Exception):
+        tenv.execute_sql("CREATE DATABASE IF EXISTS dbq_cat.d2")
+    with _pt.raises(Exception):
+        tenv.execute_sql("DROP DATABASE IF NOT EXISTS dbq_cat.d1")
+    # a declared table's mangled view dies with its database
+    spark.range(2).createOrReplaceTempView("dbq_src")
+    tenv.execute_sql(
+        """CREATE TABLE dbq_cat.d1.t (id BIGINT) WITH (
+           'connector'='filesystem', 'path'='/tmp/__dbq_nonexistent__',
+           'format'='parquet')"""
+    )
+    assert ("dbq_cat", "d1", "t") in tenv.ddl.qualified
+    alias = tenv.ddl.qualified[("dbq_cat", "d1", "t")]
+    assert alias in tenv.ddl.tables
+    tenv.execute_sql("DROP DATABASE IF EXISTS dbq_cat.d1")
+    assert ("dbq_cat", "d1", "t") not in tenv.ddl.qualified
+    assert alias not in tenv.ddl.tables
+    tenv.execute_sql("DROP CATALOG dbq_cat")
+
+
+def test_environment_file_validates_before_applying(spark, tmp_path):
+    """ADVICE r8: a rejected environment file must not leave the session
+    partially bootstrapped — configuration keys listed BEFORE the
+    offending functions: section are not applied."""
+    import pytest as _pt
+
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    bad = tmp_path / "bad_env.yaml"
+    bad.write_text("""
+configuration:
+  table.exec.resource.default-parallelism: 11
+functions:
+  - name: jf
+    from: class
+    class: com.example.F
+""")
+    with _pt.raises(ValueError, match="register_function"):
+        tenv.execute_environment_file(str(bad))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    # invalid table entries are also pre-validated
+    bad2 = tmp_path / "bad_env2.yaml"
+    bad2.write_text("""
+configuration:
+  table.exec.resource.default-parallelism: 12
+tables:
+  - name: t
+    type: source-table
+    connector:
+      type: kafka
+""")
+    with _pt.raises(ValueError, match="filesystem"):
+        tenv.execute_environment_file(str(bad2))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
