@@ -400,6 +400,23 @@ class DdlCatalog:
             return cat_stmt
         s = self._qualify_names(s)
         s = self._apply_table_hints(s)
+        if "MATCH_RECOGNIZE" in s.upper():
+            # Spark SQL has no MATCH_RECOGNIZE.  The standalone Flink
+            # statement shape routes straight to the engine front door;
+            # any OTHER placement treats it as a TABLE FACTOR (Calcite
+            # SqlMatchRecognize): the factor is expanded to a lazy temp
+            # view and the enclosing statement — alias, projection,
+            # join, CTE body, INSERT INTO — continues through normal
+            # routing below.
+            from .extensions.match_recognize import (
+                _MR_RE,
+                expand_mr_factors,
+                match_recognize,
+            )
+
+            if _MR_RE.match(s):
+                return match_recognize(self.spark, s)
+            s = expand_mr_factors(self.spark, s)
         up = s.upper()
         ms = _SET_RE.match(s)
         if ms:
@@ -465,14 +482,6 @@ class DdlCatalog:
             return self.insert_into(
                 _strip_ticks(mi.group(2)), mi.group(3), overwrite=overwrite
             )
-        if "MATCH_RECOGNIZE" in up:
-            # Spark SQL has no MATCH_RECOGNIZE — route the Flink
-            # statement shape through the engine's front door
-            # (extensions/match_recognize → NFA / native lowering)
-            from .extensions.match_recognize import _MR_RE, match_recognize
-
-            if _MR_RE.match(s):
-                return match_recognize(self.spark, s)
         return self.spark.sql(s)
 
     # -- multi-catalog (CatalogManager / GenericInMemoryCatalog) ---------

@@ -440,6 +440,72 @@ def _ranges_disjoint(a: dict[str, tuple], b: dict[str, tuple]) -> bool:
     return False
 
 
+_MR_KW_RE = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
+_MR_TABLE_BEFORE_RE = re.compile(r"([A-Za-z_][\w.`]*)\s*$")
+_MR_FACTOR_N = [0]
+
+
+def expand_mr_factors(
+    spark: SparkSession, sql: str, sf_dir: str | None = None
+) -> str:
+    """Rewrite every ``<table> MATCH_RECOGNIZE ( ... )`` TABLE FACTOR in
+    a statement to a temp-view reference over the executed match.
+
+    Flink/Calcite treat MATCH_RECOGNIZE as a table primary
+    (``SqlMatchRecognize`` in the Calcite grammar;
+    flink-table-planner-blink MatchRecognizeITCase composes it under
+    aliases, projections, joins, CTE bodies and INSERT INTO) — not just
+    the standalone ``SELECT * FROM t MATCH_RECOGNIZE (...)`` statement.
+    Spark's parser has no such clause, so the factor is lowered here
+    first: the match executes through :func:`match_recognize` (a LAZY
+    DataFrame — the temp view splices the match plan into the enclosing
+    statement, nothing materializes early), and the enclosing query runs
+    natively with the view in the factor's place.  A trailing alias
+    (``... ) AS m``) is untouched and binds to the spliced view.
+
+    Documented delta: the match INPUT must be a named table/view — a
+    parenthesized subquery or same-statement CTE as the source raises
+    (register a view first).  Keyword text inside string literals is
+    ignored (``_quoted_spans`` scan).
+    """
+    from ..ddl import _balanced_block, _quoted_spans
+
+    out = sql
+    while True:
+        spans = _quoted_spans(out)
+        kw = next(
+            (
+                c
+                for c in _MR_KW_RE.finditer(out)
+                if not any(a <= c.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if kw is None:
+            return out
+        tb = _MR_TABLE_BEFORE_RE.search(out[: kw.start()])
+        if not tb or tb.group(1).upper() in ("FROM", "JOIN", "AS", "ON"):
+            raise ValueError(
+                "MATCH_RECOGNIZE must follow a named table/view reference "
+                "(subquery/CTE sources are unsupported — register a view "
+                "first)"
+            )
+        table = tb.group(1)
+        i = kw.end()
+        while i < len(out) and out[i].isspace():
+            i += 1
+        if i >= len(out) or out[i] != "(":
+            raise ValueError("MATCH_RECOGNIZE must be followed by (...)")
+        body, after = _balanced_block(out, i)
+        view = f"__mr_factor_{_MR_FACTOR_N[0]}"
+        _MR_FACTOR_N[0] += 1
+        df = match_recognize(
+            spark, f"SELECT * FROM {table} MATCH_RECOGNIZE ({body})", sf_dir
+        )
+        df.createOrReplaceTempView(view)
+        out = out[: tb.start(1)] + view + out[after:]
+
+
 def match_recognize(
     spark: SparkSession,
     sql: str,

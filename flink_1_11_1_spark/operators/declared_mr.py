@@ -617,7 +617,65 @@ ORDER BY user_id, a_id
 """
 
 
+# -- x_mr_composed: MATCH_RECOGNIZE as a TABLE FACTOR (round 9) --------
+#
+# Flink/Calcite treat MATCH_RECOGNIZE as a table primary
+# (SqlMatchRecognize; flink-table-planner-blink MatchRecognizeITCase
+# composes it under joins and INSERT INTO).  This entry proves the
+# composable front door end-to-end: the match output is aliased, joined
+# to a dimension table and aggregated IN THE SAME STATEMENT through
+# TableEnvironment.execute_sql.  Cents are integer-quantized with
+# floor() (IEEE-correctly-rounded on both engines) so the sum is exact.
+
+MR_COMPOSED_SQL = """
+SELECT c.c_nationkey AS nk, count(*) AS n_matches,
+       sum(cast(floor(m.b_value * 100) AS bigint)) AS cents
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES LAST(A.event_id) AS a_id, LAST(B.value) AS b_value
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  WITHIN INTERVAL '7' DAY
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+) AS m
+JOIN customer c ON m.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY nk
+"""
+
+
+def mr_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog as _catalog
+    from ..table_env import TableEnvironment
+
+    _catalog.register(spark, sf_dir)
+    return TableEnvironment(spark).execute_sql(MR_COMPOSED_SQL)
+
+
+MR_COMPOSED_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nt, lead(ts) OVER w AS nts,
+         lead(value) OVER w AS nv
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT user_id, nv AS b_value
+  FROM seq
+  WHERE event_type = 'click' AND nt = 'purchase'
+    AND nts <= ts + INTERVAL 7 DAY)
+SELECT c.c_nationkey AS nk, count(*) AS n_matches,
+       cast(sum(cast(floor(m.b_value * 100) AS bigint)) AS bigint) AS cents
+FROM m JOIN customer c ON m.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY nk
+"""
+
+
 def register_all() -> None:
+    registry.register("x_mr_composed", mr_composed, MR_COMPOSED_ORACLE)
     registry.register("x_mr_backtrack", mr_backtrack, MR_BACKTRACK_ORACLE)
     registry.register("x_mr_alternation", mr_alternation, MR_ALTERNATION_ORACLE)
     registry.register("x_mr_group_funnel", mr_group_funnel, MR_GROUP_ORACLE)

@@ -551,3 +551,92 @@ def test_reluctant_needs_backtracking_mode():
            .reluctant().with_backtracking())
     with pytest.raises(ValueError, match="END with a reluctant"):
         bad._check()
+
+
+# ---------------- composable table-factor placement (round 9) ---------
+
+
+_FACTOR_MR = """MATCH_RECOGNIZE (
+  PARTITION BY user_id ORDER BY ts, event_id
+  MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B)
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+)"""
+
+
+@pytest.fixture()
+def factor_env(spark):
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    _events(spark, [
+        (1, 0, "click", 1), (2, 10, "purchase", 2),
+        (3, 20, "click", 3), (4, 30, "view", 4),
+        (5, 40, "click", 5), (6, 50, "purchase", 6),
+    ]).createOrReplaceTempView("mrf_ev")
+    spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    ).createOrReplaceTempView("mrf_dim")
+    yield TableEnvironment(spark)
+    spark.catalog.dropTempView("mrf_ev")
+    spark.catalog.dropTempView("mrf_dim")
+
+
+def test_mr_factor_alias_and_projection(factor_env):
+    """MATCH_RECOGNIZE as a table primary (Calcite SqlMatchRecognize):
+    aliased, explicitly projected, filtered."""
+    rows = factor_env.execute_sql(
+        f"SELECT m.a_id FROM mrf_ev {_FACTOR_MR} AS m "
+        "WHERE m.b_id > 2 ORDER BY m.a_id"
+    ).collect()
+    assert [r.a_id for r in rows] == [5]
+
+
+def test_mr_factor_join_and_cte(factor_env):
+    rows = factor_env.execute_sql(
+        f"""WITH funnel AS (SELECT * FROM mrf_ev {_FACTOR_MR})
+        SELECT d.tier, count(*) AS n
+        FROM funnel f JOIN mrf_dim d ON f.user_id = d.user_id
+        GROUP BY d.tier"""
+    ).collect()
+    assert [(r.tier, r.n) for r in rows] == [("gold", 2)]
+
+
+def test_mr_factor_insert_into(factor_env, tmp_path):
+    p = str(tmp_path / "mrf_sink")
+    factor_env.execute_sql(
+        f"""CREATE TABLE mrf_sink (user_id BIGINT, a_id BIGINT) WITH (
+        'connector'='filesystem', 'path'='{p}', 'format'='parquet')"""
+    )
+    factor_env.execute_sql(
+        f"INSERT INTO mrf_sink SELECT m.user_id, m.a_id "
+        f"FROM mrf_ev {_FACTOR_MR} m"
+    )
+    got = sorted(
+        r.a_id for r in factor_env.spark.read.parquet(p).collect()
+    )
+    assert got == [1, 5]
+    factor_env.execute_sql("DROP TABLE mrf_sink")
+
+
+def test_mr_factor_standalone_unchanged(factor_env):
+    """The standalone statement shape still routes through the original
+    front door (proven-entry path untouched)."""
+    rows = factor_env.execute_sql(
+        f"SELECT * FROM mrf_ev {_FACTOR_MR}"
+    ).collect()
+    assert sorted(r.a_id for r in rows) == [1, 5]
+
+
+def test_mr_factor_subquery_source_raises(factor_env):
+    with pytest.raises(ValueError, match="named table/view"):
+        factor_env.execute_sql(
+            f"SELECT * FROM (SELECT * FROM mrf_ev) {_FACTOR_MR}"
+        )
+
+
+def test_mr_factor_literal_safety(factor_env):
+    row = factor_env.execute_sql(
+        "SELECT 'FROM t MATCH_RECOGNIZE (x)' AS s"
+    ).collect()[0]
+    assert row.s == "FROM t MATCH_RECOGNIZE (x)"
