@@ -195,6 +195,38 @@ _INSERT_RE = re.compile(
     r"^INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
 _PROP_RE = re.compile(r"'((?:[^'])*)'\s*=\s*'((?:[^'])*)'")
+_MI_BRANCH_RE = re.compile(
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`]+)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MI_TAIL_KW_RE = re.compile(
+    r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|DISTRIBUTE|SORT|CLUSTER|WINDOW)\b",
+    re.IGNORECASE,
+)
+
+
+def _splice_from(body: str, from_text: str) -> str:
+    """Insert ``FROM <from_text>`` into a FROM-less multi-insert SELECT
+    body, before the first top-level tail keyword (WHERE/GROUP BY/...)
+    — Hive multi-insert branches carry no FROM of their own."""
+    spans = _quoted_spans(body)
+    depth_at: list[int] = []
+    depth = 0
+    for idx, ch in enumerate(body):
+        if any(a <= idx < b for a, b in spans):
+            depth_at.append(depth)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        depth_at.append(depth)
+    for m in _MI_TAIL_KW_RE.finditer(body):
+        if depth_at[m.start()] == 0 and not any(
+            a <= m.start() < b for a, b in spans
+        ):
+            return f"{body[:m.start()]}FROM {from_text} {body[m.start():]}"
+    return f"{body} FROM {from_text}"
 
 # sql-client SET / RESET (Flink 1.11 `SET k=v`; later quoted forms
 # accepted too).  Known Flink config keys map to their Spark conf
@@ -379,6 +411,7 @@ class DdlCatalog:
         self.current: tuple[str, str] = ("default_catalog", "default_database")
         self.qualified: dict[tuple[str, str, str], str] = {}
         self._hint_n = 0
+        self._mi_n = 0
         self._hint_aliases: dict[tuple, str] = {}
         # Spark conf keys applied via SET, so a bare RESET can undo all
         # of them (Flink sql-client RESET resets EVERY session property).
@@ -476,6 +509,10 @@ class DdlCatalog:
             self._evict_hint_aliases(name)
             self.spark.catalog.dropTempView(name)
             return None
+        if up.startswith("FROM ") or up.startswith("FROM\n"):
+            out = self._multi_insert(s)
+            if out is not NotImplemented:
+                return out
         mi = _INSERT_RE.match(s)
         if mi and _strip_ticks(mi.group(2)) in self.tables:
             overwrite = mi.group(1).upper() == "OVERWRITE"
@@ -483,6 +520,96 @@ class DdlCatalog:
                 _strip_ticks(mi.group(2)), mi.group(3), overwrite=overwrite
             )
         return self.spark.sql(s)
+
+    # -- Hive-dialect multi-INSERT ----------------------------------------
+
+    def _multi_insert(self, s: str) -> DataFrame | None:
+        """``FROM <src> INSERT OVERWRITE [TABLE] sink1 SELECT ...
+        INSERT INTO [TABLE] sink2 SELECT ...`` — the flagship HiveQL
+        statement Flink's Hive dialect front door accepts
+        (flink-sql-parser-hive; HiveParserDML multi-insert).
+
+        Lowering: each branch becomes a single INSERT whose SELECT gets
+        the shared source spliced in as its FROM clause; branches
+        execute in order, routing to DDL-declared sinks (insert_into)
+        or Spark catalog tables natively.  A simple ``table [alias]``
+        source is registered once as a LAZY localCheckpoint view (the
+        multi-sink reuse machinery) so the first branch's action
+        materializes the scan and later branches read the checkpointed
+        blocks — Hive/Flink's scan-once semantics.  A composite source
+        (joins, subqueries) is spliced verbatim per branch instead
+        (correct, re-planned per sink; documented).
+
+        Returns NotImplemented when the text is not a multi-insert
+        (e.g. a plain ``FROM``-first SELECT, which Spark parses).
+        """
+        spans = _quoted_spans(s)
+        offs: list[int] = []
+        depth = 0
+        i, n = 0, len(s)
+        while i < n:
+            hit = next((b for a, b in spans if a <= i < b), None)
+            if hit is not None:
+                i = hit
+                continue
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + 6].upper() == "INSERT" and (
+                i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            ) and not (s[i + 6 : i + 7].isalnum() or s[i + 6 : i + 7] == "_"):
+                offs.append(i)
+            i += 1
+        if not offs:
+            return NotImplemented
+        src = s[4 : offs[0]].strip()
+        branches = [
+            s[a:b].strip()
+            for a, b in zip(offs, offs[1:] + [len(s)])
+        ]
+        # simple `table [AS alias]` source → checkpoint-once view
+        sm = re.match(
+            r"^([\w.`]+)(?:\s+(?:AS\s+)?(?!INSERT\b)(\w+))?$",
+            src, re.IGNORECASE)
+        from_text = src
+        view: str | None = None
+        if sm:
+            view = f"__mi_src_{self._mi_n}"
+            self._mi_n += 1
+            ck = self.spark.sql(
+                f"SELECT * FROM {sm.group(1)}"
+            ).localCheckpoint(eager=False)
+            ck.createOrReplaceTempView(view)
+            from_text = view + (f" {sm.group(2)}" if sm.group(2) else "")
+            self.last_script_reuse[view] = {
+                "sinks": len(branches),
+                "view_plan": ck._jdf.queryExecution().optimizedPlan().toString(),
+            }
+        try:
+            for b in branches:
+                bm = _MI_BRANCH_RE.match(b)
+                if not bm:
+                    raise ValueError(f"unparseable multi-INSERT branch: {b!r}")
+                verb, sink, body = bm.groups()
+                if re.match(r"^PARTITION\s*\(", body, re.IGNORECASE):
+                    raise ValueError(
+                        "multi-INSERT PARTITION specs are unsupported — "
+                        "declare the sink PARTITIONED BY and let the "
+                        "writer partition (documented delta)")
+                query = _splice_from(body, from_text)
+                sink_name = _strip_ticks(sink)
+                if sink_name in self.tables:
+                    self.insert_into(
+                        sink_name, query,
+                        overwrite=verb.upper() == "OVERWRITE")
+                else:
+                    self.spark.sql(f"INSERT {verb} {sink} {query}")
+        finally:
+            if view is not None:
+                self.spark.catalog.dropTempView(view)
+        return None
 
     # -- multi-catalog (CatalogManager / GenericInMemoryCatalog) ---------
 

@@ -276,7 +276,67 @@ FROM toks GROUP BY lang ORDER BY lang
 """
 
 
+def _hive_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-dialect multi-INSERT (flink-sql-parser-hive multi-insert
+    DML; Flink's Hive dialect front door): ONE ``FROM orders`` scan
+    fans out to two declared filesystem sinks — a price-band split with
+    per-branch aggregation — through ddl._multi_insert's scan-once
+    lowering (lazy localCheckpoint shared view).  The declared output
+    is the union of both sinks read back; the oracle recomputes the
+    same band split directly, so matching hashes prove every branch
+    wrote exactly its slice.  Cents are floor-quantized (IEEE-correct
+    on both engines) to keep the sums integer-exact."""
+    import tempfile
+
+    from ..table_env import TableEnvironment
+
+    catalog.register(spark, sf_dir)
+    tenv = TableEnvironment(spark)
+    d = tempfile.mkdtemp(prefix="mi_entry_")
+    for name, sub in (("mi_band_hi_x", "hi"), ("mi_band_lo_x", "lo")):
+        tenv.execute_sql(f"DROP TABLE IF EXISTS {name}")
+        tenv.execute_sql(f"""
+            CREATE TABLE {name} (
+              o_orderstatus STRING, n BIGINT, cents BIGINT
+            ) WITH ('connector'='filesystem',
+                    'path'='{d}/{sub}', 'format'='parquet')""")
+    tenv.execute_sql("SET 'table.sql-dialect' = 'hive'")
+    try:
+        tenv.execute_sql("""
+            FROM orders
+            INSERT OVERWRITE TABLE mi_band_hi_x
+              SELECT o_orderstatus, count(*) AS n,
+                     sum(cast(floor(o_totalprice * 100) AS bigint)) AS cents
+              WHERE o_totalprice >= 150000 GROUP BY o_orderstatus
+            INSERT INTO mi_band_lo_x
+              SELECT o_orderstatus, count(*) AS n,
+                     sum(cast(floor(o_totalprice * 100) AS bigint)) AS cents
+              WHERE o_totalprice < 150000 GROUP BY o_orderstatus
+        """)
+        return tenv.execute_sql("""
+            SELECT 'hi' AS band, o_orderstatus, n, cents FROM mi_band_hi_x
+            UNION ALL
+            SELECT 'lo' AS band, o_orderstatus, n, cents FROM mi_band_lo_x
+            ORDER BY band, o_orderstatus
+        """)
+    finally:
+        tenv.execute_sql("RESET 'table.sql-dialect'")
+
+
+HIVE_MULTI_INSERT_DUCK = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice >= 150000 THEN 'hi' ELSE 'lo' END AS band,
+         o_orderstatus, o_totalprice
+  FROM orders)
+SELECT band, o_orderstatus, count(*) AS n,
+       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) AS cents
+FROM b GROUP BY band, o_orderstatus
+ORDER BY band, o_orderstatus
+"""
+
+
 registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
+registry.register("x_hive_multi_insert", _hive_multi_insert, HIVE_MULTI_INSERT_DUCK)
 registry.register("x_hive_dialect", _hive_dialect, HIVE_DIALECT_DUCK)
 registry.register("x_catalog_qualified", _catalog_qualified, CATALOG_QUALIFIED_DUCK)
 registry.register("x_ddl_options_hint", _ddl_options_hint, DDL_HINT_DUCK)

@@ -948,3 +948,104 @@ def test_hive_dialect_surface(spark):
         cat.execute("RESET 'table.sql-dialect'")
     finally:
         spark.catalog.dropTempView("hd_t")
+
+
+# ---------------- Hive-dialect multi-INSERT (round 9) -----------------
+
+
+def test_multi_insert_declared_sinks(spark, tmp_path):
+    """FROM src INSERT OVERWRITE s1 ... INSERT INTO s2 ...: both
+    branches write their slice, the shared source is checkpointed once
+    (scan-once reuse recorded), and verbs map to overwrite/append."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "mi_t_src"
+    )
+    tenv.execute_sql(f"""CREATE TABLE mi_t_hi (id BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/hi','format'='parquet')""")
+    tenv.execute_sql(f"""CREATE TABLE mi_t_lo (v BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/lo','format'='parquet')""")
+    tenv.execute_sql("""
+      FROM mi_t_src
+      INSERT OVERWRITE TABLE mi_t_hi SELECT id WHERE id >= 5
+      INSERT INTO mi_t_lo SELECT v WHERE id < 5
+    """)
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{tmp_path}/hi").collect()
+    ) == [5, 6, 7, 8, 9]
+    assert sorted(
+        r.v for r in spark.read.parquet(f"{tmp_path}/lo").collect()
+    ) == [0, 2, 4, 6, 8]
+    reuse = tenv.ddl.last_script_reuse
+    assert any(k.startswith("__mi_src_") and v["sinks"] == 2
+               for k, v in reuse.items())
+    # INTO appends on a second run; OVERWRITE replaces
+    tenv.execute_sql("""
+      FROM mi_t_src
+      INSERT OVERWRITE TABLE mi_t_hi SELECT id WHERE id >= 8
+      INSERT INTO mi_t_lo SELECT v WHERE id = 0
+    """)
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{tmp_path}/hi").collect()
+    ) == [8, 9]
+    assert sorted(
+        r.v for r in spark.read.parquet(f"{tmp_path}/lo").collect()
+    ) == [0, 0, 2, 4, 6, 8]
+    for t in ("mi_t_hi", "mi_t_lo"):
+        tenv.execute_sql(f"DROP TABLE {t}")
+    spark.catalog.dropTempView("mi_t_src")
+
+
+def test_multi_insert_alias_and_aggregation(spark, tmp_path):
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.range(6).selectExpr("id", "id % 2 AS g").createOrReplaceTempView(
+        "mi_t_src2"
+    )
+    tenv.execute_sql(f"""CREATE TABLE mi_t_agg (g BIGINT, n BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/agg','format'='parquet')""")
+    tenv.execute_sql(f"""CREATE TABLE mi_t_top (id BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/top','format'='parquet')""")
+    tenv.execute_sql("""
+      FROM mi_t_src2 s
+      INSERT OVERWRITE TABLE mi_t_agg
+        SELECT s.g, count(*) AS n GROUP BY s.g
+      INSERT OVERWRITE TABLE mi_t_top
+        SELECT s.id WHERE s.id > 3 ORDER BY s.id LIMIT 1
+    """)
+    assert sorted(
+        (r.g, r.n) for r in spark.read.parquet(f"{tmp_path}/agg").collect()
+    ) == [(0, 3), (1, 3)]
+    assert [r.id for r in spark.read.parquet(f"{tmp_path}/top").collect()] == [4]
+    for t in ("mi_t_agg", "mi_t_top"):
+        tenv.execute_sql(f"DROP TABLE {t}")
+    spark.catalog.dropTempView("mi_t_src2")
+
+
+def test_multi_insert_errors_and_plain_from(spark, tmp_path):
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.range(3).createOrReplaceTempView("mi_t_src3")
+    tenv.execute_sql(f"""CREATE TABLE mi_t_p (id BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/p','format'='parquet')""")
+    with pytest.raises(ValueError, match="PARTITION"):
+        tenv.execute_sql("""
+          FROM mi_t_src3
+          INSERT OVERWRITE TABLE mi_t_p PARTITION (dt='x') SELECT id
+          INSERT INTO mi_t_p SELECT id
+        """)
+    # a FROM-first plain SELECT (no INSERT) still routes to Catalyst
+    assert tenv.execute_sql(
+        "FROM mi_t_src3 SELECT sum(id) AS s"
+    ).collect()[0].s == 3
+    # INSERT inside a string literal is not a branch split
+    row = tenv.execute_sql(
+        "FROM mi_t_src3 SELECT 'INSERT INTO x' AS s LIMIT 1"
+    ).collect()[0]
+    assert row.s == "INSERT INTO x"
+    tenv.execute_sql("DROP TABLE mi_t_p")
+    spark.catalog.dropTempView("mi_t_src3")
