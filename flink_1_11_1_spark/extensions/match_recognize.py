@@ -14,8 +14,16 @@ this module does the same lowering onto PatternSeq.  Supported subset
         [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
         PATTERN ( VAR[+|*|?|{n}|{n,}|{n,m}] ... )
         [WITHIN INTERVAL '<n>' <unit>]
+        [SUBSET U = (A, B) [, ...]]
         DEFINE VAR AS <row-local condition> [, ...]
     )
+
+SQL:2016 SUBSET (Calcite SqlMatchRecognize.subsetList): a union
+variable U = (A, B) is navigable in MEASURES (FIRST/LAST/COUNT/
+SUM/AVG/MIN/MAX over rows labeled with ANY member) and in DEFINE
+(FIRST/LAST(U.col) — compiled to tuple-of-member fold navigation;
+such DEFINEs stay fold-only, the tiered native lowerings have no
+SQL twin for a union reference).
 
 Measures: FIRST(V.col) / LAST(V.col) / V.col (= LAST, Flink's default
 for ONE ROW PER MATCH) / COUNT(V.*) / MATCH_NUMBER() (per-partition
@@ -90,6 +98,7 @@ _CLAUSE_RE = re.compile(
     r"|TO\s+FIRST\s+\w+|TO\s+LAST\s+\w+)\s+)?"
     r"PATTERN\s*\(\s*(?P<pattern>[^()]*(?:\([^()]*\)[^()]*)*?)\s*\)\s+"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<within_n>\d+)'\s+(?P<within_unit>\w+)\s+)?"
+    r"(?:SUBSET\s+(?P<subset>.*?)\s+)?"
     r"DEFINE\s+(?P<define>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -246,7 +255,12 @@ def _xvar_refs(cond: str, variables: list[str], this: str) -> tuple[bool, set[st
     return cross, {c for _, c in refs}
 
 
-def _to_python(cond: str, variables: list[str], this: str) -> str:
+def _to_python(
+    cond: str,
+    variables: list[str],
+    this: str,
+    subsets: dict[str, tuple[str, ...]] | None = None,
+) -> str:
     """Compile a cross-variable DEFINE to the NFA's Python predicate form
     (EV["col"] / FIRST("V","c") / LAST("V","c") — see State.py_cond).
 
@@ -254,10 +268,24 @@ def _to_python(cond: str, variables: list[str], this: str) -> str:
     semantics (the candidate row is the last row of the match prefix):
     ``LAST(B.c)`` inside DEFINE B is the current row; ``FIRST(B.c)`` is
     the first accepted B row, or the current row when none is bound yet.
+
+    SQL:2016 SUBSET union variables compile to tuple-of-member
+    navigation (``LAST(("A","B"),"c")`` — _bind_val matches any member
+    label); ``LAST(U.c)`` inside the DEFINE of a member of U is the
+    current row (running semantics: the candidate IS the latest U row).
     """
+    subsets = subsets or {}
+
+    def _member_tuple(members: tuple[str, ...]) -> str:
+        inner = ", ".join(f'"{m}"' for m in members)
+        return f'({inner},)' if len(members) == 1 else f'({inner})'
 
     def fnrepl(m: re.Match) -> str:
         fn, var, col = m.group(1).upper(), m.group(2), m.group(3)
+        if var in subsets:
+            if fn == "LAST" and this in subsets[var]:
+                return f'EV["{col}"]'
+            return f'{fn}({_member_tuple(subsets[var])},"{col}")'
         if var not in variables:
             raise ValueError(
                 f"DEFINE {this}: {fn}({var}.{col}) references unknown "
@@ -276,6 +304,10 @@ def _to_python(cond: str, variables: list[str], this: str) -> str:
         var, col = m.group(1), m.group(2)
         if var == this or var.upper() == "THIS":
             return f'EV["{col}"]'
+        if var in subsets:  # bare U.col = LAST (Flink default)
+            if this in subsets[var]:
+                return f'EV["{col}"]'
+            return f'LAST({_member_tuple(subsets[var])},"{col}")'
         if var in variables:
             return f'LAST("{var}","{col}")'  # bare Var.col = Flink LAST default
         return m.group(0)
@@ -544,6 +576,32 @@ def match_recognize(
     if len(set(variables)) != len(variables):
         raise ValueError("repeated pattern variables are not supported")
 
+    # SQL:2016 SUBSET — union pattern variables (Calcite grammar;
+    # SqlMatchRecognize.subsetList): U = (A, B) makes U navigable in
+    # MEASURES and DEFINE as "rows labeled with any member".
+    subsets: dict[str, tuple[str, ...]] = {}
+    if c.group("subset"):
+        for part in _split_top(c.group("subset")):
+            sm = re.match(r"^(\w+)\s*=\s*\(([\w\s,]*)\)$", part.strip())
+            if not sm:
+                raise ValueError(f"unparseable SUBSET item {part!r}")
+            uname = sm.group(1)
+            members = tuple(
+                v.strip() for v in sm.group(2).split(",") if v.strip()
+            )
+            if uname in variables or uname in subsets:
+                raise ValueError(
+                    f"SUBSET {uname} collides with a pattern variable or "
+                    "an earlier subset"
+                )
+            bad = [m for m in members if m not in variables]
+            if bad or not members:
+                raise ValueError(
+                    f"SUBSET {uname}: members {bad or '()'} are not "
+                    f"pattern variables (known: {variables})"
+                )
+            subsets[uname] = members
+
     # defines → row-local (JVM flag) or cross-variable (fold predicate).
     # PREV(V.col[, n]) — Flink's row-relative navigation — substitutes a
     # lag() column computed JVM-side before the fold, so the condition
@@ -570,19 +628,20 @@ def match_recognize(
 
         had_prev = bool(_PREV_RE.search(cond))
         cond = _PREV_RE.sub(_subst_prev, cond)
+        known = set(variables) | set(subsets)
         unknown = sorted(
             {
                 f"{v}.{c}"
                 for v, c in _REF_RE.findall(cond)
-                if v not in variables and v.upper() != "THIS"
+                if v not in known and v.upper() != "THIS"
             }
         )
         if unknown:
             raise ValueError(
                 f"DEFINE {var}: reference(s) {unknown} do not resolve to a "
-                f"pattern variable (known: {variables})"
+                f"pattern variable (known: {sorted(known)})"
             )
-        cross, cols = _xvar_refs(cond, variables, var)
+        cross, cols = _xvar_refs(cond, sorted(known), var)
         if cross and had_prev:
             raise ValueError(
                 f"DEFINE {var} mixes PREV with cross-variable references — "
@@ -594,11 +653,19 @@ def match_recognize(
                     "cross-variable DEFINE may not reference ts (JSON state); "
                     "bound event times are available as WITHIN/horizon"
                 )
+            uses_subset = any(
+                v in subsets
+                for v, _c in _REF_RE.findall(cond)
+            )
             defines[var] = "true"  # full predicate moves to the fold
             xconds[var] = (
-                _to_python(cond, variables, var),
+                _to_python(cond, variables, var, subsets),
                 tuple(sorted(cols)),
-                cond,  # raw SQL, for the native lowering's offset instantiation
+                # raw SQL feeds the native lowering's offset
+                # instantiation — a SUBSET reference has no SQL twin
+                # there, so it stays fold-only (sql_cond None blocks
+                # the tiered lowering; conds_lowerable check).
+                None if uses_subset else cond,
             )
         else:
             defines[var] = _row_local(cond, variables, var)
@@ -721,8 +788,9 @@ def match_recognize(
     # measures (the match frame's key column keeps its source name/type)
     cols = [F.col(key)]
     joinbacks: list[tuple[str, str]] = []  # (tmp id col, measure alias->source col)
-    aggbacks: list[tuple[str, str, str, str]] = []  # (fn, var, col, alias)
-    runbacks: list[tuple[str, str, str, str]] = []  # RUNNING (fn, var, col, alias)
+    # (fn, var-or-SUBSET-members, col, alias)
+    aggbacks: list[tuple[str, object, str, str]] = []
+    runbacks: list[tuple[str, object, str, str]] = []  # RUNNING measures
     _classifier_alias: str | None = None
     for i, mtext in enumerate(_split_top(c.group("measures"))):
         mn = re.match(
@@ -759,8 +827,9 @@ def match_recognize(
         sem = (mm.group("sem") or "FINAL").upper()
         var, col, alias = mm.group("var"), mm.group("col"), mm.group("alias")
         off = int(mm.group("off") or 0)
-        if var not in variables:
+        if var not in variables and var not in subsets:
             raise ValueError(f"measure references unknown variable {var}")
+        members = subsets.get(var)  # SUBSET union variable, if any
         if off and (fn not in ("FIRST", "LAST") or sem == "RUNNING"):
             raise ValueError(
                 "a logical offset needs FINAL FIRST/LAST (got "
@@ -779,12 +848,13 @@ def match_recognize(
                 raise ValueError(
                     "RUNNING supports FIRST/LAST(V.ts|event_id) and COUNT(V.*)"
                 )
-            runbacks.append((fn, var, col, alias))
+            runbacks.append((fn, members or var, col, alias))
             continue
         if fn == "COUNT":
             if col != "*":
                 raise ValueError("COUNT measure must be COUNT(V.*)")
-            cols.append(nfa.label_count(var).cast("bigint").alias(alias))
+            cnt = nfa.count_of(members) if members else nfa.label_count(var)
+            cols.append(cnt.cast("bigint").alias(alias))
         elif fn in ("SUM", "AVG", "MIN", "MAX"):
             # aggregate over ALL rows the match mapped to var (Flink's
             # aggregate measures): resolved after matching via a
@@ -799,16 +869,24 @@ def match_recognize(
                 )
             if all_rows:
                 raise ValueError("aggregate measures need ONE ROW PER MATCH")
-            aggbacks.append((fn.lower(), var, col, alias))
+            aggbacks.append((fn.lower(), members or var, col, alias))
         elif col == "ts":
-            if off:
+            if members:
+                cols.append(
+                    nfa.nav_of(members, "tss", fn == "FIRST", off).alias(alias)
+                )
+            elif off:
                 cols.append(nfa.nav(var, "tss", fn == "FIRST", off).alias(alias))
             else:
                 cols.append(
                     (_first_ts(var) if fn == "FIRST" else _last_ts(var)).alias(alias)
                 )
         elif col == "event_id":
-            if off:
+            if members:
+                cols.append(
+                    nfa.nav_of(members, "ids", fn == "FIRST", off).alias(alias)
+                )
+            elif off:
                 cols.append(nfa.nav(var, "ids", fn == "FIRST", off).alias(alias))
             else:
                 cols.append(
@@ -817,11 +895,12 @@ def match_recognize(
         else:
             # resolve via event_id join-back against the source table
             tmp = f"_mrid_{i}"
-            idexpr = (
-                nfa.nav(var, "ids", fn == "FIRST", off)
-                if off
-                else (nfa.first_id(var) if fn == "FIRST" else nfa.last_id(var))
-            )
+            if members:
+                idexpr = nfa.nav_of(members, "ids", fn == "FIRST", off)
+            elif off:
+                idexpr = nfa.nav(var, "ids", fn == "FIRST", off)
+            else:
+                idexpr = nfa.first_id(var) if fn == "FIRST" else nfa.last_id(var)
             cols.append(idexpr.alias(tmp))
             joinbacks.append((tmp, f"{alias}:{col}"))
 
@@ -847,7 +926,12 @@ def match_recognize(
         )
         run_cols = []
         for fn, var, col, alias in runbacks:
-            prefix = f"filter(slice(_z, 1, _pos + 1), x -> x.labels = '{var}')"
+            pred = (
+                "x.labels IN (" + ", ".join(f"'{m}'" for m in var) + ")"
+                if isinstance(var, tuple)
+                else f"x.labels = '{var}'"
+            )
+            prefix = f"filter(slice(_z, 1, _pos + 1), x -> {pred})"
             if fn == "COUNT":
                 run_cols.append(F.expr(f"size({prefix})").cast("bigint").alias(alias))
             else:
@@ -877,7 +961,11 @@ def match_recognize(
     for fn, var, col, alias in aggbacks:
         pairs = (
             out.select("_mid", F.explode(F.expr("arrays_zip(ids, labels)")).alias("_z"))
-            .where(F.col("_z.labels") == var)
+            .where(
+                F.col("_z.labels").isin(*var)
+                if isinstance(var, tuple)
+                else F.col("_z.labels") == var
+            )
             .select("_mid", F.col("_z.ids").alias("_eid"))
         )
         vals = events.select(F.col("event_id").alias("_eid"), F.col(col).alias("_v"))

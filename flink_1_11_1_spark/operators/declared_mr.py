@@ -617,6 +617,62 @@ ORDER BY user_id, a_id
 """
 
 
+# -- x_mr_subset: SQL:2016 SUBSET union variables (round 9) ------------
+#
+# SUBSET S = (V, P) (Calcite SqlMatchRecognize.subsetList; SQL:2016
+# union pattern variables): S navigates the rows labeled with ANY
+# member.  Shape: maximal view-run + purchase (the proven x_mr_plus
+# islands), with measures over the UNION — FIRST/LAST(S.event_id),
+# COUNT(S.*), MIN/MAX(S.value).  MIN/MAX are single IEEE comparisons
+# (no accumulation), so the oracle is bit-exact.
+
+MR_SUBSET_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(S.event_id) AS s_first, LAST(S.event_id) AS s_last,
+           COUNT(S.*) AS n_all, MIN(S.value) AS s_min, MAX(S.value) AS s_max
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V+ P)
+  SUBSET S = (V, P)
+  DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+)
+"""
+
+
+def mr_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_SUBSET_SQL, sf_dir).orderBy(
+        "user_id", "s_first"
+    )
+
+
+MR_SUBSET_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM e),
+x AS (
+  SELECT user_id, event_id, event_type, rn,
+         coalesce(max(CASE WHEN event_type <> 'view' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lastnv
+  FROM seq),
+m AS (
+  SELECT user_id, lastnv + 1 AS lo, rn AS hi
+  FROM x WHERE event_type = 'purchase' AND rn - lastnv - 1 >= 1)
+SELECT m.user_id,
+       min(CASE WHEN s.rn = m.lo THEN s.event_id END) AS s_first,
+       min(CASE WHEN s.rn = m.hi THEN s.event_id END) AS s_last,
+       cast(m.hi - m.lo + 1 AS bigint) AS n_all,
+       min(s.value) AS s_min, max(s.value) AS s_max
+FROM m JOIN seq s ON s.user_id = m.user_id AND s.rn BETWEEN m.lo AND m.hi
+GROUP BY m.user_id, m.lo, m.hi
+ORDER BY m.user_id, s_first
+"""
+
+
 # -- x_mr_composed: MATCH_RECOGNIZE as a TABLE FACTOR (round 9) --------
 #
 # Flink/Calcite treat MATCH_RECOGNIZE as a table primary
@@ -675,6 +731,7 @@ ORDER BY nk
 
 
 def register_all() -> None:
+    registry.register("x_mr_subset", mr_subset, MR_SUBSET_ORACLE)
     registry.register("x_mr_composed", mr_composed, MR_COMPOSED_ORACLE)
     registry.register("x_mr_backtrack", mr_backtrack, MR_BACKTRACK_ORACLE)
     registry.register("x_mr_alternation", mr_alternation, MR_ALTERNATION_ORACLE)

@@ -672,12 +672,15 @@ def _spec(p: PatternSeq) -> dict:
     }
 
 
-def _bind_val(p: dict, var: str, col: str, first: bool):
-    """FIRST/LAST-bound value of ``col`` for pattern variable ``var``."""
+def _bind_val(p: dict, var, col: str, first: bool):
+    """FIRST/LAST-bound value of ``col`` for pattern variable ``var`` —
+    or for a SQL:2016 SUBSET union variable when ``var`` is a tuple of
+    member names (the first/last row labeled with ANY member)."""
     labels, vals = p["labels"], p.get("vals", ())
+    names = (var,) if isinstance(var, str) else tuple(var)
     rng = range(len(labels)) if first else range(len(labels) - 1, -1, -1)
     for i in rng:
-        if labels[i] == var:
+        if labels[i] in names:
             return vals[i].get(col)
     return None
 
@@ -757,20 +760,29 @@ def _py_cond_ok(code, p: dict | None, evvals: dict,
     ev = _NoneTracking(evvals)
     saw_none = [False]
 
-    def _bind(var: str, col: str, first: bool):
+    def _bind(var, col: str, first: bool):
         v = _bind_val(pp, var, col, first)
-        if v is None and var == cur_var and var not in pp["labels"]:
+        names = (var,) if isinstance(var, str) else tuple(var)
+        if (
+            v is None
+            and cur_var in names
+            and not any(lb in names for lb in pp["labels"])
+        ):
             v = evvals.get(col)  # rep 0: the candidate row binds itself
         if v is None:
             saw_none[0] = True
             return _SQL_NULL
         return v
 
+    def _count_var(var) -> int:
+        names = (var,) if isinstance(var, str) else tuple(var)
+        return sum(1 for lb in pp["labels"] if lb in names)
+
     env = {
         "EV": ev,
         "FIRST": lambda var, col: _bind(var, col, True),
         "LAST": lambda var, col: _bind(var, col, False),
-        "COUNT_VAR": lambda var: pp["labels"].count(var),
+        "COUNT_VAR": _count_var,
     }
     try:
         return bool(eval(code, {"__builtins__": {}}, env))
@@ -1585,3 +1597,26 @@ def nav(label: str, field: str, first: bool, off: int = 0):
         f"try_element_at(filter(arrays_zip(labels, {field}), "
         f"x -> x.labels = '{label}'), {pos}).{field}"
     )
+
+
+def _member_pred(members) -> str:
+    """Lambda predicate body matching any of a SUBSET's member labels."""
+    inlist = ", ".join(f"'{m}'" for m in members)
+    return f"x.labels IN ({inlist})"
+
+
+def nav_of(members, field: str, first: bool, off: int = 0):
+    """SUBSET twin of :func:`nav`: the (n+1)-th row labeled with ANY
+    member of a SQL:2016 union variable (``SUBSET U = (A, B)``)."""
+    pos = 1 + off if first else -(1 + off)
+    return F.expr(
+        f"try_element_at(filter(arrays_zip(labels, {field}), "
+        f"x -> {_member_pred(members)}), {pos}).{field}"
+    )
+
+
+def count_of(members):
+    """COUNT(U.*) for a SUBSET union variable: rows labeled with any
+    member."""
+    inlist = ", ".join(f"'{m}'" for m in members)
+    return F.expr(f"size(filter(labels, x -> x IN ({inlist})))")

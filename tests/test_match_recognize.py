@@ -640,3 +640,101 @@ def test_mr_factor_literal_safety(factor_env):
         "SELECT 'FROM t MATCH_RECOGNIZE (x)' AS s"
     ).collect()[0]
     assert row.s == "FROM t MATCH_RECOGNIZE (x)"
+
+
+# ---------------- SQL:2016 SUBSET union variables (round 9) -----------
+
+
+_SUBSET_EVENTS = [
+    (1, 0, "view", 5), (2, 10, "click", 10), (3, 20, "view", 7),
+    (4, 30, "click", 20), (5, 40, "purchase", 100),
+    (6, 50, "view", 3), (7, 60, "purchase", 50),
+]
+
+
+def test_subset_measures_all_forms(spark):
+    """FIRST/LAST/COUNT over a union variable, plus join-back
+    MIN/MAX/SUM and offset navigation."""
+    ev = _events(spark, _SUBSET_EVENTS)
+    rows = match_recognize(spark, """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,
+               FIRST(U.event_id, 1) AS u_second, COUNT(U.*) AS u_n,
+               MIN(U.value) AS u_min, MAX(U.value) AS u_max,
+               SUM(U.value) AS u_sum, LAST(C.event_id) AS c_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B C)
+      SUBSET U = (A, B)
+      DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+             C AS C.event_type = 'purchase'
+    )""", events=ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.u_first, r.u_last, r.u_second, r.u_n) == (3, 4, 4, 2)
+    assert (r.u_min, r.u_max, r.u_sum) == (7.0, 20.0, 27.0)
+    assert r.c_id == 5
+
+
+def test_subset_in_define(spark):
+    """FIRST/LAST(U.col) inside DEFINE routes to the fold (tuple
+    navigation); running semantics bind the current row for members."""
+    ev = _events(spark, _SUBSET_EVENTS)
+    rows = match_recognize(spark, """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES LAST(C.event_id) AS c_id, FIRST(U.value) AS u_first_val
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B C)
+      SUBSET U = (A, B)
+      DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+             C AS C.event_type = 'purchase' AND C.value > FIRST(U.value)
+    )""", events=ev).collect()
+    assert [(r.c_id, r.u_first_val) for r in rows] == [(5, 7.0)]
+
+
+def test_subset_fold_equivalence(spark):
+    """A measures-only SUBSET query returns identical rows through the
+    deterministic-greedy path and the forced branching fold."""
+    ev = _events(spark, _SUBSET_EVENTS)
+    sql = """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(S.event_id) AS s_first, LAST(S.event_id) AS s_last,
+               COUNT(S.*) AS n_all
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V+ P)
+      SUBSET S = (V, P)
+      DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+    )"""
+    a = sorted(
+        tuple(r) for r in match_recognize(spark, sql, events=ev).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in match_recognize(
+            spark, sql, events=ev, backtracking=True
+        ).collect()
+    )
+    assert a == b and len(a) == 1
+    assert a[0][1:] == (6, 7, 2)
+
+
+def test_subset_validation_errors(spark):
+    ev = _events(spark, _SUBSET_EVENTS)
+    base = """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id
+      ONE ROW PER MATCH PATTERN (A B) {subset}
+      DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click')"""
+    with pytest.raises(ValueError, match="not[\\s\\S]*pattern variables"):
+        match_recognize(spark, base.format(subset="SUBSET U = (A, Z)"), events=ev)
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(spark, base.format(subset="SUBSET A = (B)"), events=ev)
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(
+            spark,
+            base.format(subset="SUBSET U = (A), U = (B)"),
+            events=ev,
+        )
