@@ -413,7 +413,108 @@ WHERE b.cents * 2 < a.cents
 ORDER BY l_partkey, yr1
 """
 
+# q36 (full shape, round 9): rank WITHIN a ROLLUP hierarchy — the
+# window partitions on the GROUPING() level and the parent dimension,
+# so subtotal rows rank against subtotal rows only (the q36
+# lochierarchy idiom).  Rank order gets integer-exact tiebreaks
+# (coalesced dims) so it is total on both engines.
+ROLLUP_SHARE = """
+WITH base AS (
+  SELECT CASE l_returnflag WHEN 'N' THEN 'store' WHEN 'R' THEN 'web' ELSE 'catalog' END channel,
+         n_name, cast(floor(l_extendedprice * 100) AS bigint) cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT channel, n_name,
+       cast(sum(cents) AS bigint) rev,
+       cast(grouping(channel) + grouping(n_name) AS bigint) lochierarchy,
+       cast(rank() OVER (
+         PARTITION BY grouping(channel) + grouping(n_name),
+                      CASE WHEN grouping(n_name) = 0 THEN channel END
+         ORDER BY sum(cents) DESC, coalesce(channel, ''), coalesce(n_name, '')
+       ) AS bigint) rnk
+FROM base
+GROUP BY ROLLUP (channel, n_name)
+ORDER BY lochierarchy DESC, channel NULLS FIRST, n_name NULLS FIRST
+"""
+
+# q87: EXCEPT-chained customer grains — (customer, year) pairs present
+# in the store channel but in neither other channel.  EXCEPT is
+# distinct-set semantics on both engines; extract() is cast per branch
+# (BIGINT on DuckDB, INT on Spark).
+EXCEPT_CHAIN = """
+WITH g AS (
+  SELECT o_custkey AS ck, cast(extract(year FROM o_orderdate) AS bigint) AS yr
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'N'
+  EXCEPT
+  SELECT o_custkey, cast(extract(year FROM o_orderdate) AS bigint)
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  EXCEPT
+  SELECT o_custkey, cast(extract(year FROM o_orderdate) AS bigint)
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'A')
+SELECT yr, cast(count(*) AS bigint) n
+FROM g GROUP BY yr ORDER BY yr
+"""
+
+# q38: COUNT(DISTINCT) over a UNIONed grain — customers reached by
+# EITHER channel, deduplicated by the union, then distinct-counted per
+# market segment after the dimension join.
+UNION_DISTINCT = """
+WITH u AS (
+  SELECT DISTINCT o_custkey AS ck
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'N'
+  UNION
+  SELECT DISTINCT o_custkey
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R')
+SELECT c_mktsegment, cast(count(DISTINCT ck) AS bigint) n
+FROM u JOIN customer ON ck = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+# q9: the CASE ladder over uncorrelated scalar subqueries — per
+# quantity bucket, a count-threshold picks which scalar aggregate the
+# projection emits.  All branches are integer-exact (cents sums /
+# counts), so the one output row is hash-identical.
+CASE_LADDER = """
+SELECT
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 500
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+       ELSE (SELECT cast(count(*) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 500
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+       ELSE (SELECT cast(count(*) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 200000
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+       ELSE (SELECT cast(count(*) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS bucket3,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 500
+       THEN (SELECT cast(sum(cast(floor(l_discount * 10000) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+       ELSE (SELECT cast(count(*) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS bucket4,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 500
+       THEN (SELECT cast(sum(cast(l_quantity AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+       ELSE (SELECT cast(count(*) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5
+"""
+
 _SHAPES = {
+    "x_tpcds_rollup_share": ROLLUP_SHARE,
+    "x_tpcds_except_chain": EXCEPT_CHAIN,
+    "x_tpcds_union_distinct": UNION_DISTINCT,
+    "x_tpcds_case_ladder": CASE_LADDER,
     "x_tpcds_channels": CHANNELS,
     "x_tpcds_rollup": ROLLUP_CHANNELS,
     "x_tpcds_share": SHARE,
