@@ -124,23 +124,27 @@ _DRIVER_GREEN_HISTORY = {
 # regime) and re-verifies proven ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
-# With all 181 entries proven (r01–r07), re-verification slots go
-# first to entries whose implementation the CURRENT round touched —
-# round 8 changed the NFA fold (_py_cond_ok v2 contract, backtracking
-# _resolve ordering, finalize fixpoint, alternation/until/groups/
-# any-edges), the MR PATTERN grammar, the tier lowerings, ddl.py
-# (multi-catalog + dialect routing), expr.py (truncate/flatten) and
-# datastream.py — so every MR/CEP-routed, DDL-routed, Table-API and
-# DataStream entry re-runs inside the window.
+# With all entries proven (r01–r08), re-verification slots go first to
+# entries whose implementation the CURRENT round touched — round 9
+# changed the NFA fold's navigation (_bind_val/_py_cond_ok tuple
+# members for SUBSET), the MR grammar + measures (SUBSET, factor
+# expansion), ddl.py (multi-INSERT, bare-name anchor, per-verb DB
+# qualifiers, MR routing), expr.py (decimal-exact truncate),
+# table_env.py (env-file validation) and similarity.py (x_ann_pq
+# min-agg assign + expanded sqdist) — so every MR/CEP-routed,
+# DDL-routed, Table-API entry and x_ann_pq re-run inside the window.
 _REVERIFY_FIRST: tuple[str, ...] = (
-    "x_mr_backtrack", "x_mr_next", "x_mr_plus", "x_mr_optional",
-    "x_mr_xvar", "x_mr_allrows", "x_mr_prev", "x_mr_skip_to_last",
+    "x_ann_pq",
+    "x_mr_backtrack", "x_mr_alternation", "x_mr_group_funnel",
+    "x_mr_next", "x_mr_plus", "x_mr_optional", "x_mr_xvar",
+    "x_mr_allrows", "x_mr_prev", "x_mr_skip_to_last",
     "x_mr_agg", "x_mr_allrows_running", "x_mr_offsets",
     "x_cep_times_df", "x_cep_optional_df", "x_cep_funnel3",
-    "x_cep_overlap_opt", "x_repetition", "x_session_dynamic",
-    "x_ddl_roundtrip", "x_ddl_options_hint",
+    "x_cep_overlap_opt", "x_cep_any", "x_repetition",
+    "x_session_dynamic",
+    "x_ddl_roundtrip", "x_ddl_options_hint", "x_catalog_qualified",
+    "x_hive_dialect",
     "x_tapi_agg", "x_tapi_window", "x_tapi_over", "x_tapi_join_setops",
-    "x_ds_maxby", "x_ds_reduce",
 )
 
 

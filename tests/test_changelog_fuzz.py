@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 from flink_1_11_1_spark.streaming import changelog, replay
 from flink_1_11_1_spark.streaming.late import LateSideOutput, read_late_rows
 
+pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+
+
 BASE = (1_700_000_000 // 3600) * 3600  # hour-aligned epoch seconds
 DELAY_S = 30 * 60                      # watermark delay (30 minutes)
 JITTER_S = 25 * 60                     # max disorder, strictly < delay

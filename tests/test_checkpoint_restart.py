@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 from flink_1_11_1_spark.streaming import cep, over, replay, semi_anti, temporal
 
+pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+
+
 BASE = 1_700_000_000  # epoch seconds
 WM_DELAY = "30 minutes"
 

@@ -21,6 +21,9 @@ from flink_1_11_1_spark.extensions import registry
 
 from .conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+
+
 _QUERIES = registry.queries()
 _ORACLES = registry.oracle_sql()
 

@@ -30,6 +30,9 @@ import pytest
 
 from flink_1_11_1_spark.streaming.nfa import PatternSeq, State
 
+pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+
+
 # two seed bands: the original 40 + a second band whose cases 1/75/92
 # caught the reluctant-optional advance-ordering bug (fixed: the
 # target priority is the regex nested take/skip decision order)

@@ -43,6 +43,8 @@ from flink_1_11_1_spark.streaming.nfa import (
     _spec,
 )
 
+pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+
 CLASSES = "abc"
 
 

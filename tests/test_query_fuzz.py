@@ -26,6 +26,9 @@ from flink_1_11_1_spark.extensions import registry  # noqa: F401 (session parity
 
 from .conftest import SF_SMOKE
 
+pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+
+
 # (table, [(col, class)]) — class in {int, float, str, ts}
 SCHEMA = {
     "lineitem": [
