@@ -181,3 +181,95 @@ def test_any_pair_tier_e_equals_fold(spark):
     plan3 = p3.match_batch(ev)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan3
+
+
+def test_until_stream_equals_unfinalized_fold(spark, tmp_path):
+    """Round-9 parity: `Pattern.until()`'s freeze-not-consume stop flag
+    survives the applyInPandasWithState JSON state round-trip —
+    reference = the unfinalized shared fold over the full data."""
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.nfa import (
+        PatternSeq, _fold_events, _spec, _with_flags)
+
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "replay_until")
+    replay.write_replay(spark, SF_SMOKE, d, parts=5)
+    pat = (
+        PatternSeq.begin("V", "event_type = 'view'").one_or_more()
+        .until("event_type = 'error'")
+        .followed_by("P", "event_type = 'purchase'")
+        .within("24 hours")
+    )
+    sel = ["user_id", "event_id", "ts", "event_type"]
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select(*sel)), "append", "s_until_nfa")
+    events = catalog.load_table(spark, SF_SMOKE, "events").select(*sel)
+    flagged = _with_flags(events, pat.states, "user_id", ()).toPandas()
+    spec = _spec(pat)
+    want = set()
+    for uid, pdf in flagged.groupby("user_id"):
+        out, _ = _fold_events(
+            uid, pdf.sort_values(["ts", "event_id"]), [], spec)
+        want |= {(uid, tuple(t[3]), tuple(t[4])) for t in out}
+    assert {(r.user_id, tuple(r.labels), tuple(r.ids)) for r in got} == want
+    assert len(want) > 0
+
+
+def test_emit_all_stream_equals_unfinalized_fold(spark, tmp_path):
+    """Round-9 parity: followedByAny's emit-all forks (every completed
+    branch emits) survive the streaming JSON state round-trip —
+    reference = the unfinalized shared fold over the full data."""
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.nfa import (
+        PatternSeq, _fold_events, _spec, _with_flags)
+
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "replay_any")
+    replay.write_replay(spark, SF_SMOKE, d, parts=5)
+    pat = (
+        PatternSeq.begin("a", "event_type = 'click'")
+        .followed_by_any("b", "event_type = 'purchase'")
+        .within("6 hours")
+        .with_backtracking(max_branches=4096)
+    )
+    sel = ["user_id", "event_id", "ts", "event_type"]
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        pat.match_stream(stream.select(*sel)), "append", "s_any_nfa")
+    events = catalog.load_table(spark, SF_SMOKE, "events").select(*sel)
+    flagged = _with_flags(events, pat.states, "user_id", ()).toPandas()
+    spec = _spec(pat)
+    want = set()
+    for uid, pdf in flagged.groupby("user_id"):
+        out, _ = _fold_events(
+            uid, pdf.sort_values(["ts", "event_id"]), [], spec)
+        want |= {(uid, tuple(t[3]), tuple(t[4])) for t in out}
+    assert {(r.user_id, tuple(r.labels), tuple(r.ids)) for r in got} == want
+    assert len(want) > 0
+
+    # Multi-emission through the stream, crafted: one click then TWO
+    # purchases within the horizon, split across micro-batches so the
+    # forked branches must JSON-trip through keyed state.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    cols = "user_id long, event_id long, ts timestamp, event_type string"
+    f1 = spark.createDataFrame(
+        [(1, 1, base, "click")], cols)
+    f2 = spark.createDataFrame(
+        [(1, 2, base + dt.timedelta(minutes=5), "purchase"),
+         (1, 3, base + dt.timedelta(minutes=10), "purchase")], cols)
+    f3 = spark.createDataFrame(
+        [(1, 99, base + dt.timedelta(days=30), "__flush__")], cols)
+    d2 = str(tmp_path / "replay_any_crafted")
+    replay.write_replay_frames([f1, f2, f3], d2)
+    got2, _ = replay.run_stream(
+        pat.match_stream(replay.events_stream(spark, d2)),
+        "append", "s_any_crafted")
+    pairs = sorted((tuple(r.ids)) for r in got2)
+    assert pairs == [(1, 2), (1, 3)]  # BOTH pairs emitted for one click
