@@ -249,10 +249,13 @@ _FLINK_CONF_MAP = {
 # flink-sql-parser-hive front end.  Spark's OWN parser is
 # Hive-descended and already accepts the HiveQL surface that dialect
 # exists for (LATERAL VIEW, DISTRIBUTE/SORT/CLUSTER BY, named_struct,
-# TRANSFORM-less DML, backtick identifiers), so the switch is accepted
-# and recorded but routes to the same parser — a documented
-# architectural merge, not a silent ignore (DESCRIBE-able via the
-# session conf; unknown dialects still error).
+# TRANSFORM script transformation — native no-serde mode, tested —
+# backtick identifiers), so the switch is accepted and recorded but
+# routes to the same parser — a documented architectural merge, not a
+# silent ignore (DESCRIBE-able via the session conf; unknown dialects
+# still error).  Multi-INSERT — the one HiveQL statement Spark's
+# parser cannot route to DECLARED sinks — is rewritten by
+# ``_multi_insert`` (scan-once fan-out).
 _SQL_DIALECTS = ("default", "hive")
 
 

@@ -90,7 +90,7 @@ _MR_RE = re.compile(
 )
 
 _CLAUSE_RE = re.compile(
-    r"PARTITION\s+BY\s+(?P<key>\w+)\s+"
+    r"PARTITION\s+BY\s+(?P<key>\w+(?:\s*,\s*\w+)*?)\s+"
     r"ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+"
     r"MEASURES\s+(?P<measures>.*?)\s+"
     r"(?:(?P<permatch>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
@@ -561,7 +561,13 @@ def match_recognize(
         raise ValueError("unparseable MATCH_RECOGNIZE body (see module doc)")
     all_rows = (c.group("permatch") or "ONE ROW").upper().startswith("ALL")
 
-    key = c.group("key")
+    keys = [k.strip() for k in c.group("key").split(",")]
+    # Multi-column PARTITION BY (Flink/Calcite allow any key list):
+    # lowered onto a synthesized composite key column — the NFA stack
+    # keys on ONE column — and the component columns are joined back
+    # onto the (small) match set afterwards.  Batch only: the stream
+    # backend would need a stream-side mapping join.
+    key = keys[0] if len(keys) == 1 else "__mr_key"
     order = [o.strip() for o in c.group("order").split(",")]
     if order not in (["ts"], ["ts", "event_id"]):
         raise ValueError("ORDER BY must be ts [, event_id] (NFA fold order)")
@@ -768,6 +774,22 @@ def match_recognize(
             catalog.load_table(spark, sf_dir, table)
             if sf_dir is not None
             else spark.table(table)
+        )
+    if len(keys) > 1:
+        if events.isStreaming:
+            raise ValueError(
+                "multi-column PARTITION BY needs a bounded input (the "
+                "component join-back has no streaming twin)"
+            )
+        events = events.withColumn(
+            key,
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
+                    for k in keys
+                ],
+            ),
         )
     if prev_cols:
         if events.isStreaming:
@@ -989,4 +1011,11 @@ def match_recognize(
         res = res.join(agg, "_mid", "left")
     if aggbacks:
         res = res.drop("_mid")
+    if len(keys) > 1:
+        # swap the composite key back for its component columns — one
+        # bounded shuffle of the distinct key set against the (small)
+        # match output
+        mapping = events.select(F.col(key), *[F.col(k) for k in keys]).distinct()
+        rest = [c0 for c0 in res.columns if c0 != key]
+        res = res.join(mapping, key, "left").select(*keys, *rest)
     return res

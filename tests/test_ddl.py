@@ -1049,3 +1049,28 @@ def test_multi_insert_errors_and_plain_from(spark, tmp_path):
     assert row.s == "INSERT INTO x"
     tenv.execute_sql("DROP TABLE mi_t_p")
     spark.catalog.dropTempView("mi_t_src3")
+
+
+def test_hive_dialect_transform(spark):
+    """HiveQL TRANSFORM (script transformation) through the dialect
+    front door: Spark's parser runs USING-scripts natively (no-serde
+    mode), closing the Hive-dialect statement surface together with
+    multi-INSERT."""
+    from flink_1_11_1_spark.ddl import DdlCatalog
+
+    cat = DdlCatalog(spark)
+    spark.range(4).selectExpr("id", "id * 3 AS v").createOrReplaceTempView(
+        "hdt_src"
+    )
+    cat.execute("SET 'table.sql-dialect' = 'hive'")
+    try:
+        rows = cat.execute(
+            "SELECT TRANSFORM (id, v) USING 'cat' AS (a STRING, b STRING) "
+            "FROM hdt_src"
+        ).collect()
+        assert sorted((r.a, r.b) for r in rows) == [
+            ("0", "0"), ("1", "3"), ("2", "6"), ("3", "9")
+        ]
+    finally:
+        cat.execute("RESET 'table.sql-dialect'")
+    spark.catalog.dropTempView("hdt_src")

@@ -738,3 +738,56 @@ def test_subset_validation_errors(spark):
             base.format(subset="SUBSET U = (A), U = (B)"),
             events=ev,
         )
+
+
+# ---------------- multi-column PARTITION BY (round 9) -----------------
+
+
+def test_multi_key_partition_by(spark):
+    """PARTITION BY k1, k2 (Flink/Calcite key lists): composite-key
+    matching with component columns restored on the output."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # (region, user) = ('eu', 1): click then purchase -> match
+        ("eu", 1, 1, base, "click"), ("eu", 1, 2, base + dt.timedelta(seconds=9), "purchase"),
+        # same user id in another region: NO adjacency across regions
+        ("us", 1, 3, base + dt.timedelta(seconds=5), "click"),
+        ("us", 1, 4, base + dt.timedelta(seconds=20), "view"),
+        # ('us', 2): match
+        ("us", 2, 5, base + dt.timedelta(seconds=30), "click"),
+        ("us", 2, 6, base + dt.timedelta(seconds=40), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "region string, user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = match_recognize(spark, """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY region, user_id ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+    )""", events=ev)
+    assert out.columns == ["region", "user_id", "a_id", "b_id"]
+    got = sorted((r.region, r.user_id, r.a_id, r.b_id) for r in out.collect())
+    assert got == [("eu", 1, 1, 2), ("us", 2, 5, 6)]
+
+
+def test_multi_key_streaming_raises(spark, tmp_path):
+    from flink_1_11_1_spark.streaming import replay
+
+    from .conftest import SF_SMOKE
+
+    d = str(tmp_path / "replay_mk")
+    replay.write_replay(spark, SF_SMOKE, d, parts=2)
+    stream = replay.events_stream(spark, d)
+    with pytest.raises(ValueError, match="bounded input"):
+        match_recognize(spark, """
+        SELECT * FROM e MATCH_RECOGNIZE (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id
+          MEASURES LAST(A.event_id) AS a_id
+          ONE ROW PER MATCH PATTERN (A)
+          DEFINE A AS A.value >= 0
+        )""", events=stream)
