@@ -510,7 +510,104 @@ SELECT
              FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5
 """
 
+# q1: customers whose channel-R (returns) value exceeds 1.2x their
+# nation's average — the correlated-average filter, decorrelated into
+# a window; the threshold comparison is an integer cross-multiply
+# (5 * cents > 6 * avg-sum  <=>  cents > 1.2 * avg), no division.
+ABOVE_AVG = """
+WITH r AS (
+  SELECT c_custkey, n_name,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, n_name),
+w AS (
+  SELECT c_custkey, n_name, cents,
+         cast(sum(cents) OVER (PARTITION BY n_name) AS bigint) tot,
+         cast(count(*) OVER (PARTITION BY n_name) AS bigint) n
+  FROM r)
+SELECT n_name, cast(count(*) AS bigint) n_heavy,
+       cast(sum(cents) AS bigint) heavy_cents
+FROM w WHERE cents * n * 5 > tot * 6
+GROUP BY n_name ORDER BY n_name
+"""
+
+# q90: morning-vs-afternoon activity ratio per priority — counts in
+# two date-derived slices of one scan, compared without division
+# (the declared ratio is a single IEEE division of exact ints).
+RATIO_SLICES = """
+WITH b AS (
+  SELECT o_orderpriority prio,
+         cast(sum(CASE WHEN extract(month FROM o_orderdate) <= 6 THEN 1 ELSE 0 END) AS bigint) h1,
+         cast(sum(CASE WHEN extract(month FROM o_orderdate) > 6 THEN 1 ELSE 0 END) AS bigint) h2
+  FROM orders GROUP BY o_orderpriority)
+SELECT prio, h1, h2,
+       cast(h1 AS double) / cast(h2 AS double) AS ratio
+FROM b WHERE h2 > 0
+ORDER BY prio
+"""
+
+# q95: multi-hop same-table EXISTS — orders shipped by >= 2 distinct
+# suppliers that ALSO have a returned line (the q95 "two-warehouse +
+# returned" chain on this schema).
+MULTI_HOP = """
+SELECT cast(extract(year FROM o_orderdate) AS bigint) yr,
+       cast(count(*) AS bigint) n_orders,
+       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    WHERE l1.l_orderkey = o_orderkey)
+  AND EXISTS (
+    SELECT 1 FROM lineitem lr
+    WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R')
+GROUP BY extract(year FROM o_orderdate)
+ORDER BY yr
+"""
+
+# q48/q13: disjunctive band predicates — OR of (quantity band AND
+# price band) arms, the shape that stresses predicate normalization.
+OR_BANDS = """
+SELECT l_returnflag,
+       cast(count(*) AS bigint) n,
+       cast(sum(cast(l_quantity AS bigint)) AS bigint) qty
+FROM lineitem
+WHERE (l_quantity BETWEEN 1 AND 15 AND l_extendedprice BETWEEN 1000 AND 30000)
+   OR (l_quantity BETWEEN 16 AND 35 AND l_extendedprice BETWEEN 20000 AND 60000)
+   OR (l_quantity BETWEEN 36 AND 50 AND l_extendedprice BETWEEN 40000 AND 95000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# q44: best and worst performers joined side by side — two opposite
+# rankings of one aggregated CTE, equi-joined on rank.
+BEST_WORST = """
+WITH agg AS (
+  SELECT l_partkey,
+         cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint) net
+  FROM lineitem GROUP BY l_partkey),
+rk AS (
+  SELECT l_partkey, net,
+         cast(row_number() OVER (ORDER BY net DESC, l_partkey) AS bigint) best_rn,
+         cast(row_number() OVER (ORDER BY net ASC, l_partkey) AS bigint) worst_rn
+  FROM agg)
+SELECT b.best_rn AS rn, b.l_partkey AS best_part, b.net AS best_net,
+       w.l_partkey AS worst_part, w.net AS worst_net
+FROM rk b JOIN rk w ON b.best_rn = w.worst_rn
+WHERE b.best_rn <= 10
+ORDER BY rn
+"""
+
 _SHAPES = {
+    "x_tpcds_above_avg": ABOVE_AVG,
+    "x_tpcds_ratio_slices": RATIO_SLICES,
+    "x_tpcds_multi_hop": MULTI_HOP,
+    "x_tpcds_or_bands": OR_BANDS,
+    "x_tpcds_best_worst": BEST_WORST,
     "x_tpcds_rollup_share": ROLLUP_SHARE,
     "x_tpcds_except_chain": EXCEPT_CHAIN,
     "x_tpcds_union_distinct": UNION_DISTINCT,

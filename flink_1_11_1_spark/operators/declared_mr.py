@@ -673,6 +673,64 @@ ORDER BY m.user_id, s_first
 """
 
 
+# -- x_mr_multikey: multi-column PARTITION BY (round 9) ----------------
+#
+# Flink/Calcite accept any PARTITION BY key list; the front door lowers
+# a multi-key onto a synthesized composite column and joins the
+# components back onto the match set.  Shape: per-(user, day)
+# view-runs ending in a purchase — contiguity resets at day
+# boundaries because the PARTITION, not the data, slices the stream.
+
+MR_MULTIKEY_SQL = """
+SELECT * FROM events_day_x MATCH_RECOGNIZE (
+  PARTITION BY user_id, dy
+  ORDER BY ts, event_id
+  MEASURES FIRST(V.event_id) AS v_first, COUNT(V.*) AS n_views,
+           LAST(P.event_id) AS p_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (V+ P)
+  DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+)
+"""
+
+
+def mr_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog as _catalog
+
+    ev = _catalog.load_table(spark, sf_dir, "events")
+    ev.withColumn("dy", F.dayofmonth("ts").cast("long")).createOrReplaceTempView(
+        "events_day_x"
+    )
+    return match_recognize(spark, MR_MULTIKEY_SQL).orderBy(
+        "user_id", "dy", "v_first"
+    )
+
+
+MR_MULTIKEY_ORACLE = f"""
+WITH e AS ({_E}),
+em AS (SELECT *, cast(extract(day FROM ts) AS bigint) AS dy FROM e),
+seq AS (
+  SELECT user_id, dy, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, dy ORDER BY ts, event_id) AS rn
+  FROM em),
+x AS (
+  SELECT user_id, dy, event_id, event_type, rn,
+         coalesce(max(CASE WHEN event_type <> 'view' THEN rn END)
+           OVER (PARTITION BY user_id, dy ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lastnv
+  FROM seq),
+p AS (
+  SELECT user_id, dy, event_id AS p_id, rn, lastnv,
+         cast(rn - lastnv - 1 AS bigint) AS n_views
+  FROM x WHERE event_type = 'purchase' AND rn - lastnv - 1 >= 1)
+SELECT p.user_id, p.dy, s.event_id AS v_first, p.n_views, p.p_id
+FROM p JOIN seq s
+  ON s.user_id = p.user_id AND s.dy = p.dy AND s.rn = p.lastnv + 1
+ORDER BY p.user_id, p.dy, v_first
+"""
+
+
 # -- x_mr_composed: MATCH_RECOGNIZE as a TABLE FACTOR (round 9) --------
 #
 # Flink/Calcite treat MATCH_RECOGNIZE as a table primary
@@ -732,6 +790,7 @@ ORDER BY nk
 
 def register_all() -> None:
     registry.register("x_mr_subset", mr_subset, MR_SUBSET_ORACLE)
+    registry.register("x_mr_multikey", mr_multikey, MR_MULTIKEY_ORACLE)
     registry.register("x_mr_composed", mr_composed, MR_COMPOSED_ORACLE)
     registry.register("x_mr_backtrack", mr_backtrack, MR_BACKTRACK_ORACLE)
     registry.register("x_mr_alternation", mr_alternation, MR_ALTERNATION_ORACLE)
