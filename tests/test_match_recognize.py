@@ -791,3 +791,48 @@ def test_multi_key_streaming_raises(spark, tmp_path):
           ONE ROW PER MATCH PATTERN (A)
           DEFINE A AS A.value >= 0
         )""", events=stream)
+
+
+def test_subset_measures_band_vs_classifier(spark):
+    """Randomized band (seeded): SUBSET measures must equal the same
+    quantities recomputed from the ALL ROWS classifier stream of the
+    identical pattern — FIRST/LAST/COUNT over the union are pure
+    functions of the per-row labels."""
+    import random
+
+    rng = random.Random(909)
+    types = ["view", "click", "purchase"]
+    rows = []
+    eid = 0
+    for _ in range(200):
+        eid += 1
+        rows.append((eid, 10 * eid, rng.choice(types), rng.randint(1, 9)))
+    ev = _events(spark, rows)
+    one = """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,
+               COUNT(U.*) AS u_n, LAST(C.event_id) AS c_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C)
+      SUBSET U = (A, B)
+      DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+             C AS C.event_type = 'purchase'
+    )"""
+    allrows = one.replace(
+        "FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,\n"
+        "               COUNT(U.*) AS u_n, LAST(C.event_id) AS c_id\n"
+        "      ONE ROW PER MATCH",
+        "LAST(C.event_id) AS c_id ALL ROWS PER MATCH",
+    )
+    got = {
+        r.c_id: (r.u_first, r.u_last, r.u_n)
+        for r in match_recognize(spark, one, events=ev).collect()
+    }
+    per_row = match_recognize(spark, allrows, events=ev).collect()
+    want: dict = {}
+    for r in sorted(per_row, key=lambda r: r.event_id):
+        if r.classifier in ("A", "B"):
+            f, l, n = want.get(r.c_id, (None, None, 0))
+            want[r.c_id] = (f if f is not None else r.event_id, r.event_id, n + 1)
+    assert got == want and len(got) > 5
