@@ -334,6 +334,200 @@ def _strip_ticks(name: str) -> str:
     return name.replace("`", "")
 
 
+_LIKE_RE = re.compile(
+    r"\sLIKE\s+([\w.`]+)\s*(?:\(\s*([^)]*)\s*\))?\s*$", re.IGNORECASE
+)
+_LIKE_OPT_RE = re.compile(
+    r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|CONSTRAINTS|PARTITIONS|GENERATED|OPTIONS|WATERMARKS)",
+    re.IGNORECASE,
+)
+
+
+def parse_like_options(text: str | None) -> dict[str, str]:
+    """FLIP-110 like-option list → per-feature merge strategy.
+
+    Default (Flink 1.11 CREATE TABLE ... LIKE docs): ``INCLUDING ALL
+    OVERWRITING OPTIONS``.  ALL resets every feature to the given
+    including/excluding mode; OVERWRITING is only legal for the
+    GENERATED / OPTIONS / WATERMARKS features (Flink's rule)."""
+    strat = {
+        "constraints": "including",
+        "partitions": "including",
+        "generated": "including",
+        "options": "overwriting",
+        "watermarks": "including",
+    }
+    if not text or not text.strip():
+        return strat
+    consumed = _LIKE_OPT_RE.sub("", text).strip()
+    if consumed:
+        raise ValueError(f"unparseable LIKE options near {consumed!r}")
+    for mode, feat in _LIKE_OPT_RE.findall(text):
+        mode, feat = mode.lower(), feat.lower()
+        if feat == "all":
+            if mode == "overwriting":
+                raise ValueError("OVERWRITING ALL is not a Flink like-option")
+            for k in strat:
+                strat[k] = mode
+            continue
+        if mode == "overwriting" and feat in ("constraints", "partitions"):
+            raise ValueError(f"OVERWRITING {feat.upper()} is not supported "
+                             "(Flink allows it for GENERATED/OPTIONS/"
+                             "WATERMARKS only)")
+        strat[feat] = mode
+    return strat
+
+
+def merge_like(src: CreateTable, new: CreateTable,
+               strat: dict[str, str]) -> CreateTable:
+    """Merge a LIKE-derived declaration onto its source (FLIP-110
+    semantics: duplicates error under INCLUDING, new wins under
+    OVERWRITING, source dropped under EXCLUDING)."""
+    out = CreateTable(name=new.name, temporary=new.temporary)
+    # physical columns: source first, new appended; duplicate names error
+    src_cols = {n for n, _t, _nn in src.columns}
+    for n, _t, _nn in new.columns:
+        if n in src_cols:
+            raise ValueError(
+                f"LIKE: physical column {n!r} already defined in source")
+    out.columns = list(src.columns) + list(new.columns)
+    # computed columns (GENERATED)
+    if strat["generated"] == "excluding":
+        out.computed = dict(new.computed)
+    else:
+        dup = set(src.computed) & set(new.computed)
+        if dup and strat["generated"] != "overwriting":
+            raise ValueError(
+                f"LIKE: computed column(s) {sorted(dup)} already defined "
+                "in source (use OVERWRITING GENERATED)")
+        out.computed = {**src.computed, **new.computed}
+    # watermark
+    if strat["watermarks"] == "excluding":
+        out.watermark_col, out.watermark_delay = (
+            new.watermark_col, new.watermark_delay)
+    elif new.watermark_col is not None:
+        if src.watermark_col is not None and strat["watermarks"] != "overwriting":
+            raise ValueError(
+                "LIKE: source already declares a watermark "
+                "(use OVERWRITING WATERMARKS)")
+        out.watermark_col, out.watermark_delay = (
+            new.watermark_col, new.watermark_delay)
+    else:
+        out.watermark_col, out.watermark_delay = (
+            src.watermark_col, src.watermark_delay)
+    # primary key (CONSTRAINTS)
+    if strat["constraints"] == "excluding":
+        out.primary_key = list(new.primary_key)
+    elif new.primary_key:
+        if src.primary_key:
+            raise ValueError("LIKE: source already declares a PRIMARY KEY")
+        out.primary_key = list(new.primary_key)
+    else:
+        out.primary_key = list(src.primary_key)
+    # partitions
+    if strat["partitions"] == "excluding":
+        out.partitioned_by = list(new.partitioned_by)
+    else:
+        if new.partitioned_by and src.partitioned_by:
+            raise ValueError("LIKE: source already declares PARTITIONED BY")
+        out.partitioned_by = list(new.partitioned_by or src.partitioned_by)
+    # WITH options
+    if strat["options"] == "excluding":
+        out.props = dict(new.props)
+    else:
+        dup = {
+            k for k in set(src.props) & set(new.props)
+            if src.props[k] != new.props[k]
+        }
+        if dup and strat["options"] != "overwriting":
+            raise ValueError(
+                f"LIKE: option(s) {sorted(dup)} conflict with source "
+                "(use OVERWRITING OPTIONS)")
+        out.props = {**src.props, **new.props}
+    if not out.props.get("connector"):
+        raise ValueError(
+            f"CREATE TABLE {out.name} LIKE: merged declaration has no "
+            "'connector' property")
+    return out
+
+
+def parse_create_table_base(sql: str) -> CreateTable:
+    """Lenient CREATE TABLE parse for the LIKE form: the column block
+    and the WITH clause are both optional (``CREATE TABLE t2 LIKE t1``
+    is legal once the LIKE tail is stripped)."""
+    s = sql.strip().rstrip(";").strip()
+    head = _CREATE_TABLE_HEAD_RE.match(s + " (") if "(" not in s else None
+    if head:  # no column block at all
+        m = re.match(
+            r"^CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.`]+)\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unparseable CREATE TABLE ... LIKE head: {s!r}")
+        return CreateTable(name=_strip_ticks(m.group(3)),
+                           temporary=bool(m.group(1)))
+    m = re.match(
+        r"^CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"([\w.`]+)\s*(.*)$", s, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"unparseable CREATE TABLE statement: {s!r}")
+    temp, _ine, name, rest = m.groups()
+    out = CreateTable(name=_strip_ticks(name), temporary=bool(temp))
+    rest = rest.strip()
+    if rest.startswith("("):
+        body, after = _balanced_block(rest, 0)
+        for item in _split_top_all(body, ","):
+            wm = _WM_RE.match(item)
+            if wm:
+                col, expr = wm.group(1), wm.group(2).strip()
+                iv = _INTERVAL_RE.search(expr)
+                if not iv:
+                    raise ValueError(f"unsupported watermark expr: {expr!r}")
+                out.watermark_col = col
+                out.watermark_delay = f"{iv.group(1)} {iv.group(2).lower()}s"
+                continue
+            pk = _PK_RE.match(item)
+            if pk:
+                out.primary_key = [
+                    c.strip().replace("`", "") for c in pk.group(1).split(",")
+                ]
+                continue
+            comp = _COMPUTED_RE.match(item)
+            if comp and not re.match(
+                r"^(ARRAY|MAP|ROW|MULTISET|"
+                + "|".join(_SIMPLE_TYPES) + r")\b",
+                comp.group(2).strip().upper(),
+            ):
+                out.computed[_strip_ticks(comp.group(1))] = comp.group(2).strip()
+                continue
+            phys = _PHYSICAL_RE.match(item)
+            if not phys:
+                raise ValueError(f"cannot parse column definition: {item!r}")
+            cname, ctype, notnull, _c = phys.groups()
+            out.columns.append(
+                (_strip_ticks(cname), flink_type_to_spark(ctype), bool(notnull))
+            )
+        rest = rest[after:].strip()
+    tail = _CREATE_TABLE_TAIL_RE.match(rest) if rest else None
+    if tail:
+        part_by, props_s = tail.groups()
+        out.props = dict(_PROP_RE.findall(props_s))
+        if part_by:
+            out.partitioned_by = [
+                c.strip().replace("`", "") for c in part_by.split(",")
+            ]
+    elif rest:
+        pm = re.match(r"^PARTITIONED\s+BY\s*\(([^)]*)\)\s*$", rest,
+                      re.IGNORECASE)
+        if pm:
+            out.partitioned_by = [
+                c.strip().replace("`", "") for c in pm.group(1).split(",")
+            ]
+        else:
+            raise ValueError(f"unparseable CREATE TABLE tail: {rest!r}")
+    return out
+
+
 def parse_create_table(sql: str) -> CreateTable:
     s = sql.strip().rstrip(";").strip()
     head = _CREATE_TABLE_HEAD_RE.match(s)
@@ -459,6 +653,13 @@ class DdlCatalog:
             return self._set_statement(ms.group(1), ms.group(2))
         if up == "SHOW TABLES":
             return self._show_tables()
+        if up == "SHOW MODULES":
+            # Flink's module system (FLIP-68; sql-client SHOW MODULES in
+            # 1.11 lists the loaded function modules — 'core' by
+            # default).  Function resolution here is Spark's single
+            # registry, so exactly the core module is reported.
+            return self.spark.createDataFrame(
+                [("core",)], "module_name string")
         if up.startswith("EXPLAIN PLAN FOR "):
             # Flink's EXPLAIN statement (FLIP-84 TableEnvironment
             # .explainSql): one STRING row with the plan sections
@@ -487,7 +688,30 @@ class DdlCatalog:
                 self._set_keys.clear()
             return None
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
-            ct = parse_create_table(s)
+            # FLIP-110 CREATE TABLE ... LIKE (shipped in Flink 1.11):
+            # derive the declaration from a registered source table with
+            # per-feature merge strategies, then continue as a normal
+            # CREATE of the merged declaration.
+            lm = None
+            for cand in _LIKE_RE.finditer(s):
+                if not any(
+                    a <= cand.start() < b for a, b in _quoted_spans(s)
+                ):
+                    lm = cand
+            if lm is not None:
+                src_cat, src_db, src_tbl = self._resolve_name(lm.group(1))
+                src_view = self.qualified.get(
+                    (src_cat, src_db, src_tbl), _strip_ticks(lm.group(1)))
+                src = self.tables.get(src_view)
+                if src is None:
+                    raise ValueError(
+                        f"CREATE TABLE ... LIKE {lm.group(1)}: source is "
+                        "not a DDL-declared table (plain views have no "
+                        "WITH properties to derive — documented delta)")
+                new = parse_create_table_base(s[: lm.start()])
+                ct = merge_like(src, new, parse_like_options(lm.group(2)))
+            else:
+                ct = parse_create_table(s)
             cat, db, tbl = self._resolve_name(ct.name)
             self._check_db(cat, db)
             ct.name = self._view_name(cat, db, tbl)

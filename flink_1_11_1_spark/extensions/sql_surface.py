@@ -276,6 +276,48 @@ FROM toks GROUP BY lang ORDER BY lang
 """
 
 
+def _ddl_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLIP-110 CREATE TABLE ... LIKE (a flagship Flink 1.11 feature):
+    the documents declaration is derived with an EXTRA computed column
+    and the default INCLUDING ALL OVERWRITING OPTIONS merge — the
+    derived table carries the source's schema, path and computed
+    column plus the new one.  The oracle recomputes both computed
+    columns directly."""
+    from ..table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql("DROP TABLE IF EXISTS like_docs_src_x")
+    tenv.execute_sql("DROP TABLE IF EXISTS like_docs_der_x")
+    tenv.execute_sql(f"""
+        CREATE TABLE like_docs_src_x (
+          doc_id BIGINT, text STRING, lang STRING, source STRING,
+          n_chars BIGINT,
+          n_tokens AS length(text) - length(replace(text, ' ', '')) + 1
+        ) WITH (
+          'connector' = 'filesystem',
+          'path' = '{sf_dir}/documents.parquet',
+          'format' = 'parquet'
+        )""")
+    tenv.execute_sql("""
+        CREATE TABLE like_docs_der_x (
+          chars_per_token AS cast(n_chars * 100 AS bigint)
+        ) LIKE like_docs_src_x""")
+    return tenv.execute_sql("""
+        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+               sum(chars_per_token) AS cents_chars
+        FROM like_docs_der_x WHERE doc_id < 400
+        GROUP BY lang ORDER BY lang""")
+
+
+DDL_LIKE_DUCK = """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(length(text) - length(replace(text, ' ', '')) + 1) AS bigint) AS n_tokens,
+       cast(sum(n_chars * 100) AS bigint) AS cents_chars
+FROM documents WHERE doc_id < 400
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _hive_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-dialect multi-INSERT (flink-sql-parser-hive multi-insert
     DML; Flink's Hive dialect front door): ONE ``FROM orders`` scan
@@ -337,6 +379,7 @@ ORDER BY band, o_orderstatus
 
 registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
 registry.register("x_hive_multi_insert", _hive_multi_insert, HIVE_MULTI_INSERT_DUCK)
+registry.register("x_ddl_like", _ddl_like, DDL_LIKE_DUCK)
 registry.register("x_hive_dialect", _hive_dialect, HIVE_DIALECT_DUCK)
 registry.register("x_catalog_qualified", _catalog_qualified, CATALOG_QUALIFIED_DUCK)
 registry.register("x_ddl_options_hint", _ddl_options_hint, DDL_HINT_DUCK)

@@ -1074,3 +1074,61 @@ def test_hive_dialect_transform(spark):
     finally:
         cat.execute("RESET 'table.sql-dialect'")
     spark.catalog.dropTempView("hdt_src")
+
+
+# ---------------- FLIP-110 CREATE TABLE ... LIKE (round 9) ------------
+
+
+def test_create_table_like_merge(spark, tmp_path):
+    """FLIP-110 (shipped in Flink 1.11): derive a declaration from a
+    source table — default INCLUDING ALL OVERWRITING OPTIONS; computed
+    columns merge; EXCLUDING GENERATED drops them; conflicting options
+    error under INCLUDING OPTIONS."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.range(6).selectExpr("id", "id * 5 AS v").write.parquet(
+        f"{tmp_path}/src")
+    spark.range(3).selectExpr("id", "id * 7 AS v").write.parquet(
+        f"{tmp_path}/other")
+    tenv.execute_sql(f"""CREATE TABLE lk_src (
+      id BIGINT, v BIGINT, v2 AS v * 2
+    ) WITH ('connector'='filesystem','path'='{tmp_path}/src',
+            'format'='parquet')""")
+    tenv.execute_sql(f"""CREATE TABLE lk_der (v3 AS v + 1)
+      WITH ('path'='{tmp_path}/other') LIKE lk_src""")
+    rows = tenv.execute_sql(
+        "SELECT id, v, v2, v3 FROM lk_der ORDER BY id").collect()
+    assert [(r.id, r.v, r.v2, r.v3) for r in rows] == [
+        (0, 0, 0, 1), (1, 7, 14, 8), (2, 14, 28, 15)]
+    # bare LIKE copies everything
+    tenv.execute_sql("CREATE TABLE lk_bare LIKE lk_src")
+    assert tenv.execute_sql(
+        "SELECT count(*) AS n FROM lk_bare").collect()[0].n == 6
+    # EXCLUDING GENERATED drops computed columns
+    tenv.execute_sql(
+        "CREATE TABLE lk_ng LIKE lk_src "
+        "(INCLUDING ALL EXCLUDING GENERATED OVERWRITING OPTIONS)")
+    assert tenv.ddl.tables["lk_ng"].computed == {}
+    with pytest.raises(ValueError, match="conflict with source"):
+        tenv.execute_sql(
+            f"CREATE TABLE lk_conf WITH ('path'='{tmp_path}/other') "
+            "LIKE lk_src (INCLUDING OPTIONS)")
+    with pytest.raises(ValueError, match="no[\\s\\S]*connector"):
+        tenv.execute_sql(
+            "CREATE TABLE lk_noc (x BIGINT) LIKE lk_src (EXCLUDING OPTIONS)")
+    with pytest.raises(ValueError, match="already defined in source"):
+        tenv.execute_sql("CREATE TABLE lk_dup (id BIGINT) LIKE lk_src")
+    with pytest.raises(ValueError, match="not a DDL-declared"):
+        spark.range(1).createOrReplaceTempView("lk_plainview")
+        tenv.execute_sql("CREATE TABLE lk_pv LIKE lk_plainview")
+    for t in ("lk_src", "lk_der", "lk_bare", "lk_ng"):
+        tenv.execute_sql(f"DROP TABLE {t}")
+
+
+def test_show_modules(spark):
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    assert [r.module_name for r in
+            tenv.execute_sql("SHOW MODULES").collect()] == ["core"]
