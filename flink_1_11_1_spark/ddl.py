@@ -718,6 +718,31 @@ class DdlCatalog:
             self.qualified[(cat, db, tbl)] = ct.name
             self.create_table(ct)
             return None
+        ma = re.match(
+            r"^ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*$",
+            s, re.IGNORECASE)
+        if ma and _strip_ticks(ma.group(1)) in self.tables:
+            return self._alter_rename(
+                _strip_ticks(ma.group(1)), _strip_ticks(ma.group(2)))
+        ma = re.match(
+            r"^ALTER\s+TABLE\s+([\w.`]+)\s+SET\s*\((.*)\)\s*$",
+            s, re.IGNORECASE | re.DOTALL)
+        if ma and _strip_ticks(ma.group(1)) in self.tables:
+            # Flink 1.11 ALTER TABLE ... SET ('k'='v'): merge/override
+            # the declaration's WITH properties (SqlAlterTableOptions)
+            name = _strip_ticks(ma.group(1))
+            from dataclasses import replace as _dcr
+
+            overrides = dict(_PROP_RE.findall(ma.group(2)))
+            ct = self.tables[name]
+            self._evict_hint_aliases(name)
+            self.tables[name] = _dcr(ct, props={**ct.props, **overrides})
+            if self.tables[name].connector == "filesystem":
+                import os as _os
+
+                if _os.path.exists(self.tables[name].props.get("path", "")):
+                    self.batch_table(name).createOrReplaceTempView(name)
+            return None
         mv = _CREATE_VIEW_RE.match(s)
         if mv:
             _tmp, _ine, name, query = mv.groups()
@@ -1201,6 +1226,30 @@ class DdlCatalog:
         q = self.views.get(name)
         if q is not None:
             self.spark.sql(q).createOrReplaceTempView(name)
+
+    def _alter_rename(self, old: str, new: str) -> None:
+        """Flink 1.11 ALTER TABLE ... RENAME TO (SqlAlterTableRename):
+        the declaration, its qualified mapping, any registered view and
+        its hint aliases all move to the new name."""
+        from dataclasses import replace as _dcr
+
+        ct = self.tables.pop(old, None)
+        if ct is None:
+            raise ValueError(f"ALTER TABLE: unknown declared table {old!r}")
+        if new in self.tables:
+            self.tables[old] = ct
+            raise ValueError(f"ALTER TABLE: target name {new!r} exists")
+        self._evict_hint_aliases(old)
+        self.tables[new] = _dcr(ct, name=new)
+        self.qualified = {
+            k: (new if v == old else v) for k, v in self.qualified.items()
+        }
+        self.views.pop(old, None)
+        if any(v.name == old for v in self.spark.catalog.listTables()
+               if v.tableType == "TEMPORARY"):
+            self.spark.table(old).createOrReplaceTempView(new)
+            self.spark.catalog.dropTempView(old)
+        return None
 
     def _evict_hint_aliases(self, name: str) -> None:
         """Drop every cached hint alias of a base table: after DROP +

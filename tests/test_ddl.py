@@ -1132,3 +1132,30 @@ def test_show_modules(spark):
     tenv = TableEnvironment(spark)
     assert [r.module_name for r in
             tenv.execute_sql("SHOW MODULES").collect()] == ["core"]
+
+
+def test_alter_table_rename_and_set(spark, tmp_path):
+    """Flink 1.11 ALTER TABLE: RENAME TO moves the declaration + view
+    + qualified mapping; SET (...) merges WITH properties (and evicts
+    stale hint aliases)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.range(4).selectExpr("id").write.parquet(f"{tmp_path}/a")
+    spark.range(7).selectExpr("id").write.parquet(f"{tmp_path}/b")
+    tenv.execute_sql(f"""CREATE TABLE alt_t (id BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/a','format'='parquet')""")
+    assert tenv.execute_sql("SELECT count(*) n FROM alt_t").collect()[0].n == 4
+    tenv.execute_sql("ALTER TABLE alt_t RENAME TO alt_t2")
+    assert "alt_t" not in tenv.ddl.tables and "alt_t2" in tenv.ddl.tables
+    assert tenv.execute_sql("SELECT count(*) n FROM alt_t2").collect()[0].n == 4
+    # SET repoints the path; the view refreshes
+    tenv.execute_sql(f"ALTER TABLE alt_t2 SET ('path'='{tmp_path}/b')")
+    assert tenv.ddl.tables["alt_t2"].props["path"] == f"{tmp_path}/b"
+    assert tenv.execute_sql("SELECT count(*) n FROM alt_t2").collect()[0].n == 7
+    with pytest.raises(ValueError, match="exists"):
+        tenv.execute_sql(f"""CREATE TABLE alt_t3 (id BIGINT) WITH (
+          'connector'='filesystem','path'='{tmp_path}/a','format'='parquet')""")
+        tenv.execute_sql("ALTER TABLE alt_t3 RENAME TO alt_t2")
+    for t in ("alt_t2", "alt_t3"):
+        tenv.execute_sql(f"DROP TABLE {t}")
