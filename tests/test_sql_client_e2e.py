@@ -104,3 +104,21 @@ def test_sql_client_script_end_to_end(spark, tmp_path):
         for t in ("seg_hi", "seg_all", "cust_src"):
             tenv.execute_sql(f"DROP TABLE {t}")
         tenv.execute_sql("DROP VIEW seg_totals")
+
+
+def test_round9_example_runs(spark):
+    """examples/flink_sql_client_script.py is the runs-unchanged proof
+    for the round-9 surface (DDL + LIKE + hive multi-INSERT +
+    composable MR) — executed as a subprocess like a real user would."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "examples",
+                                      "flink_sql_client_script.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
