@@ -80,6 +80,8 @@ def main() -> None:
         p = prior.get(name)
         if p is None or p <= 0 or t < 1.3 * p or t > rerun_budget:
             continue
+        if t < 0.4 and p < 0.4:
+            continue  # sub-0.4 s jitter is irrelevant for regression calls
         t0 = time.time()
         runners[name]()
         t2 = round(time.time() - t0, 3)
