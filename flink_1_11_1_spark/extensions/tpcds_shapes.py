@@ -602,7 +602,128 @@ WHERE b.best_rn <= 10
 ORDER BY rn
 """
 
+# q41: combinatorial OR-tree attribute filter on part (the original's
+# manufacturer/size/unit nests, mapped onto this schema's vocabulary).
+ATTR_FILTER = """
+SELECT p_brand, cast(count(*) AS bigint) n,
+       cast(sum(cast(p_size AS bigint)) AS bigint) size_sum
+FROM part
+WHERE (p_size BETWEEN 1 AND 15 AND (p_type LIKE '%MEDIUM%' OR p_type LIKE '%LARGE%'))
+   OR (p_size BETWEEN 16 AND 30 AND (p_type LIKE '%STANDARD%' OR p_type LIKE '%PROMO%'))
+   OR (p_size BETWEEN 31 AND 50 AND p_type LIKE '%ECONOMY%')
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+# q45: IN-list OR correlated EXISTS — the disjunction forces the
+# planner out of a plain semi-join (ExistenceJoin on Spark).
+IN_OR_EXISTS = """
+SELECT n_name, cast(count(*) AS bigint) n_cust,
+       cast(sum(cast(floor(c_acctbal * 100) AS bigint)) AS bigint) bal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey IN (1, 3, 5, 7, 11)
+   OR EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY n_name ORDER BY n_name
+"""
+
+# q37/q82: parts moving in a date window within a quantity band, with
+# the distinct suppliers involved (the inventory-window shape).
+WINDOW_BAND = """
+SELECT p_brand, cast(count(DISTINCT l_suppkey) AS bigint) n_supp,
+       cast(sum(cast(l_quantity AS bigint)) AS bigint) qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= timestamp '1997-01-01'
+  AND l_shipdate < timestamp '1997-07-01'
+  AND l_quantity BETWEEN 5 AND 25
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+# q94: EXISTS + NOT EXISTS on the same fact — orders with a finalized
+# line and NO returned line.
+NO_RETURNS = """
+SELECT o_orderpriority, cast(count(*) AS bigint) n_orders,
+       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_linestatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# q92: excess discount — lines whose discount beats 1.3x their part's
+# average; the correlated-average threshold is an integer
+# cross-multiply over basis points (no division anywhere).
+EXCESS_DISCOUNT = """
+WITH d AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         cast(floor(l_discount * 10000) AS bigint) bp
+  FROM lineitem),
+avgd AS (
+  SELECT l_partkey, cast(sum(bp) AS bigint) tot, cast(count(*) AS bigint) n
+  FROM d GROUP BY l_partkey)
+SELECT cast(count(*) AS bigint) n_excess,
+       cast(sum(d.bp) AS bigint) bp_sum
+FROM d JOIN avgd ON d.l_partkey = avgd.l_partkey
+WHERE d.bp * avgd.n * 10 > avgd.tot * 13
+"""
+
+# q16: distinct-supplier counts with a NOT-EXISTS supplier exclusion.
+SUPPLIER_EXCLUSION = """
+SELECT p_brand, cast(count(DISTINCT l_suppkey) AS bigint) n_supp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (5, 10, 15, 20, 25)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+# q33/q56/q60: three attribute-sliced aggregates of one fact, UNIONed
+# and re-aggregated (the triple-union grain).
+TRIPLE_UNION = """
+WITH s1 AS (
+  SELECT p_brand grp, cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type LIKE '%MEDIUM%' GROUP BY p_brand),
+s2 AS (
+  SELECT p_brand, cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size BETWEEN 10 AND 20 GROUP BY p_brand),
+s3 AS (
+  SELECT p_brand, cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_retailprice > 1500 GROUP BY p_brand),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+SELECT grp, cast(count(*) AS bigint) n_slices, cast(sum(cents) AS bigint) cents
+FROM u GROUP BY grp ORDER BY grp
+"""
+
+# q61: promo share — two scalar aggregates of one slice; the declared
+# float is a single IEEE division of exact integers.
+PROMO_SHARE = """
+WITH base AS (
+  SELECT p_type, cast(floor(l_extendedprice * 100) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= timestamp '1997-01-01'
+    AND o_orderdate < timestamp '1998-01-01'),
+t AS (SELECT cast(sum(cents) AS bigint) tot FROM base),
+p AS (SELECT cast(sum(cents) AS bigint) promo FROM base WHERE p_type LIKE '%PROMO%')
+SELECT p.promo, t.tot,
+       cast(p.promo AS double) / cast(t.tot AS double) AS share
+FROM p CROSS JOIN t
+"""
+
 _SHAPES = {
+    "x_tpcds_attr_filter": ATTR_FILTER,
+    "x_tpcds_in_or_exists": IN_OR_EXISTS,
+    "x_tpcds_window_band": WINDOW_BAND,
+    "x_tpcds_no_returns": NO_RETURNS,
+    "x_tpcds_excess_discount": EXCESS_DISCOUNT,
+    "x_tpcds_supplier_exclusion": SUPPLIER_EXCLUSION,
+    "x_tpcds_triple_union": TRIPLE_UNION,
+    "x_tpcds_promo_share": PROMO_SHARE,
     "x_tpcds_above_avg": ABOVE_AVG,
     "x_tpcds_ratio_slices": RATIO_SLICES,
     "x_tpcds_multi_hop": MULTI_HOP,
