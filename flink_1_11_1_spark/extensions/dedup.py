@@ -1308,3 +1308,40 @@ ORDER BY da, db
 """
 
 registry.register("x_dedup_containment", _containment, CONTAIN_ORACLE)
+
+
+# --------------------------------------------- fuzzy record linkage
+
+FUZZY_LINK_SQL = """
+WITH names AS (
+  SELECT p_name, cast(count(*) AS bigint) n
+  FROM part GROUP BY p_name),
+p AS (SELECT *, substr(p_name, 1, 2) AS blk, length(p_name) AS ln FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       cast(levenshtein(a.p_name, b.p_name) AS bigint) dist,
+       cast(a.n * b.n AS bigint) pair_weight
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE abs(a.ln - b.ln) <= 2 AND levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY name_a, name_b
+"""
+
+
+def fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (edit-distance entity matching —
+    the classic dirty-name-join of a data-cleaning pipeline, cf.
+    Fellegi-Sunter record linkage and blocking surveys).
+
+    100 TB shape: linkage runs at the DISTINCT-ENTITY grain — a
+    map-side aggregation collapses the corpus to its distinct names
+    with counts BEFORE any pairing (here 20k rows → 64 names), then a
+    prefix+length-band block join bounds candidates per block and the
+    exact levenshtein verifies.  Occurrence counts ride along so pair
+    weights reconstruct corpus-grain statistics without the quadratic
+    corpus self-join.  Both engines implement integer edit distance
+    identically, so the declared output is exact.
+    """
+    catalog.register(spark, sf_dir)
+    return spark.sql(FUZZY_LINK_SQL)
+
+
+registry.register("x_fuzzy_link", fuzzy_link, FUZZY_LINK_SQL)

@@ -836,3 +836,36 @@ def test_subset_measures_band_vs_classifier(spark):
             f, l, n = want.get(r.c_id, (None, None, 0))
             want[r.c_id] = (f if f is not None else r.event_id, r.event_id, n + 1)
     assert got == want and len(got) > 5
+
+
+def test_subset_measures_streaming(spark, tmp_path):
+    """SUBSET measures over ts/event_id/COUNT work on the streaming
+    backend too (nav_of is a pure projection over the match frame)."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.streaming import replay
+
+    base = dt.datetime(2024, 1, 1)
+    cols = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    f1 = spark.createDataFrame(
+        [(1, 1, base, "view", 1.0),
+         (1, 2, base + dt.timedelta(seconds=5), "view", 2.0)], cols)
+    f2 = spark.createDataFrame(
+        [(1, 3, base + dt.timedelta(seconds=9), "purchase", 9.0)], cols)
+    f3 = spark.createDataFrame(
+        [(1, 99, base + dt.timedelta(days=30), "__flush__", 0.0)], cols)
+    d = str(tmp_path / "replay_subset")
+    replay.write_replay_frames([f1, f2, f3], d)
+    stream = replay.events_stream(spark, d)
+    out = match_recognize(spark, """
+    SELECT * FROM e MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES FIRST(S.event_id) AS s_first, LAST(S.event_id) AS s_last,
+               COUNT(S.*) AS n_all
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V+ P)
+      SUBSET S = (V, P)
+      DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+    )""", events=stream)
+    got, _ = replay.run_stream(out, "append", "s_subset_mr")
+    assert [(r.s_first, r.s_last, r.n_all) for r in got] == [(1, 3, 3)]
