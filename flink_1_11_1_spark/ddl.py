@@ -784,13 +784,22 @@ class DdlCatalog:
         Lowering: each branch becomes a single INSERT whose SELECT gets
         the shared source spliced in as its FROM clause; branches
         execute in order, routing to DDL-declared sinks (insert_into)
-        or Spark catalog tables natively.  A simple ``table [alias]``
-        source is registered once as a LAZY localCheckpoint view (the
-        multi-sink reuse machinery) so the first branch's action
-        materializes the scan and later branches read the checkpointed
-        blocks — Hive/Flink's scan-once semantics.  A composite source
-        (joins, subqueries) is spliced verbatim per branch instead
-        (correct, re-planned per sink; documented).
+        or Spark catalog tables natively.
+
+        Scan sharing follows execute_script's heuristic: a source that
+        embeds COMPUTATION — a DDL-declared view, or a declared table
+        with computed columns — is registered once as a LAZY
+        localCheckpoint so the first branch materializes it and later
+        branches read the checkpointed blocks (Hive/Flink's scan-once
+        semantics where re-computing is the cost).  A PLAIN table scan
+        is spliced verbatim per branch instead: each branch then gets
+        its own column-pruned, filter-pushed scan, which beats
+        materializing an unpruned ``SELECT *`` checkpoint (measured
+        round 9 at sf0.1: 0.70 s for two pruned scans vs 1.46 s for
+        checkpoint-once of a 16-column fact — and at 100 TB the
+        unpruned materialization is the scale hazard, not the extra
+        scan).  Composite sources (joins, subqueries) also splice
+        verbatim.
 
         Returns NotImplemented when the text is not a multi-insert
         (e.g. a plain ``FROM``-first SELECT, which Spark parses).
@@ -821,24 +830,31 @@ class DdlCatalog:
             s[a:b].strip()
             for a, b in zip(offs, offs[1:] + [len(s)])
         ]
-        # simple `table [AS alias]` source → checkpoint-once view
+        # simple `table [AS alias]` COMPUTED source → checkpoint-once
+        # view; plain scans splice verbatim (per-branch pruned scans)
         sm = re.match(
             r"^([\w.`]+)(?:\s+(?:AS\s+)?(?!INSERT\b)(\w+))?$",
             src, re.IGNORECASE)
         from_text = src
         view: str | None = None
         if sm:
-            view = f"__mi_src_{self._mi_n}"
-            self._mi_n += 1
-            ck = self.spark.sql(
-                f"SELECT * FROM {sm.group(1)}"
-            ).localCheckpoint(eager=False)
-            ck.createOrReplaceTempView(view)
-            from_text = view + (f" {sm.group(2)}" if sm.group(2) else "")
-            self.last_script_reuse[view] = {
-                "sinks": len(branches),
-                "view_plan": ck._jdf.queryExecution().optimizedPlan().toString(),
-            }
+            base = _strip_ticks(sm.group(1))
+            ct = self.tables.get(base)
+            computed_src = base in self.views or (
+                ct is not None and bool(ct.computed))
+            if computed_src:
+                view = f"__mi_src_{self._mi_n}"
+                self._mi_n += 1
+                ck = self.spark.sql(
+                    f"SELECT * FROM {sm.group(1)}"
+                ).localCheckpoint(eager=False)
+                ck.createOrReplaceTempView(view)
+                from_text = view + (f" {sm.group(2)}" if sm.group(2) else "")
+                self.last_script_reuse[view] = {
+                    "sinks": len(branches),
+                    "view_plan": ck._jdf.queryExecution()
+                    .optimizedPlan().toString(),
+                }
         try:
             for b in branches:
                 bm = _MI_BRANCH_RE.match(b)

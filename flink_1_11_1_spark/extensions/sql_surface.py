@@ -320,14 +320,16 @@ GROUP BY lang ORDER BY lang
 
 def _hive_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-dialect multi-INSERT (flink-sql-parser-hive multi-insert
-    DML; Flink's Hive dialect front door): ONE ``FROM orders`` scan
-    fans out to two declared filesystem sinks — a price-band split with
-    per-branch aggregation — through ddl._multi_insert's scan-once
-    lowering (lazy localCheckpoint shared view).  The declared output
-    is the union of both sinks read back; the oracle recomputes the
-    same band split directly, so matching hashes prove every branch
-    wrote exactly its slice.  Cents are floor-quantized (IEEE-correct
-    on both engines) to keep the sums integer-exact."""
+    DML; Flink's Hive dialect front door): ONE ``FROM orders``
+    statement fans out to two declared filesystem sinks — a price-band
+    split with per-branch aggregation — through ddl._multi_insert.
+    ``orders`` is a plain scan, so each branch gets its own
+    column-pruned, filter-pushed scan (the round-9 measured default;
+    computed sources checkpoint once instead).  The declared output is
+    the union of both sinks read back; the oracle recomputes the same
+    band split directly, so matching hashes prove every branch wrote
+    exactly its slice.  Cents are floor-quantized (IEEE-correct on
+    both engines) to keep the sums integer-exact."""
     import tempfile
 
     from ..table_env import TableEnvironment

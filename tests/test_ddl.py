@@ -955,14 +955,18 @@ def test_hive_dialect_surface(spark):
 
 def test_multi_insert_declared_sinks(spark, tmp_path):
     """FROM src INSERT OVERWRITE s1 ... INSERT INTO s2 ...: both
-    branches write their slice, the shared source is checkpointed once
-    (scan-once reuse recorded), and verbs map to overwrite/append."""
+    branches write their slice; a COMPUTED source (DDL view) is
+    checkpointed once (scan-once reuse recorded) while a PLAIN scan
+    splices per branch (pruned scans beat an unpruned checkpoint —
+    round-9 measurement); verbs map to overwrite/append."""
     from flink_1_11_1_spark.table_env import TableEnvironment
 
     tenv = TableEnvironment(spark)
     spark.range(10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
-        "mi_t_src"
+        "mi_t_src0"
     )
+    tenv.execute_sql(
+        "CREATE VIEW mi_t_src AS SELECT id, v FROM mi_t_src0")
     tenv.execute_sql(f"""CREATE TABLE mi_t_hi (id BIGINT) WITH (
       'connector'='filesystem','path'='{tmp_path}/hi','format'='parquet')""")
     tenv.execute_sql(f"""CREATE TABLE mi_t_lo (v BIGINT) WITH (
@@ -981,18 +985,29 @@ def test_multi_insert_declared_sinks(spark, tmp_path):
     reuse = tenv.ddl.last_script_reuse
     assert any(k.startswith("__mi_src_") and v["sinks"] == 2
                for k, v in reuse.items())
-    # INTO appends on a second run; OVERWRITE replaces
+    # a PLAIN source takes the per-branch pruned-scan path: no reuse row
+    tenv.ddl.last_script_reuse = {}
     tenv.execute_sql("""
-      FROM mi_t_src
+      FROM mi_t_src0
       INSERT OVERWRITE TABLE mi_t_hi SELECT id WHERE id >= 8
-      INSERT INTO mi_t_lo SELECT v WHERE id = 0
+      INSERT OVERWRITE TABLE mi_t_lo SELECT v WHERE id < 2
     """)
+    assert tenv.ddl.last_script_reuse == {}
     assert sorted(
         r.id for r in spark.read.parquet(f"{tmp_path}/hi").collect()
     ) == [8, 9]
+    # INTO appends on a second run; OVERWRITE replaces
+    tenv.execute_sql("""
+      FROM mi_t_src
+      INSERT OVERWRITE TABLE mi_t_hi SELECT id WHERE id >= 9
+      INSERT INTO mi_t_lo SELECT v WHERE id = 3
+    """)
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{tmp_path}/hi").collect()
+    ) == [9]
     assert sorted(
         r.v for r in spark.read.parquet(f"{tmp_path}/lo").collect()
-    ) == [0, 0, 2, 4, 6, 8]
+    ) == [0, 2, 6]
     for t in ("mi_t_hi", "mi_t_lo"):
         tenv.execute_sql(f"DROP TABLE {t}")
     spark.catalog.dropTempView("mi_t_src")
