@@ -113,6 +113,22 @@ _DRIVER_GREEN_HISTORY = {
     # with round-9 additions plus re-verification of touched modules.
     "x_hive_dialect", "x_catalog_qualified", "x_cep_any",
     "x_mr_alternation", "x_mr_group_funnel",
+    # round-9 greens (CORRECTNESS_r09.json: 50/50 hash-green rows —
+    # the 22 new round-9 entries + the 28 _REVERIFY_FIRST re-verifies
+    # covering every module round 9 touched).  All 209 entries now
+    # have a recorded driver green across r01–r09; the round-10
+    # window leads with round-10 additions plus re-verification of
+    # touched modules.
+    "x_mr_composed", "x_mr_subset", "x_mr_multikey",
+    "x_hive_multi_insert", "x_ddl_like", "x_fuzzy_link",
+    "x_tpcds_rollup_share", "x_tpcds_except_chain",
+    "x_tpcds_union_distinct", "x_tpcds_case_ladder",
+    "x_tpcds_above_avg", "x_tpcds_ratio_slices", "x_tpcds_multi_hop",
+    "x_tpcds_or_bands", "x_tpcds_best_worst", "x_tpcds_attr_filter",
+    "x_tpcds_in_or_exists", "x_tpcds_window_band",
+    "x_tpcds_no_returns", "x_tpcds_excess_discount",
+    "x_tpcds_supplier_exclusion", "x_tpcds_triple_union",
+    "x_tpcds_promo_share",
 }
 
 
@@ -124,27 +140,29 @@ _DRIVER_GREEN_HISTORY = {
 # regime) and re-verifies proven ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
-# With all entries proven (r01–r08), re-verification slots go first to
-# entries whose implementation the CURRENT round touched — round 9
-# changed the NFA fold's navigation (_bind_val/_py_cond_ok tuple
-# members for SUBSET), the MR grammar + measures (SUBSET, factor
-# expansion), ddl.py (multi-INSERT, bare-name anchor, per-verb DB
-# qualifiers, MR routing), expr.py (decimal-exact truncate),
-# table_env.py (env-file validation) and similarity.py (x_ann_pq
-# min-agg assign + expanded sqdist) — so every MR/CEP-routed,
-# DDL-routed, Table-API entry and x_ann_pq re-run inside the window.
+# With all entries proven (r01–r09), re-verification slots go first to
+# entries whose implementation the CURRENT round touched — round 10
+# changed ddl.py (ALTER RENAME key remap, INSERT OVERWRITE bare-name
+# anchor, multi-INSERT unaliased computed source, MR-factor CTE
+# sources), expr.py (negative-scale truncate), match_recognize.py
+# (factor temp-view cleanup, streaming multi-key PARTITION BY),
+# nfa_lowering.py (membership-only SUBSET lowering) and the heavy
+# dedup/graph fixtures (jaccard/containment/semdedup/clusters/sssp
+# fixture trims) — so every MR/SUBSET, DDL-routed, Table-API and
+# trimmed-fixture entry re-runs inside the window.
 _REVERIFY_FIRST: tuple[str, ...] = (
-    "x_ann_pq",
+    "x_mr_subset", "x_mr_composed", "x_mr_multikey",
     "x_mr_backtrack", "x_mr_alternation", "x_mr_group_funnel",
     "x_mr_next", "x_mr_plus", "x_mr_optional", "x_mr_xvar",
     "x_mr_allrows", "x_mr_prev", "x_mr_skip_to_last",
     "x_mr_agg", "x_mr_allrows_running", "x_mr_offsets",
     "x_cep_times_df", "x_cep_optional_df", "x_cep_funnel3",
     "x_cep_overlap_opt", "x_cep_any", "x_repetition",
-    "x_session_dynamic",
     "x_ddl_roundtrip", "x_ddl_options_hint", "x_catalog_qualified",
-    "x_hive_dialect",
+    "x_hive_dialect", "x_hive_multi_insert", "x_ddl_like",
     "x_tapi_agg", "x_tapi_window", "x_tapi_over", "x_tapi_join_setops",
+    "x_dedup_jaccard", "x_dedup_containment", "x_semdedup",
+    "x_dedup_clusters", "x_graph_sssp",
 )
 
 
