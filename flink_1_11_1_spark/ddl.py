@@ -637,16 +637,28 @@ class DdlCatalog:
             # SqlMatchRecognize): the factor is expanded to a lazy temp
             # view and the enclosing statement — alias, projection,
             # join, CTE body, INSERT INTO — continues through normal
-            # routing below.
-            from .extensions.match_recognize import (
-                _MR_RE,
-                expand_mr_factors,
-                match_recognize,
-            )
+            # routing below.  The factor views are statement-scoped:
+            # Spark analyzes eagerly at DataFrame creation, so dropping
+            # them after routing cannot break a returned lazy plan, and
+            # SHOW TABLES no longer surfaces leaked __mr_factor_N views
+            # (also dropped when the enclosing statement raises).
+            from .extensions import match_recognize as _mr
 
-            if _MR_RE.match(s):
-                return match_recognize(self.spark, s)
-            s = expand_mr_factors(self.spark, s)
+            if _mr._MR_RE.match(s):
+                return _mr.match_recognize(self.spark, s)
+            s = _mr.expand_mr_factors(self.spark, s)
+            views = list(_mr.last_factor_views)
+            if views:
+                try:
+                    return self._execute_routed(s)
+                finally:
+                    for v in views:
+                        self.spark.catalog.dropTempView(v)
+        return self._execute_routed(s)
+
+    def _execute_routed(self, s: str) -> DataFrame | None:
+        """Statement routing after name qualification / hint rewrite /
+        MATCH_RECOGNIZE factor expansion."""
         up = s.upper()
         ms = _SET_RE.match(s)
         if ms:
@@ -849,7 +861,11 @@ class DdlCatalog:
                     f"SELECT * FROM {sm.group(1)}"
                 ).localCheckpoint(eager=False)
                 ck.createOrReplaceTempView(view)
-                from_text = view + (f" {sm.group(2)}" if sm.group(2) else "")
+                # Always alias the checkpoint view: with no explicit
+                # alias, branch SELECTs qualifying columns with the
+                # source's (simple) name — normal Hive multi-insert
+                # style — must keep resolving.
+                from_text = f"{view} {sm.group(2) or base.split('.')[-1]}"
                 self.last_script_reuse[view] = {
                     "sinks": len(branches),
                     "view_plan": ck._jdf.queryExecution()
@@ -1002,6 +1018,50 @@ class DdlCatalog:
                 [(self.current[1],)], "current_database_name string")
         return NotImplemented
 
+    @staticmethod
+    def _from_list_spans(s: str) -> list[tuple[int, int]]:
+        """Character ranges of FROM table-lists: from each FROM keyword
+        (outside string literals) to the clause keyword / closing paren
+        that ends its list at the same paren depth.  Commas inside these
+        spans separate table references; commas anywhere else are
+        select-list / argument separators."""
+        spans_q = _quoted_spans(s)
+
+        def in_lit(p: int) -> bool:
+            return any(a <= p < b for a, b in spans_q)
+
+        enders = {
+            "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+            "INTERSECT", "EXCEPT", "WINDOW", "JOIN", "INNER", "LEFT",
+            "RIGHT", "FULL", "CROSS", "ON", "USING", "INSERT", "SELECT",
+        }
+        out: list[tuple[int, int]] = []
+        for m in re.finditer(r"\bFROM\b", s, re.IGNORECASE):
+            if in_lit(m.start()):
+                continue
+            i, depth = m.end(), 0
+            while i < len(s):
+                if in_lit(i):
+                    i += 1
+                    continue
+                c = s[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif (depth == 0 and (c.isalpha() or c == "_")
+                      and not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                    w = re.match(r"\w+", s[i:]).group(0)
+                    if w.upper() in enders:
+                        break
+                    i += len(w)
+                    continue
+                i += 1
+            out.append((m.end(), i))
+        return out
+
     def _qualify_names(self, s: str) -> str:
         """Rewrite registered catalog-qualified table references (and,
         under a non-default current context, bare registered names) to
@@ -1011,35 +1071,49 @@ class DdlCatalog:
             return s
         if _CREATE_TABLE_HEAD_RE.match(s):
             return s  # a declaration's own name must not re-mangle
-        pats: list[tuple[str, str]] = []
+        pats: list[tuple[str, str, bool]] = []
         cur_cat, cur_db = self.current
         for (cat, db, tbl), alias in self.qualified.items():
             pats.append((
                 rf"\b`?{re.escape(cat)}`?\s*\.\s*`?{re.escape(db)}`?"
-                rf"\s*\.\s*`?{re.escape(tbl)}`?\b", alias))
+                rf"\s*\.\s*`?{re.escape(tbl)}`?\b", alias, False))
             if cat == cur_cat:
                 pats.append((
                     rf"(?<![\w.`]){re.escape(db)}\s*\.\s*`?"
-                    rf"{re.escape(tbl)}`?(?![\w.])", alias))
+                    rf"{re.escape(tbl)}`?(?![\w.])", alias, False))
             if (cat, db) == (cur_cat, cur_db) and alias != tbl:
                 # Bare registered names rewrite ONLY in table positions
-                # (after FROM/JOIN/INTO/TABLE/UPDATE) — an unanchored
-                # pattern would also mangle a column or alias that
-                # happens to share the table's name (``SELECT x AS
+                # (after FROM/JOIN/INTO/TABLE/UPDATE/OVERWRITE) — an
+                # unanchored pattern would also mangle a column or alias
+                # that happens to share the table's name (``SELECT x AS
                 # orders_q``); the matched keyword is re-emitted.
                 pats.append((
-                    rf"\b((?i:FROM|JOIN|INTO|TABLE|UPDATE))\s+"
+                    rf"\b((?i:FROM|JOIN|INTO|TABLE|UPDATE|OVERWRITE))\s+"
                     rf"`?{re.escape(tbl)}`?(?![\w.])",
-                    rf"\1 {alias}"))
+                    rf"\1 {alias}", False))
+                # FROM-list continuation (``FROM a, b``): rewrite the
+                # comma-separated members too, but ONLY inside a
+                # FROM-list span — a comma anywhere else separates
+                # select-list items / call arguments where the same
+                # name is a column's.
+                pats.append((
+                    rf"(,\s*)`?{re.escape(tbl)}`?(?![\w.])",
+                    rf"\g<1>{alias}", True))
         spans = _quoted_spans(s)
+        fspans = self._from_list_spans(s)
 
         def in_literal(pos: int) -> bool:
             return any(a <= pos < b for a, b in spans)
 
-        for pat, repl in pats:
+        def in_fromlist(pos: int) -> bool:
+            return any(a <= pos < b for a, b in fspans)
+
+        for pat, repl, flist_only in pats:
             out, last = [], 0
             for m in re.finditer(pat, s):
                 if in_literal(m.start()):
+                    continue
+                if flist_only and not in_fromlist(m.start()):
                     continue
                 out.append(s[last:m.start()])
                 out.append(m.expand(repl))
@@ -1048,6 +1122,7 @@ class DdlCatalog:
                 out.append(s[last:])
                 s = "".join(out)
                 spans = _quoted_spans(s)
+                fspans = self._from_list_spans(s)
         return s
 
     # -- FLIP-113 dynamic table options ----------------------------------
@@ -1246,24 +1321,40 @@ class DdlCatalog:
     def _alter_rename(self, old: str, new: str) -> None:
         """Flink 1.11 ALTER TABLE ... RENAME TO (SqlAlterTableRename):
         the declaration, its qualified mapping, any registered view and
-        its hint aliases all move to the new name."""
+        its hint aliases all move to the new name.  The OLD qualified
+        key is dropped (querying the old name raises table-not-found,
+        as Flink's CatalogManager does) and the new name gets its own
+        qualified entry so fully-qualified references resolve.  The
+        rename stays within the table's catalog.database (Flink's
+        GenericInMemoryCatalog.renameTable takes a simple name)."""
         from dataclasses import replace as _dcr
 
-        ct = self.tables.pop(old, None)
+        ct = self.tables.get(old)
         if ct is None:
             raise ValueError(f"ALTER TABLE: unknown declared table {old!r}")
-        if new in self.tables:
-            self.tables[old] = ct
+        old_keys = [k for k, v in self.qualified.items() if v == old]
+        cat, db, _tbl = old_keys[0] if old_keys else (*self.current, old)
+        if "." in new:
+            ncat, ndb, ntbl = self._resolve_name(new)
+            if (ncat, ndb) != (cat, db):
+                raise ValueError(
+                    "ALTER TABLE ... RENAME TO: the new name must stay "
+                    f"in {cat}.{db} (Flink renames within one database)")
+        else:
+            ntbl = new
+        new_alias = self._view_name(cat, db, ntbl)
+        if new_alias in self.tables:
             raise ValueError(f"ALTER TABLE: target name {new!r} exists")
+        del self.tables[old]
         self._evict_hint_aliases(old)
-        self.tables[new] = _dcr(ct, name=new)
-        self.qualified = {
-            k: (new if v == old else v) for k, v in self.qualified.items()
-        }
+        self.tables[new_alias] = _dcr(ct, name=new_alias)
+        for k in old_keys:
+            del self.qualified[k]
+        self.qualified[(cat, db, ntbl)] = new_alias
         self.views.pop(old, None)
         if any(v.name == old for v in self.spark.catalog.listTables()
                if v.tableType == "TEMPORARY"):
-            self.spark.table(old).createOrReplaceTempView(new)
+            self.spark.table(old).createOrReplaceTempView(new_alias)
             self.spark.catalog.dropTempView(old)
         return None
 

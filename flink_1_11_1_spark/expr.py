@@ -339,7 +339,11 @@ class ExprParser:
             pe = self._unary()
             if pe.interval is not None:
                 raise ValueError("negative intervals are not supported")
-            return replace(pe, col=-pe.col)
+            # keep lit_val a literal: truncate(-1)/round(-2) consume it
+            lit = (-pe.lit_val
+                   if isinstance(pe.lit_val, (int, float))
+                   and not isinstance(pe.lit_val, bool) else None)
+            return replace(pe, col=-pe.col, lit_val=lit)
         return self._postfix()
 
     # -- postfix: .prop / .fn(args) / interval units -------------------
@@ -487,10 +491,20 @@ class ExprParser:
             # decimal form), matching BigDecimal.valueOf semantics.
             n = args[0].lit_val if args else 0
             d = c.cast("decimal(38,18)")
-            p = F.lit(10 ** n).cast("decimal(20,0)")
+            if n >= 0:
+                p = F.lit(10 ** n).cast("decimal(20,0)")
+                return out(
+                    F.when(c >= 0, F.floor(d * p) / p)
+                    .otherwise(F.ceil(d * p) / p)
+                    .cast("double")
+                )
+            # negative scale: 10**n is a fractional float whose
+            # decimal(20,0) rendering is 0 (division by zero under
+            # ANSI) — divide by the integer power instead.
+            q = F.lit(10 ** (-n)).cast("decimal(20,0)")
             return out(
-                F.when(c >= 0, F.floor(d * p) / p)
-                .otherwise(F.ceil(d * p) / p)
+                F.when(c >= 0, F.floor(d / q) * q)
+                .otherwise(F.ceil(d / q) * q)
                 .cast("double")
             )
         if name == "position":

@@ -476,6 +476,41 @@ _MR_KW_RE = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
 _MR_TABLE_BEFORE_RE = re.compile(r"([A-Za-z_][\w.`]*)\s*$")
 _MR_FACTOR_N = [0]
 
+#: Temp views created by the LAST expand_mr_factors call.  The caller
+#: (ddl.execute) drops them once the enclosing statement has been
+#: analyzed — statement scope, so SHOW TABLES never surfaces them and a
+#: failing statement doesn't leak session views.
+last_factor_views: list[str] = []
+
+
+def _leading_ctes(sql: str) -> list[tuple[str, str]]:
+    """Parse a statement's leading WITH clause into ``(name, defs_text)``
+    pairs where ``defs_text`` is every definition up to and including
+    this one — enough context to evaluate a CTE that references earlier
+    CTEs (``WITH a AS (...), b AS (SELECT * FROM a) ...``)."""
+    from ..ddl import _balanced_block
+
+    m = re.match(r"^\s*WITH\s+", sql, re.IGNORECASE)
+    if not m:
+        return []
+    out: list[tuple[str, str]] = []
+    i = m.end()
+    while True:
+        nm = re.match(r"\s*([A-Za-z_]\w*)\s*(?:\([^)]*\)\s*)?AS\s*\(",
+                      sql[i:], re.IGNORECASE)
+        if not nm:
+            return out
+        name = nm.group(1)
+        _, after = _balanced_block(sql, i + nm.end() - 1)
+        out.append((name, sql[m.end():after].strip()))
+        j = after
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == ",":
+            i = j + 1
+            continue
+        return out
+
 
 def expand_mr_factors(
     spark: SparkSession, sql: str, sf_dir: str | None = None
@@ -495,13 +530,23 @@ def expand_mr_factors(
     natively with the view in the factor's place.  A trailing alias
     (``... ) AS m``) is untouched and binds to the spliced view.
 
-    Documented delta: the match INPUT must be a named table/view — a
-    parenthesized subquery or same-statement CTE as the source raises
-    (register a view first).  Keyword text inside string literals is
-    ignored (``_quoted_spans`` scan).
+    Same-statement CTE sources are supported: when the factor's table
+    name matches a leading ``WITH`` definition, that CTE (with every
+    earlier definition in scope for chained references) is evaluated to
+    a DataFrame and the match runs over it directly — the enclosing
+    statement keeps its WITH clause untouched.  Documented delta: a
+    parenthesized subquery as the source still raises (register a view
+    or lift it into a CTE first).  Keyword text inside string literals
+    is ignored (``_quoted_spans`` scan).
+
+    Created views are recorded in :data:`last_factor_views` (reset per
+    call) so ``ddl.execute`` can drop them once the enclosing statement
+    has been analyzed — they are statement-scoped, not session views.
     """
     from ..ddl import _balanced_block, _quoted_spans
 
+    del last_factor_views[:]
+    ctes = {name: defs for name, defs in _leading_ctes(sql)}
     out = sql
     while True:
         spans = _quoted_spans(out)
@@ -518,9 +563,10 @@ def expand_mr_factors(
         tb = _MR_TABLE_BEFORE_RE.search(out[: kw.start()])
         if not tb or tb.group(1).upper() in ("FROM", "JOIN", "AS", "ON"):
             raise ValueError(
-                "MATCH_RECOGNIZE must follow a named table/view reference "
-                "(subquery/CTE sources are unsupported — register a view "
-                "first)"
+                "MATCH_RECOGNIZE must follow a named table/view or "
+                "same-statement CTE reference (parenthesized subquery "
+                "sources are unsupported — lift the subquery into a CTE "
+                "or register a view first)"
             )
         table = tb.group(1)
         i = kw.end()
@@ -531,10 +577,18 @@ def expand_mr_factors(
         body, after = _balanced_block(out, i)
         view = f"__mr_factor_{_MR_FACTOR_N[0]}"
         _MR_FACTOR_N[0] += 1
+        events = None
+        if table in ctes:
+            # evaluate the CTE (and its predecessors) out-of-line; the
+            # match consumes the DataFrame, bypassing table resolution
+            events = spark.sql(
+                f"WITH {ctes[table]} SELECT * FROM {table}")
         df = match_recognize(
-            spark, f"SELECT * FROM {table} MATCH_RECOGNIZE ({body})", sf_dir
+            spark, f"SELECT * FROM {table} MATCH_RECOGNIZE ({body})",
+            sf_dir, events=events,
         )
         df.createOrReplaceTempView(view)
+        last_factor_views.append(view)
         out = out[: tb.start(1)] + view + out[after:]
 
 

@@ -594,3 +594,234 @@ tables:
     with _pt.raises(ValueError, match="filesystem"):
         tenv.execute_environment_file(str(bad2))
     assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+
+
+# ---------------- round-10 advisor findings (ADVICE.md r9) -------------
+
+
+def test_alter_rename_retires_old_name_and_qualifies_new(spark, tmp_path):
+    """ADVICE r9 (medium): after ALTER TABLE t RENAME TO t2, querying
+    the old name raises table-not-found (Flink CatalogManager), and the
+    fully-qualified NEW name resolves."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "ren_t")
+    spark.range(5).selectExpr("id").write.parquet(p)
+    tenv.execute_sql(f"""CREATE TABLE ren_t (id BIGINT) WITH (
+      'connector'='filesystem','path'='{p}','format'='parquet')""")
+    tenv.execute_sql("ALTER TABLE ren_t RENAME TO ren_t2")
+    # the stale key is gone: the old name is NOT silently rewritten
+    with pytest.raises(Exception, match="(?i)cannot be found|not found"):
+        tenv.execute_sql("SELECT count(*) AS n FROM ren_t").collect()
+    # the new name gets its own qualified entry
+    assert tenv.ddl.qualified[
+        ("default_catalog", "default_database", "ren_t2")] == "ren_t2"
+    n = tenv.execute_sql(
+        "SELECT count(*) AS n "
+        "FROM default_catalog.default_database.ren_t2").collect()[0].n
+    assert n == 5
+    tenv.execute_sql("DROP TABLE ren_t2")
+
+
+def test_alter_rename_in_non_default_catalog(spark, tmp_path):
+    """The rename stays inside the table's catalog.database: the mangled
+    alias moves, the old qualified key dies, cross-db renames raise."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "ren_c")
+    spark.range(4).selectExpr("id").write.parquet(p)
+    tenv.execute_sql("CREATE CATALOG ren_cat")
+    tenv.execute_sql("CREATE DATABASE ren_cat.rdb")
+    tenv.execute_sql(f"""CREATE TABLE ren_cat.rdb.rt (id BIGINT) WITH (
+      'connector'='filesystem','path'='{p}','format'='parquet')""")
+    tenv.execute_sql("USE CATALOG ren_cat")
+    tenv.execute_sql("USE rdb")
+    try:
+        tenv.execute_sql("ALTER TABLE rt RENAME TO rt2")
+        assert ("ren_cat", "rdb", "rt") not in tenv.ddl.qualified
+        alias = tenv.ddl.qualified[("ren_cat", "rdb", "rt2")]
+        assert alias == "__cat_ren_cat__rdb__rt2" and alias in tenv.ddl.tables
+        assert tenv.execute_sql(
+            "SELECT count(*) AS n FROM rt2").collect()[0].n == 4
+        assert tenv.execute_sql(
+            "SELECT count(*) AS n FROM ren_cat.rdb.rt2").collect()[0].n == 4
+        with pytest.raises(ValueError, match="same|one database"):
+            tenv.execute_sql(
+                "ALTER TABLE rt2 RENAME TO default_catalog.default_database.zz")
+    finally:
+        tenv.execute_sql("USE CATALOG default_catalog")
+        tenv.execute_sql("DROP TABLE ren_cat.rdb.rt2")
+
+
+def test_insert_overwrite_bare_name_and_from_list_rewrite(spark, tmp_path):
+    """ADVICE r9: in a non-default context, INSERT OVERWRITE <bare>
+    (no TABLE keyword) routes to the declared sink, and comma-separated
+    FROM lists rewrite every member — while a select-list column
+    sharing the table's name stays untouched."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    ps = str(tmp_path / "fl_src")
+    pk = str(tmp_path / "fl_sink")
+    spark.range(3).selectExpr("id", "id * 7 AS v").write.parquet(ps)
+    tenv.execute_sql("CREATE CATALOG fl_cat")
+    tenv.execute_sql("CREATE DATABASE fl_cat.fdb")
+    tenv.execute_sql(f"""CREATE TABLE fl_cat.fdb.flsrc (id BIGINT, v BIGINT)
+      WITH ('connector'='filesystem','path'='{ps}','format'='parquet')""")
+    tenv.execute_sql(f"""CREATE TABLE fl_cat.fdb.flsink (n BIGINT)
+      WITH ('connector'='filesystem','path'='{pk}','format'='parquet')""")
+    tenv.execute_sql("USE CATALOG fl_cat")
+    tenv.execute_sql("USE fdb")
+    try:
+        # comma-separated FROM list: both refs rewrite (implicit cross)
+        n = tenv.execute_sql(
+            "SELECT count(*) AS n FROM flsrc, flsrc").collect()[0].n
+        assert n == 9
+        # ...but a same-named select-list alias does not mangle
+        rows = tenv.execute_sql(
+            "SELECT sum(v) AS flsrc FROM flsrc").collect()
+        assert rows[0].flsrc == 21
+        # INSERT OVERWRITE <bare> (no TABLE keyword) routes to the sink
+        tenv.execute_sql(
+            "INSERT OVERWRITE flsink SELECT count(*) AS n FROM flsrc")
+        assert [r.n for r in spark.read.parquet(pk).collect()] == [3]
+    finally:
+        tenv.execute_sql("USE CATALOG default_catalog")
+        tenv.execute_sql("DROP TABLE fl_cat.fdb.flsrc")
+        tenv.execute_sql("DROP TABLE fl_cat.fdb.flsink")
+
+
+def test_truncate_negative_scale(spark):
+    """ADVICE r9: truncate(x, -1) truncates toward zero at the tens
+    place — the decimal-exact path must not divide by zero."""
+    from flink_1_11_1_spark.table_api import Table
+
+    t = Table(
+        spark.createDataFrame(
+            [(123.45,), (-123.45,), (7.0,), (None,)], "v double"
+        )
+    )
+    rows = t.select("v.truncate(-1) as tv, v").df.collect()
+    got = {r.v: r.tv for r in rows}
+    assert got[123.45] == 120.0
+    assert got[-123.45] == -120.0
+    assert got[7.0] == 0.0
+    assert got[None] is None
+    assert dict(t.select("v.truncate(-1) as tv").df.dtypes)["tv"] == "double"
+
+
+def test_mr_factor_views_are_statement_scoped(spark):
+    """ADVICE r9: __mr_factor_N temp views are dropped once the
+    enclosing statement is analyzed — SHOW TABLES never surfaces them,
+    and a failing statement doesn't leak them either."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(1, 0, "click", 1), (1, 10, "purchase", 2)],
+        "user_id long, ts_ms long, event_type string, event_id long",
+    ).selectExpr(
+        "user_id", "timestamp_millis(ts_ms) AS ts", "event_type", "event_id"
+    ).createOrReplaceTempView("mrl_ev")
+    mr = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+    )"""
+    try:
+        rows = tenv.execute_sql(
+            f"SELECT m.a_id FROM mrl_ev {mr} AS m").collect()
+        assert [r.a_id for r in rows] == [1]
+        leaked = [t.name for t in spark.catalog.listTables()
+                  if t.name.startswith("__mr_factor_")]
+        assert leaked == []
+        # the result stays collectible even though the view is gone
+        # (analysis is eager); a FAILING statement also cleans up
+        with pytest.raises(Exception):
+            tenv.execute_sql(
+                f"SELECT nonexistent_col FROM mrl_ev {mr} AS m")
+        leaked = [t.name for t in spark.catalog.listTables()
+                  if t.name.startswith("__mr_factor_")]
+        assert leaked == []
+    finally:
+        spark.catalog.dropTempView("mrl_ev")
+
+
+def test_mr_factor_cte_source(spark):
+    """Round-10 depth item: a same-statement CTE as the MATCH_RECOGNIZE
+    factor's SOURCE (Calcite allows any table expression; the CTE — and
+    chained predecessors — are evaluated out-of-line)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(1, 0, "click", 1), (1, 10, "purchase", 2),
+         (2, 0, "click", 3), (2, 10, "view", 4)],
+        "user_id long, ts_ms long, event_type string, event_id long",
+    ).selectExpr(
+        "user_id", "timestamp_millis(ts_ms) AS ts", "event_type", "event_id"
+    ).createOrReplaceTempView("mrc_ev")
+    mr = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+      ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      DEFINE A AS A.event_type = 'click', B AS B.event_type = 'purchase'
+    )"""
+    try:
+        # single CTE source
+        rows = tenv.execute_sql(
+            f"""WITH ev AS (SELECT * FROM mrc_ev WHERE user_id = 1)
+            SELECT m.a_id, m.b_id FROM ev {mr} AS m"""
+        ).collect()
+        assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
+        # chained CTEs: the factor's CTE references an earlier one
+        rows = tenv.execute_sql(
+            f"""WITH base AS (SELECT * FROM mrc_ev),
+            ev AS (SELECT * FROM base WHERE user_id = 1)
+            SELECT m.a_id FROM ev {mr} AS m"""
+        ).collect()
+        assert [r.a_id for r in rows] == [1]
+        # parenthesized subquery still raises (documented delta)
+        with pytest.raises(ValueError, match="named table/view"):
+            tenv.execute_sql(
+                f"SELECT * FROM (SELECT * FROM mrc_ev) {mr}")
+    finally:
+        spark.catalog.dropTempView("mrc_ev")
+
+
+def test_multi_insert_unaliased_computed_source_qualifies(spark, tmp_path):
+    """ADVICE r9: a computed multi-INSERT source written WITHOUT an
+    alias still resolves base-qualified column references (the
+    checkpoint view is spliced aliased to the source's simple name)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    spark.range(8).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
+        "mi_q_src0")
+    tenv.execute_sql(
+        "CREATE VIEW mi_q_src AS SELECT id, v FROM mi_q_src0")
+    tenv.execute_sql(f"""CREATE TABLE mi_q_hi (id BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/qhi','format'='parquet')""")
+    tenv.execute_sql(f"""CREATE TABLE mi_q_lo (v BIGINT) WITH (
+      'connector'='filesystem','path'='{tmp_path}/qlo','format'='parquet')""")
+    tenv.execute_sql("""
+      FROM mi_q_src
+      INSERT OVERWRITE TABLE mi_q_hi
+        SELECT mi_q_src.id WHERE mi_q_src.id >= 6
+      INSERT INTO mi_q_lo
+        SELECT mi_q_src.v WHERE mi_q_src.id < 2
+    """)
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{tmp_path}/qhi").collect()
+    ) == [6, 7]
+    assert sorted(
+        r.v for r in spark.read.parquet(f"{tmp_path}/qlo").collect()
+    ) == [0, 2]
+    for t in ("mi_q_hi", "mi_q_lo"):
+        tenv.execute_sql(f"DROP TABLE {t}")
+    spark.catalog.dropTempView("mi_q_src")
