@@ -46,10 +46,22 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prior: dict[str, float] = {}
     try:
         with open(detail_path) as f:
-            prior = json.load(f).get("queries", {})
+            _pd = json.load(f)
+        if _pd.get("sf") == sf_val:
+            prior = _pd.get("queries", {})
+        else:
+            # A run at a different scale must neither retime against
+            # the canonical record nor clobber it (BENCH_DETAIL.json is
+            # the cross-round sf0.1 memory) — side file instead.
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_DETAIL_sf{sf}.json",
+            )
     except Exception:
         pass
 
@@ -92,7 +104,6 @@ def main() -> None:
             break
 
     total = round(time.time() - t_start, 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     conf = spark.sparkContext.getConf()
     config = {
         "master": conf.get("spark.master"),
@@ -106,7 +117,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "load_probe": load_probe,
         "retimed": retimed,
         "config": config,

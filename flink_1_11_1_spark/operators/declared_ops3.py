@@ -50,12 +50,12 @@ def register_all() -> None:
 
 # --------------------------------------------------- triangle counting
 
-def _co_order_part_edges(spark: SparkSession, sf_dir: str):
+def _co_order_part_edges(spark: SparkSession, sf_dir: str, modulus: int = 4):
     """Canonical part-part edges: both parts bought in one order (orders
-    subsampled 1/4 by key to bound the declared entry's cost)."""
+    subsampled 1/``modulus`` by key to bound the declared entry's cost)."""
     li = (
         catalog.load_table(spark, sf_dir, "lineitem")
-        .where("l_orderkey % 4 = 0")
+        .where(f"l_orderkey % {modulus} = 0")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -182,13 +182,22 @@ ORDER BY rank DESC, node LIMIT 20
 def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distances from the minimum part key over the symmetrized
     co-order graph (Gelly SingleSourceShortestPaths parity, delta
-    iteration under the oracle contract)."""
-    e = _co_order_part_edges(spark, sf_dir)
+    iteration under the oracle contract).
+
+    Declared fixture is the 1/8 order subsample (round-10 suite-budget
+    rule: each of the up-to-8 frontier rounds joins the full edge set,
+    so SSSP pays the subgraph cost 8x where triangles/pagerank pay it
+    once — a tighter slice, same algorithm and oracle contract)."""
+    e = _co_order_part_edges(spark, sf_dir, modulus=8)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
     source = sym.agg(F.min("src")).collect()[0][0]
-    out = iterate.shortest_paths(sym, int(source), max_iterations=8)
+    # round i of the delta iteration labels exactly the dist-i frontier
+    # (BFS min-merge: a label is final when first assigned), so 6
+    # rounds are exact for the declared dist <= 6 output — rounds 7-8
+    # only discover nodes the filter drops.
+    out = iterate.shortest_paths(sym, int(source), max_iterations=6)
     return (
         out.where(F.col("dist") <= 6)
         .select(F.col("node").cast("long").alias("node"), F.col("dist").cast("long").alias("dist"))
@@ -198,7 +207,7 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SSSP_ORACLE = """
 WITH RECURSIVE op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 8 = 0
 ), e0 AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM op a JOIN op b

@@ -362,8 +362,12 @@ def test_dedup_clusters_semantics(spark):
         assert sum(m.keep for m in members) == 1
         assert next(m for m in members if m.keep).doc_id == root
     cluster_of = {r.doc_id: r.cluster for r in rows}
-    docs = catalog.load_table(spark, SF_SMOKE, "documents")
-    for p in minhash_lsh_pairs(docs).collect():
+    from flink_1_11_1_spark.extensions.dedup import DOC_SLICE
+
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").where(DOC_SLICE)
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert pairs, "sliced fixture must still contain planted pairs"
+    for p in pairs:
         assert cluster_of[p.da] == cluster_of[p.db]
 
 
