@@ -713,19 +713,18 @@ def match_recognize(
                     "cross-variable DEFINE may not reference ts (JSON state); "
                     "bound event times are available as WITHIN/horizon"
                 )
-            uses_subset = any(
-                v in subsets
-                for v, _c in _REF_RE.findall(cond)
-            )
             defines[var] = "true"  # full predicate moves to the fold
             xconds[var] = (
                 _to_python(cond, variables, var, subsets),
                 tuple(sorted(cols)),
                 # raw SQL feeds the native lowering's offset
-                # instantiation — a SUBSET reference has no SQL twin
-                # there, so it stays fold-only (sql_cond None blocks
-                # the tiered lowering; conds_lowerable check).
-                None if uses_subset else cond,
+                # instantiation.  SUBSET references resolve there too
+                # (round 10): tier A maps FIRST/LAST/bare union-variable
+                # navigation to the member offsets' union per branch
+                # (with_subsets below); shapes the instantiation cannot
+                # map (e.g. COUNT over a union) raise _Unlowerable and
+                # fall back to the fold.
+                cond,
             )
         else:
             defines[var] = _row_local(cond, variables, var)
@@ -804,6 +803,8 @@ def match_recognize(
             )
         strategy = ("to_first:" if sm.group(1).upper() == "FIRST" else "to_last:") + var
     pat = pat.after_match_skip(strategy)
+    if subsets:
+        pat = pat.with_subsets(subsets)  # native-lowering navigation map
     if c.group("within_n"):
         pat = pat.within(f"{c.group('within_n')} {c.group('within_unit')}")
     else:
@@ -829,12 +830,27 @@ def match_recognize(
             if sf_dir is not None
             else spark.table(table)
         )
+    key_types: dict[str, str] = {}
     if len(keys) > 1:
+        key_types = {
+            f.name: f.dataType.simpleString()
+            for f in events.schema.fields
+            if f.name in keys
+        }
         if events.isStreaming:
-            raise ValueError(
-                "multi-column PARTITION BY needs a bounded input (the "
-                "component join-back has no streaming twin)"
-            )
+            # the batch join-back has no streaming twin, so streaming
+            # DECOMPOSES the composite key (split + cast) — exact only
+            # for types whose string rendering round-trips
+            ok = {"string", "tinyint", "smallint", "int", "bigint",
+                  "boolean", "date"}
+            bad = sorted(k for k in keys if key_types.get(k) not in ok)
+            if bad:
+                raise ValueError(
+                    "streaming multi-column PARTITION BY: key column(s) "
+                    f"{bad} do not round-trip through the composite key "
+                    "(supported key types: string / integral / boolean / "
+                    "date) — cast the key or use a bounded input"
+                )
         events = events.withColumn(
             key,
             F.concat_ws(
@@ -1066,10 +1082,31 @@ def match_recognize(
     if aggbacks:
         res = res.drop("_mid")
     if len(keys) > 1:
-        # swap the composite key back for its component columns — one
-        # bounded shuffle of the distinct key set against the (small)
-        # match output
-        mapping = events.select(F.col(key), *[F.col(k) for k in keys]).distinct()
         rest = [c0 for c0 in res.columns if c0 != key]
-        res = res.join(mapping, key, "left").select(*keys, *rest)
+        if res.isStreaming:
+            # streaming twin of the join-back: decompose the composite
+            # key map-side (split + cast to the source types, NULL
+            # sentinel restored) — stateless, so the keyed-state NFA
+            # output stays an append stream.  Documented delta: a
+            # string key containing the \\x1f separator or \\x00
+            # sentinel breaks the round-trip (the same collision also
+            # breaks the composite matching itself, batch or stream).
+            parts = F.split(F.col(key), "\x1f", -1)
+            comps = [
+                F.when(
+                    F.get(parts, i) == "\x00",
+                    F.lit(None).cast(key_types[k]),
+                )
+                .otherwise(F.get(parts, i).cast(key_types[k]))
+                .alias(k)
+                for i, k in enumerate(keys)
+            ]
+            res = res.select(*comps, *rest)
+        else:
+            # swap the composite key back for its component columns —
+            # one bounded shuffle of the distinct key set against the
+            # (small) match output
+            mapping = events.select(
+                F.col(key), *[F.col(k) for k in keys]).distinct()
+            res = res.join(mapping, key, "left").select(*keys, *rest)
     return res

@@ -210,6 +210,11 @@ class PatternSeq:
     groups: tuple[tuple[int, int, int, int | None, bool], ...] = ()
     # index range of the group just appended (quantifiers bind to it)
     pending_group: tuple[int, int] | None = None
+    # SQL:2016 SUBSET union variables (name -> member names): consumed
+    # by the native lowering to resolve membership-only navigation in
+    # DEFINE sql_cond text (union of member offsets); the fold needs no
+    # mapping — its py_cond carries member tuples inline.
+    subsets: tuple[tuple[str, tuple[str, ...]], ...] = ()
 
     # -- construction -------------------------------------------------
     @staticmethod
@@ -433,6 +438,15 @@ class PatternSeq:
                 "(oneOrMore/timesOrMore) — Flink's own restriction")
         return self._mod_last(until_cond=cond)
 
+    def with_subsets(self, mapping: dict[str, tuple[str, ...]]) -> "PatternSeq":
+        """Declare SQL:2016 SUBSET union variables so membership-only
+        references in ``sql_cond`` text can lower natively (the fold's
+        py_cond side carries member tuples inline and ignores this)."""
+        return replace(
+            self,
+            subsets=tuple(sorted((k, tuple(v)) for k, v in mapping.items())),
+        )
+
     def within(self, interval: str | int) -> "PatternSeq":
         return replace(self, horizon_s=_parse_interval(interval))
 
@@ -549,7 +563,8 @@ class PatternSeq:
                         not self.backtrack or tier in ("A", "E")):
                     lowered = try_lower_batch(
                         flagged, self.states, key, self.value_cols,
-                        self.horizon_s, self.skip, backtrack=self.backtrack
+                        self.horizon_s, self.skip, backtrack=self.backtrack,
+                        subsets=dict(self.subsets) or None,
                     )
                     if lowered is not None:
                         return lowered
@@ -713,6 +728,17 @@ class _SqlNull:
 _SQL_NULL = _SqlNull()
 
 
+def _is_sql_null(v) -> bool:
+    """SQL NULL as seen from the pandas fold frame: None, or float NaN —
+    pandas renders a NULL double column value as NaN, which would
+    otherwise leak Python NaN semantics (``NaN != x`` is True) where
+    SQL three-valued logic (and the native lowering) yield UNKNOWN →
+    False.  Documented delta: a genuine NaN *data* value in a
+    cross-variable condition is treated as NULL too (the fold frame
+    cannot distinguish them)."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
 class _NoneTracking(dict):
     """EV namespace that records whether a null value was read (and
     substitutes the SQL-NULL comparison stand-in), so a TypeError can be
@@ -724,7 +750,7 @@ class _NoneTracking(dict):
 
     def __getitem__(self, k):
         v = super().__getitem__(k)  # missing column → KeyError (genuine)
-        if v is None:
+        if _is_sql_null(v):
             self.saw_none = True
             return _SQL_NULL
         return v
@@ -769,7 +795,7 @@ def _py_cond_ok(code, p: dict | None, evvals: dict,
             and not any(lb in names for lb in pp["labels"])
         ):
             v = evvals.get(col)  # rep 0: the candidate row binds itself
-        if v is None:
+        if _is_sql_null(v):  # None, or pandas' NaN rendering of NULL
             saw_none[0] = True
             return _SQL_NULL
         return v

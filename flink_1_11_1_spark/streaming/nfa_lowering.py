@@ -210,6 +210,7 @@ def _instantiate(
     bound: dict[str, list[int]],
     leads: _Leads,
     value_cols: tuple[str, ...],
+    subsets: dict[str, tuple[str, ...]] | None = None,
 ) -> str | None:
     """Rewrite a DEFINE's SQL text to lead() refs for a fixed layout.
 
@@ -217,8 +218,16 @@ def _instantiate(
     tested (same-variable: earlier repetitions only).  Returns None when
     the condition is statically false (navigation of an unbound
     variable), or raises _Unlowerable when a reference cannot be mapped.
+
+    ``subsets`` (SQL:2016 union variables) resolve membership-only:
+    the bound offset set is the sorted union of the members' offsets,
+    mirroring the fold's ``_bind`` exactly — FIRST/LAST navigate bound
+    member rows when any exist; with none bound, the current event
+    binds itself iff ``this`` is a member (the rep-0 rule), else the
+    reference is SQL NULL (statically false branch).
     """
     false = []
+    subsets = subsets or {}
 
     def ref(col: str, off: int) -> str:
         src = _val_src(col, value_cols)
@@ -226,8 +235,24 @@ def _instantiate(
             raise _Unlowerable(f"column {col} not carried for cross-variable eval")
         return leads.ref(src, off)
 
+    def union_offs(members: tuple[str, ...]) -> list[int]:
+        return sorted(o for m_ in members for o in bound.get(m_, ()))
+
     def fnrepl(m: re.Match) -> str:
         fn, var, col = m.group(1).upper(), m.group(2), m.group(3)
+        if var in subsets:
+            members = subsets[var]
+            offs = union_offs(members)
+            if fn == "LAST" and this in members:
+                # running semantics: the candidate IS the latest U row
+                # (mirrors _to_python's EV[col] compilation exactly)
+                return ref(col, ev_off)
+            if offs:
+                return ref(col, offs[0] if fn == "FIRST" else offs[-1])
+            if this in members:
+                return ref(col, ev_off)  # rep 0: candidate binds itself
+            false.append(True)
+            return "NULL"
         offs = bound.get(var, [])
         if var == this:
             # SQL running semantics: candidate row is the last row so far
@@ -243,6 +268,15 @@ def _instantiate(
         var, col = m.group(1), m.group(2)
         if var == this or var.upper() == "THIS":
             return ref(col, ev_off)
+        if var in subsets:  # bare U.col = LAST (Flink default)
+            members = subsets[var]
+            if this in members:
+                return ref(col, ev_off)  # running: candidate is latest
+            offs = union_offs(members)
+            if offs:
+                return ref(col, offs[-1])
+            false.append(True)
+            return "NULL"
         offs = bound.get(var)
         if offs is None:
             raise _Unlowerable(f"unknown variable {var}")
@@ -464,6 +498,7 @@ def try_lower_batch(
     skip: str,
     backtrack: bool = False,
     groups=(),
+    subsets: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame | None:
     if groups:
         # Group patterns lower ONLY through the bounded unrolled path
@@ -483,7 +518,7 @@ def try_lower_batch(
     try:
         if tier == "A":
             return _lower_fixed(flagged, states, key, value_cols, horizon_s,
-                                backtrack=backtrack)
+                                backtrack=backtrack, subsets=subsets)
         if tier == "E":
             return _lower_any_pair(flagged, states, key, horizon_s)
         if tier == "B":
@@ -693,6 +728,7 @@ def _case(branches: list[tuple[str, str]]) -> str:
 def _lower_fixed(
     flagged: DataFrame, states, key: str, value_cols, horizon_s: int,
     backtrack: bool = False,
+    subsets: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """Tier A: enumerate count vectors over lead() columns.
 
@@ -723,7 +759,8 @@ def _lower_fixed(
                 ]
                 return "(" + " OR ".join(refs) + ")"
             return leads.ref(f"f{i}", off)
-        return _instantiate(s.sql_cond, s.name, off, bound, leads, value_cols)
+        return _instantiate(
+            s.sql_cond, s.name, off, bound, leads, value_cols, subsets)
 
     def label_at(i: int, off: int) -> str:
         """Per-offset label: the literal state name, or — for an

