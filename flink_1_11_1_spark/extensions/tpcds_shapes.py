@@ -40,6 +40,12 @@ Shape map (TPC-DS query → entry):
   q14 cross-channel INTERSECT         → x_tpcds_intersect
   q93 returns-exclusion net value     → x_tpcds_returns_net
   q54/q58 period vs own average       → x_tpcds_period_vs_avg
+Round-10 tranche:
+  q14b week-sequence YoY ratio        → x_tpcds_week_seq
+  q81 returns vs nation average       → x_tpcds_returns_ratio
+  q34/q35 count-distinct buckets      → x_tpcds_distinct_buckets
+  q23 multi-year persistent parts     → x_tpcds_multiyear_frequent
+  q31 channel growth-gap by nation    → x_tpcds_growth_gap
 """
 
 from __future__ import annotations
@@ -715,7 +721,123 @@ SELECT p.promo, t.tot,
 FROM p CROSS JOIN t
 """
 
+# ---------------------------------------------------------------------
+# Round-10 tranche (VERDICT r9 next #5): the five highest-value shapes
+# still missing on this fixture schema.
+
+# q14b: cross-channel week-sequence ratio — store revenue per ISO week
+# of 1997 vs the SAME week of 1996; weeks where 1997 grew > 10%
+# (integer cross-multiplication; extract(week) verified bit-identical
+# across the full 1992-1999 fixture domain on both engines).
+WEEK_SEQ = """
+WITH wk AS (
+  SELECT cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(extract(week FROM l_shipdate) AS bigint) wk,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem WHERE l_returnflag = 'N'
+  GROUP BY extract(year FROM l_shipdate), extract(week FROM l_shipdate))
+SELECT a.wk, a.cents AS c97, b.cents AS c96
+FROM wk a JOIN wk b ON a.wk = b.wk AND a.yr = 1997 AND b.yr = 1996
+WHERE a.cents * 10 > b.cents * 11
+ORDER BY a.wk
+"""
+
+# q81: returns-ratio chain — customers whose returned value exceeds
+# 1.2x their NATION's average return (catalog-vs-store stand-in:
+# l_returnflag 'R' rows are the return events).  The mean comparison
+# is integer cross-multiplied: cust*10*n_cust > total*12.
+RETURNS_RATIO = """
+WITH ret AS (
+  SELECT c_custkey ck, c_nationkey nk,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_nationkey),
+nat AS (
+  SELECT nk, cast(sum(cents) AS bigint) total, cast(count(*) AS bigint) n
+  FROM ret GROUP BY nk)
+SELECT r.ck, n_name, r.cents
+FROM ret r JOIN nat ON r.nk = nat.nk JOIN nation ON n_nationkey = r.nk
+WHERE r.cents * nat.n * 10 > nat.total * 12
+ORDER BY n_name, r.cents DESC, r.ck
+"""
+
+# q34/q35-style count-distinct buckets: customers bucketed by their
+# DISTINCT active order-months; per bucket, customer count and exact
+# total spend (all-integer CASE ladder — no quantile estimator).
+DISTINCT_BUCKETS = """
+WITH act AS (
+  SELECT o_custkey ck,
+         cast(count(DISTINCT extract(year FROM o_orderdate) * 12
+                             + extract(month FROM o_orderdate)) AS bigint) mths,
+         cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+  FROM orders GROUP BY o_custkey)
+SELECT CASE WHEN mths <= 5 THEN 'rare' WHEN mths <= 10 THEN 'occasional'
+            WHEN mths <= 20 THEN 'regular' ELSE 'loyal' END bucket,
+       cast(count(*) AS bigint) n_cust,
+       cast(sum(cents) AS bigint) cents
+FROM act GROUP BY 1 ORDER BY bucket
+"""
+
+# q23 multi-year flavor: parts above 4/3 of their YEAR's average line
+# frequency in EVERY year 1995-1997 (scale-free relative threshold —
+# non-vacuous at all three fixture scales: 3/27/441 persistent parts),
+# with the yearly revenue chain of those persistent parts.
+MULTIYEAR_FREQUENT = """
+WITH yl AS (
+  SELECT cast(extract(year FROM l_shipdate) AS bigint) yr, l_partkey,
+         cast(count(*) AS bigint) n,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1995-01-01' AND l_shipdate < timestamp '1998-01-01'
+  GROUP BY extract(year FROM l_shipdate), l_partkey),
+ystat AS (
+  SELECT yr, cast(sum(n) AS bigint) lines, cast(count(*) AS bigint) parts
+  FROM yl GROUP BY yr),
+freq AS (
+  SELECT yl.l_partkey
+  FROM yl JOIN ystat ON yl.yr = ystat.yr
+  WHERE yl.n * ystat.parts * 3 > ystat.lines * 4
+  GROUP BY yl.l_partkey HAVING count(*) = 3)
+SELECT yl.yr, cast(count(*) AS bigint) n_parts,
+       cast(sum(yl.cents) AS bigint) cents
+FROM yl JOIN freq ON yl.l_partkey = freq.l_partkey
+GROUP BY yl.yr ORDER BY yl.yr
+"""
+
+# q31: quarter-over-quarter growth gap — nations where the web
+# channel grew FASTER than store from 1996Q1 to 1996Q2 (two growth
+# ratios compared without division: ws2*ss1 > ws1*ss2, all operands
+# positive by the > 0 guards).
+GROWTH_GAP = """
+WITH q AS (
+  SELECT c_nationkey nk,
+         CASE l_returnflag WHEN 'N' THEN 'store' WHEN 'R' THEN 'web' END ch,
+         cast(extract(quarter FROM l_shipdate) AS bigint) qtr,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-07-01'
+    AND l_returnflag IN ('N', 'R')
+  GROUP BY c_nationkey, l_returnflag, extract(quarter FROM l_shipdate))
+SELECT n_name, ss1.cents s_q1, ss2.cents s_q2, ws1.cents w_q1, ws2.cents w_q2
+FROM q ss1 JOIN q ss2 ON ss1.nk = ss2.nk AND ss1.ch = 'store' AND ss2.ch = 'store'
+                      AND ss1.qtr = 1 AND ss2.qtr = 2
+JOIN q ws1 ON ws1.nk = ss1.nk AND ws1.ch = 'web' AND ws1.qtr = 1
+JOIN q ws2 ON ws2.nk = ss1.nk AND ws2.ch = 'web' AND ws2.qtr = 2
+JOIN nation ON n_nationkey = ss1.nk
+WHERE ss1.cents > 0 AND ws1.cents > 0
+  AND ws2.cents * ss1.cents > ws1.cents * ss2.cents
+ORDER BY n_name
+"""
+
 _SHAPES = {
+    "x_tpcds_week_seq": WEEK_SEQ,
+    "x_tpcds_returns_ratio": RETURNS_RATIO,
+    "x_tpcds_distinct_buckets": DISTINCT_BUCKETS,
+    "x_tpcds_multiyear_frequent": MULTIYEAR_FREQUENT,
+    "x_tpcds_growth_gap": GROWTH_GAP,
     "x_tpcds_attr_filter": ATTR_FILTER,
     "x_tpcds_in_or_exists": IN_OR_EXISTS,
     "x_tpcds_window_band": WINDOW_BAND,
