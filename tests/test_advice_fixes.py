@@ -804,7 +804,7 @@ def test_multi_insert_unaliased_computed_source_qualifies(spark, tmp_path):
     spark.range(8).selectExpr("id", "id * 2 AS v").createOrReplaceTempView(
         "mi_q_src0")
     tenv.execute_sql(
-        "CREATE VIEW mi_q_src AS SELECT id, v FROM mi_q_src0")
+        "CREATE VIEW mi_q_src AS SELECT DISTINCT id, v FROM mi_q_src0")
     tenv.execute_sql(f"""CREATE TABLE mi_q_hi (id BIGINT) WITH (
       'connector'='filesystem','path'='{tmp_path}/qhi','format'='parquet')""")
     tenv.execute_sql(f"""CREATE TABLE mi_q_lo (v BIGINT) WITH (

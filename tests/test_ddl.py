@@ -955,10 +955,12 @@ def test_hive_dialect_surface(spark):
 
 def test_multi_insert_declared_sinks(spark, tmp_path):
     """FROM src INSERT OVERWRITE s1 ... INSERT INTO s2 ...: both
-    branches write their slice; a COMPUTED source (DDL view) is
-    checkpointed once (scan-once reuse recorded) while a PLAIN scan
-    splices per branch (pruned scans beat an unpruned checkpoint —
-    round-9 measurement); verbs map to overwrite/append."""
+    branches write their slice; a COMPUTED source whose plan holds a
+    SHUFFLE (here: DISTINCT) is checkpointed once (scan-once reuse
+    recorded) while a PLAIN scan — and, round 10, a map-only computed
+    view — splices per branch (pruned scans beat an unpruned
+    checkpoint; the shuffle is what makes re-running per branch pay);
+    verbs map to overwrite/append."""
     from flink_1_11_1_spark.table_env import TableEnvironment
 
     tenv = TableEnvironment(spark)
@@ -966,7 +968,7 @@ def test_multi_insert_declared_sinks(spark, tmp_path):
         "mi_t_src0"
     )
     tenv.execute_sql(
-        "CREATE VIEW mi_t_src AS SELECT id, v FROM mi_t_src0")
+        "CREATE VIEW mi_t_src AS SELECT DISTINCT id, v FROM mi_t_src0")
     tenv.execute_sql(f"""CREATE TABLE mi_t_hi (id BIGINT) WITH (
       'connector'='filesystem','path'='{tmp_path}/hi','format'='parquet')""")
     tenv.execute_sql(f"""CREATE TABLE mi_t_lo (v BIGINT) WITH (
@@ -1008,6 +1010,25 @@ def test_multi_insert_declared_sinks(spark, tmp_path):
     assert sorted(
         r.v for r in spark.read.parquet(f"{tmp_path}/lo").collect()
     ) == [0, 2, 6]
+    # a MAP-ONLY computed view also splices per branch (round-10
+    # refinement: no shuffle → nothing to save by materializing, and
+    # the checkpoint would defeat per-branch column pruning at scale)
+    tenv.execute_sql(
+        "CREATE VIEW mi_t_maponly AS SELECT id, v * 3 AS v3 FROM mi_t_src0")
+    tenv.ddl.last_script_reuse = {}
+    tenv.execute_sql("""
+      FROM mi_t_maponly
+      INSERT OVERWRITE TABLE mi_t_hi SELECT id WHERE v3 >= 12
+      INSERT OVERWRITE TABLE mi_t_lo SELECT v3 AS v WHERE id < 2
+    """)
+    assert tenv.ddl.last_script_reuse == {}
+    assert sorted(
+        r.id for r in spark.read.parquet(f"{tmp_path}/hi").collect()
+    ) == [2, 3, 4, 5, 6, 7, 8, 9]
+    assert sorted(
+        r.v for r in spark.read.parquet(f"{tmp_path}/lo").collect()
+    ) == [0, 6]
+    spark.catalog.dropTempView("mi_t_maponly")
     for t in ("mi_t_hi", "mi_t_lo"):
         tenv.execute_sql(f"DROP TABLE {t}")
     spark.catalog.dropTempView("mi_t_src")
