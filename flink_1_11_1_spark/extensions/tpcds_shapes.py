@@ -46,6 +46,12 @@ Round-10 tranche:
   q34/q35 count-distinct buckets      → x_tpcds_distinct_buckets
   q23 multi-year persistent parts     → x_tpcds_multiyear_frequent
   q31 channel growth-gap by nation    → x_tpcds_growth_gap
+  q6 top-price-tier part buyers       → x_tpcds_pricey_parts
+  q15 top nations w/ floor            → x_tpcds_top_nations
+  q25/q29 all-three-channel parts     → x_tpcds_all_channels
+  q65 below-60%-of-average parts      → x_tpcds_half_avg_parts
+  q42/q52/q55 brand month top-10      → x_tpcds_brand_month
+  q68/q79 big-basket orders           → x_tpcds_big_baskets
 """
 
 from __future__ import annotations
@@ -806,6 +812,100 @@ FROM yl JOIN freq ON yl.l_partkey = freq.l_partkey
 GROUP BY yl.yr ORDER BY yl.yr
 """
 
+# q6: customers who bought top-price-tier parts.  TPC-DS's ">= 1.2x
+# the average price" is vacuous on this fixture (p_retailprice spans
+# [900, 920) at sf0.001 — the max is 1.01x the mean), so the tier is
+# the deterministic top 5% by (price DESC, p_partkey) rank —
+# scale-free and non-vacuous at every fixture scale by construction.
+PRICEY_PARTS = """
+WITH rp AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) rn,
+         count(*) OVER () np
+  FROM part),
+pricey AS (
+  SELECT p_partkey FROM rp WHERE rn * 20 <= np)
+SELECT n_name, cast(count(DISTINCT o_custkey) AS bigint) n_cust,
+       cast(count(*) AS bigint) n_lines
+FROM lineitem JOIN pricey ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name HAVING count(*) >= 2
+ORDER BY n_name
+"""
+
+# q15: top-10 nations by catalog-channel revenue with a floor — the
+# HAVING + ORDER ... LIMIT reporting shape.
+TOP_NATIONS = """
+SELECT n_name, cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'A'
+GROUP BY n_name HAVING count(*) >= 5
+ORDER BY cents DESC, n_name LIMIT 10
+"""
+
+# q25/q29: parts moving through ALL THREE channels, with per-channel
+# quantity sums from one conditional-aggregation scan.
+ALL_CHANNELS = """
+SELECT l_partkey,
+       cast(sum(CASE WHEN l_returnflag = 'N' THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) store_qty,
+       cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) web_qty,
+       cast(sum(CASE WHEN l_returnflag = 'A' THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) catalog_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(DISTINCT l_returnflag) = 3 AND count(*) >= 9
+ORDER BY l_partkey
+"""
+
+# q65: parts whose total revenue is at most 60% of the average part
+# revenue (non-vacuous at every fixture scale) — scalar stats over an aggregated CTE, integer
+# cross-multiplication (rev * n * 2 <= total).
+HALF_AVG_PARTS = """
+WITH pr AS (
+  SELECT l_partkey pk,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) rev
+  FROM lineitem GROUP BY l_partkey),
+stat AS (
+  SELECT cast(count(*) AS bigint) n, cast(sum(rev) AS bigint) total FROM pr)
+SELECT p_brand, cast(count(*) AS bigint) n_parts, cast(sum(rev) AS bigint) cents
+FROM pr CROSS JOIN stat JOIN part ON p_partkey = pk
+WHERE rev * n * 10 <= total * 6
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+# q42/q52/q55: top brands for one reporting month — dimension rollup
+# with a deterministic top-10.
+BRAND_MONTH = """
+SELECT p_brand, cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents,
+       cast(count(*) AS bigint) n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= timestamp '1996-03-01' AND l_shipdate < timestamp '1996-04-01'
+GROUP BY p_brand
+ORDER BY cents DESC, p_brand LIMIT 10
+"""
+
+# q68/q79: big-basket orders — orders whose total quantity exceeds a
+# relative threshold (2x the average order quantity), listed with
+# their customer and exact cents.
+BIG_BASKETS = """
+WITH oq AS (
+  SELECT l_orderkey ok, cast(sum(cast(l_quantity AS bigint)) AS bigint) qty,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem GROUP BY l_orderkey),
+stat AS (
+  SELECT cast(count(*) AS bigint) n, cast(sum(qty) AS bigint) total FROM oq)
+SELECT c_name, oq.ok AS o_orderkey, oq.qty, oq.cents
+FROM oq CROSS JOIN stat
+JOIN orders ON o_orderkey = oq.ok
+JOIN customer ON o_custkey = c_custkey
+WHERE oq.qty * stat.n > stat.total * 2
+ORDER BY oq.qty DESC, oq.ok LIMIT 25
+"""
+
 # q31: quarter-over-quarter growth gap — nations where the web
 # channel grew FASTER than store from 1996Q1 to 1996Q2 (two growth
 # ratios compared without division: ws2*ss1 > ws1*ss2, all operands
@@ -838,6 +938,12 @@ _SHAPES = {
     "x_tpcds_distinct_buckets": DISTINCT_BUCKETS,
     "x_tpcds_multiyear_frequent": MULTIYEAR_FREQUENT,
     "x_tpcds_growth_gap": GROWTH_GAP,
+    "x_tpcds_pricey_parts": PRICEY_PARTS,
+    "x_tpcds_top_nations": TOP_NATIONS,
+    "x_tpcds_all_channels": ALL_CHANNELS,
+    "x_tpcds_half_avg_parts": HALF_AVG_PARTS,
+    "x_tpcds_brand_month": BRAND_MONTH,
+    "x_tpcds_big_baskets": BIG_BASKETS,
     "x_tpcds_attr_filter": ATTR_FILTER,
     "x_tpcds_in_or_exists": IN_OR_EXISTS,
     "x_tpcds_window_band": WINDOW_BAND,
