@@ -780,3 +780,44 @@ def test_subset_define_front_door_lowers_natively(spark):
             else:
                 i += 1
     assert got == expect
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(24))
+def test_subset_lowering_randomized_equivalence(spark, seed):
+    """Seeded sweep over the subset-navigation grammar: random member
+    sets, navigation forms, comparison ops and thresholds — every
+    tier-A-eligible draw must produce the fold's exact row set."""
+    rng = random.Random(1000 + seed)
+    members = tuple(rng.sample(["A", "B"], rng.choice([1, 1, 2])))
+    fn = rng.choice(["FIRST", "LAST", "bare"])
+    op_sql, op_py = rng.choice([
+        (">", ">"), ("<", "<"), (">=", ">="), ("<=", "<="),
+        ("=", "=="), ("<>", "!="),
+    ])
+    thresh = rng.choice(["U.value", f"{rng.randrange(0, 100)}"])
+    nav = "U.value" if fn == "bare" else f"{fn}(U.value)"
+    sql_cond = f"C.event_type = 'purchase' AND C.value {op_sql} {nav}"
+    if thresh != "U.value":
+        sql_cond = f"C.event_type = 'purchase' AND {nav} {op_sql} {thresh}"
+    from flink_1_11_1_spark.extensions.match_recognize import _to_python
+
+    py_cond = _to_python(sql_cond, ["A", "B"], "C", {"U": members})
+    pat = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'view'")
+        .times(1, rng.choice([1, 2, 3]))
+        .consecutive()
+        .next_("C", "true")
+        .where_iterative(py_cond, "value", "event_type", sql_cond=sql_cond)
+        .within("2 days")
+        .with_subsets({"U": members})
+    )
+    assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == "A"
+    ev = _events(spark, 5000 + seed)
+    fast = pat.match_batch(ev)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False)), (
+        sql_cond, members
+    )
