@@ -12,6 +12,7 @@ from flink_1_11_1_spark.extensions import dedup, registry, similarity, text
 from .conftest import SF_SMOKE
 
 
+@pytest.mark.oraclenet
 @pytest.mark.parametrize("name", sorted(registry.oracle_sql()))
 def test_extension_matches_oracle(spark, duck, name):
     df = registry.queries()[name](spark, SF_SMOKE)
