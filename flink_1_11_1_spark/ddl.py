@@ -236,6 +236,13 @@ _SET_RE = re.compile(
     r"^SET(?:\s+('?[\w.\-]+'?)\s*=\s*(.+))?$", re.IGNORECASE
 )
 _RESET_RE = re.compile(r"^RESET(?:\s+('?[\w.\-]+'?))?$", re.IGNORECASE)
+
+# cheap guard for the group-window rewrite (full scanner in
+# group_windows.py — only imported when a statement can contain one)
+_GW_TOKEN_RE = re.compile(
+    r"(?<![\w.])(?:TUMBLE|HOP|SESSION)(?:_START|_END|_ROWTIME|_PROCTIME)?\s*\(",
+    re.IGNORECASE,
+)
 _DESCRIBE_RE = re.compile(
     r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(`?[\w.]+`?)$", re.IGNORECASE
 )
@@ -630,6 +637,16 @@ class DdlCatalog:
             return cat_stmt
         s = self._qualify_names(s)
         s = self._apply_table_hints(s)
+        if _GW_TOKEN_RE.search(s):
+            # Flink 1.11 group-window functions (GROUP BY TUMBLE/HOP/
+            # SESSION + *_START/_END/_ROWTIME auxiliaries) — rewritten
+            # to native window()/session_window() so Catalyst plans the
+            # aggregate (see group_windows.py).  Applied before routing
+            # so CREATE VIEW bodies, INSERT INTO selects and
+            # multi-INSERT branches all inherit the rewrite.
+            from .group_windows import rewrite_group_windows
+
+            s = rewrite_group_windows(s)
         if "MATCH_RECOGNIZE" in s.upper():
             # Spark SQL has no MATCH_RECOGNIZE.  The standalone Flink
             # statement shape routes straight to the engine front door;

@@ -379,6 +379,92 @@ ORDER BY band, o_orderstatus
 """
 
 
+# ---------------------------- Flink 1.11 SQL group windows (round 10)
+#
+# The 1.11 SQL windowing surface is the group-window function family
+# (GROUP BY TUMBLE/HOP/SESSION + *_START/_END auxiliaries — window TVFs
+# only arrived in 1.13).  These entries run the FLINK TEXT through the
+# DDL front door (group_windows.rewrite_group_windows → native
+# window()/session_window(), one Catalyst aggregate); the oracles are
+# the portable bucket/union/gaps-and-islands equivalents.
+
+
+def _flink_sql_runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..table_env import TableEnvironment
+
+        catalog.register(spark, sf_dir)
+        return TableEnvironment(spark).execute_sql(sql)
+
+    return run
+
+
+SQL_TUMBLE_FLINK = """
+SELECT cast(TUMBLE_START(ts, INTERVAL '1' HOUR) as string) ws,
+       cast(TUMBLE_END(ts, INTERVAL '1' HOUR) as string) we,
+       event_type, count(*) n,
+       sum(cast(floor(value * 100) as bigint)) cents
+FROM events
+GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+ORDER BY ws, event_type
+"""
+
+SQL_TUMBLE_DUCK = """
+SELECT cast(date_trunc('hour', ts) as string) ws,
+       cast(date_trunc('hour', ts) + INTERVAL 1 HOUR as string) we,
+       event_type, count(*) n,
+       cast(sum(cast(floor(value * 100) as bigint)) as bigint) cents
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY ws, event_type
+"""
+
+SQL_HOP_FLINK = """
+SELECT cast(HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) as string) ws,
+       count(*) n, sum(cast(floor(value * 100) as bigint)) cents
+FROM events
+GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+ORDER BY ws
+"""
+
+SQL_HOP_DUCK = """
+WITH half AS (
+  SELECT CASE WHEN extract(minute FROM ts) >= 30
+              THEN date_trunc('hour', ts) + INTERVAL 30 MINUTE
+              ELSE date_trunc('hour', ts) END AS slot,
+         cast(floor(value * 100) as bigint) cents
+  FROM events)
+SELECT cast(ws as string) ws, count(*) n, cast(sum(cents) as bigint) cents
+FROM (SELECT slot AS ws, cents FROM half
+      UNION ALL SELECT slot - INTERVAL 30 MINUTE, cents FROM half) u
+GROUP BY ws ORDER BY ws
+"""
+
+SQL_SESSION_FLINK = """
+SELECT user_id,
+       cast(date_trunc('second', SESSION_START(ts, INTERVAL '30' MINUTE)) as string) ss,
+       count(*) n, sum(cast(floor(value * 100) as bigint)) cents
+FROM events
+GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)
+ORDER BY user_id, ss
+"""
+
+SQL_SESSION_DUCK = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
+  FROM events),
+ sess AS (SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts) sid
+          FROM marked)
+SELECT user_id, cast(date_trunc('second', min(ts)) as string) ss, count(*) n,
+       cast(sum(cast(floor(value * 100) as bigint)) as bigint) cents
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, ss
+"""
+
+
 registry.register("x_ddl_roundtrip", _ddl_roundtrip, DDL_ROUNDTRIP_DUCK)
 registry.register("x_hive_multi_insert", _hive_multi_insert, HIVE_MULTI_INSERT_DUCK)
 registry.register("x_ddl_like", _ddl_like, DDL_LIKE_DUCK)
@@ -390,3 +476,6 @@ registry.register("x_array_ops", _sql_runner(ARRAY_SPARK), ARRAY_DUCK)
 registry.register("x_listagg_ordered", _sql_runner(LISTAGG_SPARK), LISTAGG_DUCK)
 registry.register("x_temporal_arith", _sql_runner(TEMPORAL_SPARK), TEMPORAL_DUCK)
 registry.register("x_text_tfidf", _sql_runner(TFIDF_SPARK), TFIDF_DUCK)
+registry.register("x_sql_tumble", _flink_sql_runner(SQL_TUMBLE_FLINK), SQL_TUMBLE_DUCK)
+registry.register("x_sql_hop", _flink_sql_runner(SQL_HOP_FLINK), SQL_HOP_DUCK)
+registry.register("x_sql_session", _flink_sql_runner(SQL_SESSION_FLINK), SQL_SESSION_DUCK)

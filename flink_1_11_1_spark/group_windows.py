@@ -1,0 +1,196 @@
+"""Flink 1.11 SQL group-window functions → native Spark windows.
+
+In Flink 1.11 the ONLY SQL windowing syntax is the group-window
+function family (window TVFs arrived in 1.13): ``GROUP BY
+TUMBLE(rowtime, INTERVAL '1' HOUR)`` with the auxiliary projections
+``TUMBLE_START / TUMBLE_END / TUMBLE_ROWTIME / TUMBLE_PROCTIME`` (and
+the HOP / SESSION families).  Reference surface:
+flink-table/flink-table-common/src/main/java/org/apache/flink/table/
+functions/BuiltInFunctionDefinitions.java (TUMBLE/HOP/SESSION groups)
+and flink-table-planner-blink LogicalWindowAggregate.
+
+Spark-first lowering — pure TEXT rewrite into the native operators, so
+Catalyst plans the aggregation (TimeWindow expands statically; the
+whole query stays one whole-stage-codegen aggregate, batch or
+streaming):
+
+  TUMBLE(ts, size)        → window(ts, '<size>')
+  HOP(ts, slide, size)    → window(ts, '<size>', '<slide>')   (arg swap!)
+  SESSION(ts, gap)        → session_window(ts, '<gap>')
+  *_START(...)            → window.start        (struct field access)
+  *_END(...)              → window.end          (exclusive on both engines)
+  *_ROWTIME / *_PROCTIME  → (window.end - INTERVAL '0.001' SECOND)
+
+Flink's rowtime attribute of a window is ``end - 1ms`` (TimeWindow
+.maxTimestamp); PROCTIME is rendered the same way — at the SQL surface
+the distinction is the time domain of downstream operators, which this
+engine's micro-batch model makes per-batch anyway (documented delta,
+SURVEY §4).  The GROUP BY item itself becomes the window struct, which
+is exactly how Spark expresses the same plan, so grouping keys,
+HAVING, and ORDER BY all keep working untouched.
+
+The scanner follows the repo's SQL-text discipline: string literals
+are skipped (``_quoted_spans``), arguments are balanced-paren parsed
+(a ')' inside a nested call or literal cannot end the argument list),
+and the function-name match requires a non-word/non-dot left boundary
+so ``user_session(`` or ``my.TUMBLE(`` never rewrite.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+
+from .ddl import _quoted_spans
+
+_GW_RE = re.compile(
+    r"(?<![\w.])(TUMBLE|HOP|SESSION)(_START|_END|_ROWTIME|_PROCTIME)?\s*\(",
+    re.IGNORECASE,
+)
+
+_INTERVAL_RE = re.compile(
+    r"^INTERVAL\s+'([^']+)'\s+"
+    r"(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)(?:\s*\(\s*\d+\s*\))?"
+    r"(?:\s+TO\s+(MONTH|HOUR|MINUTE|SECOND)(?:\s*\(\s*\d+\s*\))?)?$",
+    re.IGNORECASE,
+)
+
+_MS = {"DAY": 86_400_000, "HOUR": 3_600_000, "MINUTE": 60_000, "SECOND": 1_000}
+# field order for the multi-field 'd h:m:s.fff' rendering
+_FIELDS = ["DAY", "HOUR", "MINUTE", "SECOND"]
+
+
+def _interval_ms(text: str) -> int:
+    """Flink SQL interval literal → integral milliseconds.
+
+    Single-field (``INTERVAL '30' MINUTE``, fractional seconds allowed)
+    and day-time range forms (``INTERVAL '1 02:03:04.5' DAY TO
+    SECOND``) are supported; YEAR/MONTH intervals are not a fixed
+    duration and are rejected exactly like Flink's group windows
+    reject them (they require ``INTERVAL ... DAY/HOUR/MINUTE/SECOND``).
+    """
+    m = _INTERVAL_RE.match(text.strip())
+    if not m:
+        raise ValueError(
+            f"group window expects an INTERVAL literal, got: {text!r}")
+    value, unit, to_unit = m.group(1), m.group(2).upper(), m.group(3)
+    if unit in ("YEAR", "MONTH") or (to_unit and to_unit.upper() == "MONTH"):
+        raise ValueError(
+            "group windows require a day-time interval (DAY/HOUR/MINUTE/"
+            f"SECOND) — year-month interval not supported: {text!r}")
+    if not to_unit:
+        ms = Decimal(value) * _MS[unit]
+    else:
+        to_unit = to_unit.upper()
+        lo, hi = _FIELDS.index(unit), _FIELDS.index(to_unit)
+        if hi <= lo:
+            raise ValueError(f"malformed interval range: {text!r}")
+        parts = re.split(r"[ :]", value.strip())
+        fields = _FIELDS[lo : hi + 1]
+        if len(parts) != len(fields):
+            raise ValueError(
+                f"interval value {value!r} does not match "
+                f"{unit} TO {to_unit}")
+        ms = sum(
+            (Decimal(p) * _MS[f] for p, f in zip(parts, fields)),
+            Decimal(0),
+        )
+    if ms != ms.to_integral_value() or ms <= 0:
+        raise ValueError(
+            f"group window interval must be a positive whole number of "
+            f"milliseconds: {text!r}")
+    return int(ms)
+
+
+def _duration(text: str) -> str:
+    """Interval literal → Spark duration string for window()/session_window()."""
+    return f"{_interval_ms(text)} milliseconds"
+
+
+def _split_args(s: str, open_idx: int) -> tuple[list[str], int]:
+    """Split the balanced-paren argument list opening at ``open_idx``
+    into top-level comma-separated args; returns (args, close_idx)."""
+    depth = 0
+    args: list[str] = []
+    start = open_idx + 1
+    i, n = open_idx, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if q in "'\"" and s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if s[i + 1 : i + 2] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(s[start:i].strip())
+                return args, i
+        elif ch == "," and depth == 1:
+            args.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in group-window call")
+
+
+def _render(fn: str, suffix: str, args: list[str]) -> str:
+    fn = fn.upper()
+    struct = "session_window" if fn == "SESSION" else "window"
+    if suffix:
+        suffix = suffix.upper()
+        if suffix == "_START":
+            return f"{struct}.start"
+        if suffix == "_END":
+            return f"{struct}.end"
+        # _ROWTIME / _PROCTIME: Flink's window time attribute is
+        # maxTimestamp = end - 1ms (TimeWindow.java); proctime rendered
+        # identically (documented per-batch time-domain delta).
+        return f"({struct}.end - INTERVAL '0.001' SECOND)"
+    if fn == "TUMBLE":
+        if len(args) != 2:
+            raise ValueError(f"TUMBLE expects (timecol, size), got {args}")
+        return f"window({args[0]}, '{_duration(args[1])}')"
+    if fn == "HOP":
+        if len(args) != 3:
+            raise ValueError(f"HOP expects (timecol, slide, size), got {args}")
+        # Flink argument order is (time, slide, size); Spark's is
+        # (time, windowDuration, slideDuration) — swapped on purpose.
+        return (
+            f"window({args[0]}, '{_duration(args[2])}', "
+            f"'{_duration(args[1])}')"
+        )
+    if len(args) != 2:
+        raise ValueError(f"SESSION expects (timecol, gap), got {args}")
+    return f"session_window({args[0]}, '{_duration(args[1])}')"
+
+
+def rewrite_group_windows(sql: str) -> str:
+    """Rewrite every Flink group-window call in ``sql`` to the native
+    Spark window form.  No-op (same object) when no call is present."""
+    if not _GW_RE.search(sql):
+        return sql
+    spans = _quoted_spans(sql)
+    out: list[str] = []
+    pos = 0
+    for m in _GW_RE.finditer(sql):
+        if m.start() < pos:
+            continue  # inside an argument list already consumed
+        if any(a <= m.start() < b for a, b in spans):
+            continue  # inside a string literal
+        open_idx = sql.index("(", m.end() - 1)
+        args, close_idx = _split_args(sql, open_idx)
+        out.append(sql[pos : m.start()])
+        out.append(_render(m.group(1), m.group(2) or "", args))
+        pos = close_idx + 1
+    out.append(sql[pos:])
+    return "".join(out)
