@@ -52,6 +52,14 @@ Round-10 tranche:
   q65 below-60%-of-average parts      → x_tpcds_half_avg_parts
   q42/q52/q55 brand month top-10      → x_tpcds_brand_month
   q68/q79 big-basket orders           → x_tpcds_big_baskets
+
+Round-10 tranche three:
+  q21/q40 before/after pivot date     → x_tpcds_before_after
+  q89 month below brand-year average  → x_tpcds_month_vs_year
+  q2/q59 week-over-week pairing       → x_tpcds_week_over_week
+  q56/q60 prefix-part channel union   → x_tpcds_prefix_union
+  q5/q80 gross-vs-returned ROLLUP     → x_tpcds_minus_returns
+  q62/q99 fulfilment-latency buckets  → x_tpcds_ship_latency
 """
 
 from __future__ import annotations
@@ -932,7 +940,116 @@ WHERE ss1.cents > 0 AND ws1.cents > 0
 ORDER BY n_name
 """
 
+# q21/q40 before/after-pivot-date comparison: per-supplier quantity in
+# the half-year on each side of the pivot, kept when both sides are
+# populated and the drop is bounded (integer cross-multiply, no ratio).
+BEFORE_AFTER = """
+SELECT s_name,
+       cast(sum(CASE WHEN l_shipdate < DATE '1998-01-01'
+                     THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) q_before,
+       cast(sum(CASE WHEN l_shipdate >= DATE '1998-01-01'
+                     THEN cast(l_quantity AS bigint) ELSE 0 END) AS bigint) q_after
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate >= DATE '1997-07-01' AND l_shipdate < DATE '1998-07-01'
+GROUP BY s_name
+HAVING sum(CASE WHEN l_shipdate < DATE '1998-01-01' THEN 1 ELSE 0 END) > 0
+   AND sum(CASE WHEN l_shipdate >= DATE '1998-01-01' THEN 1 ELSE 0 END) > 0
+   AND 2 * sum(CASE WHEN l_shipdate >= DATE '1998-01-01'
+                    THEN cast(l_quantity AS bigint) ELSE 0 END)
+       >= sum(CASE WHEN l_shipdate < DATE '1998-01-01'
+                   THEN cast(l_quantity AS bigint) ELSE 0 END)
+ORDER BY s_name
+"""
+
+# q89: months more than 10% below their (brand, year) average — the
+# window-decorrelated deviation filter, integer cross-multiplied
+# (cents * nm * 10 < yr_cents * 9  <=>  cents < 0.9 * avg).
+MONTH_VS_YEAR = """
+WITH m AS (
+  SELECT p_brand, cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(extract(month FROM l_shipdate) AS bigint) mon,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, extract(year FROM l_shipdate), extract(month FROM l_shipdate)),
+ w AS (
+  SELECT p_brand, yr, mon, cents,
+         cast(sum(cents) OVER (PARTITION BY p_brand, yr) AS bigint) yr_cents,
+         cast(count(*) OVER (PARTITION BY p_brand, yr) AS bigint) nm
+  FROM m)
+SELECT p_brand, yr, mon, cents, yr_cents, nm
+FROM w
+WHERE cents * nm * 10 < yr_cents * 9
+ORDER BY p_brand, yr, mon
+"""
+
+# q2/q59 week-over-week: weekly revenue paired with the SAME ISO week
+# of the next year (both engines extract ISO-8601 weeks — probed).
+# Self-join ORDER BY columns table-qualified per the DuckDB binder.
+WEEK_OVER_WEEK = """
+WITH w AS (
+  SELECT cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(extract(week FROM l_shipdate) AS bigint) wk,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem
+  GROUP BY extract(year FROM l_shipdate), extract(week FROM l_shipdate))
+SELECT a.wk AS wk, a.cents AS c1, b.cents AS c2
+FROM w a JOIN w b ON a.wk = b.wk AND b.yr = a.yr + 1
+WHERE a.yr = 1997
+ORDER BY a.wk
+"""
+
+# q56/q60: parts selected by name-prefix OR-list, revenue accumulated
+# across the three channel slices via UNION ALL, re-aggregated, top 25.
+PREFIX_UNION = """
+WITH sel AS (
+  SELECT p_partkey FROM part
+  WHERE p_name LIKE 'small%' OR p_name LIKE 'large%' OR p_name LIKE 'blue%'),
+ u AS (
+  SELECT l_partkey pk, cast(floor(l_extendedprice * 100) AS bigint) cents
+  FROM lineitem WHERE l_returnflag = 'N'
+    AND l_partkey IN (SELECT p_partkey FROM sel)
+  UNION ALL
+  SELECT l_partkey, cast(floor(l_extendedprice * 100) AS bigint)
+  FROM lineitem WHERE l_returnflag = 'R'
+    AND l_partkey IN (SELECT p_partkey FROM sel)
+  UNION ALL
+  SELECT l_partkey, cast(floor(l_extendedprice * 100) AS bigint)
+  FROM lineitem WHERE l_returnflag = 'A'
+    AND l_partkey IN (SELECT p_partkey FROM sel))
+SELECT pk AS l_partkey, cast(sum(cents) AS bigint) total_cents,
+       cast(count(*) AS bigint) n
+FROM u GROUP BY pk
+ORDER BY total_cents DESC, l_partkey LIMIT 25
+"""
+
+# q5/q80: per-(channel, nation) gross vs returned value with the
+# all-levels ROLLUP — net is a derived integer column; subtotal rows
+# order NULLS FIRST on both engines (Spark default / DuckDB explicit).
+MINUS_RETURNS = """
+WITH base AS (
+  SELECT CASE l_linestatus WHEN 'O' THEN 'open' ELSE 'final' END chan,
+         n_name, cast(floor(l_extendedprice * 100) AS bigint) cents,
+         CASE WHEN l_returnflag = 'R'
+              THEN cast(floor(l_extendedprice * 100) AS bigint)
+              ELSE 0 END ret_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT chan, n_name,
+       cast(sum(cents) AS bigint) gross,
+       cast(sum(ret_cents) AS bigint) returned,
+       cast(sum(cents) - sum(ret_cents) AS bigint) net
+FROM base GROUP BY ROLLUP (chan, n_name)
+ORDER BY chan NULLS FIRST, n_name NULLS FIRST
+"""
+
 _SHAPES = {
+    "x_tpcds_before_after": BEFORE_AFTER,
+    "x_tpcds_month_vs_year": MONTH_VS_YEAR,
+    "x_tpcds_week_over_week": WEEK_OVER_WEEK,
+    "x_tpcds_prefix_union": PREFIX_UNION,
+    "x_tpcds_minus_returns": MINUS_RETURNS,
     "x_tpcds_week_seq": WEEK_SEQ,
     "x_tpcds_returns_ratio": RETURNS_RATIO,
     "x_tpcds_distinct_buckets": DISTINCT_BUCKETS,
@@ -1039,3 +1156,38 @@ ORDER BY yr
 """
 
 registry.register("x_tpcds_pivot", tpcds_pivot, TPCDS_PIVOT_ORACLE)
+
+
+# q62/q99 fulfilment-latency buckets: days between order and ship date
+# bucketed 0-30/31-60/61-90/>90 per priority tier.  Day-difference has
+# no one-text spelling (Spark datediff(end, start) vs DuckDB
+# datediff(part, start, end)) so the entry is a dialect pair, like
+# x_temporal_arith.
+SHIP_LATENCY_SPARK = """
+SELECT prio,
+       cast(sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS bigint) d30,
+       cast(sum(CASE WHEN dd > 30 AND dd <= 60 THEN 1 ELSE 0 END) AS bigint) d60,
+       cast(sum(CASE WHEN dd > 60 AND dd <= 90 THEN 1 ELSE 0 END) AS bigint) d90,
+       cast(sum(CASE WHEN dd > 90 THEN 1 ELSE 0 END) AS bigint) d90p,
+       cast(count(*) AS bigint) n
+FROM (SELECT o_orderpriority prio,
+             datediff(cast(l_shipdate AS date), cast(o_orderdate AS date)) dd
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+GROUP BY prio ORDER BY prio
+"""
+
+SHIP_LATENCY_DUCK = """
+SELECT prio,
+       cast(sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS bigint) d30,
+       cast(sum(CASE WHEN dd > 30 AND dd <= 60 THEN 1 ELSE 0 END) AS bigint) d60,
+       cast(sum(CASE WHEN dd > 60 AND dd <= 90 THEN 1 ELSE 0 END) AS bigint) d90,
+       cast(sum(CASE WHEN dd > 90 THEN 1 ELSE 0 END) AS bigint) d90p,
+       cast(count(*) AS bigint) n
+FROM (SELECT o_orderpriority prio,
+             datediff('day', cast(o_orderdate AS date), cast(l_shipdate AS date)) dd
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+GROUP BY prio ORDER BY prio
+"""
+
+registry.register(
+    "x_tpcds_ship_latency", _runner(SHIP_LATENCY_SPARK), SHIP_LATENCY_DUCK)
