@@ -188,7 +188,12 @@ def rewrite_group_windows(sql: str) -> str:
         if any(a <= m.start() < b for a, b in spans):
             continue  # inside a string literal
         open_idx = sql.index("(", m.end() - 1)
-        args, close_idx = _split_args(sql, open_idx)
+        try:
+            args, close_idx = _split_args(sql, open_idx)
+        except ValueError:
+            # unbalanced parens after the token — not a real call (e.g.
+            # a '-- TUMBLE(' comment fragment); leave the text alone
+            continue
         out.append(sql[pos : m.start()])
         out.append(_render(m.group(1), m.group(2) or "", args))
         pos = close_idx + 1

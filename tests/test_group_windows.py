@@ -234,3 +234,13 @@ def test_streaming_tumble_sql_equals_batch(tenv, tmp_path):
     finally:
         tenv.execute_sql("DROP TABLE gw_events_s")
         tenv.spark.catalog.dropTempView("gw_events_stream_v")
+
+
+def test_rewrite_tolerates_unbalanced_comment_fragment():
+    s = "SELECT 1 -- TUMBLE(oops\nFROM t"
+    assert rewrite_group_windows(s) == s
+    out = rewrite_group_windows(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) ws FROM t "
+        "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) -- HOP(x"
+    )
+    assert "window(ts, '3600000 milliseconds')" in out and "-- HOP(x" in out
