@@ -237,6 +237,17 @@ _SET_RE = re.compile(
 )
 _RESET_RE = re.compile(r"^RESET(?:\s+('?[\w.\-]+'?))?$", re.IGNORECASE)
 
+# FLIP-79 CREATE FUNCTION DDL (SqlCreateFunction): LANGUAGE PYTHON maps
+# the dotted path to a module attribute (plain callable or udf wrapper);
+# JAVA/SCALA (or no LANGUAGE) pass through to Spark's own CREATE
+# FUNCTION, which loads JVM classes from the session classpath.
+_CREATE_FUNC_RE = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+'([^']+)'"
+    r"(?:\s+LANGUAGE\s+(JAVA|SCALA|PYTHON))?\s*$",
+    re.IGNORECASE,
+)
+
 # cheap guard for the group-window rewrite (full scanner in
 # group_windows.py — only imported when a statement can contain one)
 _GW_TOKEN_RE = re.compile(
@@ -715,6 +726,30 @@ class DdlCatalog:
                 for spark_key in self._set_keys:
                     self.spark.conf.unset(spark_key)
                 self._set_keys.clear()
+            return None
+        mf = _CREATE_FUNC_RE.match(s)
+        if mf and (mf.group(4) or "").upper() == "PYTHON":
+            # FLIP-79 Python DDL function: the identifier's last
+            # component is the session-registry name (the registry is
+            # flat, like GenericInMemoryCatalog's function map per db);
+            # TEMPORARY and permanent both live for the session —
+            # documented delta, there is no persistent catalog here.
+            import importlib
+
+            from .udf import UserDefinedFunction, UserDefinedTableFunction
+
+            name = _strip_ticks(mf.group(2)).split(".")[-1]
+            path = mf.group(3)
+            if "." not in path:
+                raise ValueError(
+                    f"CREATE FUNCTION {name}: LANGUAGE PYTHON expects a "
+                    f"dotted module path, got {path!r}")
+            mod_name, attr = path.rsplit(".", 1)
+            obj = getattr(importlib.import_module(mod_name), attr)
+            if isinstance(obj, (UserDefinedFunction, UserDefinedTableFunction)):
+                obj.register(self.spark, name)
+            else:
+                self.spark.udf.register(name, obj)
             return None
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
             # FLIP-110 CREATE TABLE ... LIKE (shipped in Flink 1.11):

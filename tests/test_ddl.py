@@ -1195,3 +1195,32 @@ def test_alter_table_rename_and_set(spark, tmp_path):
         tenv.execute_sql("ALTER TABLE alt_t3 RENAME TO alt_t2")
     for t in ("alt_t2", "alt_t3"):
         tenv.execute_sql(f"DROP TABLE {t}")
+
+
+# --------------------------------------------- FLIP-79 CREATE FUNCTION DDL
+
+def test_create_function_python_plain_callable(tenv):
+    tenv.execute_sql(
+        "CREATE TEMPORARY FUNCTION shout_fn AS "
+        "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON"
+    )
+    row = tenv.execute_sql("SELECT shout_fn('abc') v").collect()[0]
+    assert row.v == "ABC"
+
+
+def test_create_function_python_udf_wrapper_and_qualified_name(tenv):
+    tenv.execute_sql(
+        "CREATE FUNCTION default_catalog.default_database.add_one_fn AS "
+        "'flink_1_11_1_spark.udf_examples.add_one' LANGUAGE PYTHON"
+    )
+    row = tenv.execute_sql("SELECT add_one_fn(41) v").collect()[0]
+    assert row.v == 42  # declared BIGINT result type survives
+
+
+def test_create_function_python_rejects_bare_name(tenv):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dotted module path"):
+        tenv.execute_sql(
+            "CREATE FUNCTION broken_fn AS 'noDotsHere' LANGUAGE PYTHON"
+        )
