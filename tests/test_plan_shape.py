@@ -291,3 +291,33 @@ def test_tapi_window_groups_by_struct(spark):
     plan = _entry_plan(spark, "x_tapi_window")
     assert "window#" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_sql_group_windows_plan_single_native_aggregate(spark):
+    """The group-window rewrite must land on ONE native hash aggregate
+    pair (partial + final) over the static TimeWindow expansion — no
+    Python stage, no extra exchange beyond the grouping shuffle."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    catalog.register(spark, SF_SMOKE)
+    tenv = TableEnvironment(spark)
+    df = tenv.execute_sql(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) ws, count(*) n "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 1  # one grouping shuffle only
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    # hop: the per-row window explosion is the static Expand/generator,
+    # still fully native
+    df2 = tenv.execute_sql(
+        "SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) ws, "
+        "count(*) n FROM events "
+        "GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan2
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan2
