@@ -658,6 +658,18 @@ class DdlCatalog:
             from .group_windows import rewrite_group_windows
 
             s = rewrite_group_windows(s)
+        if "LATERAL" in s.upper() or "SYSTEM_TIME" in s.upper():
+            # Flink join-surface compat: LATERAL TABLE(f(x)) → Spark's
+            # native LATERAL correlation; FOR SYSTEM_TIME AS OF
+            # (proctime lookup join) strips to a plain join — batch
+            # reads the dimension's current version by construction
+            # (see sql_compat.py).
+            from .sql_compat import (
+                rewrite_for_system_time,
+                rewrite_lateral_table,
+            )
+
+            s = rewrite_for_system_time(rewrite_lateral_table(s))
         if "MATCH_RECOGNIZE" in s.upper():
             # Spark SQL has no MATCH_RECOGNIZE.  The standalone Flink
             # statement shape routes straight to the engine front door;

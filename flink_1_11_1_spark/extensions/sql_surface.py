@@ -476,6 +476,45 @@ registry.register("x_array_ops", _sql_runner(ARRAY_SPARK), ARRAY_DUCK)
 registry.register("x_listagg_ordered", _sql_runner(LISTAGG_SPARK), LISTAGG_DUCK)
 registry.register("x_temporal_arith", _sql_runner(TEMPORAL_SPARK), TEMPORAL_DUCK)
 registry.register("x_text_tfidf", _sql_runner(TFIDF_SPARK), TFIDF_DUCK)
+# ------------------------- Flink join-surface compat (round 10 cont.)
+#
+# LATERAL TABLE(f(x)) — Calcite's collection-table operator, THE Flink
+# UDTF-correlate spelling — and FOR SYSTEM_TIME AS OF (the 1.11 lookup
+# join clause).  Both run the FLINK TEXT through the front door
+# (sql_compat.py rewrites); oracles are the plain unnest / plain-join
+# equivalents.
+
+SQL_LATERAL_FLINK = """
+SELECT token, count(*) n
+FROM documents, LATERAL TABLE(explode(split(trim(text), ' '))) AS T(token)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+SQL_LATERAL_DUCK = """
+SELECT token, count(*) n
+FROM (SELECT unnest(string_split(trim(text), ' ')) token FROM documents) t
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+SQL_SYSTEM_TIME_FLINK = """
+SELECT c.c_mktsegment seg, count(*) n,
+       sum(cast(floor(o_totalprice * 100) as bigint)) cents
+FROM orders JOIN customer FOR SYSTEM_TIME AS OF orders.o_orderdate AS c
+  ON c.c_custkey = o_custkey
+GROUP BY c.c_mktsegment ORDER BY seg
+"""
+
+SQL_SYSTEM_TIME_DUCK = """
+SELECT c.c_mktsegment seg, count(*) n,
+       cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) cents
+FROM orders JOIN customer c ON c.c_custkey = o_custkey
+GROUP BY c.c_mktsegment ORDER BY seg
+"""
+
+
 registry.register("x_sql_tumble", _flink_sql_runner(SQL_TUMBLE_FLINK), SQL_TUMBLE_DUCK)
 registry.register("x_sql_hop", _flink_sql_runner(SQL_HOP_FLINK), SQL_HOP_DUCK)
 registry.register("x_sql_session", _flink_sql_runner(SQL_SESSION_FLINK), SQL_SESSION_DUCK)
+registry.register("x_sql_lateral", _flink_sql_runner(SQL_LATERAL_FLINK), SQL_LATERAL_DUCK)
+registry.register(
+    "x_sql_system_time", _flink_sql_runner(SQL_SYSTEM_TIME_FLINK), SQL_SYSTEM_TIME_DUCK)

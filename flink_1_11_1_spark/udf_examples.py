@@ -13,7 +13,23 @@ Flink types.
 
 from __future__ import annotations
 
-from .udf import DataTypes, udf
+from .udf import DataTypes, udf, udtf
+
+
+def _pair_tokens(s):
+    if s is None:
+        return
+    for w in str(s).split(" "):
+        if w:
+            yield (w,)
+
+
+pair_tokens = udtf(
+    _pair_tokens,
+    input_types=[DataTypes.STRING()],
+    result_types=[DataTypes.STRING()],
+    field_names=["w"],
+)
 
 
 def shout(s):
