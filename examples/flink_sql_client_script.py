@@ -87,4 +87,32 @@ for r in rows:
     print(f"tier={r.tier} funnels={r.funnels} cents={r.cents}")
 assert [(r.tier, r.funnels, r.cents) for r in rows] == [
     ("basic", 1, 5500), ("gold", 1, 12000)]
+
+# -- SQL group windows (the 1.11 windowing syntax) ----------------------
+win = tenv.execute_sql("""
+SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+       count(*) AS n, sum(cents) AS cents
+FROM clicks
+GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+ORDER BY ws
+""").collect()
+for r in win:
+    print(f"window={r.ws} n={r.n} cents={r.cents}")
+assert [(str(r.ws), r.n, r.cents) for r in win] == [
+    ("2024-01-01 10:00:00", 2, 12950), ("2024-01-01 11:00:00", 4, 6300)]
+
+# -- FLIP-79 CREATE FUNCTION + LATERAL TABLE + lookup join --------------
+tenv.execute_sql(
+    "CREATE TEMPORARY FUNCTION tokenize AS "
+    "'flink_1_11_1_spark.udf_examples.pair_tokens' LANGUAGE PYTHON")
+lat = tenv.execute_sql("""
+SELECT t.tier, w AS token, count(*) AS n
+FROM clicks JOIN tiers FOR SYSTEM_TIME AS OF clicks.ts AS t
+  ON t.user_id = clicks.user_id,
+LATERAL TABLE(tokenize(clicks.event_type)) AS T(w)
+GROUP BY t.tier, w ORDER BY t.tier, w
+""").collect()
+for r in lat:
+    print(f"tier={r.tier} token={r.token} n={r.n}")
+assert ("gold", "purchase", 1) in [(r.tier, r.token, r.n) for r in lat]
 print("OK")
