@@ -1044,7 +1044,23 @@ FROM base GROUP BY ROLLUP (chan, n_name)
 ORDER BY chan NULLS FIRST, n_name NULLS FIRST
 """
 
+# q27/q80 explicit GROUPING SETS (beyond the ROLLUP/CUBE entries): the
+# four-set mix — full pair, each single dim, grand total — with the
+# GROUPING() level exposed; subtotal rows are unique within a level so
+# (lvl, seg NULLS FIRST, prio NULLS FIRST) is a total order.
+GROUPING_SETS = """
+SELECT c_mktsegment, o_orderpriority,
+       cast(grouping(c_mktsegment) + grouping(o_orderpriority) AS bigint) lvl,
+       cast(count(*) AS bigint) n,
+       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment),
+                        (o_orderpriority), ())
+ORDER BY lvl, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
 _SHAPES = {
+    "x_tpcds_grouping_sets": GROUPING_SETS,
     "x_tpcds_before_after": BEFORE_AFTER,
     "x_tpcds_month_vs_year": MONTH_VS_YEAR,
     "x_tpcds_week_over_week": WEEK_OVER_WEEK,

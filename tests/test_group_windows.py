@@ -244,3 +244,64 @@ def test_rewrite_tolerates_unbalanced_comment_fragment():
         "GROUP BY TUMBLE(ts, INTERVAL '1' HOUR) -- HOP(x"
     )
     assert "window(ts, '3600000 milliseconds')" in out and "-- HOP(x" in out
+
+
+def test_streaming_hop_and_session_sql_equal_batch(tenv, tmp_path):
+    """HOP and SESSION families through the streaming SQL path (the
+    tumble twin above covers TUMBLE): Spark plans both natively on a
+    watermarked streaming view after the rewrite."""
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.streaming import replay
+
+    d = str(tmp_path / "replay_gw2")
+    replay.write_replay(tenv.spark, SF_SMOKE, d, parts=4)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE gw_events_s2 (
+          event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING,
+          WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
+        ) WITH ('connector'='filesystem', 'path'='{d}', 'format'='parquet',
+                'source.max-files-per-trigger'='1')
+        """
+    )
+    try:
+        stream = tenv.stream_table("gw_events_s2")
+        stream.createOrReplaceTempView("gw_events_stream_v2")
+        hop = tenv.execute_sql(
+            "SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) ws, "
+            "count(*) n FROM gw_events_stream_v2 "
+            "GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
+        )
+        assert hop.isStreaming
+        got_hop, dropped = replay.run_stream(hop, "append", "gw_sql_hop")
+        assert dropped == 0
+        catalog.register(tenv.spark, SF_SMOKE)
+        want_hop = tenv.execute_sql(
+            "SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) ws, "
+            "count(*) n FROM events "
+            "GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"
+        ).collect()
+        assert {(str(r.ws), r.n) for r in got_hop} == {
+            (str(r.ws), r.n) for r in want_hop
+        }
+
+        sess = tenv.execute_sql(
+            "SELECT user_id, SESSION_START(ts, INTERVAL '30' MINUTE) ss, "
+            "count(*) n FROM gw_events_stream_v2 "
+            "GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)"
+        )
+        assert sess.isStreaming
+        got_sess, dropped2 = replay.run_stream(sess, "append", "gw_sql_sess")
+        assert dropped2 == 0
+        want_sess = tenv.execute_sql(
+            "SELECT user_id, SESSION_START(ts, INTERVAL '30' MINUTE) ss, "
+            "count(*) n FROM events "
+            "GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)"
+        ).collect()
+        assert {(r.user_id, str(r.ss), r.n) for r in got_sess} == {
+            (r.user_id, str(r.ss), r.n) for r in want_sess
+        }
+    finally:
+        tenv.execute_sql("DROP TABLE gw_events_s2")
+        tenv.spark.catalog.dropTempView("gw_events_stream_v2")
