@@ -242,9 +242,9 @@ _RESET_RE = re.compile(r"^RESET(?:\s+('?[\w.\-]+'?))?$", re.IGNORECASE)
 # JAVA/SCALA (or no LANGUAGE) pass through to Spark's own CREATE
 # FUNCTION, which loads JVM classes from the session classpath.
 _CREATE_FUNC_RE = re.compile(
-    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+'([^']+)'"
-    r"(?:\s+LANGUAGE\s+(JAVA|SCALA|PYTHON))?\s*$",
+    r"^CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+'([^']+)'"
+    r"(?:\s+LANGUAGE\s+(JAVA|SCALA|PYTHON))?(?:\s*--[^\n]*)?\s*$",
     re.IGNORECASE,
 )
 
@@ -289,6 +289,86 @@ def _strip_quotes(v: str) -> str:
 _HINT_RE = re.compile(
     r"([`\w.]+)\s*/\*\+\s*OPTIONS\s*\(((?:'[^']*'|[^')])*)\)\s*\*/", re.IGNORECASE
 )
+
+
+def _comment_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans of SQL comments (``--`` to end-of-line and
+    ``/* */`` blocks) OUTSIDE string literals/backtick identifiers.
+    Text rewrites must skip these — a window/lateral-shaped fragment in
+    a comment is not a call (found by review: a balanced
+    ``-- see SESSION(user)`` fragment crashed the group-window
+    renderer)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if q in "'\"" and s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if s[i + 1 : i + 2] == q:
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+        elif ch == "-" and s[i + 1 : i + 2] == "-":
+            j = s.find("\n", i)
+            j = n if j == -1 else j
+            spans.append((i, j))
+            i = j
+        elif ch == "/" and s[i + 1 : i + 2] == "*":
+            j = s.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _split_call_args(s: str, open_idx: int) -> tuple[list[str], int]:
+    """Split the balanced-paren argument list opening at ``open_idx``
+    into top-level comma-separated args (quote-aware: single/double
+    quotes with backslash + doubled-quote escapes, backtick
+    identifiers); returns (args, close_idx).  The ONE shared scanner
+    for call-shaped rewrites (group windows, LATERAL TABLE) — per the
+    CLAUDE.md scanner lesson, do not fork another copy."""
+    depth = 0
+    args: list[str] = []
+    start = open_idx + 1
+    i, n = open_idx, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            q = ch
+            i += 1
+            while i < n:
+                if q in "'\"" and s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if s[i + 1 : i + 2] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(s[start:i].strip())
+                return args, i
+        elif ch == "," and depth == 1:
+            args.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in call argument list")
 
 
 def _quoted_spans(s: str) -> list[tuple[int, int]]:
@@ -609,6 +689,9 @@ class DdlCatalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, CreateTable] = {}
+        # names registered through CREATE FUNCTION ... LANGUAGE PYTHON
+        # (duplicate-detection per Flink's create-function semantics)
+        self._ddl_functions: set[str] = set()
         # Multi-catalog surface (Flink CatalogManager +
         # GenericInMemoryCatalog, flink-table-common catalog/Catalog.java):
         # catalogs → their databases; (catalog, database, table) →
@@ -669,7 +752,13 @@ class DdlCatalog:
                 rewrite_lateral_table,
             )
 
-            s = rewrite_for_system_time(rewrite_lateral_table(s))
+            rowtime_cols = {
+                ct.watermark_col
+                for ct in self.tables.values()
+                if ct.watermark_col
+            }
+            s = rewrite_for_system_time(
+                rewrite_lateral_table(s), rowtime_cols)
         if "MATCH_RECOGNIZE" in s.upper():
             # Spark SQL has no MATCH_RECOGNIZE.  The standalone Flink
             # statement shape routes straight to the engine front door;
@@ -739,19 +828,49 @@ class DdlCatalog:
                     self.spark.conf.unset(spark_key)
                 self._set_keys.clear()
             return None
+        md_fn = re.match(
+            r"^DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(IF\s+EXISTS\s+)?([\w.`]+)\s*$", s, re.IGNORECASE)
+        if md_fn and _strip_ticks(md_fn.group(2)).split(".")[-1] in self._ddl_functions:
+            # DDL-created Python functions register as session temporary
+            # functions — route the drop accordingly regardless of the
+            # user's TEMPORARY spelling.
+            name = _strip_ticks(md_fn.group(2)).split(".")[-1]
+            self._ddl_functions.discard(name)
+            return self.spark.sql(f"DROP TEMPORARY FUNCTION {name}")
         mf = _CREATE_FUNC_RE.match(s)
-        if mf and (mf.group(4) or "").upper() == "PYTHON":
+        if mf:
+            or_replace, if_not_exists = bool(mf.group(1)), bool(mf.group(3))
+            name = _strip_ticks(mf.group(4)).split(".")[-1]
+            lang = (mf.group(6) or "").upper()
+            if lang != "PYTHON":
+                # JAVA/SCALA (or LANGUAGE-less): delegate to Spark's own
+                # CREATE FUNCTION loader — but Spark's grammar has no
+                # LANGUAGE token, so strip the clause first (review
+                # finding: the raw passthrough was a ParseException).
+                return self.spark.sql(
+                    re.sub(r"\s+LANGUAGE\s+(?:JAVA|SCALA)\s*$", "", s,
+                           flags=re.IGNORECASE))
             # FLIP-79 Python DDL function: the identifier's last
             # component is the session-registry name (the registry is
             # flat, like GenericInMemoryCatalog's function map per db);
             # TEMPORARY and permanent both live for the session —
             # documented delta, there is no persistent catalog here.
+            # Duplicate semantics follow Flink: IF NOT EXISTS no-ops on
+            # an existing name, OR REPLACE rebinds, a bare duplicate
+            # CREATE raises.
+            if name in self._ddl_functions:
+                if if_not_exists:
+                    return None
+                if not or_replace:
+                    raise ValueError(
+                        f"CREATE FUNCTION {name}: function already exists "
+                        "(use OR REPLACE, or IF NOT EXISTS to no-op)")
             import importlib
 
             from .udf import UserDefinedFunction, UserDefinedTableFunction
 
-            name = _strip_ticks(mf.group(2)).split(".")[-1]
-            path = mf.group(3)
+            path = mf.group(5)
             if "." not in path:
                 raise ValueError(
                     f"CREATE FUNCTION {name}: LANGUAGE PYTHON expects a "
@@ -762,6 +881,7 @@ class DdlCatalog:
                 obj.register(self.spark, name)
             else:
                 self.spark.udf.register(name, obj)
+            self._ddl_functions.add(name)
             return None
         if up.startswith("CREATE") and " TABLE" in up.split("(", 1)[0]:
             # FLIP-110 CREATE TABLE ... LIKE (shipped in Flink 1.11):

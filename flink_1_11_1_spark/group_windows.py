@@ -41,7 +41,7 @@ from __future__ import annotations
 import re
 from decimal import Decimal
 
-from .ddl import _quoted_spans
+from .ddl import _comment_spans, _quoted_spans, _split_call_args
 
 _GW_RE = re.compile(
     r"(?<![\w.])(TUMBLE|HOP|SESSION)(_START|_END|_ROWTIME|_PROCTIME)?\s*\(",
@@ -107,40 +107,7 @@ def _duration(text: str) -> str:
     return f"{_interval_ms(text)} milliseconds"
 
 
-def _split_args(s: str, open_idx: int) -> tuple[list[str], int]:
-    """Split the balanced-paren argument list opening at ``open_idx``
-    into top-level comma-separated args; returns (args, close_idx)."""
-    depth = 0
-    args: list[str] = []
-    start = open_idx + 1
-    i, n = open_idx, len(s)
-    while i < n:
-        ch = s[i]
-        if ch in "'\"`":
-            q = ch
-            i += 1
-            while i < n:
-                if q in "'\"" and s[i] == "\\":
-                    i += 2
-                    continue
-                if s[i] == q:
-                    if s[i + 1 : i + 2] == q:
-                        i += 2
-                        continue
-                    break
-                i += 1
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                args.append(s[start:i].strip())
-                return args, i
-        elif ch == "," and depth == 1:
-            args.append(s[start:i].strip())
-            start = i + 1
-        i += 1
-    raise ValueError("unbalanced parentheses in group-window call")
+# argument splitting: the shared quote-aware scanner (ddl._split_call_args)
 
 
 def _render(fn: str, suffix: str, args: list[str]) -> str:
@@ -179,20 +146,21 @@ def rewrite_group_windows(sql: str) -> str:
     Spark window form.  No-op (same object) when no call is present."""
     if not _GW_RE.search(sql):
         return sql
-    spans = _quoted_spans(sql)
+    skip = _quoted_spans(sql) + _comment_spans(sql)
     out: list[str] = []
     pos = 0
     for m in _GW_RE.finditer(sql):
         if m.start() < pos:
             continue  # inside an argument list already consumed
-        if any(a <= m.start() < b for a, b in spans):
-            continue  # inside a string literal
+        if any(a <= m.start() < b for a, b in skip):
+            continue  # inside a string literal or comment
         open_idx = sql.index("(", m.end() - 1)
         try:
-            args, close_idx = _split_args(sql, open_idx)
+            args, close_idx = _split_call_args(sql, open_idx)
         except ValueError:
-            # unbalanced parens after the token — not a real call (e.g.
-            # a '-- TUMBLE(' comment fragment); leave the text alone
+            # unbalanced parens after the token — not a real call
+            # (e.g. a window-shaped fragment in an unterminated
+            # construct); leave the text alone
             continue
         out.append(sql[pos : m.start()])
         out.append(_render(m.group(1), m.group(2) or "", args))

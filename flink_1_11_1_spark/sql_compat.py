@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import re
 
-from .ddl import _quoted_spans
+from .ddl import _comment_spans, _quoted_spans, _split_call_args
 
 _LATERAL_TABLE_RE = re.compile(
     r"(?<![\w.])LATERAL\s+TABLE\s*\(", re.IGNORECASE
@@ -40,50 +40,21 @@ _FOR_SYSTEM_TIME_RE = re.compile(
 )
 
 
-def _balanced_close(s: str, open_idx: int) -> int:
-    """Index of the ')' matching the '(' at open_idx (quote-aware)."""
-    depth = 0
-    i, n = open_idx, len(s)
-    while i < n:
-        ch = s[i]
-        if ch in "'\"`":
-            q = ch
-            i += 1
-            while i < n:
-                if q in "'\"" and s[i] == "\\":
-                    i += 2
-                    continue
-                if s[i] == q:
-                    if s[i + 1 : i + 2] == q:
-                        i += 2
-                        continue
-                    break
-                i += 1
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth == 0:
-                return i
-        i += 1
-    raise ValueError("unbalanced parentheses in LATERAL TABLE")
-
-
 def rewrite_lateral_table(sql: str) -> str:
     """``LATERAL TABLE (call)`` → ``LATERAL call`` (alias list kept)."""
     if not _LATERAL_TABLE_RE.search(sql):
         return sql
-    spans = _quoted_spans(sql)
+    skip = _quoted_spans(sql) + _comment_spans(sql)
     out: list[str] = []
     pos = 0
     for m in _LATERAL_TABLE_RE.finditer(sql):
-        if m.start() < pos or any(a <= m.start() < b for a, b in spans):
+        if m.start() < pos or any(a <= m.start() < b for a, b in skip):
             continue
         open_idx = sql.index("(", m.end() - 1)
         try:
-            close_idx = _balanced_close(sql, open_idx)
+            _args, close_idx = _split_call_args(sql, open_idx)
         except ValueError:
-            continue  # comment fragment etc. — leave untouched
+            continue  # unterminated fragment — leave untouched
         inner = sql[open_idx + 1 : close_idx].strip()
         out.append(sql[pos : m.start()])
         out.append(f"LATERAL {inner}")
@@ -92,18 +63,38 @@ def rewrite_lateral_table(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite_for_system_time(sql: str) -> str:
+def rewrite_for_system_time(
+    sql: str, rowtime_cols: set[str] | None = None
+) -> str:
     """Strip ``FOR SYSTEM_TIME AS OF <proctime-attr>`` (lookup-join
     clause): batch execution reads the dimension's current version by
-    construction, which IS the 1.11 proctime lookup contract."""
+    construction, which IS the 1.11 proctime lookup contract.
+
+    ``rowtime_cols`` are the session's declared WATERMARK (rowtime)
+    column names: Flink 1.11 VALIDATES the clause's attribute as
+    processing-time, and an event-time attribute here means the user
+    wants a versioned temporal join — stripping would silently join
+    the CURRENT dimension version to every historical fact, so that
+    case raises toward the dedicated operators instead (review
+    finding; operators/joins.asof_join,
+    streaming/temporal.streaming_temporal_rowtime_join)."""
     if "SYSTEM_TIME" not in sql.upper():
         return sql
-    spans = _quoted_spans(sql)
+    skip = _quoted_spans(sql) + _comment_spans(sql)
     out: list[str] = []
     pos = 0
     for m in _FOR_SYSTEM_TIME_RE.finditer(sql):
-        if m.start() < pos or any(a <= m.start() < b for a, b in spans):
+        if m.start() < pos or any(a <= m.start() < b for a, b in skip):
             continue
+        attr = m.group(0).split()[-1].replace("`", "")
+        col = attr.split(".")[-1].rstrip("()")
+        if rowtime_cols and col in rowtime_cols:
+            raise ValueError(
+                f"FOR SYSTEM_TIME AS OF {attr}: {col} is a declared "
+                "rowtime (WATERMARK) attribute — Flink 1.11 only accepts "
+                "a processing-time attribute here.  For an event-time "
+                "versioned join use operators.joins.asof_join (batch) or "
+                "streaming.temporal.streaming_temporal_rowtime_join.")
         out.append(sql[pos : m.start()])
         pos = m.end()
     out.append(sql[pos:])

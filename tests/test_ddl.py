@@ -1224,3 +1224,57 @@ def test_create_function_python_rejects_bare_name(tenv):
         tenv.execute_sql(
             "CREATE FUNCTION broken_fn AS 'noDotsHere' LANGUAGE PYTHON"
         )
+
+
+def test_create_function_java_passthrough_strips_language(tenv):
+    """Spark's grammar has no LANGUAGE token — the clause must strip
+    before delegation.  The class resolves lazily at first CALL, so a
+    successful CREATE (no ParseException at 'LANGUAGE') proves the
+    strip; invoking then fails inside Spark's own class loader (an
+    AnalysisException naming the class — NOT a parse error), which is
+    the native behavior for a JVM UDF without its jar/Hive support."""
+    from pyspark.errors import AnalysisException
+
+    tenv.execute_sql(
+        "CREATE TEMPORARY FUNCTION j_upper AS "
+        "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper' "
+        "LANGUAGE JAVA"
+    )
+    with pytest.raises(AnalysisException, match="GenericUDFUpper"):
+        tenv.execute_sql("SELECT j_upper('ab') v").collect()
+    tenv.execute_sql("DROP TEMPORARY FUNCTION j_upper")
+
+
+def test_create_function_duplicate_semantics(tenv):
+    import pytest as _pytest
+
+    tenv.execute_sql(
+        "CREATE FUNCTION dup_fn AS "
+        "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON")
+    # bare duplicate raises (Flink semantics)
+    with _pytest.raises(ValueError, match="already exists"):
+        tenv.execute_sql(
+            "CREATE FUNCTION dup_fn AS "
+            "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON")
+    # IF NOT EXISTS no-ops; OR REPLACE rebinds
+    tenv.execute_sql(
+        "CREATE FUNCTION IF NOT EXISTS dup_fn AS "
+        "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON")
+    tenv.execute_sql(
+        "CREATE OR REPLACE FUNCTION dup_fn AS "
+        "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON")
+    # DROP retires the name; re-CREATE then works bare
+    tenv.execute_sql("DROP FUNCTION dup_fn")
+    tenv.execute_sql(
+        "CREATE FUNCTION dup_fn AS "
+        "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON")
+    tenv.execute_sql("DROP FUNCTION dup_fn")
+
+
+def test_create_function_trailing_comment(tenv):
+    tenv.execute_sql(
+        "CREATE TEMPORARY FUNCTION cmt_fn AS "
+        "'flink_1_11_1_spark.udf_examples.shout' LANGUAGE PYTHON "
+        "-- registers tokenizer")
+    assert tenv.execute_sql("SELECT cmt_fn('x') v").collect()[0].v == "X"
+    tenv.execute_sql("DROP FUNCTION cmt_fn")

@@ -110,3 +110,55 @@ def test_create_function_udtf_plus_lateral_table(tenv):
         "ORDER BY s, w"
     ).collect()
     assert [(r.s, r.w) for r in got] == [("a b", "a"), ("a b", "b"), ("c", "c")]
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_rewrites_skip_comment_fragments():
+    from flink_1_11_1_spark.group_windows import rewrite_group_windows
+
+    # balanced comment fragment with non-window args must not crash
+    s = "SELECT 1 -- see SESSION(user) for details\nFROM t"
+    assert rewrite_group_windows(s) == s
+    s2 = "SELECT 1 /* HOP(x) explanation */ FROM t"
+    assert rewrite_group_windows(s2) == s2
+    s3 = "SELECT 1 -- LATERAL TABLE(f(x)) note\nFROM t"
+    assert rewrite_lateral_table(s3) == s3
+    s4 = "SELECT 1 -- FOR SYSTEM_TIME AS OF o.pt\nFROM t"
+    assert rewrite_for_system_time(s4) == s4
+
+
+def test_for_system_time_rejects_declared_rowtime_attr():
+    with pytest.raises(ValueError, match="rowtime"):
+        rewrite_for_system_time(
+            "SELECT * FROM f JOIN d FOR SYSTEM_TIME AS OF f.ts AS d ON 1=1",
+            rowtime_cols={"ts"},
+        )
+    # non-rowtime attributes still strip
+    out = rewrite_for_system_time(
+        "JOIN d FOR SYSTEM_TIME AS OF f.pt d ON 1=1", rowtime_cols={"ts"})
+    assert out == "JOIN d d ON 1=1"
+
+
+def test_for_system_time_rowtime_guard_wired_through_ddl(tenv, tmp_path):
+    from flink_1_11_1_spark import catalog
+
+    catalog.register(tenv.spark, SF_SMOKE)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE gw_guard_t (
+          event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+          WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
+        ) WITH ('connector'='filesystem', 'path'='{tmp_path}/x',
+                'format'='parquet')
+        """
+    )
+    try:
+        with pytest.raises(ValueError, match="rowtime"):
+            tenv.execute_sql(
+                "SELECT * FROM orders JOIN customer "
+                "FOR SYSTEM_TIME AS OF orders.ts AS c "
+                "ON c.c_custkey = o_custkey"
+            )
+    finally:
+        tenv.execute_sql("DROP TABLE gw_guard_t")
