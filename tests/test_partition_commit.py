@@ -3,6 +3,8 @@ watermark-gated visibility, retry/restart exactness, late-data safety."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_1_11_1_spark.sources.partition_commit import (
@@ -10,6 +12,8 @@ from flink_1_11_1_spark.sources.partition_commit import (
     read_committed,
 )
 from flink_1_11_1_spark.streaming import replay
+
+pytestmark = pytest.mark.streaming  # replay e2e battery: -m "not streaming" skips
 
 BASE = (1_700_000_000 // 3600) * 3600
 

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from flink_1_11_1_spark.streaming import replay
 from flink_1_11_1_spark.streaming.ttl import dedup_first_ttl
 
+pytestmark = pytest.mark.streaming  # replay e2e battery: -m "not streaming" skips
+
 
 def _stream(spark, tmp_path, frames, tag):
     rdir = str(tmp_path / tag)

@@ -11,6 +11,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.streaming  # replay e2e battery: -m "not streaming" skips
+
 from pyspark.sql import functions as F
 
 from flink_1_11_1_spark import catalog
