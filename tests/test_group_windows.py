@@ -305,3 +305,59 @@ def test_streaming_hop_and_session_sql_equal_batch(tenv, tmp_path):
     finally:
         tenv.execute_sql("DROP TABLE gw_events_s2")
         tenv.spark.catalog.dropTempView("gw_events_stream_v2")
+
+
+@pytest.mark.parametrize("slide_min,size_min", [(30, 60), (20, 60), (30, 90)])
+def test_hop_equivalence_general_multiples(tenv, slide_min, size_min):
+    """HOP(ts, slide, size) with size = k*slide must equal the union of
+    k phase-shifted slide-grained tumbles — the general-k version of
+    the q35 identity (k=2, 3 covered)."""
+    from flink_1_11_1_spark import catalog
+
+    catalog.register(tenv.spark, SF_SMOKE)
+    got = tenv.execute_sql(
+        f"SELECT HOP_START(ts, INTERVAL '{slide_min}' MINUTE, "
+        f"INTERVAL '{size_min}' MINUTE) ws, count(*) n FROM events "
+        f"GROUP BY HOP(ts, INTERVAL '{slide_min}' MINUTE, "
+        f"INTERVAL '{size_min}' MINUTE) ORDER BY ws"
+    ).collect()
+    k = size_min // slide_min
+    ms = slide_min * 60000
+    want = tenv.spark.sql(
+        f"""
+        WITH base AS (
+          SELECT timestamp_millis(
+                   floor(unix_millis(ts) / {ms}) * {ms}) slot FROM events)
+        SELECT ws, count(*) n FROM (
+          SELECT slot - make_interval(0, 0, 0, 0, 0, {slide_min} * i, 0) ws
+          FROM base LATERAL VIEW explode(sequence(0, {k - 1})) t AS i)
+        GROUP BY ws ORDER BY ws
+        """
+    ).collect()
+    assert [(r.ws, r.n) for r in got] == [(r.ws, r.n) for r in want]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _MS_U = {"SECOND": 1000, "MINUTE": 60000, "HOUR": 3600000,
+             "DAY": 86400000}
+
+    @given(st.integers(1, 10**6),
+           st.sampled_from(["SECOND", "MINUTE", "HOUR", "DAY"]))
+    @settings(max_examples=60, deadline=None)
+    def test_interval_fuzz_single_field(v, unit):
+        assert _interval_ms(f"INTERVAL '{v}' {unit}") == v * _MS_U[unit]
+
+    @given(st.integers(0, 3), st.integers(0, 23),
+           st.integers(0, 59), st.integers(0, 59))
+    @settings(max_examples=60, deadline=None)
+    def test_interval_fuzz_day_to_second(d, h, m, s):
+        want = ((d * 24 + h) * 60 + m) * 60000 + s * 1000
+        if want == 0:
+            return  # zero-length windows are rejected by design
+        got = _interval_ms(f"INTERVAL '{d} {h}:{m}:{s}' DAY TO SECOND")
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass
