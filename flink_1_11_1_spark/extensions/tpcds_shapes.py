@@ -1059,7 +1059,39 @@ GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment),
 ORDER BY lvl, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
+# q96/q90 time-of-day slices: per event type, counts in four six-hour
+# bands of the day — extract(hour) is portable (integer hour on both).
+HOUR_SLICES = """
+SELECT event_type,
+       cast(sum(CASE WHEN extract(hour FROM ts) < 6 THEN 1 ELSE 0 END) AS bigint) night,
+       cast(sum(CASE WHEN extract(hour FROM ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS bigint) morning,
+       cast(sum(CASE WHEN extract(hour FROM ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS bigint) afternoon,
+       cast(sum(CASE WHEN extract(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS bigint) evening,
+       cast(count(*) AS bigint) total
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# q17/q39 dispersion without STDDEV: per-brand quantity (n, Σx, Σx²)
+# kept integer-exact, with the coefficient-of-variation band decided by
+# an integer cross-multiplication (CoV² > 8/25 ⇔ 25·(n·Σx²−Σx²) >
+# 8·(Σx)² — identical on both engines, no float in the contract).
+VARIANCE_BAND = """
+WITH s AS (
+  SELECT p_brand,
+         cast(count(*) AS bigint) n,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) sum_q,
+         cast(sum(cast(l_quantity AS bigint) * cast(l_quantity AS bigint)) AS bigint) sumsq_q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand)
+SELECT p_brand, n, sum_q, sumsq_q,
+       CASE WHEN 25 * (n * sumsq_q - sum_q * sum_q) > 8 * sum_q * sum_q
+            THEN 'hi' ELSE 'lo' END disp_band
+FROM s WHERE n >= 10 ORDER BY p_brand
+"""
+
 _SHAPES = {
+    "x_tpcds_hour_slices": HOUR_SLICES,
+    "x_tpcds_variance_band": VARIANCE_BAND,
     "x_tpcds_grouping_sets": GROUPING_SETS,
     "x_tpcds_before_after": BEFORE_AFTER,
     "x_tpcds_month_vs_year": MONTH_VS_YEAR,
