@@ -294,6 +294,11 @@ def gen_temporal_query(rng: random.Random) -> str:
             f"cast(day({ts}) as bigint)",
             f"cast(date_trunc('month', {ts}) as timestamp)",
             f"cast(date_trunc('year', {ts}) as timestamp)",
+            # round-10 additions: both engines extract ISO-8601 weeks
+            # and integer hours (probed; see tpcds week_over_week and
+            # hour_slices shapes)
+            f"cast(extract(week from {ts}) as bigint)",
+            f"cast(extract(hour from {ts}) as bigint)",
         ]
     )
     return (
