@@ -122,3 +122,22 @@ def test_round9_example_runs(spark):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_llm_pipeline_example_runs(spark):
+    """examples/llm_data_pipeline.py composes the extension operators
+    (exact + LSH dedup, quality gate, decontamination, PII audit,
+    token quota, batch packing) end-to-end — executed as a subprocess
+    like a real user would."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "examples",
+                                      "llm_data_pipeline.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
