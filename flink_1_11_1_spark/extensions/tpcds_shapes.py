@@ -1062,13 +1062,15 @@ ORDER BY lvl, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
 # q96/q90 time-of-day slices: per event type, counts in four six-hour
 # bands of the day — extract(hour) is portable (integer hour on both).
 HOUR_SLICES = """
+WITH h AS (
+  SELECT event_type, cast(extract(hour FROM ts) AS bigint) hr FROM events)
 SELECT event_type,
-       cast(sum(CASE WHEN extract(hour FROM ts) < 6 THEN 1 ELSE 0 END) AS bigint) night,
-       cast(sum(CASE WHEN extract(hour FROM ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS bigint) morning,
-       cast(sum(CASE WHEN extract(hour FROM ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS bigint) afternoon,
-       cast(sum(CASE WHEN extract(hour FROM ts) >= 18 THEN 1 ELSE 0 END) AS bigint) evening,
+       cast(sum(CASE WHEN hr < 6 THEN 1 ELSE 0 END) AS bigint) night,
+       cast(sum(CASE WHEN hr BETWEEN 6 AND 11 THEN 1 ELSE 0 END) AS bigint) morning,
+       cast(sum(CASE WHEN hr BETWEEN 12 AND 17 THEN 1 ELSE 0 END) AS bigint) afternoon,
+       cast(sum(CASE WHEN hr >= 18 THEN 1 ELSE 0 END) AS bigint) evening,
        cast(count(*) AS bigint) total
-FROM events GROUP BY event_type ORDER BY event_type
+FROM h GROUP BY event_type ORDER BY event_type
 """
 
 # q17/q39 dispersion without STDDEV: per-brand quantity (n, Σx, Σx²)
