@@ -60,6 +60,13 @@ Round-10 tranche three:
   q56/q60 prefix-part channel union   → x_tpcds_prefix_union
   q5/q80 gross-vs-returned ROLLUP     → x_tpcds_minus_returns
   q62/q99 fulfilment-latency buckets  → x_tpcds_ship_latency
+
+Round-10 tranche five:
+  q97 full-outer channel overlap      → x_tpcds_channel_overlap
+  q28 band-sliced scalar aggregates   → x_tpcds_band_stats
+  q12/q20/q98 class revenue share     → x_tpcds_class_share
+  q8 selection-by-INTERSECT + floor   → x_tpcds_prefix_intersect
+  q53/q63 month-vs-quarter deviation  → x_tpcds_quarter_trend
 """
 
 from __future__ import annotations
@@ -1091,7 +1098,116 @@ SELECT p_brand, n, sum_q, sumsq_q,
 FROM s WHERE n >= 10 ORDER BY p_brand
 """
 
+# q97 channel-overlap: the DISTINCT (customer, part) pair sets of two
+# channels FULL OUTER JOINed, with the null pattern classifying each
+# pair as store-only / web-only / both — TPC-DS's canonical full-outer
+# set-overlap report.  All counts integer; one row.
+CHANNEL_OVERLAP = """
+WITH ss AS (
+  SELECT DISTINCT o_custkey ck, l_partkey pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'N'),
+ws AS (
+  SELECT DISTINCT o_custkey ck, l_partkey pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R')
+SELECT cast(sum(CASE WHEN ws.ck IS NULL THEN 1 ELSE 0 END) AS bigint) store_only,
+       cast(sum(CASE WHEN ss.ck IS NULL THEN 1 ELSE 0 END) AS bigint) web_only,
+       cast(sum(CASE WHEN ss.ck IS NOT NULL AND ws.ck IS NOT NULL THEN 1 ELSE 0 END) AS bigint) both_ch
+FROM ss FULL OUTER JOIN ws ON ss.ck = ws.ck AND ss.pk = ws.pk
+"""
+
+# q28 band-sliced scalar aggregates: four independent quantity bands,
+# each a scalar-aggregate subquery (count / exact cents / distinct
+# price points), cross-joined into one reporting row — the TPC-DS
+# shape where one query fans into N disjoint full-table slices.
+BAND_STATS = """
+SELECT b1.n n1, b1.cents c1, b1.dp dp1,
+       b2.n n2, b2.cents c2, b2.dp dp2,
+       b3.n n3, b3.cents c3, b3.dp dp3,
+       b4.n n4, b4.cents c4, b4.dp dp4
+FROM
+ (SELECT cast(count(*) AS bigint) n, cast(sum(cast(floor(l_extendedprice*100) AS bigint)) AS bigint) cents,
+         cast(count(DISTINCT cast(floor(l_extendedprice*100) AS bigint)) AS bigint) dp
+  FROM lineitem WHERE l_quantity >= 1 AND l_quantity <= 12) b1,
+ (SELECT cast(count(*) AS bigint) n, cast(sum(cast(floor(l_extendedprice*100) AS bigint)) AS bigint) cents,
+         cast(count(DISTINCT cast(floor(l_extendedprice*100) AS bigint)) AS bigint) dp
+  FROM lineitem WHERE l_quantity >= 13 AND l_quantity <= 25) b2,
+ (SELECT cast(count(*) AS bigint) n, cast(sum(cast(floor(l_extendedprice*100) AS bigint)) AS bigint) cents,
+         cast(count(DISTINCT cast(floor(l_extendedprice*100) AS bigint)) AS bigint) dp
+  FROM lineitem WHERE l_quantity >= 26 AND l_quantity <= 37) b3,
+ (SELECT cast(count(*) AS bigint) n, cast(sum(cast(floor(l_extendedprice*100) AS bigint)) AS bigint) cents,
+         cast(count(DISTINCT cast(floor(l_extendedprice*100) AS bigint)) AS bigint) dp
+  FROM lineitem WHERE l_quantity >= 38 AND l_quantity <= 50) b4
+"""
+
+# q12/q20/q98 revenue share within class: per part, the share of its
+# p_type class's revenue over a two-month window — the "revenueratio"
+# window idiom.  The share is a single IEEE division of two exact
+# integers (bit-identical on both engines, round-5 design rule).
+CLASS_SHARE = """
+WITH pr AS (
+  SELECT p_type, p_partkey,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-03-01'
+  GROUP BY p_type, p_partkey)
+SELECT p_type, p_partkey, cents,
+       cast(cents AS double) / cast(sum(cents) OVER (PARTITION BY p_type) AS double) AS share
+FROM pr
+ORDER BY p_type, p_partkey
+"""
+
+# q8 selection-by-INTERSECT: nations picked by a name prefix AND an
+# at-least-average customer count (scale-free floor — non-vacuous and
+# genuinely pruning at every fixture scale: 7/6/4 of the 11 prefix
+# nations survive at sf0.001/0.01/0.1), then one year's revenue in the
+# picked nations.
+PREFIX_INTERSECT = """
+WITH picked AS (
+  SELECT n_nationkey nk FROM nation WHERE n_name LIKE 'NATION_1%'
+  INTERSECT
+  SELECT c_nationkey FROM customer GROUP BY c_nationkey
+  HAVING count(*) * 25 >= (SELECT count(*) FROM customer)
+)
+SELECT n_name, cast(sum(cast(floor(l_extendedprice*100) AS bigint)) AS bigint) cents,
+       cast(count(*) AS bigint) n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN picked ON c_nationkey = nk
+JOIN nation ON n_nationkey = nk
+WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+# q53/q63 month-vs-quarter deviation band: brand months whose revenue
+# deviates >10% from their brand-quarter average.  With nm the months
+# present in the quarter (1..3) and qc the quarter total:
+# |m − qc/nm| > 0.1·qc/nm  ⇔(·nm>0)  |m·nm − qc| > 0.1·qc
+# ⇔(·10)  10·|m·nm − qc| > qc — all-integer, exact on both engines.
+QUARTER_TREND = """
+WITH m AS (
+  SELECT p_brand, cast(extract(quarter FROM l_shipdate) AS bigint) qtr,
+         cast(extract(month FROM l_shipdate) AS bigint) mo,
+         cast(sum(cast(floor(l_extendedprice*100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1997-01-01'
+  GROUP BY p_brand, extract(quarter FROM l_shipdate), extract(month FROM l_shipdate)),
+q AS (
+  SELECT p_brand, qtr, cast(sum(cents) AS bigint) qcents, cast(count(*) AS bigint) nm
+  FROM m GROUP BY p_brand, qtr)
+SELECT m.p_brand, m.mo, m.cents, q.qcents
+FROM m JOIN q ON m.p_brand = q.p_brand AND m.qtr = q.qtr
+WHERE abs(m.cents * q.nm - q.qcents) * 10 > q.qcents
+ORDER BY m.p_brand, m.mo
+"""
+
 _SHAPES = {
+    "x_tpcds_channel_overlap": CHANNEL_OVERLAP,
+    "x_tpcds_band_stats": BAND_STATS,
+    "x_tpcds_class_share": CLASS_SHARE,
+    "x_tpcds_prefix_intersect": PREFIX_INTERSECT,
+    "x_tpcds_quarter_trend": QUARTER_TREND,
     "x_tpcds_hour_slices": HOUR_SLICES,
     "x_tpcds_variance_band": VARIANCE_BAND,
     "x_tpcds_grouping_sets": GROUPING_SETS,
