@@ -67,6 +67,8 @@ Round-10 tranche five:
   q12/q20/q98 class revenue share     → x_tpcds_class_share
   q8 selection-by-INTERSECT + floor   → x_tpcds_prefix_intersect
   q53/q63 month-vs-quarter deviation  → x_tpcds_quarter_trend
+  q43 weekday/weekend revenue split   → x_tpcds_weekday_pivot
+  q69 exclusively-one-channel buyers  → x_tpcds_channel_exclusives
 """
 
 from __future__ import annotations
@@ -1202,7 +1204,29 @@ WHERE abs(m.cents * q.nm - q.qcents) * 10 > q.qcents
 ORDER BY m.p_brand, m.mo
 """
 
+# q69 exclusively-one-channel buyers: customers with a store-channel
+# purchase in 1996H1 and NO web- or catalog-channel purchase in the
+# same window (EXISTS + two NOT EXISTS on the same fact, different
+# slices).  The half-year window keeps per-customer line counts small
+# enough that exclusivity is non-vacuous at every fixture scale
+# (17/138/1363 qualifying customers at sf0.001/0.01/0.1).
+CHANNEL_EXCLUSIVES = """
+SELECT n_name, cast(count(*) AS bigint) n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_custkey = c_custkey AND l_returnflag = 'N'
+                AND l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-07-01')
+  AND NOT EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_custkey = c_custkey AND l_returnflag = 'R'
+                    AND l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-07-01')
+  AND NOT EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                  WHERE o_custkey = c_custkey AND l_returnflag = 'A'
+                    AND l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-07-01')
+GROUP BY n_name ORDER BY n_name
+"""
+
 _SHAPES = {
+    "x_tpcds_channel_exclusives": CHANNEL_EXCLUSIVES,
     "x_tpcds_channel_overlap": CHANNEL_OVERLAP,
     "x_tpcds_band_stats": BAND_STATS,
     "x_tpcds_class_share": CLASS_SHARE,
@@ -1357,3 +1381,30 @@ GROUP BY prio ORDER BY prio
 
 registry.register(
     "x_tpcds_ship_latency", _runner(SHIP_LATENCY_SPARK), SHIP_LATENCY_DUCK)
+
+
+# q43 weekday/weekend revenue split per nation.  Day-of-week has no
+# one-text spelling (CLAUDE.md round-6 lesson: Spark dayofweek() is
+# Sun=1..Sat=7, DuckDB extract(dow) is Sun=0..Sat=6), so the entry is
+# a dialect pair normalizing both to 0=Sunday..6=Saturday before the
+# identical CASE bands — like x_tpcds_ship_latency / x_temporal_arith.
+_WEEKDAY_BODY = """
+SELECT n_name,
+       cast(sum(CASE WHEN dow IN (0, 6) THEN cents ELSE 0 END) AS bigint) weekend_cents,
+       cast(sum(CASE WHEN dow NOT IN (0, 6) THEN cents ELSE 0 END) AS bigint) weekday_cents,
+       cast(sum(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS bigint) mon_orders,
+       cast(sum(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS bigint) fri_orders
+FROM (SELECT c_nationkey nk, {dow_expr} dow,
+             cast(floor(o_totalprice * 100) AS bigint) cents
+      FROM orders JOIN customer ON o_custkey = c_custkey) t
+JOIN nation ON n_nationkey = nk
+GROUP BY n_name ORDER BY n_name
+"""
+
+WEEKDAY_PIVOT_SPARK = _WEEKDAY_BODY.format(
+    dow_expr="cast(dayofweek(o_orderdate) - 1 AS bigint)")
+WEEKDAY_PIVOT_DUCK = _WEEKDAY_BODY.format(
+    dow_expr="cast(extract(dow FROM o_orderdate) AS bigint)")
+
+registry.register(
+    "x_tpcds_weekday_pivot", _runner(WEEKDAY_PIVOT_SPARK), WEEKDAY_PIVOT_DUCK)
