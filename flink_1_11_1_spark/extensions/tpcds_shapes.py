@@ -69,6 +69,7 @@ Round-10 tranche five:
   q53/q63 month-vs-quarter deviation  → x_tpcds_quarter_trend
   q43 weekday/weekend revenue split   → x_tpcds_weekday_pivot
   q69 exclusively-one-channel buyers  → x_tpcds_channel_exclusives
+  q66 multi-measure quarter pivot     → x_tpcds_pivot_multi
 """
 
 from __future__ import annotations
@@ -1408,3 +1409,59 @@ WEEKDAY_PIVOT_DUCK = _WEEKDAY_BODY.format(
 
 registry.register(
     "x_tpcds_weekday_pivot", _runner(WEEKDAY_PIVOT_SPARK), WEEKDAY_PIVOT_DUCK)
+
+
+# q66-style multi-measure pivot: TWO aggregates (exact cents + row
+# count) spread across the quarter dimension in ONE native pivot —
+# exercises RelationalGroupedDataset.pivot with a multi-agg list
+# (x_tpcds_pivot is single-measure).  Restricted to the six full
+# years so every (year, quarter) cell is populated at every fixture
+# scale (2001 stops in August; its Q4 cell would be NULL on the Spark
+# pivot but 0 under a COUNT-style oracle).
+_QTR_MEASURES = [
+    ("q1_cents", "q1_n", 1), ("q2_cents", "q2_n", 2),
+    ("q3_cents", "q3_n", 3), ("q4_cents", "q4_n", 4),
+]
+
+
+def tpcds_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    base = orders.where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "2001-01-01")
+    ).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = base.groupBy("yr").pivot("qtr", [1, 2, 3, 4]).agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n"))
+    for c_name, n_name, q in _QTR_MEASURES:
+        out = out.withColumnRenamed(f"{q}_cents", c_name)
+        out = out.withColumnRenamed(f"{q}_n", n_name)
+    return out.orderBy("yr")
+
+
+TPCDS_PIVOT_MULTI_ORACLE = """
+SELECT cast(extract(year FROM o_orderdate) AS bigint) yr,
+       cast(sum(CASE WHEN q = 1 THEN cents END) AS bigint) q1_cents,
+       cast(count(CASE WHEN q = 1 THEN 1 END) AS bigint) q1_n,
+       cast(sum(CASE WHEN q = 2 THEN cents END) AS bigint) q2_cents,
+       cast(count(CASE WHEN q = 2 THEN 1 END) AS bigint) q2_n,
+       cast(sum(CASE WHEN q = 3 THEN cents END) AS bigint) q3_cents,
+       cast(count(CASE WHEN q = 3 THEN 1 END) AS bigint) q3_n,
+       cast(sum(CASE WHEN q = 4 THEN cents END) AS bigint) q4_cents,
+       cast(count(CASE WHEN q = 4 THEN 1 END) AS bigint) q4_n
+FROM (SELECT o_orderdate, extract(quarter FROM o_orderdate) q,
+             cast(floor(o_totalprice * 100) AS bigint) cents
+      FROM orders
+      WHERE o_orderdate >= timestamp '1995-01-01'
+        AND o_orderdate < timestamp '2001-01-01') t
+GROUP BY extract(year FROM o_orderdate)
+ORDER BY yr
+"""
+
+registry.register(
+    "x_tpcds_pivot_multi", tpcds_pivot_multi, TPCDS_PIVOT_MULTI_ORACLE)
