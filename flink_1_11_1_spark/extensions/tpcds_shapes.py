@@ -70,6 +70,8 @@ Round-10 tranche five:
   q43 weekday/weekend revenue split   → x_tpcds_weekday_pivot
   q69 exclusively-one-channel buyers  → x_tpcds_channel_exclusives
   q66 multi-measure quarter pivot     → x_tpcds_pivot_multi
+  q84 dimension-chain row report      → x_tpcds_chain_report
+  q76 NULL-key channel grouping       → x_tpcds_null_channel
 """
 
 from __future__ import annotations
@@ -1226,7 +1228,40 @@ WHERE EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY n_name ORDER BY n_name
 """
 
+# q84 dimension-chain row report: the battery's only NO-AGGREGATION
+# shape — a pure joined row report (customer → nation → region chain,
+# concat'd path, filter, unique total order, LIMIT).  The float column
+# is a raw stored value (bit-identical by construction); ties in
+# c_acctbal are broken by the unique customer path.
+CHAIN_REPORT = """
+SELECT concat(c_name, ' / ', n_name, ' / ', r_name) AS customer_path,
+       c_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+ORDER BY c_acctbal DESC, customer_path LIMIT 20
+"""
+
+# q76 NULL-key channel grouping: a synthesized NULL cohort key (every
+# 13th supplier bucket) grouped alongside real values — pins the
+# NULL-group-equality corner (GROUP BY treats NULLs as one group on
+# both engines, unlike join equality) plus explicit NULLS FIRST
+# ordering (Spark defaults NULLS FIRST ascending, DuckDB NULLS LAST).
+NULL_CHANNEL = """
+SELECT CASE WHEN l_suppkey % 13 = 0 THEN NULL
+            ELSE cast(l_suppkey % 13 AS bigint) END AS cohort,
+       CASE l_returnflag WHEN 'N' THEN 'store' WHEN 'R' THEN 'web'
+            ELSE 'catalog' END AS channel,
+       cast(count(*) AS bigint) n,
+       cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY cohort NULLS FIRST, channel
+"""
+
 _SHAPES = {
+    "x_tpcds_chain_report": CHAIN_REPORT,
+    "x_tpcds_null_channel": NULL_CHANNEL,
     "x_tpcds_channel_exclusives": CHANNEL_EXCLUSIVES,
     "x_tpcds_channel_overlap": CHANNEL_OVERLAP,
     "x_tpcds_band_stats": BAND_STATS,
