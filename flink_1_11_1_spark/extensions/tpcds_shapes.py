@@ -1482,13 +1482,13 @@ def tpcds_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCDS_PIVOT_MULTI_ORACLE = """
 SELECT cast(extract(year FROM o_orderdate) AS bigint) yr,
        cast(sum(CASE WHEN q = 1 THEN cents END) AS bigint) q1_cents,
-       cast(count(CASE WHEN q = 1 THEN 1 END) AS bigint) q1_n,
+       cast(sum(CASE WHEN q = 1 THEN 1 END) AS bigint) q1_n,
        cast(sum(CASE WHEN q = 2 THEN cents END) AS bigint) q2_cents,
-       cast(count(CASE WHEN q = 2 THEN 1 END) AS bigint) q2_n,
+       cast(sum(CASE WHEN q = 2 THEN 1 END) AS bigint) q2_n,
        cast(sum(CASE WHEN q = 3 THEN cents END) AS bigint) q3_cents,
-       cast(count(CASE WHEN q = 3 THEN 1 END) AS bigint) q3_n,
+       cast(sum(CASE WHEN q = 3 THEN 1 END) AS bigint) q3_n,
        cast(sum(CASE WHEN q = 4 THEN cents END) AS bigint) q4_cents,
-       cast(count(CASE WHEN q = 4 THEN 1 END) AS bigint) q4_n
+       cast(sum(CASE WHEN q = 4 THEN 1 END) AS bigint) q4_n
 FROM (SELECT o_orderdate, extract(quarter FROM o_orderdate) q,
              cast(floor(o_totalprice * 100) AS bigint) cents
       FROM orders
