@@ -152,8 +152,9 @@ _DEFER_FIRST: tuple[str, ...] = ()
 # trimmed-fixture entry re-runs inside the window.
 _REVERIFY_FIRST: tuple[str, ...] = (
     # second continuation: triangles/pagerank moved to the 1/8 order
-    # subsample (outputs changed) — re-verify ahead of everything.
-    "x_graph_triangles", "x_graph_pagerank",
+    # subsample and incremental dedup to the half-corpus verifier
+    # slice (outputs changed) — re-verify ahead of everything.
+    "x_graph_triangles", "x_graph_pagerank", "x_dedup_incremental",
     "x_mr_subset", "x_mr_composed", "x_mr_multikey",
     "x_mr_backtrack", "x_mr_alternation", "x_mr_group_funnel",
     "x_mr_next", "x_mr_plus", "x_mr_optional", "x_mr_xvar",

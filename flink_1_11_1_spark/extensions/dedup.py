@@ -876,7 +876,12 @@ def incremental_dedup_pairs(
 
 
 def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return incremental_dedup_pairs(catalog.load_table(spark, sf_dir, "documents"))
+    # declared fixture = the half-corpus verifier slice (round-10
+    # suite-budget rule, same idiom as jaccard/minhash/clusters); pair
+    # survival checked at all scales: 8/2/19 at sf0.001/0.01/0.1, both
+    # 'new-new' and 'new-index' kinds present at sf0.001 and sf0.1.
+    return incremental_dedup_pairs(
+        catalog.load_table(spark, sf_dir, "documents").where(DOC_SLICE))
 
 
 def _incremental_oracle_sql() -> str:
@@ -1275,7 +1280,9 @@ registry.register(
     "x_dedup_clusters", dedup_clusters,
     sliced_oracle(CLUSTERS_ORACLE, "documents", DOC_SLICE))
 registry.register("x_substring_dedup", _substring, SUBSTRING_ORACLE)
-registry.register("x_dedup_incremental", _incremental, _incremental_oracle_sql())
+registry.register(
+    "x_dedup_incremental", _incremental,
+    sliced_oracle(_incremental_oracle_sql(), "documents", DOC_SLICE))
 # x_semdedup is registered from extensions/curation.py (its oracle embeds
 # the k-means CTEs; registering there avoids a circular import at load).
 
