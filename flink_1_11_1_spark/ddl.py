@@ -775,6 +775,7 @@ class DdlCatalog:
 
             if _mr._MR_RE.match(s):
                 return _mr.match_recognize(self.spark, s)
+            pre_expansion = s
             s = _mr.expand_mr_factors(self.spark, s)
             views = list(_mr.last_factor_views)
             if views:
@@ -783,6 +784,16 @@ class DdlCatalog:
                 finally:
                     for v in views:
                         self.spark.catalog.dropTempView(v)
+                    # a CREATE VIEW stores its query text for
+                    # restore_view re-execution — keep the PRE-expansion
+                    # text there (the expanded text references the
+                    # statement-scoped __mr_factor_N views just dropped;
+                    # restore_view re-expands on replay)
+                    mv0 = _CREATE_VIEW_RE.match(pre_expansion)
+                    if mv0:
+                        vname0 = _strip_ticks(mv0.group(3))
+                        if vname0 in self.views:
+                            self.views[vname0] = mv0.group(4)
         return self._execute_routed(s)
 
     def _execute_routed(self, s: str) -> DataFrame | None:
@@ -848,9 +859,13 @@ class DdlCatalog:
                 # CREATE FUNCTION loader — but Spark's grammar has no
                 # LANGUAGE token, so strip the clause first (review
                 # finding: the raw passthrough was a ParseException).
+                # the clause regex admits a trailing '--' comment after
+                # LANGUAGE, so the strip must too (the comment goes with
+                # it — Spark parses the bare statement)
                 return self.spark.sql(
-                    re.sub(r"\s+LANGUAGE\s+(?:JAVA|SCALA)\s*$", "", s,
-                           flags=re.IGNORECASE))
+                    re.sub(
+                        r"\s+LANGUAGE\s+(?:JAVA|SCALA)(?:\s*--[^\n]*)?\s*$",
+                        "", s, flags=re.IGNORECASE))
             # FLIP-79 Python DDL function: the identifier's last
             # component is the session-registry name (the registry is
             # flat, like GenericInMemoryCatalog's function map per db);
@@ -1303,7 +1318,23 @@ class DdlCatalog:
             return any(a <= pos < b for a, b in spans)
 
         def in_fromlist(pos: int) -> bool:
-            return any(a <= pos < b for a, b in fspans)
+            # the match must sit in a FROM-list span AND at paren depth 0
+            # within it — a comma inside a subquery or call-argument list
+            # that happens to live inside the span separates columns /
+            # arguments, not table references (``FROM t1, (SELECT x,
+            # orders FROM o) sub`` must not rewrite the inner column).
+            for a, b in fspans:
+                if a <= pos < b:
+                    depth = 0
+                    for i in range(a, pos):
+                        if in_literal(i):
+                            continue
+                        if s[i] == "(":
+                            depth += 1
+                        elif s[i] == ")":
+                            depth -= 1
+                    return depth == 0
+            return False
 
         for pat, repl, flist_only in pats:
             out, last = [], 0
@@ -1510,10 +1541,24 @@ class DdlCatalog:
     def restore_view(self, name: str) -> None:
         """Drop the script-scoped checkpoint registration: the view
         resolves to its defining query again (Flink's reuse scope is
-        the job; ours is the script)."""
+        the job; ours is the script).  Stored view text is
+        pre-expansion (see execute), so MATCH_RECOGNIZE factors are
+        re-expanded here with the same statement-scoped cleanup."""
         q = self.views.get(name)
-        if q is not None:
-            self.spark.sql(q).createOrReplaceTempView(name)
+        if q is None:
+            return
+        if "MATCH_RECOGNIZE" in q.upper():
+            from .extensions import match_recognize as _mr
+
+            expanded = _mr.expand_mr_factors(self.spark, q)
+            factor_views = list(_mr.last_factor_views)
+            try:
+                self.spark.sql(expanded).createOrReplaceTempView(name)
+            finally:
+                for v in factor_views:
+                    self.spark.catalog.dropTempView(v)
+            return
+        self.spark.sql(q).createOrReplaceTempView(name)
 
     def _alter_rename(self, old: str, new: str) -> None:
         """Flink 1.11 ALTER TABLE ... RENAME TO (SqlAlterTableRename):

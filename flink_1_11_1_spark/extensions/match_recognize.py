@@ -546,7 +546,9 @@ def expand_mr_factors(
     from ..ddl import _balanced_block, _quoted_spans
 
     del last_factor_views[:]
-    ctes = {name: defs for name, defs in _leading_ctes(sql)}
+    # SQL identifiers are case-insensitive: key by lowercase so a
+    # factor written SRC finds the CTE declared src
+    ctes = {name.lower(): defs for name, defs in _leading_ctes(sql)}
     out = sql
     while True:
         spans = _quoted_spans(out)
@@ -578,11 +580,11 @@ def expand_mr_factors(
         view = f"__mr_factor_{_MR_FACTOR_N[0]}"
         _MR_FACTOR_N[0] += 1
         events = None
-        if table in ctes:
+        if table.lower() in ctes:
             # evaluate the CTE (and its predecessors) out-of-line; the
             # match consumes the DataFrame, bypassing table resolution
             events = spark.sql(
-                f"WITH {ctes[table]} SELECT * FROM {table}")
+                f"WITH {ctes[table.lower()]} SELECT * FROM {table}")
         df = match_recognize(
             spark, f"SELECT * FROM {table} MATCH_RECOGNIZE ({body})",
             sf_dir, events=events,

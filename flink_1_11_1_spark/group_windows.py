@@ -79,7 +79,15 @@ def _interval_ms(text: str) -> int:
             "group windows require a day-time interval (DAY/HOUR/MINUTE/"
             f"SECOND) — year-month interval not supported: {text!r}")
     if not to_unit:
-        ms = Decimal(value) * _MS[unit]
+        try:
+            ms = Decimal(value) * _MS[unit]
+        except ArithmeticError:
+            # Decimal('1 2') raises InvalidOperation (an ArithmeticError,
+            # not ValueError) — keep the contract: malformed input gets
+            # the same contextualized error as every other bad literal
+            raise ValueError(
+                f"group window expects an INTERVAL literal, got: {text!r}"
+            ) from None
     else:
         to_unit = to_unit.upper()
         lo, hi = _FIELDS.index(unit), _FIELDS.index(to_unit)
@@ -91,10 +99,16 @@ def _interval_ms(text: str) -> int:
             raise ValueError(
                 f"interval value {value!r} does not match "
                 f"{unit} TO {to_unit}")
-        ms = sum(
-            (Decimal(p) * _MS[f] for p, f in zip(parts, fields)),
-            Decimal(0),
-        )
+        try:
+            ms = sum(
+                (Decimal(p) * _MS[f] for p, f in zip(parts, fields)),
+                Decimal(0),
+            )
+        except ArithmeticError:
+            raise ValueError(
+                f"interval value {value!r} does not match "
+                f"{unit} TO {to_unit}"
+            ) from None
     if ms != ms.to_integral_value() or ms <= 0:
         raise ValueError(
             f"group window interval must be a positive whole number of "
@@ -141,13 +155,26 @@ def _render(fn: str, suffix: str, args: list[str]) -> str:
     return f"session_window({args[0]}, '{_duration(args[1])}')"
 
 
+def _norm_args(fn: str, args: list[str]) -> tuple[str, ...]:
+    """Whitespace/case-normalized (fn, *args) signature for matching an
+    auxiliary call to its GROUP BY group-window declaration."""
+    return (fn.upper(), *(re.sub(r"\s+", " ", a).strip().lower() for a in args))
+
+
 def rewrite_group_windows(sql: str) -> str:
     """Rewrite every Flink group-window call in ``sql`` to the native
-    Spark window form.  No-op (same object) when no call is present."""
+    Spark window form.  No-op (same object) when no call is present.
+
+    Flink validates that an auxiliary call (``TUMBLE_START(...)`` etc.)
+    references the SAME window as the ``GROUP BY`` declaration — a
+    mismatched auxiliary is a planner validation error, not a silent
+    different answer — so the calls are collected first and every
+    auxiliary signature must match a defining call's signature.
+    """
     if not _GW_RE.search(sql):
         return sql
     skip = _quoted_spans(sql) + _comment_spans(sql)
-    out: list[str] = []
+    calls: list[tuple[int, int, str, str, list[str]]] = []
     pos = 0
     for m in _GW_RE.finditer(sql):
         if m.start() < pos:
@@ -162,8 +189,25 @@ def rewrite_group_windows(sql: str) -> str:
             # (e.g. a window-shaped fragment in an unterminated
             # construct); leave the text alone
             continue
-        out.append(sql[pos : m.start()])
-        out.append(_render(m.group(1), m.group(2) or "", args))
+        calls.append((m.start(), close_idx, m.group(1), m.group(2) or "", args))
+        pos = close_idx + 1
+    if not calls:
+        return sql
+    defined = {_norm_args(fn, args)
+               for _, _, fn, suffix, args in calls if not suffix}
+    for _, _, fn, suffix, args in calls:
+        if suffix and _norm_args(fn, args) not in defined:
+            raise ValueError(
+                f"{fn.upper()}{suffix.upper()}({', '.join(args)}) does not "
+                f"match any GROUP BY {fn.upper()}(...) declaration in the "
+                "statement — Flink requires the auxiliary's arguments to "
+                "equal the group window's"
+            )
+    out: list[str] = []
+    pos = 0
+    for start, close_idx, fn, suffix, args in calls:
+        out.append(sql[pos:start])
+        out.append(_render(fn, suffix, args))
         pos = close_idx + 1
     out.append(sql[pos:])
     return "".join(out)

@@ -825,3 +825,139 @@ def test_multi_insert_unaliased_computed_source_qualifies(spark, tmp_path):
     for t in ("mi_q_hi", "mi_q_lo"):
         tenv.execute_sql(f"DROP TABLE {t}")
     spark.catalog.dropTempView("mi_q_src")
+
+
+# ---------------- round-10 second-continuation review findings --------
+
+
+def test_fromlist_comma_rewrite_is_paren_depth_aware(spark, tmp_path):
+    """A column named like a registered table inside a subquery (or call
+    argument list) that sits within a FROM-list span must NOT rewrite
+    to the catalog view alias — only depth-0 commas separate tables."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "fl_orders")
+    spark.range(9).selectExpr("id", "id * 3 AS v").write.parquet(p)
+    tenv.execute_sql("CREATE CATALOG flc WITH ('type'='generic_in_memory')")
+    tenv.execute_sql("CREATE DATABASE flc.db1")
+    tenv.execute_sql(f"""CREATE TABLE flc.db1.orders (id BIGINT, v BIGINT)
+        WITH ('connector'='filesystem','path'='{p}','format'='parquet')""")
+    tenv.execute_sql("USE CATALOG flc")
+    tenv.execute_sql("USE db1")
+    try:
+        spark.range(3).selectExpr(
+            "id", "id AS orders", "id AS x").createOrReplaceTempView("fl_other")
+        spark.range(3).createOrReplaceTempView("fl_t1")
+        # inner select-list comma is at depth 1: `orders` is a COLUMN
+        n = tenv.execute_sql(
+            "SELECT count(*) AS n FROM fl_t1, "
+            "(SELECT x, orders FROM fl_other) sub").collect()[0].n
+        assert n == 9
+        # depth-0 FROM-list member still rewrites to the declared table
+        n2 = tenv.execute_sql(
+            "SELECT count(*) AS n FROM fl_t1, orders").collect()[0].n
+        assert n2 == 27
+    finally:
+        tenv.execute_sql("USE CATALOG default_catalog")
+        tenv.execute_sql("DROP TABLE flc.db1.orders")
+        spark.catalog.dropTempView("fl_other")
+        spark.catalog.dropTempView("fl_t1")
+
+
+def test_restore_view_replays_mr_factor_view(spark):
+    """CREATE VIEW over a MATCH_RECOGNIZE factor stores the
+    PRE-expansion text; restore_view (the execute_script multi-sink
+    cleanup path) must re-expand instead of referencing the dropped
+    __mr_factor_N view."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    catalog.register(spark, SF_SMOKE, force=True)
+    tenv.execute_sql("""
+      CREATE VIEW mrv_restore AS
+      SELECT user_id, n FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES count(A.*) AS n
+        PATTERN (A{1})
+        DEFINE A AS A.event_type = 'view'
+      )""")
+    try:
+        before = tenv.ddl.spark.table("mrv_restore").count()
+        # simulate the script-scoped checkpoint + restore cycle
+        tenv.ddl.checkpoint_view("mrv_restore", sinks=2)
+        tenv.ddl.restore_view("mrv_restore")
+        after = spark.table("mrv_restore").count()
+        assert after == before and after > 0
+        # no leaked factor views either way
+        names = [t.name for t in spark.catalog.listTables()]
+        assert not any(n.startswith("__mr_factor_") for n in names)
+    finally:
+        tenv.execute_sql("DROP VIEW mrv_restore")
+
+
+def test_mr_factor_cte_source_is_case_insensitive(spark):
+    """A factor written SRC must find the CTE declared src (SQL
+    identifiers are case-insensitive)."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    catalog.register(spark, SF_SMOKE, force=True)
+    out = tenv.execute_sql("""
+      WITH src AS (SELECT * FROM events WHERE event_type = 'view')
+      SELECT count(*) AS n FROM SRC MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES count(A.*) AS cnt
+        PATTERN (A{1})
+        DEFINE A AS A.event_type = 'view'
+      )""").collect()
+    assert out[0].n > 0
+
+
+def test_create_function_java_strip_tolerates_trailing_comment(spark):
+    """The LANGUAGE JAVA strip must fire with a trailing '--' comment
+    (the CREATE FUNCTION regex admits one) — no ParseException."""
+    from pyspark.errors import AnalysisException
+
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.execute_sql(
+        "CREATE TEMPORARY FUNCTION j_cmt AS "
+        "'org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper' "
+        "LANGUAGE JAVA -- loaded from classpath"
+    )
+    with pytest.raises(AnalysisException, match="GenericUDFUpper"):
+        spark.sql("SELECT j_cmt('ab') v").collect()
+    tenv.execute_sql("DROP TEMPORARY FUNCTION j_cmt")
+
+
+def test_group_window_malformed_interval_raises_valueerror(spark):
+    """Decimal.InvalidOperation from a malformed interval value must
+    surface as the contextualized ValueError, not an ArithmeticError."""
+    from flink_1_11_1_spark.group_windows import rewrite_group_windows
+
+    with pytest.raises(ValueError, match="INTERVAL literal"):
+        rewrite_group_windows(
+            "SELECT count(*) FROM t GROUP BY TUMBLE(ts, INTERVAL '1 2' HOUR)")
+    with pytest.raises(ValueError, match="does not match"):
+        rewrite_group_windows(
+            "SELECT count(*) FROM t "
+            "GROUP BY TUMBLE(ts, INTERVAL '1:xx' HOUR TO SECOND)")
+
+
+def test_group_window_auxiliary_mismatch_raises(spark):
+    """Flink rejects an auxiliary whose arguments differ from the GROUP
+    BY window declaration; the rewrite must too instead of silently
+    emitting the declared window's bounds."""
+    from flink_1_11_1_spark.group_windows import rewrite_group_windows
+
+    with pytest.raises(ValueError, match="does not match any GROUP BY"):
+        rewrite_group_windows(
+            "SELECT TUMBLE_START(ts, INTERVAL '2' HOUR) AS s, count(*) "
+            "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    # matching auxiliary (case/whitespace-insensitive) still rewrites
+    out = rewrite_group_windows(
+        "SELECT tumble_start(ts,  INTERVAL '1' HOUR) AS s, count(*) "
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert "window.start" in out and "TUMBLE" not in out
