@@ -1067,3 +1067,61 @@ def test_fuzzed_tpcds_idioms_match_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------- part 11: scalar subqueries (round-10 second
+# continuation — the q8/prefix_intersect idiom fuzzed: scalar
+# aggregates in HAVING / WHERE / SELECT-list, uncorrelated and
+# correlated, all integer-exact)
+
+
+def gen_scalar_subquery_query(rng: random.Random) -> str:
+    m = rng.randint(2, 9)
+    variant = rng.randrange(4)
+    if variant == 0:  # HAVING vs a global scalar, integer cross-multiply
+        return (
+            f"SELECT c_nationkey AS g, cast(count(*) as bigint) AS n "
+            f"FROM customer GROUP BY c_nationkey "
+            f"HAVING count(*) * 25 >= (SELECT count(*) FROM customer) - {m} "
+            f"ORDER BY g"
+        )
+    if variant == 1:  # WHERE col vs a scalar aggregate
+        return (
+            f"SELECT cast(count(*) as bigint) AS n FROM orders "
+            f"WHERE o_orderkey % {m} = 0 AND "
+            f"o_custkey * {m} <= (SELECT max(c_custkey) FROM customer)"
+        )
+    if variant == 2:  # SELECT-list uncorrelated scalars
+        return (
+            f"SELECT cast(count(*) as bigint) AS n, "
+            f"(SELECT cast(count(*) as bigint) FROM nation) AS nn, "
+            f"(SELECT cast(min(r_regionkey) as bigint) FROM region) AS mr "
+            f"FROM supplier WHERE s_suppkey % {m} = 0"
+        )
+    # correlated scalar subquery in the select list
+    return (
+        f"SELECT n_nationkey AS g, "
+        f"(SELECT cast(count(*) as bigint) FROM customer "
+        f" WHERE c_nationkey = n_nationkey AND c_custkey % {m} = 0) AS nc "
+        f"FROM nation ORDER BY g"
+    )
+
+
+N_QUERIES11 = 16
+_RNG11 = random.Random(118803)
+QUERIES11 = [gen_scalar_subquery_query(_RNG11) for _ in range(N_QUERIES11)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES11))
+def test_fuzzed_scalar_subquery_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES11[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, f"query11 #{idx} diverged:\n{sql}\n{a[:2]}\nvs\n{b[:2]}"
