@@ -129,6 +129,27 @@ _DRIVER_GREEN_HISTORY = {
     "x_tpcds_no_returns", "x_tpcds_excess_discount",
     "x_tpcds_supplier_exclusion", "x_tpcds_triple_union",
     "x_tpcds_promo_share",
+    # round-10 greens (CORRECTNESS_r10.json: 50/50 hash-green rows —
+    # the 35 new round-10 entries + the 15 leading _REVERIFY_FIRST
+    # re-verifies).  All 244 entries now have a recorded driver green
+    # across r01–r10; the round-11 window leads with round-11
+    # additions plus re-verification of touched modules.
+    "x_sql_tumble", "x_sql_hop", "x_sql_session", "x_sql_lateral",
+    "x_sql_system_time",
+    "x_tpcds_week_seq", "x_tpcds_returns_ratio",
+    "x_tpcds_distinct_buckets", "x_tpcds_multiyear_frequent",
+    "x_tpcds_growth_gap", "x_tpcds_pricey_parts", "x_tpcds_top_nations",
+    "x_tpcds_all_channels", "x_tpcds_half_avg_parts",
+    "x_tpcds_brand_month", "x_tpcds_big_baskets", "x_tpcds_before_after",
+    "x_tpcds_month_vs_year", "x_tpcds_week_over_week",
+    "x_tpcds_prefix_union", "x_tpcds_minus_returns",
+    "x_tpcds_ship_latency", "x_tpcds_grouping_sets",
+    "x_tpcds_hour_slices", "x_tpcds_variance_band",
+    "x_tpcds_channel_overlap", "x_tpcds_band_stats",
+    "x_tpcds_class_share", "x_tpcds_prefix_intersect",
+    "x_tpcds_quarter_trend", "x_tpcds_weekday_pivot",
+    "x_tpcds_channel_exclusives", "x_tpcds_pivot_multi",
+    "x_tpcds_chain_report", "x_tpcds_null_channel",
 }
 
 
@@ -140,33 +161,25 @@ _DRIVER_GREEN_HISTORY = {
 # regime) and re-verifies proven ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
-# With all entries proven (r01–r09), re-verification slots go first to
-# entries whose implementation the CURRENT round touched — round 10
-# changed ddl.py (ALTER RENAME key remap, INSERT OVERWRITE bare-name
-# anchor, multi-INSERT unaliased computed source, MR-factor CTE
-# sources), expr.py (negative-scale truncate), match_recognize.py
-# (factor temp-view cleanup, streaming multi-key PARTITION BY),
-# nfa_lowering.py (membership-only SUBSET lowering) and the heavy
-# dedup/graph fixtures (jaccard/containment/semdedup/clusters/sssp
-# fixture trims) — so every MR/SUBSET, DDL-routed, Table-API and
-# trimmed-fixture entry re-runs inside the window.
+# With all entries proven (r01–r10), re-verification slots go first to
+# entries whose implementation the CURRENT round touched — round 11
+# changes ddl.py (nested FROM-list rewrite + comment-span depth scan,
+# streaming SQL OVER/TopN routing), group_windows.py (qualified
+# auxiliary args), sql_compat.py, nfa_lowering.py (quantified-LAST
+# SUBSET shapes) and tpcds_shapes.py (tranche seven) — so the SQL
+# group-window entries, DDL-routed entries, MR/SUBSET entries and a
+# TPC-DS sample re-run inside the window.
 _REVERIFY_FIRST: tuple[str, ...] = (
-    # second continuation: triangles/pagerank moved to the 1/8 order
-    # subsample and incremental dedup to the half-corpus verifier
-    # slice (outputs changed) — re-verify ahead of everything.
-    "x_graph_triangles", "x_graph_pagerank", "x_dedup_incremental",
-    "x_mr_subset", "x_mr_composed", "x_mr_multikey",
-    "x_mr_backtrack", "x_mr_alternation", "x_mr_group_funnel",
-    "x_mr_next", "x_mr_plus", "x_mr_optional", "x_mr_xvar",
-    "x_mr_allrows", "x_mr_prev", "x_mr_skip_to_last",
-    "x_mr_agg", "x_mr_allrows_running", "x_mr_offsets",
-    "x_cep_times_df", "x_cep_optional_df", "x_cep_funnel3",
-    "x_cep_overlap_opt", "x_cep_any", "x_repetition",
+    "x_sql_tumble", "x_sql_hop", "x_sql_session", "x_sql_lateral",
+    "x_sql_system_time",
     "x_ddl_roundtrip", "x_ddl_options_hint", "x_catalog_qualified",
     "x_hive_dialect", "x_hive_multi_insert", "x_ddl_like",
-    "x_tapi_agg", "x_tapi_window", "x_tapi_over", "x_tapi_join_setops",
-    "x_dedup_jaccard", "x_dedup_containment", "x_semdedup",
-    "x_dedup_clusters", "x_graph_sssp",
+    "x_mr_subset", "x_mr_composed", "x_mr_multikey",
+    "x_mr_backtrack", "x_mr_alternation", "x_mr_group_funnel",
+    "x_mr_agg", "x_mr_offsets", "x_cep_any",
+    "x_tpcds_grouping_sets", "x_tpcds_pivot_multi",
+    "x_tpcds_null_channel", "x_tpcds_week_over_week",
+    "x_tpcds_chain_report",
 )
 
 
