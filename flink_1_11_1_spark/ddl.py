@@ -1237,7 +1237,7 @@ class DdlCatalog:
         that ends its list at the same paren depth.  Commas inside these
         spans separate table references; commas anywhere else are
         select-list / argument separators."""
-        spans_q = _quoted_spans(s)
+        spans_q = _quoted_spans(s) + _comment_spans(s)
 
         def in_lit(p: int) -> bool:
             return any(a <= p < b for a, b in spans_q)
@@ -1312,10 +1312,15 @@ class DdlCatalog:
                     rf"(,\s*)`?{re.escape(tbl)}`?(?![\w.])",
                     rf"\g<1>{alias}", True))
         spans = _quoted_spans(s)
+        cspans = _comment_spans(s)
         fspans = self._from_list_spans(s)
 
         def in_literal(pos: int) -> bool:
             return any(a <= pos < b for a, b in spans)
+
+        def in_skip(pos: int) -> bool:
+            return (any(a <= pos < b for a, b in spans)
+                    or any(a <= pos < b for a, b in cspans))
 
         def in_fromlist(pos: int) -> bool:
             # the match must sit in a FROM-list span AND at paren depth 0
@@ -1323,17 +1328,25 @@ class DdlCatalog:
             # that happens to live inside the span separates columns /
             # arguments, not table references (``FROM t1, (SELECT x,
             # orders FROM o) sub`` must not rewrite the inner column).
+            # Spans NEST (a derived table's inner FROM opens its own span
+            # inside the outer one): the match counts when ANY containing
+            # span sees it at depth 0 — only the span whose list the
+            # comma actually continues does.  The depth scan skips quoted
+            # AND comment spans (an unbalanced paren in a comment must
+            # not skew it).
             for a, b in fspans:
-                if a <= pos < b:
-                    depth = 0
-                    for i in range(a, pos):
-                        if in_literal(i):
-                            continue
-                        if s[i] == "(":
-                            depth += 1
-                        elif s[i] == ")":
-                            depth -= 1
-                    return depth == 0
+                if not (a <= pos < b):
+                    continue
+                depth = 0
+                for i in range(a, pos):
+                    if in_skip(i):
+                        continue
+                    if s[i] == "(":
+                        depth += 1
+                    elif s[i] == ")":
+                        depth -= 1
+                if depth == 0:
+                    return True
             return False
 
         for pat, repl, flist_only in pats:
@@ -1350,6 +1363,7 @@ class DdlCatalog:
                 out.append(s[last:])
                 s = "".join(out)
                 spans = _quoted_spans(s)
+                cspans = _comment_spans(s)
                 fspans = self._from_list_spans(s)
         return s
 

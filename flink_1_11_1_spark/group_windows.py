@@ -155,10 +155,26 @@ def _render(fn: str, suffix: str, args: list[str]) -> str:
     return f"session_window({args[0]}, '{_duration(args[1])}')"
 
 
+def _strip_time_qualifier(a: str) -> str:
+    """``t.ts`` / ```t`.`ts``` / ```ts``` → ``ts`` — but only when the
+    argument is a plain (optionally table-qualified) column reference.
+    Flink compares the auxiliary's arguments as RESOLVED expressions, so
+    a query that qualifies the time attribute only in the auxiliary
+    (``TUMBLE_START(t.ts, ...)`` vs ``GROUP BY TUMBLE(ts, ...)``) is
+    valid; the textual signature must not reject it."""
+    m = re.fullmatch(r"(?:`?\w+`?\s*\.\s*)?`?(\w+)`?", a.strip())
+    return m.group(1) if m else a
+
+
 def _norm_args(fn: str, args: list[str]) -> tuple[str, ...]:
     """Whitespace/case-normalized (fn, *args) signature for matching an
-    auxiliary call to its GROUP BY group-window declaration."""
-    return (fn.upper(), *(re.sub(r"\s+", " ", a).strip().lower() for a in args))
+    auxiliary call to its GROUP BY group-window declaration.  The first
+    argument (the time attribute) additionally drops backticks and a
+    table qualifier — see _strip_time_qualifier."""
+    norm = [re.sub(r"\s+", " ", a).strip().lower() for a in args]
+    if norm:
+        norm[0] = _strip_time_qualifier(norm[0])
+    return (fn.upper(), *norm)
 
 
 def rewrite_group_windows(sql: str) -> str:

@@ -961,3 +961,86 @@ def test_group_window_auxiliary_mismatch_raises(spark):
         "SELECT tumble_start(ts,  INTERVAL '1' HOUR) AS s, count(*) "
         "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
     assert "window.start" in out and "TUMBLE" not in out
+
+
+# ---------------- round-10 advisor findings (ADVICE.md r10) -----------
+
+
+def test_fromlist_rewrite_reaches_nested_fromlist(spark, tmp_path):
+    """ADVICE r10 (medium): FROM-list spans NEST — a declared-table
+    comma member inside a derived table (``FROM t1, (SELECT ... FROM a,
+    orders) sub``) sits at depth 1 of the OUTER span but depth 0 of the
+    inner FROM's own span, and must still rewrite to its alias view."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "nfl_orders")
+    spark.range(4).selectExpr("id", "id * 3 AS v").write.parquet(p)
+    tenv.execute_sql("CREATE CATALOG nflc WITH ('type'='generic_in_memory')")
+    tenv.execute_sql("CREATE DATABASE nflc.db1")
+    tenv.execute_sql(f"""CREATE TABLE nflc.db1.orders (id BIGINT, v BIGINT)
+        WITH ('connector'='filesystem','path'='{p}','format'='parquet')""")
+    tenv.execute_sql("USE CATALOG nflc")
+    tenv.execute_sql("USE db1")
+    try:
+        spark.range(2).selectExpr("id AS aid").createOrReplaceTempView("nfl_a")
+        spark.range(3).createOrReplaceTempView("nfl_t1")
+        n = tenv.execute_sql(
+            "SELECT count(*) AS n FROM nfl_t1, "
+            "(SELECT aid, v FROM nfl_a, orders "
+            "WHERE id = aid) sub").collect()[0].n
+        assert n == 6  # 3 outer x (2 inner-join rows) — orders resolved
+    finally:
+        tenv.execute_sql("USE CATALOG default_catalog")
+        tenv.execute_sql("DROP TABLE nflc.db1.orders")
+        spark.catalog.dropTempView("nfl_a")
+        spark.catalog.dropTempView("nfl_t1")
+
+
+def test_fromlist_depth_scan_skips_comment_parens(spark, tmp_path):
+    """ADVICE r10 (low): an unbalanced paren inside a comment within a
+    FROM list must not skew the depth scan that gates the comma-member
+    rewrite."""
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    p = str(tmp_path / "cfl_orders")
+    spark.range(5).selectExpr("id").write.parquet(p)
+    tenv.execute_sql("CREATE CATALOG cflc WITH ('type'='generic_in_memory')")
+    tenv.execute_sql("CREATE DATABASE cflc.db1")
+    tenv.execute_sql(f"""CREATE TABLE cflc.db1.orders (id BIGINT)
+        WITH ('connector'='filesystem','path'='{p}','format'='parquet')""")
+    tenv.execute_sql("USE CATALOG cflc")
+    tenv.execute_sql("USE db1")
+    try:
+        spark.range(2).createOrReplaceTempView("cfl_t1")
+        n = tenv.execute_sql(
+            "SELECT count(*) AS n FROM cfl_t1 /* note ) stray */, orders"
+        ).collect()[0].n
+        assert n == 10
+    finally:
+        tenv.execute_sql("USE CATALOG default_catalog")
+        tenv.execute_sql("DROP TABLE cflc.db1.orders")
+        spark.catalog.dropTempView("cfl_t1")
+
+
+def test_group_window_auxiliary_accepts_qualified_time_attr():
+    """ADVICE r10 (low): Flink compares RESOLVED expressions, so an
+    auxiliary that qualifies the time attribute (``TUMBLE_START(t.ts,
+    ...)``) matches a bare ``GROUP BY TUMBLE(ts, ...)`` declaration —
+    and vice versa, including backticks."""
+    from flink_1_11_1_spark.group_windows import rewrite_group_windows
+
+    out = rewrite_group_windows(
+        "SELECT TUMBLE_START(t.ts, INTERVAL '1' HOUR) AS s, count(*) "
+        "FROM ev t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert "window.start" in out and "TUMBLE" not in out
+    out2 = rewrite_group_windows(
+        "SELECT TUMBLE_START(`ts`, INTERVAL '1' HOUR) AS s, count(*) "
+        "FROM ev t GROUP BY TUMBLE(t.`ts`, INTERVAL '1' HOUR)")
+    assert "window.start" in out2 and "TUMBLE" not in out2
+    # a genuinely different time attribute still raises
+    with pytest.raises(ValueError, match="does not match any GROUP BY"):
+        rewrite_group_windows(
+            "SELECT TUMBLE_START(other, INTERVAL '1' HOUR) AS s, count(*) "
+            "FROM ev t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
