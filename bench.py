@@ -74,8 +74,47 @@ def main() -> None:
         for name, fn in registry.queries().items()
     )
 
+    # Second elision tier (round 11, VERDICT r10 "next" #4): the suite
+    # outgrew the 300 s budget's comfort zone (215 s / 244 entries) and
+    # most entries are sub-second proven shapes whose timing carries no
+    # round-over-round information.  An entry is SKIP-eligible when it
+    # (a) has a prior recorded time under 1.0 s at this scale, (b) is
+    # not a BASELINE.md headline shape, and (c) is driver-proven
+    # (_DRIVER_GREEN_HISTORY — fresh entries always run).  Of the
+    # eligible set, a deterministic rotating sample of 30 still runs
+    # each round (seed = number of BENCH_r*.json files ≈ round number,
+    # so the sample advances per round and every fast entry re-times
+    # every ~4–5 rounds); the rest carry their prior forward in the
+    # detail file and are counted in `queries_skipped`.  Correctness
+    # coverage is unaffected — every entry still runs in the driver
+    # window rotation and rehearse.py sweeps.  SPARK_GRAFT_BENCH_FULL=1
+    # disables the tier for a full timing sweep.
+    headline = {"q03", "q05", "q22", "q34"}  # BASELINE.md shape rows
+    skipped: list[str] = []
+    if prior and not os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        import glob
+        import hashlib
+
+        try:
+            from __spark_entry__ import _DRIVER_GREEN_HISTORY as proven
+        except Exception:
+            proven = set()
+        seed = len(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        eligible = sorted(
+            n for n, t in prior.items()
+            if t < 1.0 and n in runners and n not in headline and n in proven
+        )
+        sample = set(sorted(
+            eligible,
+            key=lambda n: hashlib.md5(f"{seed}:{n}".encode()).hexdigest(),
+        )[:30])
+        skipped = [n for n in eligible if n not in sample]
+
     timings: dict[str, float] = {}
     for name, run in runners.items():
+        if name in skipped:
+            continue
         t0 = time.time()
         run()
         timings[name] = round(time.time() - t0, 3)
@@ -104,6 +143,10 @@ def main() -> None:
             break
 
     total = round(time.time() - t_start, 3)
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg = None
     conf = spark.sparkContext.getConf()
     config = {
         "master": conf.get("spark.master"),
@@ -112,14 +155,23 @@ def main() -> None:
         "driver_memory": conf.get("spark.driver.memory", "default"),
         "spark_version": spark.version,
     }
+    # The detail file keeps a value for EVERY entry (skipped ones carry
+    # their prior forward, listed under "carried") — it is the
+    # cross-round retimer memory and must not lose entries to the
+    # elision tier.  stdout reports only freshly-measured timings.
+    detail_queries = dict(timings)
+    for n in skipped:
+        detail_queries[n] = prior[n]
     result = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": detail_queries,
         "sf": sf_val,
         "load_probe": load_probe,
+        "load_avg": load_avg,
         "retimed": retimed,
+        "carried": skipped,
         "config": config,
     }
     # Full result (all timings + config) goes to a repo-committed file;
@@ -131,13 +183,15 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1)
     budget = 1900
-    line = json.dumps(result, separators=(",", ":"))
+    stdout_result = dict(result)
+    stdout_result["queries"] = timings  # fresh measurements only
+    stdout_result["carried"] = len(skipped)
+    line = json.dumps(stdout_result, separators=(",", ":"))
     if len(line) > budget:
-        slim = dict(result)
+        slim = dict(stdout_result)
         slim.pop("config")
         slim["retimed"] = len(retimed)  # pairs live in the detail file
         kept = dict(timings)
-        headline = {"q03", "q05", "q22", "q34"}  # BASELINE.md shape rows
         # drop fastest-first, never the headline shapes; no speed floor —
         # with 148 entries even >1 s timings must be elidable or the
         # line outgrows the driver's 2000-char tail capture
