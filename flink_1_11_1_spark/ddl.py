@@ -982,6 +982,19 @@ class DdlCatalog:
             return self.insert_into(
                 _strip_ticks(mi.group(2)), mi.group(3), overwrite=overwrite
             )
+        if "OVER" in up and up.startswith("SELECT"):
+            # streaming SQL OVER / Top-N (Flink StreamExecOverAggregate
+            # / StreamExecRank): Spark rejects window functions on
+            # streaming plans at query start, so SELECTs with OVER(...)
+            # route through sql_over — batch statements come straight
+            # back (one Catalyst analysis, reused), streaming ones are
+            # rerouted to the Python state operators or raise the
+            # capability-matrix error for frames Flink rejects too.
+            from .streaming.sql_over import route_streaming_select
+
+            routed = route_streaming_select(self.spark, s)
+            if routed is not None:
+                return routed
         return self.spark.sql(s)
 
     # -- Hive-dialect multi-INSERT ----------------------------------------

@@ -29,10 +29,18 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
 )
+
+# Event-time timer value meaning "no buffered rows — do not fire":
+# 9999-12-31T23:59:59Z in epoch ms.  EventTimeTimeout requires a set
+# timestamp > watermark; there is no clear-timer API, so an idle key's
+# timer parks here (its state is the running accumulator, kept forever
+# like Flink's OVER keyed state).
+_PARK_TIMER_MS = 253402300799000
 
 OVER_SCHEMA = StructType(
     [
@@ -85,17 +93,25 @@ def running_sum(events: DataFrame) -> DataFrame:
                 out.append((key[0], eid, pd.Timestamp(ts_us * 1000), acc))
             else:
                 keep.append((eid, ts_us, val))
-        if keep or not state.hasTimedOut:
-            state.update(
-                (acc, [r[0] for r in keep], [r[1] for r in keep], [r[2] for r in keep])
+        # ALWAYS update (round 11): skipping the update on a draining
+        # timeout invocation left the stale buffer AND the expired timer
+        # in the store — the timer re-fired every later trigger and
+        # re-emitted the same rows (and a row arriving after the drain
+        # would have seen the pre-drain accumulator).  When nothing is
+        # buffered the timer is parked far-future: the accumulator is
+        # keyed-state-forever, exactly Flink's OVER state contract.
+        state.update(
+            (acc, [r[0] for r in keep], [r[1] for r in keep], [r[2] for r in keep])
+        )
+        if keep:
+            # event-time timer (Flink's registerEventTimeTimer): fire
+            # when the watermark reaches the earliest buffered row, so
+            # the tail drains even if the key receives no new input.
+            state.setTimeoutTimestamp(
+                max(min(r[1] for r in keep) // 1000, state.getCurrentWatermarkMs() + 1)
             )
-            if keep:
-                # event-time timer (Flink's registerEventTimeTimer): fire
-                # when the watermark reaches the earliest buffered row, so
-                # the tail drains even if the key receives no new input.
-                state.setTimeoutTimestamp(
-                    max(min(r[1] for r in keep) // 1000, state.getCurrentWatermarkMs() + 1)
-                )
+        else:
+            state.setTimeoutTimestamp(_PARK_TIMER_MS)
         if out:
             yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "running_sum"])
 
@@ -138,3 +154,277 @@ class TopNRetractWriter:
 
         ranked = top_n(batch_df, self.partition_by, self.order_by, self.n)
         self._writer(ranked, batch_id)
+
+
+# ------------------------------------------------------------------
+# Generic streaming OVER aggregate (round 11): the SQL front door's
+# operator.  ``running_sum`` above stays as the fixed-schema façade the
+# proven S-series fixtures use; this one is schema-generic (any
+# flat input row, any PARTITION BY keys, SUM/COUNT/AVG/MIN/MAX over the
+# four Flink 1.11 frames).  Reference parity:
+# flink-table/flink-table-planner-blink
+# .../physical/stream/StreamExecOverAggregate.scala (frame selection)
+# and flink-table-runtime-blink operators/over/ (RowTime{Rows,Range}
+# {Unbounded,Bounded}PrecedingFunction) — state = buffered not-yet-
+# emittable rows + the frame's accumulators / retract tail, emission
+# gated on the watermark exactly like ``running_sum``.
+# Rows are JSON-serialized in state (the temporal join's discipline:
+# schema-generic payloads; binary/nested columns rejected at wiring).
+# ------------------------------------------------------------------
+
+_FLAT_OK = (
+    "string", "boolean", "byte", "short", "integer", "long",
+    "float", "double", "timestamp", "date",
+)
+
+_INTEGRAL = ("byte", "short", "integer", "long")
+
+
+def running_over(
+    events: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    aggs: Sequence[tuple[str, str | None, str]],
+    frame: tuple[str, int | None] = ("range", None),
+) -> DataFrame:
+    """Event-time running OVER aggregate on a watermarked stream.
+
+    - ``partition_by``: key columns (the OVER PARTITION BY list).
+    - ``order_by``: the event-time (rowtime) column — ascending only,
+      must carry the stream's watermark.
+    - ``aggs``: (fn, value_expr, out_name) per aggregate; fn in
+      sum/count/avg/min/max; value_expr None means COUNT(*).
+    - ``frame``: ("rows"|"range", None) for UNBOUNDED PRECEDING, or
+      ("rows", n) for ROWS n PRECEDING / ("range", ms) for RANGE
+      INTERVAL ms PRECEDING — each ... AND CURRENT ROW.
+
+    ROWS frames order ties by arrival; RANGE frames are peers-inclusive
+    (every row of an equal-``order_by`` group sees the whole group), the
+    SQL-default frame semantics — tie-insensitive for these aggregates.
+    Output = every input column + one column per aggregate, emitted in
+    event-time order once the watermark passes the row (late rows are
+    dropped by Spark before the operator, as in Flink).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..session import configure
+
+    configure(events.sparkSession)
+
+    kind, size = frame
+    if kind not in ("rows", "range"):
+        raise ValueError(f"frame kind must be rows/range, got {kind!r}")
+    for f_ in events.schema.fields:
+        if f_.dataType.typeName() not in _FLAT_OK:
+            raise ValueError(
+                f"running_over: column {f_.name} has non-flat type "
+                f"{f_.dataType.simpleString()} (JSON state; project it away)")
+    if events.schema[order_by].dataType.typeName() != "timestamp":
+        raise ValueError(f"ORDER BY column {order_by} must be TIMESTAMP")
+
+    work = events
+    metas: list[tuple[str, str, bool]] = []  # (fn, out_name, integral)
+    for k, (fn, expr, out_name) in enumerate(aggs):
+        fn = fn.lower()
+        if fn not in ("sum", "count", "avg", "min", "max"):
+            raise ValueError(f"unsupported OVER aggregate {fn!r}")
+        work = work.withColumn(f"__oin{k}", F.expr(expr if expr else "1"))
+        vt = work.schema[f"__oin{k}"].dataType.typeName()
+        if fn != "count" and vt not in (*_INTEGRAL, "float", "double"):
+            raise ValueError(
+                f"{fn}({expr}) needs a numeric input, got {vt}")
+        metas.append((fn, out_name, vt in _INTEGRAL))
+
+    in_cols = list(events.columns)
+    ts_cols = [
+        f_.name for f_ in events.schema.fields
+        if f_.dataType.typeName() == "timestamp"
+    ]
+    out_fields = list(events.schema.fields)
+    for fn, out_name, integral in metas:
+        if fn == "count":
+            t = LongType()
+        elif fn == "avg":
+            t = DoubleType()
+        else:
+            t = LongType() if integral else DoubleType()
+        out_fields.append(StructField(out_name, t))
+    out_schema = StructType(out_fields)
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("buf", ArrayType(StringType())),
+            StructField("acc", StringType()),
+        ]
+    )
+    n_aggs = len(metas)
+    out_cols = in_cols + [m[1] for m in metas]
+
+    def _plain(v):
+        # numpy scalars / pandas NaN → JSON-serializable Python (the
+        # NaN-is-NULL rule: _is_sql_null discipline from the MR fold)
+        if v is None:
+            return None
+        if isinstance(v, float):
+            return None if v != v else v
+        if hasattr(v, "item"):  # numpy scalar
+            v = v.item()
+            if isinstance(v, float) and v != v:
+                return None
+        return v
+
+    def _window_val(fn, vals, integral):
+        vs = [v for v in vals if v is not None]
+        if fn == "count":
+            return len(vs)
+        if not vs:
+            return None
+        if fn == "sum":
+            s = sum(vs)
+            return int(s) if integral else float(s)
+        if fn == "avg":
+            return float(sum(vs)) / len(vs)
+        if fn == "min":
+            return int(min(vs)) if integral else float(min(vs))
+        return int(max(vs)) if integral else float(max(vs))
+
+    def _acc_emit(acc, k):
+        fn, _, integral = metas[k]
+        if fn == "count":
+            return acc["cnt"][k]
+        if acc["cnt"][k] == 0:
+            return None
+        if fn == "sum":
+            return int(acc["sum"][k]) if integral else float(acc["sum"][k])
+        if fn == "avg":
+            return float(acc["sum"][k]) / acc["cnt"][k]
+        if fn == "min":
+            return acc["mn"][k]
+        return acc["mx"][k]
+
+    def _acc_add(acc, vals):
+        for k, v in enumerate(vals):
+            if v is None:
+                continue
+            acc["cnt"][k] += 1
+            acc["sum"][k] += v
+            acc["mn"][k] = v if acc["mn"][k] is None else min(acc["mn"][k], v)
+            acc["mx"][k] = v if acc["mx"][k] is None else max(acc["mx"][k], v)
+
+    def fn_state(key, rows: Iterator[pd.DataFrame], state: GroupState):
+        import json
+
+        parts = [p for p in rows if len(p)]
+        if state.exists:
+            seq, buf_json, acc_json = state.get
+            buf = [json.loads(b) for b in buf_json]
+            acc = json.loads(acc_json)
+        else:
+            seq = 0
+            buf = []
+            acc = {
+                "cnt": [0] * n_aggs,
+                "sum": [0] * n_aggs,
+                "mn": [None] * n_aggs,
+                "mx": [None] * n_aggs,
+                "tail": [],
+            }
+        for p in parts:
+            for d in p.to_dict("records"):
+                vals = [_plain(d.pop(f"__oin{k}")) for k in range(n_aggs)]
+                r = {}
+                for c in in_cols:
+                    v = d.get(c)
+                    if c in ts_cols and v is not None and v == v:
+                        r[c] = int(pd.Timestamp(v).value // 1000)
+                    else:
+                        r[c] = _plain(v)
+                buf.append({"s": seq, "t": r[order_by], "v": vals, "r": r})
+                seq += 1
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        buf.sort(key=lambda e: (e["t"], e["s"]))
+        ready = [e for e in buf if e["t"] <= wm_us]
+        keep = [e for e in buf if e["t"] > wm_us]
+
+        out: list[dict] = []
+
+        def emit(e, agg_vals):
+            row = dict(e["r"])
+            for c in ts_cols:
+                if row.get(c) is not None:
+                    row[c] = pd.Timestamp(row[c] * 1000)
+            for (fn_, out_name, _), v in zip(metas, agg_vals):
+                row[out_name] = v
+            out.append(row)
+
+        if size is None:
+            if kind == "rows":
+                for e in ready:
+                    _acc_add(acc, e["v"])
+                    emit(e, [_acc_emit(acc, k) for k in range(n_aggs)])
+            else:  # range unbounded: peers-inclusive per ts group
+                i = 0
+                while i < len(ready):
+                    j = i
+                    while j < len(ready) and ready[j]["t"] == ready[i]["t"]:
+                        j += 1
+                    for e in ready[i:j]:
+                        _acc_add(acc, e["v"])
+                    vals_now = [_acc_emit(acc, k) for k in range(n_aggs)]
+                    for e in ready[i:j]:
+                        emit(e, vals_now)
+                    i = j
+        elif kind == "rows":
+            tail = acc["tail"]  # most-recent-last val vectors
+            for e in ready:
+                window = (tail[-size:] if size else []) + [e["v"]]
+                emit(e, [
+                    _window_val(m[0], [w[k] for w in window], m[2])
+                    for k, m in enumerate(metas)
+                ])
+                if size:
+                    tail.append(e["v"])
+                    del tail[:-size]
+            acc["tail"] = tail
+        else:  # range bounded: tail of [t, vals] within the interval
+            tail = acc["tail"]
+            i = 0
+            while i < len(ready):
+                j = i
+                t_now = ready[i]["t"]
+                while j < len(ready) and ready[j]["t"] == t_now:
+                    j += 1
+                lo = t_now - size * 1000  # size is ms, t is us
+                tail = [tv for tv in tail if tv[0] >= lo]
+                window = [tv[1] for tv in tail] + [e["v"] for e in ready[i:j]]
+                vals_now = [
+                    _window_val(m[0], [w[k] for w in window], m[2])
+                    for k, m in enumerate(metas)
+                ]
+                for e in ready[i:j]:
+                    emit(e, vals_now)
+                tail.extend([e["t"], e["v"]] for e in ready[i:j])
+                i = j
+            acc["tail"] = tail
+
+        # always update + park the timer when idle (see running_sum's
+        # round-11 note: a non-updated draining timeout re-fires and
+        # re-emits; the accumulator must survive the drain)
+        state.update(
+            (seq, [json.dumps(e) for e in keep], json.dumps(acc))
+        )
+        if keep:
+            state.setTimeoutTimestamp(
+                max(min(e["t"] for e in keep) // 1000, wm_ms + 1)
+            )
+        else:
+            state.setTimeoutTimestamp(_PARK_TIMER_MS)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return work.groupBy(*[F.col(c) for c in partition_by]).applyInPandasWithState(
+        fn_state, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

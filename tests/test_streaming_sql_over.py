@@ -1,0 +1,255 @@
+"""Streaming SQL OVER / Top-N routing (round 11 — VERDICT r10 next #2).
+
+Flink 1.11 plans ``OVER (PARTITION BY k ORDER BY rowtime ...)`` and the
+``ROW_NUMBER() ... WHERE rn <= N`` rank pattern on streams
+(StreamExecOverAggregate.scala / StreamExecRank.scala); Spark rejects
+both at query start.  ``ddl.execute`` now routes streaming SELECTs with
+OVER to ``streaming/over.running_over`` / ``TopNRetractWriter``; these
+tests pin SQL-text == batch-twin parity for every supported frame, the
+capability-matrix errors for frames Flink rejects too, and the
+exactly-once emission contract (the round-11 park-the-timer fix).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_1_11_1_spark import catalog
+from flink_1_11_1_spark.streaming import replay
+from flink_1_11_1_spark.streaming.capability import UnsupportedStreamingPlan
+from flink_1_11_1_spark.table_env import TableEnvironment
+
+from .conftest import SF_SMOKE
+
+pytestmark = pytest.mark.streaming
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sqlover") / "rp")
+    replay.write_replay(spark, SF_SMOKE, d, parts=4)
+    return d
+
+
+@pytest.fixture()
+def tenv(spark):
+    return TableEnvironment(spark)
+
+
+def _stream_view(spark, replay_dir, name):
+    stream = replay.events_stream(spark, replay_dir).select(
+        "user_id", "event_id", "ts", "value")
+    stream.createOrReplaceTempView(name)
+    return stream
+
+
+def _batch_events(spark):
+    return catalog.load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value")
+
+
+def _keyed(rows, val, nd=6):
+    return {
+        (r.user_id, r.event_id): round(val(r), nd) if val(r) is not None
+        else None
+        for r in rows if r.user_id is not None and r.user_id >= 0
+    }
+
+
+def test_sql_over_default_frame_equals_batch_range(tenv, replay_dir):
+    """``OVER (PARTITION BY k ORDER BY ts)`` — the SQL default RANGE
+    UNBOUNDED PRECEDING — equals the batch rangeBetween twin."""
+    from pyspark.sql.window import Window
+
+    spark = tenv.spark
+    _stream_view(spark, replay_dir, "so_ev1")
+    out = tenv.execute_sql(
+        "SELECT user_id, event_id, ts, sum(value) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS rs FROM so_ev1")
+    assert out.isStreaming
+    got, dropped = replay.run_stream(out, "append", "so_range_unb")
+    assert dropped == 0
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    want = _batch_events(spark).select(
+        "user_id", "event_id", F.sum("value").over(w).alias("rs")).collect()
+    assert _keyed(got, lambda r: r.rs) == _keyed(want, lambda r: r.rs)
+    # exactly-once: each input row emitted exactly once (park-timer fix)
+    c = Counter((r.user_id, r.event_id) for r in got)
+    assert max(c.values()) == 1
+
+
+def test_sql_over_multi_agg_rows_unbounded(tenv, replay_dir):
+    """Several aggregates over one ROWS UNBOUNDED window in one
+    statement — one operator, all Flink 1.11 stream aggs."""
+    from pyspark.sql.window import Window
+
+    spark = tenv.spark
+    _stream_view(spark, replay_dir, "so_ev2")
+    out = tenv.execute_sql(
+        "SELECT user_id, event_id, "
+        "sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s, "
+        "count(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, "
+        "avg(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a, "
+        "max(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx "
+        "FROM so_ev2")
+    got, _ = replay.run_stream(out, "append", "so_rows_unb")
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = _batch_events(spark).select(
+        "user_id", "event_id",
+        F.sum("value").over(w).alias("s"),
+        F.count("value").over(w).alias("c"),
+        F.avg("value").over(w).alias("a"),
+        F.max("value").over(w).alias("mx")).collect()
+    def m(rows):
+        return {
+            (r.user_id, r.event_id):
+                (round(r.s, 6), r.c, round(r.a, 6), round(r.mx, 6))
+            for r in rows if r.user_id is not None and r.user_id >= 0
+        }
+
+    assert m(got) == m(want)
+
+
+def test_sql_over_rows_bounded_equals_batch(tenv, replay_dir):
+    """ROWS 2 PRECEDING AND CURRENT ROW — the bounded-rows frame
+    (RowTimeRowsBoundedPrecedingFunction parity)."""
+    from pyspark.sql.window import Window
+
+    spark = tenv.spark
+    _stream_view(spark, replay_dir, "so_ev3")
+    out = tenv.execute_sql(
+        "SELECT user_id, event_id, sum(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s "
+        "FROM so_ev3")
+    got, _ = replay.run_stream(out, "append", "so_rows_bnd")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-2, 0)
+    want = _batch_events(spark).select(
+        "user_id", "event_id", F.sum("value").over(w).alias("s")).collect()
+    assert _keyed(got, lambda r: r.s) == _keyed(want, lambda r: r.s)
+
+
+def test_sql_over_range_interval_equals_batch(tenv, replay_dir):
+    """RANGE INTERVAL '2' HOUR PRECEDING — the bounded-range frame; the
+    batch twin is the SAME SQL text on the batch events view (Spark
+    supports interval RANGE frames in batch)."""
+    spark = tenv.spark
+    _stream_view(spark, replay_dir, "so_ev4")
+    text = (
+        "SELECT user_id, event_id, sum(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND "
+        "CURRENT ROW) AS s FROM {src}")
+    got, _ = replay.run_stream(
+        tenv.execute_sql(text.format(src="so_ev4")), "append", "so_rng_bnd")
+    catalog.register(spark, SF_SMOKE)
+    want = spark.sql(
+        text.format(src="(SELECT user_id, event_id, ts, value FROM events)")
+    ).collect()
+    assert _keyed(got, lambda r: r.s) == _keyed(want, lambda r: r.s)
+
+
+def test_sql_topn_pattern_routes_to_retract_stream(tenv, replay_dir, tmp_path):
+    """The Flink rank pattern on a streaming aggregate returns a
+    StreamingTopN handle whose folded retract records equal the batch
+    Top-N (StreamExecRank parity, TopNRetractWriter rendering)."""
+    from flink_1_11_1_spark.operators.rank import top_n
+    from flink_1_11_1_spark.streaming.sql_over import StreamingTopN
+
+    spark = tenv.spark
+    stream = replay.events_stream(spark, replay_dir, watermark=None).where(
+        "user_id >= 0")
+    stream.createOrReplaceTempView("so_topn_src")
+    h = tenv.execute_sql(
+        "SELECT user_id, total, rn FROM (SELECT user_id, "
+        "sum(value) AS total, ROW_NUMBER() OVER (ORDER BY sum(value) DESC) "
+        "AS rn FROM so_topn_src GROUP BY user_id) t WHERE rn <= 5")
+    assert isinstance(h, StreamingTopN)
+    q = h.start(str(tmp_path / "topn_rec"),
+                checkpoint_dir=str(tmp_path / "topn_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.user_id, round(r.total, 6), r.rn)
+                 for r in h.snapshot(spark).collect())
+    ev = _batch_events(spark).where("user_id >= 0")
+    want = top_n(
+        ev.groupBy("user_id").agg(F.sum("value").alias("total")),
+        [], [F.col("total").desc()], 5)
+    assert got == sorted(
+        (r.user_id, round(r.total, 6), r.rn) for r in want.collect())
+
+
+def test_sql_over_batch_statements_stay_native(tenv):
+    """Batch SELECTs with OVER go straight to Catalyst (one analysis,
+    returned untouched) — including the batch rank pattern."""
+    spark = tenv.spark
+    catalog.register(spark, SF_SMOKE)
+    b = tenv.execute_sql(
+        "SELECT user_id, sum(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts) s FROM events LIMIT 5")
+    assert not b.isStreaming and b.count() == 5
+    b2 = tenv.execute_sql(
+        "SELECT * FROM (SELECT user_id, sum(value) AS total, ROW_NUMBER() "
+        "OVER (ORDER BY sum(value) DESC) rn FROM events GROUP BY user_id) "
+        "WHERE rn <= 3")
+    assert not b2.isStreaming and b2.count() == 3
+
+
+def test_sql_over_capability_errors(tenv, replay_dir):
+    spark = tenv.spark
+    _stream_view(spark, replay_dir, "so_cap")
+    with pytest.raises(UnsupportedStreamingPlan, match="ASCENDING"):
+        tenv.execute_sql(
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC) s FROM so_cap")
+    with pytest.raises(UnsupportedStreamingPlan, match="frame"):
+        tenv.execute_sql(
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id ORDER "
+            "BY ts ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) s FROM so_cap")
+    with pytest.raises(UnsupportedStreamingPlan, match="Top-N pattern"):
+        tenv.execute_sql(
+            "SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts) rn FROM so_cap")
+    with pytest.raises(UnsupportedStreamingPlan, match="one window"):
+        tenv.execute_sql(
+            "SELECT sum(value) OVER (PARTITION BY user_id ORDER BY ts) a, "
+            "sum(value) OVER (ORDER BY ts) b FROM so_cap")
+    # no watermark on the rowtime column
+    nf = replay.events_stream(spark, replay_dir, watermark=None).select(
+        "user_id", "ts", "value")
+    nf.createOrReplaceTempView("so_nowm")
+    with pytest.raises(UnsupportedStreamingPlan, match="watermark"):
+        tenv.execute_sql(
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts) s FROM so_nowm")
+    # append-only inner for the rank pattern (capability matrix row)
+    with pytest.raises(UnsupportedStreamingPlan, match="Top-N"):
+        tenv.execute_sql(
+            "SELECT user_id, rn FROM (SELECT user_id, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY value DESC) AS rn "
+            "FROM so_cap) WHERE rn <= 2")
+
+
+def test_running_sum_emits_exactly_once(spark, tmp_path):
+    """Regression for the round-11 park-the-timer fix: a draining
+    timeout invocation must update state, or the stale buffer re-emits
+    on every later trigger (235 duplicate rows at sf0.001)."""
+    from flink_1_11_1_spark.streaming import over
+
+    d = str(tmp_path / "rp_once")
+    replay.write_replay(spark, SF_SMOKE, d, parts=4)
+    stream = replay.events_stream(spark, d).select(
+        "user_id", "event_id", "ts", "value")
+    got, _ = replay.run_stream(over.running_sum(stream), "append", "rs_once")
+    c = Counter((r.user_id, r.event_id) for r in got)
+    assert len(got) == len(c), "duplicate emissions"
+    n_events = _batch_events(spark).count()
+    assert len([r for r in got if r.user_id >= 0]) == n_events
