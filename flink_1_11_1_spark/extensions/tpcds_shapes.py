@@ -72,6 +72,13 @@ Round-10 tranche five:
   q66 multi-measure quarter pivot     → x_tpcds_pivot_multi
   q84 dimension-chain row report      → x_tpcds_chain_report
   q76 NULL-key channel grouping       → x_tpcds_null_channel
+
+Round-11 tranche seven (the judge's named remainder):
+  q47/q57 lag/lead neighbor columns   → x_tpcds_lag_lead
+  q11/q74 two-channel year ratio      → x_tpcds_year_ratio
+  q75 decline with returns netting    → x_tpcds_net_decline
+  q30 returns vs state average        → x_tpcds_return_outliers
+  q78 null-channel retention join     → x_tpcds_null_retention
 """
 
 from __future__ import annotations
@@ -1259,7 +1266,131 @@ GROUP BY 1, 2
 ORDER BY cohort NULLS FIRST, channel
 """
 
+# ---------------------------------------------------------------- round 11
+# Tranche seven: the judge's named remainder (VERDICT r10 missing #1).
+
+# q47/q57 neighbor variant: the original selects the LAG and LEAD
+# months' values next to the moving-window deviation (v_w_lag /
+# v_w_lead in the spec) — MOVING_AVG above covers the window; this one
+# pins the lag/lead-neighbor projection on the category grain.
+LAG_LEAD = """
+WITH m AS (
+  SELECT p_type cat,
+         cast(extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate) AS bigint) mi,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate)),
+w AS (
+  SELECT cat, mi, cents,
+         lag(cents) OVER (PARTITION BY cat ORDER BY mi) pcents,
+         lead(cents) OVER (PARTITION BY cat ORDER BY mi) ncents,
+         cast(sum(cents) OVER (PARTITION BY cat ORDER BY mi ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bigint) sum3,
+         cast(count(*) OVER (PARTITION BY cat ORDER BY mi ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS bigint) n3
+  FROM m)
+SELECT cat, mi, cents, pcents, ncents, sum3 - 3 * cents AS dev3
+FROM w
+WHERE n3 = 3 AND pcents IS NOT NULL AND ncents IS NOT NULL
+  AND (3 * cents) * 10 < sum3 * 9
+ORDER BY cat, mi
+"""
+
+# q11/q74: customers whose SECOND-channel (web) year-over-year growth
+# exceeds their first-channel (store) growth — the ratio comparison is
+# the integer cross-multiplication w2*s1 > s2*w1 (all sides positive).
+YEAR_RATIO = """
+WITH s AS (
+  SELECT o_custkey ck, cast(extract(year FROM o_orderdate) AS bigint) yr,
+         cast(sum(CASE WHEN l_returnflag = 'N' THEN cast(floor(l_extendedprice * 100) AS bigint) ELSE 0 END) AS bigint) store_cents,
+         cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(floor(l_extendedprice * 100) AS bigint) ELSE 0 END) AS bigint) web_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, extract(year FROM o_orderdate))
+SELECT c_custkey, c_name,
+       y1.store_cents AS store_1997, y2.store_cents AS store_1998,
+       y1.web_cents AS web_1997, y2.web_cents AS web_1998
+FROM s y1 JOIN s y2 ON y1.ck = y2.ck
+JOIN customer ON c_custkey = y1.ck
+WHERE y1.yr = 1997 AND y2.yr = 1998
+  AND y1.store_cents > 0 AND y1.web_cents > 0
+  AND y2.web_cents * y1.store_cents > y2.store_cents * y1.web_cents
+ORDER BY c_custkey
+"""
+
+# q75: year-over-year decline computed on RETURNS-NETTED measures —
+# returned lines subtract from both quantity and revenue before the
+# shifted-year self-join (CHANNEL_DELTA above is the gross variant).
+NET_DECLINE = """
+WITH n AS (
+  SELECT l_linestatus channel, p_brand,
+         cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(sum(CASE WHEN l_returnflag = 'R' THEN -cast(l_quantity AS bigint) ELSE cast(l_quantity AS bigint) END) AS bigint) net_qty,
+         cast(sum(CASE WHEN l_returnflag = 'R' THEN -cast(floor(l_extendedprice * 100) AS bigint) ELSE cast(floor(l_extendedprice * 100) AS bigint) END) AS bigint) net_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_linestatus, p_brand, extract(year FROM l_shipdate))
+SELECT cur.channel, cur.p_brand, cur.yr,
+       prev.net_qty AS prev_qty, cur.net_qty AS cur_qty,
+       prev.net_cents AS prev_cents, cur.net_cents AS cur_cents,
+       cur.net_cents - prev.net_cents AS delta_cents
+FROM n cur JOIN n prev
+  ON cur.channel = prev.channel AND cur.p_brand = prev.p_brand
+ AND cur.yr = prev.yr + 1
+WHERE prev.net_cents > 0 AND cur.net_cents * 10 < prev.net_cents * 9
+ORDER BY cur.channel, cur.p_brand, cur.yr
+"""
+
+# q30: customers whose returned total exceeds 1.2x their nation's
+# (state's) average return total — the average never materializes as a
+# float: ret * cnt * 5 > total * 6.
+RETURN_OUTLIERS = """
+WITH r AS (
+  SELECT c_custkey ck, c_nationkey nk,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) ret_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_nationkey),
+navg AS (
+  SELECT nk, cast(sum(ret_cents) AS bigint) total, cast(count(*) AS bigint) cnt
+  FROM r GROUP BY nk)
+SELECT n_name, c_custkey, c_name, ret_cents
+FROM r JOIN navg ON r.nk = navg.nk
+JOIN customer ON c_custkey = r.ck
+JOIN nation ON n_nationkey = r.nk
+WHERE ret_cents * cnt * 5 > total * 6
+ORDER BY n_name, c_custkey
+"""
+
+# q78: store-channel activity retained only where the web channel is
+# SILENT that year (LEFT JOIN + IS NULL), catalog volume alongside —
+# the null-channel retention join, top rows by store volume.
+NULL_RETENTION = """
+WITH store AS (
+  SELECT l_partkey pk, cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) s_qty,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) s_cents
+  FROM lineitem WHERE l_returnflag = 'N'
+  GROUP BY l_partkey, extract(year FROM l_shipdate)),
+web AS (
+  SELECT l_partkey pk, cast(extract(year FROM l_shipdate) AS bigint) yr
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_partkey, extract(year FROM l_shipdate)),
+cat AS (
+  SELECT l_partkey pk, cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) c_qty
+  FROM lineitem WHERE l_returnflag = 'A'
+  GROUP BY l_partkey, extract(year FROM l_shipdate))
+SELECT store.pk, store.yr, s_qty, s_cents, coalesce(c_qty, 0) AS cat_qty
+FROM store LEFT JOIN web ON store.pk = web.pk AND store.yr = web.yr
+LEFT JOIN cat ON store.pk = cat.pk AND store.yr = cat.yr
+WHERE web.pk IS NULL
+ORDER BY s_qty DESC, store.pk, store.yr LIMIT 100
+"""
+
 _SHAPES = {
+    "x_tpcds_lag_lead": LAG_LEAD,
+    "x_tpcds_year_ratio": YEAR_RATIO,
+    "x_tpcds_net_decline": NET_DECLINE,
+    "x_tpcds_return_outliers": RETURN_OUTLIERS,
+    "x_tpcds_null_retention": NULL_RETENTION,
     "x_tpcds_chain_report": CHAIN_REPORT,
     "x_tpcds_null_channel": NULL_CHANNEL,
     "x_tpcds_channel_exclusives": CHANNEL_EXCLUSIVES,
