@@ -485,11 +485,35 @@ class PatternSeq:
         if len(self.states) < 1:
             raise ValueError("empty pattern")
         last = self.states[-1]
-        if last.min_count < 1 or last.max_count != last.min_count:
+        if last.min_count < 1:
             raise ValueError(
-                "final state must be bounded with min == max >= 1 "
-                "(completion is emitted when its count is reached)"
-            )
+                "final state must require at least one row "
+                "(Flink rejects a fully-optional pattern end too)")
+        if last.max_count != last.min_count:
+            # GREEDY quantified final (B{1,3} / B+ at pattern end) —
+            # valid Flink 1.11: the match closes at the count cap, at a
+            # row that fails to extend a strict run, at WITHIN expiry of
+            # the extension window, or at end of bounded input (batch
+            # finalize / the replay flush sentinel).  Round 11; the
+            # restricted shapes below stay loud.
+            if not last.greedy:
+                raise ValueError(
+                    "a pattern may not END with a reluctant quantifier "
+                    "(Flink's own restriction)")
+            if getattr(last, "until_cond", None) is not None:
+                raise ValueError(
+                    "until() on a quantified FINAL state is not "
+                    "supported — bound the state (times(n)) or move "
+                    "the stop condition into a following state")
+            if any(s.any_in or s.combinations for s in self.states):
+                raise ValueError(
+                    "a quantified final state cannot combine with "
+                    "followed_by_any/allow_combinations (emit-all "
+                    "would emit every prefix length)")
+            if len(self.states) - 1 in {g[1] for g in self.groups}:
+                raise ValueError(
+                    "a quantified final state cannot end a repetition "
+                    "group (same rule as the final-group bound)")
         if not last.greedy:
             raise ValueError(
                 "a pattern may not END with a reluctant quantifier "
@@ -896,6 +920,12 @@ def _fold_events(
             and states[start_chain[-1]][1] == 0:
         start_chain.append(start_chain[-1] + 1)
 
+    # greedy quantified FINAL state (B{1,3} / B+ at pattern end): the
+    # match closes at cap / strict break / expiry / finalize rather
+    # than at the min count (round 11)
+    qf = (n_states - 1 not in gend) and (
+        states[-1][2] is None or states[-1][2] != states[-1][1])
+
     for ei in range(n_events):
         ts_us = ts_arr[ei]
         eid = eid_arr[ei]
@@ -925,9 +955,20 @@ def _fold_events(
 
         if not partials and not any(_startable(j) for j in start_chain):
             continue  # nothing live and nothing can start — skip fast
-        partials = [p for p in partials if ts_us <= p["start"] + horizon]
         survivors: list[dict] = []
         completed: list[dict] = []
+        # WITHIN expiry: partials die — EXCEPT a greedy quantified-final
+        # run at or past its min, whose own rows are all inside the
+        # window: only the EXTENSION window expired, so the longest run
+        # found is the match (round 11; mirrors the branching fold's
+        # pend resolution when the extending sibling expires).
+        kept: list[dict] = []
+        for p in partials:
+            if ts_us <= p["start"] + horizon:
+                kept.append(p)
+            elif qf and p["si"] == n_states - 1 and p["cnt"] >= states[-1][1]:
+                completed.append(p)
+        partials = kept
         suppress_start = False
         for p in partials:
             si = p["si"]
@@ -963,7 +1004,11 @@ def _fold_events(
                 p["tss"].append(ts_us)
                 p.setdefault("vals", []).append(evvals)
                 p["ng"] = True  # re-arm the notNext slot
-                if p["cnt"] == mn and _complete_at(p, si):
+                # a quantified final completes at its CAP (greedy takes
+                # every extension up to max); fixed finals at min
+                done_at = mx if (qf and si == n_states - 1
+                                 and mx is not None) else mn
+                if p["cnt"] == done_at and _complete_at(p, si):
                     completed.append(p)
                 else:
                     survivors.append(p)
@@ -1004,7 +1049,9 @@ def _fold_events(
                             p["tss"].append(ts_us)
                             p.setdefault("vals", []).append(evvals)
                             p["ng"] = True
-                            if jmn == 1 and _complete_at(p, j):
+                            if (jmn == 1 and _complete_at(p, j)
+                                    and not (qf and j == n_states - 1
+                                             and jmx != 1)):
                                 completed.append(p)
                             else:
                                 survivors.append(p)
@@ -1019,6 +1066,13 @@ def _fold_events(
             # neither extended nor advanced: contiguity kill rules
             if consec and p["cnt"] < mn:
                 continue  # broken repeat chain below min — dead
+            if consec and qf and si == n_states - 1:
+                # a strict quantified-final run broken by a row that
+                # does not extend it: the longest run found IS the
+                # match (ISO MATCH_RECOGNIZE greedy; Flink NFA emits
+                # when the greedier branch dies)
+                completed.append(p)
+                continue
             if consec:
                 p["closed"] = True  # min reached: freeze, may still advance
             nxt = si + 1
@@ -1104,7 +1158,7 @@ def _fold_events(
                 "start": ts_us,
                 "sid": eid,
             }
-            if j0 == n_states - 1 and mn0 == 1:
+            if j0 == n_states - 1 and mn0 == 1 and not qf:
                 out.append(
                     (
                         key,
@@ -1129,6 +1183,49 @@ def _fold_events(
             RuntimeWarning,
             stacklevel=2,
         )
+    if finalize and partials and qf:
+        # bounded input exhausted: quantified-final runs that reached
+        # their min complete (ISO MATCH_RECOGNIZE closes every match at
+        # end of partition), honoring the skip strategy in leftmost
+        # (start, sid) order.  Other partials stay incomplete, as ever.
+        fin = sorted(
+            (p for p in partials
+             if p["si"] == n_states - 1 and p["cnt"] >= states[-1][1]),
+            key=lambda p: (p["start"], p["sid"]),
+        )
+        skip_mode, _, skip_var = skip.partition(":")
+        past_end: tuple[int, int] | None = None
+        min_ref: tuple[int, int] | None = None
+        emitted_sids: set[int] = set()
+        for p in fin:
+            if past_end is not None and (p["start"], p["sid"]) <= past_end:
+                continue  # consumed by a past_last emission
+            if min_ref is not None and (p["start"], p["sid"]) < min_ref:
+                continue
+            if skip_mode == "to_next" and p["sid"] in emitted_sids:
+                continue
+            out.append(
+                (
+                    key,
+                    pd.Timestamp(p["start"] * 1000),
+                    pd.Timestamp(p["tss"][-1] * 1000),
+                    list(p["labels"]),
+                    list(p["ids"]),
+                    [pd.Timestamp(t * 1000) for t in p["tss"]],
+                )
+            )
+            emitted_sids.add(p["sid"])
+            if skip_mode == "past_last":
+                past_end = (p["tss"][-1], p["ids"][-1])
+            elif skip_mode in ("to_first", "to_last"):
+                idxs = [i for i, l in enumerate(p["labels"]) if l == skip_var]
+                if idxs:
+                    i = idxs[0] if skip_mode == "to_first" else idxs[-1]
+                    ref = (p["tss"][i], p["ids"][i])
+                    if min_ref is None or ref > min_ref:
+                        min_ref = ref
+        fin_ids = {id(p) for p in fin}
+        partials = [p for p in partials if id(p) not in fin_ids]
     return out, partials
 
 
@@ -1441,6 +1538,13 @@ def _fold_events_bt(
                 if not choices:
                     if consec and p["cnt"] < mn:
                         continue
+                    if (consec and si == n_states - 1
+                            and (n_states - 1 not in gend)
+                            and (mx is None or mx != mn)):
+                        # broken strict quantified-final run: this
+                        # extending branch dies and its buffered
+                        # pending completion resolves (round 11)
+                        continue
                     if consec:
                         p["closed"] = True
                     nxt = si + 1
@@ -1518,9 +1622,44 @@ def _fold_events_bt(
                     q["tss"].append(ts_us)
                     q.setdefault("vals", []).append(evvals)
                     created += 1
+                    lmn, lmx = states[-1][1], states[-1][2]
+                    qf = (n_states - 1 not in gend) and (
+                        lmx is None or lmx != lmn)
+                    if (qf and q["si"] == n_states - 1 and q["cnt"] >= lmn
+                            and (lmx is None or q["cnt"] < lmx)):
+                        # greedy quantified final: buffer THIS length as
+                        # a pending match (stop = less-greedy digit 1)
+                        # and keep the extending branch live (digit 0);
+                        # _resolve emits the pending only once every
+                        # greedier sibling is dead — round 11.  A new
+                        # pend dominates the same lineage's older one
+                        # (only the min-deck pend of a group can ever
+                        # emit), so dominated pends are dropped to keep
+                        # B+ runs O(1) in state.
+                        c = {
+                            "si": q["si"], "cnt": q["cnt"], "closed": True,
+                            "labels": list(q["labels"]),
+                            "ids": list(q["ids"]), "tss": list(q["tss"]),
+                            "vals": list(q.get("vals", [])),
+                            "start": q["start"], "sid": q["sid"],
+                            "deck": list(q.get("deck", [])) + [1],
+                            "done": True,
+                        }
+                        gid_q = (c["start"], c["sid"])
+                        pend = [
+                            x for x in pend
+                            if (x["start"], x["sid"]) != gid_q
+                            or x.get("deck", []) <= c["deck"]
+                        ]
+                        pend.append(c)
+                        q["deck"] = list(q.get("deck", [])) + [0]
+                        survivors.append(q)
+                        continue
                     done_here = (
                         q["si"] == n_states - 1
-                        and q["cnt"] == states[-1][1]
+                        and q["cnt"] == (lmx if (
+                            qf and q["si"] == n_states - 1
+                            and lmx is not None) else states[-1][1])
                         and (n_states - 1 not in gend
                              or (q.get("gc") or [0] * len(groups))[
                                  gend[n_states - 1][4]] + 1
@@ -1556,7 +1695,22 @@ def _fold_events_bt(
                     "vals": [evvals], "start": ts_us, "sid": eid,
                     "deck": [ci] if fork0 else [],
                 }
-                if j0 == n_states - 1 and mn0 == 1:
+                qf0 = (n_states - 1 not in gend) and (
+                    states[-1][2] is None or states[-1][2] != states[-1][1])
+                if j0 == n_states - 1 and mn0 == 1 and qf0:
+                    # greedy quantified final starting here: pend the
+                    # length-1 completion (stop digit) and keep the
+                    # extending start live (greedier digit)
+                    pend.append({
+                        **p0, "closed": True, "done": True,
+                        "labels": list(p0["labels"]),
+                        "ids": list(p0["ids"]), "tss": list(p0["tss"]),
+                        "vals": list(p0["vals"]),
+                        "deck": list(p0["deck"]) + [1],
+                    })
+                    if len(live) < max_partials:
+                        live.append({**p0, "deck": list(p0["deck"]) + [0]})
+                elif j0 == n_states - 1 and mn0 == 1:
                     if n_states == 1:
                         if ci == 0:  # leftmost alternative only: a
                             # single-state match is decided at this

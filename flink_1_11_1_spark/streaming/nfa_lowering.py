@@ -371,8 +371,13 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
     )
     conds_lowerable = all(s.py_cond is None or s.sql_cond is not None for s in states)
     last = states[-1]
-    if last.min_count != last.max_count or last.min_count < 1:
+    if last.min_count < 1:
         return None  # _check() rejects these anyway
+    # greedy quantified FINAL state (round 11): bounded+consecutive
+    # lowers in tier A under no_skip/to_next (the vector enumeration's
+    # greedy-consistency negation extends to the row after the match);
+    # unbounded (B+) finals and skip-pruning modes stay on the fold.
+    qfinal = last.min_count != last.max_count
 
     if contiguous and multirep_consecutive and conds_lowerable:
         if all(s.max_count is not None for s in states):
@@ -385,6 +390,10 @@ def eligible_tier(states, horizon_s: int, skip: str) -> str | None:
                 mode, _, svar = skip.partition(":")
                 if mode in ("no_skip", "to_next"):
                     return "A"
+                if qfinal:
+                    # skip-pruning modes over variable-length matches:
+                    # the prune lattice shifts with the match end — fold
+                    return None
                 # single-row matches are emitted by the fold's start
                 # block, which no skip strategy touches
                 if len(states) == 1 and s0.min_count == s0.max_count == 1:
@@ -804,8 +813,14 @@ def _lower_fixed(
                 break
         if dead:
             continue
-        # greedy-consistency negations (deterministic mode only)
-        for i in range(n - 1) if not backtrack else ():
+        # greedy-consistency negations (deterministic mode only) —
+        # including the FINAL state (round 11): a quantified final at
+        # count < max is the match only if the row after it does not
+        # extend the run (missing row ⇒ lead() NULL ⇒ closes, matching
+        # the batch finalize); under a bounded WITHIN a breaking row
+        # beyond the horizon ALSO closes (the fold's expiry completion),
+        # so the negated extension must be within-horizon to count.
+        for i in range(n) if not backtrack else ():
             if not offsets[i]:
                 # skipped optional: must fail where the next state matched
                 p = next(offsets[j][0] for j in range(i + 1, n) if offsets[j])
@@ -814,9 +829,12 @@ def _lower_fixed(
                     conds.append(f"NOT coalesce({c}, false)")
                 continue
             if vec[i] < states[i].max_count:
-                p = offsets[i][-1] + 1  # the next state's first row
+                p = offsets[i][-1] + 1  # the row after this state's run
                 c = full_cond(i, p, bound_before(p))
                 if c is not None:
+                    if i == n - 1 and horizon_s < _UNBOUNDED_S:
+                        c = (f"({c}) AND {leads.ref('ts', p)} <= "
+                             f"ts + INTERVAL {horizon_s} SECOND")
                     conds.append(f"NOT coalesce({c}, false)")
         if horizon_s < _UNBOUNDED_S and L > 1:
             conds.append(

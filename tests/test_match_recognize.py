@@ -949,3 +949,127 @@ def test_subset_measures_streaming(spark, tmp_path):
     )""", events=stream)
     got, _ = replay.run_stream(out, "append", "s_subset_mr")
     assert [(r.s_first, r.s_last, r.n_all) for r in got] == [(1, 3, 3)]
+
+
+# -------------------- round 11: greedy quantified FINAL states --------
+
+
+def test_quantified_final_pattern_greedy_longest(spark):
+    """PATTERN (A B{1,3}) — valid Flink 1.11, previously rejected:
+    greedy takes the longest run up to the cap; end of partition closes
+    a shorter run."""
+    rows = [
+        # user 1: V C C C C → one match, B count capped at 3
+        *[(1, i, f"2026-01-01 00:0{i}:00", t)
+          for i, t in enumerate(["view", "click", "click", "click", "click"])],
+        # user 2: V C C <end> → finalize closes at 2
+        *[(2, 10 + i, f"2026-01-01 00:0{i}:00", t)
+          for i, t in enumerate(["view", "click", "click"])],
+        # user 3: V C V → break row closes at 1
+        *[(3, 20 + i, f"2026-01-01 00:0{i}:00", t)
+          for i, t in enumerate(["view", "click", "view"])],
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_s string, event_type string"
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) ts", "event_type",
+        "cast(1.0 as double) value", "cast(null as string) props")
+    df.createOrReplaceTempView("mr_qf_ev")
+    out = match_recognize(spark, """
+      SELECT * FROM mr_qf_ev MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES count(B.*) AS nb
+        PATTERN (A B{1,3})
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'
+      )""")
+    got = sorted((r.user_id, r.nb) for r in out.collect())
+    assert got == [(1, 3), (2, 2), (3, 1)]
+
+
+def test_quantified_final_one_or_more(spark):
+    """PATTERN (A B+) — unbounded greedy final (fold path)."""
+    rows = [(1, i, f"2026-01-01 00:0{i}:00", t)
+            for i, t in enumerate(
+                ["view", "click", "click", "click", "click", "click"])]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_s string, event_type string"
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) ts", "event_type",
+        "cast(1.0 as double) value", "cast(null as string) props")
+    df.createOrReplaceTempView("mr_qf_plus")
+    out = match_recognize(spark, """
+      SELECT * FROM mr_qf_plus MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES count(B.*) AS nb
+        PATTERN (A B+)
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'
+      )""")
+    assert [(r.user_id, r.nb) for r in out.collect()] == [(1, 5)]
+
+
+def test_quantified_final_subset_navigation(spark):
+    """SUBSET union navigated from a QUANTIFIED last state through the
+    front door (the round-10 lesson's silently-unlowered shape): each C
+    repetition must clear the first U row's value."""
+    rows = [
+        # click(10) view(20) view(30) view(5) → C takes 2 (third fails)
+        (1, 0, "2026-01-01 00:00:00", "click", 10.0),
+        (1, 1, "2026-01-01 00:01:00", "view", 20.0),
+        (1, 2, "2026-01-01 00:02:00", "view", 30.0),
+        (1, 3, "2026-01-01 00:03:00", "view", 5.0),
+        # click(10) view(11) view(12) view(13) view(14) → cap at 3
+        (2, 10, "2026-01-01 00:00:00", "click", 10.0),
+        (2, 11, "2026-01-01 00:01:00", "view", 11.0),
+        (2, 12, "2026-01-01 00:02:00", "view", 12.0),
+        (2, 13, "2026-01-01 00:03:00", "view", 13.0),
+        (2, 14, "2026-01-01 00:04:00", "view", 14.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts_s string, "
+        "event_type string, value double",
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) ts", "event_type",
+        "value", "cast(null as string) props")
+    df.createOrReplaceTempView("mr_qf_subset")
+    sql = """
+      SELECT * FROM mr_qf_subset MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES count(C.*) AS nc, first(U.value) AS u0
+        PATTERN (A C{1,3})
+        SUBSET U = (A, C)
+        DEFINE A AS A.event_type = 'click',
+               C AS C.event_type = 'view' AND C.value >= FIRST(U.value)
+      )"""
+    got = sorted((r.user_id, r.nc, r.u0)
+                 for r in match_recognize(spark, sql).collect())
+    assert got == [(1, 2, 10.0), (2, 3, 10.0)]
+
+
+def test_quantified_final_stream_equals_batch(spark, tmp_path):
+    """Streaming twin: the flush sentinel is a breaking row for strict
+    quantified-final runs, so the stream equals the batch finalize."""
+    from .conftest import SF_SMOKE
+
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts, event_id
+      MEASURES first(A.event_id) AS a_id, count(B.*) AS nb
+      ONE ROW PER MATCH
+      PATTERN (A B{1,3})
+      WITHIN INTERVAL '2' DAY
+      DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view'
+    )
+    """
+    from flink_1_11_1_spark.streaming import replay
+
+    d = str(tmp_path / "replay_mr_qf")
+    replay.write_replay(spark, SF_SMOKE, d, parts=4)
+    stream = replay.events_stream(spark, d)
+    got, _ = replay.run_stream(
+        match_recognize(spark, sql, events=stream), "append", "s_mr_qf"
+    )
+    batch = match_recognize(spark, sql, sf_dir=SF_SMOKE).collect()
+    key = lambda rows: {(r.user_id, r.a_id, r.nb) for r in rows}  # noqa: E731
+    assert key(got) == key(batch)
+    assert len(batch) > 0 and any(r.nb > 1 for r in batch)

@@ -147,9 +147,22 @@ def test_within_horizon_expires(spark):
     assert got == [([3, 4], ["a", "b"])]
 
 
-def test_unbounded_final_state_rejected():
-    with pytest.raises(ValueError, match="final state"):
-        nfa.PatternSeq.begin("a", "true").one_or_more().match_batch(None)
+def test_final_state_quantifier_contract():
+    """Round 11: a GREEDY quantified final (a{1,3} / a+) is legal —
+    the match closes at cap / strict break / WITHIN expiry / finalize.
+    The still-invalid shapes stay loud."""
+    nfa.PatternSeq.begin("a", "true").one_or_more()._check()
+    nfa.PatternSeq.begin("a", "true").times(1, 3)._check()
+    with pytest.raises(ValueError, match="reluctant"):
+        (nfa.PatternSeq.begin("a", "true").one_or_more().reluctant()
+         .with_backtracking()._check())
+    with pytest.raises(ValueError, match="quantified FINAL"):
+        (nfa.PatternSeq.begin("a", "true").one_or_more()
+         .until("event_type = 'stop'")._check())
+    with pytest.raises(ValueError, match="followed_by_any"):
+        (nfa.PatternSeq.begin("a", "true")
+         .followed_by_any("b", "true").times(1, 3)
+         .with_backtracking()._check())
 
 
 def test_nfa_equals_cep_lite_on_fixture(spark):

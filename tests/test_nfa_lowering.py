@@ -821,3 +821,182 @@ def test_subset_lowering_randomized_equivalence(spark, seed):
     assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False)), (
         sql_cond, members
     )
+
+
+# -------------------- round 11: greedy quantified FINAL states --------
+
+
+def _qfinal_patterns():
+    return {
+        "ab13": lambda: (
+            nfa.PatternSeq.begin("A", "event_type = 'signup'")
+            .next_("B", "event_type = 'click'").times(1, 3).consecutive()
+            .within("2 days")),
+        "ab13_bounded": lambda: (
+            nfa.PatternSeq.begin("A", "event_type = 'signup'")
+            .next_("B", "event_type = 'click'").times(1, 3).consecutive()
+            .within("10 minutes")),
+        "a12_b13": lambda: (
+            nfa.PatternSeq.begin("A", "event_type = 'view'")
+            .times(1, 2).consecutive()
+            .next_("B", "event_type = 'click'").times(1, 3).consecutive()
+            .within("2 days")),
+        "d13_single": lambda: (
+            nfa.PatternSeq.begin("D", "event_type = 'view'")
+            .times(1, 3).consecutive().within("2 days")),
+        "ab23_to_next": lambda: (
+            nfa.PatternSeq.begin("A", "event_type = 'signup'")
+            .next_("B", "event_type = 'click'").times(2, 3).consecutive()
+            .after_match_skip("to_next").within("2 days")),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_qfinal_patterns()))
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_quantified_final_lowering_equals_fold(spark, name, seed):
+    """A GREEDY quantified final (round 11) lowers in tier A with the
+    extension negation on the row after the match; the lowered plan
+    must equal the fold exactly, including bounded-WITHIN closure."""
+    pat = _qfinal_patterns()[name]()
+    assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == "A"
+    ev = _events(spark, seed)
+    fast = pat.match_batch(ev)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False))
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_quantified_final_det_equals_backtracking_fold(spark, seed):
+    """With disjoint conditions the deterministic and branching folds
+    must agree on quantified-final matches (the pend/deck machinery is
+    the bt rendering of greedy-longest)."""
+    ev = _events(spark, seed)
+
+    def build(bt):
+        p = (
+            nfa.PatternSeq.begin("A", "event_type = 'signup'")
+            .next_("B", "event_type = 'click'").times(1, 3).consecutive()
+            .within("2 days"))
+        return p.with_backtracking() if bt else p
+
+    det = _canon(build(False).match_batch(ev, lowering=False))
+    bt = _canon(build(True).match_batch(ev, lowering=False))
+    assert det == bt and len(det) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_quantified_final_backtracking_lowering_equals_fold(spark, seed):
+    """Backtracking mode (overlapping conditions) lowers quantified
+    finals through the greedy-ordered CASE — no negations, order wins."""
+    ev = _events(spark, seed)
+    pat = (
+        nfa.PatternSeq.begin("A", "event_type = 'signup'")
+        .next_("B", "value > 20").times(1, 3).consecutive()
+        .with_backtracking().within("2 days"))
+    assert eligible_tier(pat.states, pat.horizon_s, pat.skip) == "A"
+    fast = pat.match_batch(ev)
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False))
+
+
+def test_quantified_final_skip_prune_modes_stay_on_fold(spark):
+    """past_last / to_first over a variable-length match shifts the
+    prune lattice — those shapes must fall back to the fold (loudly
+    visible as tier None) and still execute."""
+    p = (
+        nfa.PatternSeq.begin("A", "event_type = 'signup'")
+        .next_("B", "event_type = 'click'").times(1, 3).consecutive()
+        .after_match_skip("past_last").within("2 days"))
+    assert eligible_tier(p.states, p.horizon_s, p.skip) is None
+    ev = _events(spark, 7)
+    assert _canon(p.match_batch(ev)) == _canon(p.match_batch(ev, lowering=False))
+
+
+def test_unbounded_final_falls_back_and_is_maximal(spark):
+    """B+ at pattern end: fold-only (tier None); runs are maximal —
+    hand fixture: V C C C C yields exactly one match of length 1+4."""
+    import datetime as dt2
+
+    p = (
+        nfa.PatternSeq.begin("A", "event_type = 'view'")
+        .next_("B", "event_type = 'click'").one_or_more().consecutive()
+        .within("2 days"))
+    assert eligible_tier(p.states, p.horizon_s, p.skip) is None
+    base = dt2.datetime(2026, 1, 1)
+    rows = [(i, base + dt2.timedelta(minutes=i), 1, t, 1.0)
+            for i, t in enumerate(["view", "click", "click", "click", "click"])]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double")
+    got = [(tuple(r.labels), tuple(r.ids)) for r in p.match_batch(ev).collect()]
+    assert got == [(("A", "B", "B", "B", "B"), (0, 1, 2, 3, 4))]
+
+
+def test_quantified_final_greedy_takes_cap(spark):
+    """B{1,3} on a run of 4 B-rows takes exactly 3 (the cap), starting
+    a fresh match machinery check of cap-completion."""
+    import datetime as dt2
+
+    p = (
+        nfa.PatternSeq.begin("A", "event_type = 'view'")
+        .next_("B", "event_type = 'click'").times(1, 3).consecutive()
+        .within("2 days"))
+    base = dt2.datetime(2026, 1, 1)
+    rows = [(i, base + dt2.timedelta(minutes=i), 1, t, 1.0)
+            for i, t in enumerate(["view", "click", "click", "click", "click"])]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double")
+    for lowering in (True, False):
+        got = [(tuple(r.labels), tuple(r.ids))
+               for r in p.match_batch(ev, lowering=lowering).collect()]
+        assert got == [(("A", "B", "B", "B"), (0, 1, 2, 3))], lowering
+
+
+def _qlast_subset_pattern(sql_cond: str, py_cond: str, subsets):
+    """SUBSET navigation with a QUANTIFIED LAST state (the round-10
+    lesson's silent-tier-None shape, now lowered)."""
+    p = (
+        nfa.PatternSeq.begin("A", "event_type = 'click'")
+        .next_("B", "event_type = 'view'").times(1, 2).consecutive()
+        .next_("C", "true")
+        .where_iterative(py_cond, "value", "event_type", sql_cond=sql_cond)
+        .times(1, 3).consecutive()
+        .within("2 days")
+    )
+    return p.with_subsets(subsets)
+
+
+_QLAST_SUBSET_SHAPES = {
+    # this NOT in U: LAST = last bound member row, per C repetition
+    "qlast_other": (
+        "C.event_type = 'purchase' AND C.value > LAST(U.value)",
+        'EV["event_type"] == \'purchase\' and EV["value"] > '
+        'LAST(("A","B"),"value")',
+        {"U": ("A", "B")},
+    ),
+    # this IN U, FIRST navigation: the first bound member row (B's
+    # first) — stable across the C repetitions
+    "qlast_first_self": (
+        "C.event_type = 'purchase' AND C.value >= FIRST(U.value)",
+        'EV["event_type"] == \'purchase\' and EV["value"] >= '
+        'FIRST(("B","C"),"value")',
+        {"U": ("B", "C")},
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_QLAST_SUBSET_SHAPES))
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_subset_quantified_last_lowering_equals_fold(spark, name, seed):
+    sql_cond, py_cond, subsets = _QLAST_SUBSET_SHAPES[name]
+    pat = _qlast_subset_pattern(sql_cond, py_cond, subsets)
+    tier = eligible_tier(pat.states, pat.horizon_s, pat.skip)
+    assert tier == "A", f"quantified-last SUBSET shape got tier {tier}"
+    ev = _events(spark, seed)
+    fast = pat.match_batch(ev)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert _canon(fast) == _canon(pat.match_batch(ev, lowering=False))
