@@ -788,7 +788,65 @@ ORDER BY nk
 """
 
 
+# -- x_mr_quantified_tail: greedy quantified FINAL state (round 11) ----
+# PATTERN (A B{1,3}) — previously rejected, valid Flink 1.11: greedy
+# takes up to 3 consecutive views after a click, closing at the cap, a
+# breaking row, or end of partition.  Clicks/views partition the rows,
+# so PAST LAST ROW never consumes a later match's start (see oracle).
+
+MR_QTAIL_SQL = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(A.event_id) AS a_id, COUNT(B.*) AS n_b,
+           FIRST(B.event_id) AS b_first, LAST(B.event_id) AS b_last
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B{1,3})
+  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view'
+)
+"""
+
+
+def mr_quantified_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_recognize(spark, MR_QTAIL_SQL, sf_dir).orderBy(
+        "user_id", "a_id")
+
+
+# Greedy-longest in plain SQL: for each click whose NEXT row is a view,
+# the B count is min(3, view-run length); the run's first/last ids come
+# from the row-number join.  row_number is INT on Spark / BIGINT on
+# DuckDB — every rn-derived output is cast.
+MR_QTAIL_ORACLE = f"""
+WITH e AS ({_E}),
+seq AS (
+  SELECT user_id, event_id, event_type,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bigint) AS rn
+  FROM e),
+x AS (
+  SELECT user_id, event_id, event_type, rn,
+         min(CASE WHEN event_type <> 'view' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nv,
+         max(rn) OVER (PARTITION BY user_id) AS max_rn
+  FROM seq),
+m AS (
+  SELECT user_id, event_id AS a_id, rn,
+         cast(least(coalesce(next_nv, max_rn + 1) - rn - 1, 3) AS bigint) AS n_b
+  FROM x WHERE event_type = 'click'
+    AND coalesce(next_nv, max_rn + 1) - rn - 1 >= 1)
+SELECT m.user_id, m.a_id, m.n_b,
+       f.event_id AS b_first, l.event_id AS b_last
+FROM m
+JOIN seq f ON f.user_id = m.user_id AND f.rn = m.rn + 1
+JOIN seq l ON l.user_id = m.user_id AND l.rn = m.rn + m.n_b
+ORDER BY m.user_id, m.a_id
+"""
+
+
 def register_all() -> None:
+    registry.register(
+        "x_mr_quantified_tail", mr_quantified_tail, MR_QTAIL_ORACLE)
     registry.register("x_mr_subset", mr_subset, MR_SUBSET_ORACLE)
     registry.register("x_mr_multikey", mr_multikey, MR_MULTIKEY_ORACLE)
     registry.register("x_mr_composed", mr_composed, MR_COMPOSED_ORACLE)

@@ -1106,10 +1106,16 @@ def _fold_events(
         # emission order: oldest start first (stable by start event id)
         completed.sort(key=lambda p: (p["start"], p["sid"]))
         skip_mode, _, skip_var = skip.partition(":")
-        emitted_past_last = False
+        # past_last prunes by the emitted match's LAST ROW, not by the
+        # completing event: a break/expiry completion (quantified final,
+        # round 11) resolves at an event AFTER the match end, and that
+        # event — plus partials started after the end — must survive.
+        # For cap completions the end IS the current event, reducing to
+        # the old kill-everything/suppress-start behavior exactly.
+        past_end: tuple[int, int] | None = None
         min_start: tuple[int, int] | None = None  # to_first/to_last prune ref
         for p in completed:
-            if emitted_past_last:
+            if past_end is not None and (p["start"], p["sid"]) <= past_end:
                 continue  # consumed by a past_last skip
             if min_start is not None and (p["start"], p["sid"]) < min_start:
                 continue  # pruned by an earlier skip-to emission
@@ -1124,9 +1130,12 @@ def _fold_events(
                 )
             )
             if skip_mode == "past_last":
-                survivors = []
-                suppress_start = True
-                emitted_past_last = True
+                past_end = (p["tss"][-1], p["ids"][-1])
+                survivors = [
+                    s for s in survivors if (s["start"], s["sid"]) > past_end
+                ]
+                if past_end >= (ts_us, eid):
+                    suppress_start = True
             elif skip_mode == "to_next":
                 survivors = [s for s in survivors if s["sid"] != p["sid"]]
             elif skip_mode in ("to_first", "to_last"):

@@ -1073,3 +1073,32 @@ def test_quantified_final_stream_equals_batch(spark, tmp_path):
     key = lambda rows: {(r.user_id, r.a_id, r.nb) for r in rows}  # noqa: E731
     assert key(got) == key(batch)
     assert len(batch) > 0 and any(r.nb > 1 for r in batch)
+
+
+def test_quantified_final_past_last_break_starts_next_match(spark):
+    """The round-11 past_last fix: a break-completed match ends BEFORE
+    the completing event, so that event (here the next A) must start
+    the next match instead of being swallowed by the skip."""
+    rows = [
+        (1, 0, "2026-01-01 00:00:00", "click"),
+        (1, 1, "2026-01-01 00:01:00", "view"),
+        (1, 2, "2026-01-01 00:02:00", "click"),   # breaks match 1, starts match 2
+        (1, 3, "2026-01-01 00:03:00", "view"),
+        (1, 4, "2026-01-01 00:04:00", "signup"),  # breaks match 2
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_s string, event_type string"
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) ts", "event_type",
+        "cast(1.0 as double) value", "cast(null as string) props")
+    df.createOrReplaceTempView("mr_qf_pl")
+    out = match_recognize(spark, """
+      SELECT * FROM mr_qf_pl MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES first(A.event_id) AS a_id, count(B.*) AS nb
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B{1,3})
+        DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view'
+      )""")
+    got = sorted((r.a_id, r.nb) for r in out.collect())
+    assert got == [(0, 1), (2, 1)]
