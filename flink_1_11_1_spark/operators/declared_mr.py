@@ -791,8 +791,12 @@ ORDER BY nk
 # -- x_mr_quantified_tail: greedy quantified FINAL state (round 11) ----
 # PATTERN (A B{1,3}) — previously rejected, valid Flink 1.11: greedy
 # takes up to 3 consecutive views after a click, closing at the cap, a
-# breaking row, or end of partition.  Clicks/views partition the rows,
-# so PAST LAST ROW never consumes a later match's start (see oracle).
+# breaking row, or end of partition.  SKIP TO NEXT ROW (Flink's CEP
+# default) lowers through the NEW tier-A quantified-final path (the
+# declared entry exercises the native plan; the past_last fold twin is
+# unit-tested) — and with starts only at clicks and no click inside a
+# match, to_next / no_skip / past_last coincide on this shape, which
+# is what the greedy-longest oracle below computes.
 
 MR_QTAIL_SQL = """
 SELECT * FROM events MATCH_RECOGNIZE (
@@ -801,7 +805,7 @@ SELECT * FROM events MATCH_RECOGNIZE (
   MEASURES FIRST(A.event_id) AS a_id, COUNT(B.*) AS n_b,
            FIRST(B.event_id) AS b_first, LAST(B.event_id) AS b_last
   ONE ROW PER MATCH
-  AFTER MATCH SKIP PAST LAST ROW
+  AFTER MATCH SKIP TO NEXT ROW
   PATTERN (A B{1,3})
   DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view'
 )
