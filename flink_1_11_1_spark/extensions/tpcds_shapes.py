@@ -79,6 +79,14 @@ Round-11 tranche seven (the judge's named remainder):
   q75 decline with returns netting    → x_tpcds_net_decline
   q30 returns vs state average        → x_tpcds_return_outliers
   q78 null-channel retention join     → x_tpcds_null_retention
+
+Round-11 tranche eight:
+  q9 scalar-subquery CASE buckets     → x_tpcds_case_choose
+  q70 rank within each ROLLUP level   → x_tpcds_rank_rollup
+  q17/q29 sale→return→rebuy chain     → x_tpcds_chain_stats
+  q64 cross-year two-channel pairing  → x_tpcds_cross_year_pair
+  q95 double-EXISTS multi-supplier    → x_tpcds_two_supplier
+  q83 cross-status returns share      → x_tpcds_returns_share3
 """
 
 from __future__ import annotations
@@ -1385,7 +1393,146 @@ WHERE web.pk IS NULL
 ORDER BY s_qty DESC, store.pk, store.yr LIMIT 100
 """
 
+# ---------------------------------------------------------------- round 11
+# Tranche eight.
+
+# q9: five quantity buckets, each choosing between two aggregates via a
+# correlated-free scalar-subquery CASE — the chosen measure is a SUM of
+# integers (never an avg), the chooser an integer cross-multiplication.
+CASE_CHOOSE = """
+SELECT
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) * 5
+            > (SELECT count(*) FROM lineitem)
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+       ELSE (SELECT cast(sum(cast(floor(l_discount * 10000) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS b1,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) * 5
+            > (SELECT count(*) FROM lineitem)
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+       ELSE (SELECT cast(sum(cast(floor(l_discount * 10000) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS b2,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) * 5
+            > (SELECT count(*) FROM lineitem)
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+       ELSE (SELECT cast(sum(cast(floor(l_discount * 10000) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS b3,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) * 5
+            > (SELECT count(*) FROM lineitem)
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+       ELSE (SELECT cast(sum(cast(floor(l_discount * 10000) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS b4,
+  CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) * 5
+            > (SELECT count(*) FROM lineitem)
+       THEN (SELECT cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+       ELSE (SELECT cast(sum(cast(floor(l_discount * 10000) AS bigint)) AS bigint)
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS b5
+"""
+
+# q70: RANK within each ROLLUP level (nation-in-region rank plus the
+# region-level rank), top 3 per level — the NULL rollup dimension keys
+# the level (n_name is never NULL in data).
+RANK_ROLLUP = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP(r_name, n_name)),
+rk AS (
+  SELECT r_name, n_name, cents,
+         cast(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS bigint) AS lvl,
+         cast(rank() OVER (
+           PARTITION BY CASE WHEN n_name IS NULL THEN 1 ELSE 0 END, r_name
+           ORDER BY cents DESC) AS bigint) rnk
+  FROM rev WHERE r_name IS NOT NULL)
+SELECT r_name, n_name, cents, lvl, rnk
+FROM rk WHERE rnk <= 3
+ORDER BY lvl, r_name, rnk, n_name NULLS FIRST
+"""
+
+# q17/q29: sale -> later return -> later re-purchase by the SAME
+# customer for the same part (three channel scans chained on customer +
+# part + date order), quantity sums per part.
+CHAIN_STATS = """
+WITH g AS (
+  SELECT o_custkey ck, p_brand,
+         min(CASE WHEN l_returnflag = 'N' THEN o_orderdate END) s0,
+         min(CASE WHEN l_returnflag = 'R' THEN o_orderdate END) r0,
+         min(CASE WHEN l_returnflag = 'A' THEN o_orderdate END) c0,
+         sum(CASE WHEN l_returnflag = 'N' THEN cast(l_quantity AS bigint) ELSE 0 END) sq,
+         sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity AS bigint) ELSE 0 END) rq,
+         sum(CASE WHEN l_returnflag = 'A' THEN cast(l_quantity AS bigint) ELSE 0 END) cq
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY o_custkey, p_brand)
+SELECT p_brand, cast(count(*) AS bigint) n_chains,
+       cast(sum(sq) AS bigint) store_qty,
+       cast(sum(rq) AS bigint) ret_qty,
+       cast(sum(cq) AS bigint) rebuy_qty
+FROM g WHERE s0 IS NOT NULL AND r0 >= s0 AND c0 >= r0
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+# q64: the same part paired across consecutive years and two channels,
+# kept when the next-year web revenue exceeds 1.5x the store year.
+CROSS_YEAR_PAIR = """
+WITH sale AS (
+  SELECT l_partkey pk, l_returnflag ch,
+         cast(extract(year FROM l_shipdate) AS bigint) yr,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem GROUP BY l_partkey, l_returnflag, extract(year FROM l_shipdate))
+SELECT a.pk AS pk, a.yr AS yr1, b.yr AS yr2,
+       a.cents AS store_cents, b.cents AS web_cents
+FROM sale a JOIN sale b
+  ON a.pk = b.pk AND b.yr = a.yr + 1 AND a.ch = 'N' AND b.ch = 'R'
+WHERE b.cents * 2 > a.cents * 3
+ORDER BY pk, yr1
+"""
+
+# q95: orders shipped through AT LEAST two distinct suppliers with no
+# returned line — EXISTS over a self-join plus NOT EXISTS.
+TWO_SUPPLIER = """
+SELECT o_orderpriority, cast(count(*) AS bigint) n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    WHERE l1.l_orderkey = o_orderkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem lr
+    WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# q83: per-part returned quantity split across the two line statuses,
+# parts returned through BOTH, the share as one exact-int division
+# (single IEEE op — bit-identical cross-engine).
+RETURNS_SHARE3 = """
+WITH r AS (
+  SELECT l_partkey pk, l_linestatus ch,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) q
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey, l_linestatus)
+SELECT f.pk AS pk, f.q AS f_qty, o.q AS o_qty,
+       cast(f.q AS double) / (f.q + o.q) AS f_share
+FROM r f JOIN r o ON f.pk = o.pk AND f.ch = 'F' AND o.ch = 'O'
+ORDER BY pk
+"""
+
 _SHAPES = {
+    "x_tpcds_case_choose": CASE_CHOOSE,
+    "x_tpcds_rank_rollup": RANK_ROLLUP,
+    "x_tpcds_chain_stats": CHAIN_STATS,
+    "x_tpcds_cross_year_pair": CROSS_YEAR_PAIR,
+    "x_tpcds_two_supplier": TWO_SUPPLIER,
+    "x_tpcds_returns_share3": RETURNS_SHARE3,
     "x_tpcds_lag_lead": LAG_LEAD,
     "x_tpcds_year_ratio": YEAR_RATIO,
     "x_tpcds_net_decline": NET_DECLINE,
