@@ -21,7 +21,9 @@ from flink_1_11_1_spark.extensions import registry
 
 from .conftest import SF_SMOKE
 
-pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
+pytestmark = [pytest.mark.slow, pytest.mark.oraclenet]  # THE per-entry net
+# (round 11: test_extensions.py's duplicate parametrization was folded
+# into this one — same comparison, half the seal cost)
 
 
 _QUERIES = registry.queries()
