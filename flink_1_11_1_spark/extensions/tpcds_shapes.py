@@ -87,6 +87,12 @@ Round-11 tranche eight:
   q64 cross-year two-channel pairing  → x_tpcds_cross_year_pair
   q95 double-EXISTS multi-supplier    → x_tpcds_two_supplier
   q83 cross-status returns share      → x_tpcds_returns_share3
+
+Round-11 tranche nine:
+  q39 integer demand-variance test    → x_tpcds_demand_variance
+  q45 local-pred OR IN-subquery       → x_tpcds_or_subquery
+  q58 balanced three-channel band     → x_tpcds_balanced_channels
+  q4 three-series growth guards       → x_tpcds_triple_growth
 """
 
 from __future__ import annotations
@@ -1526,7 +1532,85 @@ FROM r f JOIN r o ON f.pk = o.pk AND f.ch = 'F' AND o.ch = 'O'
 ORDER BY pk
 """
 
+# ---------------------------------------------------------------- round 11
+# Tranche nine.
+
+# q39: demand-variance outliers — coefficient-of-variation style test
+# kept INTEGER-exact: CoV² > 1/2 ⇔ 2·n·Σq² > 3·(Σq)² (variance and
+# mean never materialize as floats).
+DEMAND_VARIANCE = """
+WITH m AS (
+  SELECT l_partkey pk,
+         cast(extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate) AS bigint) mi,
+         cast(sum(cast(l_quantity AS bigint)) AS bigint) q
+  FROM lineitem GROUP BY l_partkey, extract(year FROM l_shipdate) * 12 + extract(month FROM l_shipdate)),
+v AS (
+  SELECT pk, cast(count(*) AS bigint) n, cast(sum(q) AS bigint) s, cast(sum(q * q) AS bigint) ss
+  FROM m GROUP BY pk)
+SELECT pk, n, s, ss
+FROM v WHERE n >= 3 AND 2 * n * ss > 3 * s * s
+ORDER BY pk
+"""
+
+# q45: a LOCAL dimension predicate OR-ed with an uncorrelated
+# IN-subquery membership — Catalyst plans the membership side as an
+# ExistenceJoin feeding the disjunction (no rewrite needed).
+OR_SUBQUERY = """
+SELECT n_name, cast(count(*) AS bigint) n_orders,
+       cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint) cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+   OR o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5))
+GROUP BY n_name ORDER BY n_name
+"""
+
+# q58: parts whose revenue is BALANCED across all three channels (each
+# channel's share within an integer band of the three-way total).
+BALANCED_CHANNELS = """
+WITH s AS (
+  SELECT l_partkey pk, l_returnflag ch,
+         cast(sum(cast(floor(l_extendedprice * 100) AS bigint)) AS bigint) cents
+  FROM lineitem GROUP BY l_partkey, l_returnflag),
+w AS (
+  SELECT a.pk AS pk, a.cents c1, b.cents c2, c.cents c3
+  FROM s a JOIN s b ON a.pk = b.pk AND a.ch = 'N' AND b.ch = 'R'
+  JOIN s c ON a.pk = c.pk AND c.ch = 'A')
+SELECT pk, c1, c2, c3
+FROM w
+WHERE 9 * c1 BETWEEN 2 * (c1 + c2 + c3) AND 10 * (c1 + c2 + c3)
+  AND 9 * c2 BETWEEN 2 * (c1 + c2 + c3) AND 10 * (c1 + c2 + c3)
+  AND 9 * c3 BETWEEN 2 * (c1 + c2 + c3) AND 10 * (c1 + c2 + c3)
+ORDER BY pk
+"""
+
+# q4: THREE-series growth comparison — customers whose web growth beats
+# catalog growth, which in turn beats store growth, year over year; the
+# two ratio guards are integer cross-multiplications.
+TRIPLE_GROWTH = """
+WITH s AS (
+  SELECT o_custkey ck, cast(extract(year FROM o_orderdate) AS bigint) yr,
+         cast(sum(CASE WHEN l_returnflag = 'N' THEN cast(floor(l_extendedprice * 100) AS bigint) ELSE 0 END) AS bigint) st,
+         cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(floor(l_extendedprice * 100) AS bigint) ELSE 0 END) AS bigint) wb,
+         cast(sum(CASE WHEN l_returnflag = 'A' THEN cast(floor(l_extendedprice * 100) AS bigint) ELSE 0 END) AS bigint) ct
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, extract(year FROM o_orderdate))
+SELECT c_custkey, c_name, y1.st st1, y2.st st2, y1.ct ct1, y2.ct ct2, y1.wb wb1, y2.wb wb2
+FROM s y1 JOIN s y2 ON y1.ck = y2.ck AND y2.yr = y1.yr + 1
+JOIN customer ON c_custkey = y1.ck
+WHERE y1.yr = 1997
+  AND y1.st > 0 AND y1.wb > 0 AND y1.ct > 0
+  AND y2.wb * y1.ct > y2.ct * y1.wb
+  AND y2.ct * y1.st > y2.st * y1.ct
+ORDER BY c_custkey
+"""
+
 _SHAPES = {
+    "x_tpcds_demand_variance": DEMAND_VARIANCE,
+    "x_tpcds_or_subquery": OR_SUBQUERY,
+    "x_tpcds_balanced_channels": BALANCED_CHANNELS,
+    "x_tpcds_triple_growth": TRIPLE_GROWTH,
     "x_tpcds_case_choose": CASE_CHOOSE,
     "x_tpcds_rank_rollup": RANK_ROLLUP,
     "x_tpcds_chain_stats": CHAIN_STATS,
