@@ -459,6 +459,10 @@ def route_streaming_select(spark: SparkSession, s: str):
             "could not parse the streaming OVER statement (WITH/CTE "
             "shapes are not routed — materialize a view first)")
     select_list, rest = split
+    if re.match(r"^\s*DISTINCT\b", select_list, re.IGNORECASE):
+        raise UnsupportedStreamingPlan(
+            "SELECT DISTINCT over a streaming OVER aggregate is not "
+            "supported (deduplicate the result explicitly)")
     for kw in _TAIL_KWS:
         if _find_kw(rest, kw) >= 0:
             raise UnsupportedStreamingPlan(

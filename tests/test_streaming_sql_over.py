@@ -253,3 +253,12 @@ def test_running_sum_emits_exactly_once(spark, tmp_path):
     assert len(got) == len(c), "duplicate emissions"
     n_events = _batch_events(spark).count()
     assert len([r for r in got if r.user_id >= 0]) == n_events
+
+
+def test_sql_over_distinct_rejected(tenv, replay_dir):
+    spark = tenv.spark
+    _stream_view(spark, replay_dir, "so_dist")
+    with pytest.raises(UnsupportedStreamingPlan, match="DISTINCT"):
+        tenv.execute_sql(
+            "SELECT DISTINCT user_id, sum(value) OVER (PARTITION BY "
+            "user_id ORDER BY ts) s FROM so_dist")
