@@ -1102,3 +1102,26 @@ def test_quantified_final_past_last_break_starts_next_match(spark):
       )""")
     got = sorted((r.a_id, r.nb) for r in out.collect())
     assert got == [(0, 1), (2, 1)]
+
+
+def test_quantified_final_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH over a quantified final: one output row per
+    consumed event with the per-row classifier and the final measure."""
+    rows = [(1, i, f"2026-01-01 00:0{i}:00", t)
+            for i, t in enumerate(["view", "click", "click", "view"])]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_s string, event_type string"
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) ts", "event_type",
+        "cast(1.0 as double) value", "cast(null as string) props")
+    df.createOrReplaceTempView("mr_qf_ar")
+    out = match_recognize(spark, """
+      SELECT * FROM mr_qf_ar MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES count(B.*) AS nb
+        ALL ROWS PER MATCH
+        PATTERN (A B{1,3})
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click'
+      )""")
+    got = [(r.user_id, r.nb, r.event_id) for r in out.collect()]
+    assert got == [(1, 2, 0), (1, 2, 1), (1, 2, 2)]

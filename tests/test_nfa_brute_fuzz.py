@@ -616,3 +616,223 @@ def test_chunked_fold_equals_one_shot_r8_features(seed):
     assert k1 == k2, (
         f"seed={seed} cuts={cuts} skip={p.skip} bt={p.backtrack} "
         f"groups={p.groups}")
+
+
+# ---------------------------------------------------------------------
+# Round 11: greedy quantified FINAL states through both oracles
+# ---------------------------------------------------------------------
+def _gen_strict_qfinal(rng: random.Random):
+    """_gen_strict variant whose LAST state is a greedy quantified run
+    (B{1,2}/B{1,3}/B{2,3}/B+) — the brute oracle's greedy take-first
+    recursion already encodes close-at-cap/break/end-of-text."""
+    n = rng.randint(2, 3)
+    sts, ost = [], []
+    use_pred = rng.random() < 0.6
+    pi = rng.randint(1, n - 1) if use_pred else -1
+    for i in range(n):
+        last = i == n - 1
+        subset = sorted(rng.sample(CLASSES, rng.randint(1, 2)))
+        cond = "(" + " OR ".join(f"cls = '{c}'" for c in subset) + ")"
+        if last:
+            mn, mx = rng.choice([(1, 2), (1, 3), (2, 3), (1, None)])
+            greedy = True
+        else:
+            mn, mx = rng.choice(
+                [(1, 1), (1, 2), (2, 2), (0, 1), (1, None)])
+            greedy = rng.random() < 0.6
+            if mn == mx or (i == 0 and mn == 0):
+                greedy = True
+        py = None
+        if i == pi:
+            ref = rng.randint(0, i - 1)
+            fn = rng.choice(["FIRST", "LAST"])
+            op = rng.choice(["<", ">", ">=", "<=", "==", "!="])
+            py = f'EV["val"] {op} {fn}("S{ref}","val")'
+        sts.append(State(f"S{i}", cond, min_count=mn, max_count=mx,
+                         strict_in=True, consecutive=True, greedy=greedy,
+                         py_cond=py))
+        ost.append({"classes": set(subset), "mn": mn, "mx": mx,
+                    "greedy": greedy,
+                    "pred_info": (op, fn, ref) if i == pi else None})
+    p = PatternSeq(states=tuple(sts), horizon_s=36500 * 86400,
+                   skip=rng.choice(["no_skip", "to_next"]),
+                   value_cols=("val",) if use_pred else (),
+                   backtrack=True, max_branches=4096)
+    p._check()
+    return p, ost
+
+
+@pytest.mark.parametrize("seed", list(range(8100, 8160)))
+def test_branching_fold_matches_brute_oracle_qfinal(seed):
+    rng = random.Random(seed)
+    p, ost = _gen_strict_qfinal(rng)
+    n_ev = rng.randint(8, 12)
+    text = "".join(rng.choice(CLASSES) for _ in range(n_ev))
+    vals = [rng.randint(0, 5) for _ in range(n_ev)]
+    states = []
+    for o in ost:
+        d = {"classes": o["classes"], "mn": o["mn"], "mx": o["mx"],
+             "greedy": o["greedy"]}
+        if o["pred_info"]:
+            op, fn, ref = o["pred_info"]
+            d["pred"] = _make_pred(op, fn, ref, vals)
+        states.append(d)
+    want = sorted(
+        (s0, tuple(f"S{si}" for si, _ in m), tuple(pos for _, pos in m))
+        for s0 in range(n_ev)
+        if (m := brute_match(states, text, vals, s0)))
+    data = {"user_id": [1] * n_ev, "event_id": list(range(n_ev)),
+            "ts": pd.to_datetime(list(range(n_ev)), unit="s")}
+    for i, o in enumerate(ost):
+        data[f"f{i}"] = [c in o["classes"] for c in text]
+    if p.value_cols:
+        data["v_val"] = vals
+    out, _ = _fold_events(1, pd.DataFrame(data), [], _spec(p), finalize=True)
+    got = sorted((r[4][0], tuple(r[3]), tuple(r[4])) for r in out)
+    assert got == want, (
+        f"seed={seed} text={text!r} vals={vals} skip={p.skip} pattern="
+        f"{[(s.min_count, s.max_count, s.greedy, s.py_cond) for s in p.states]}")
+
+
+def _det_walker_qf(states, text, vals, start):
+    """_det_walker extended with quantified-final completion (cap /
+    strict break / end-of-text) — the deterministic fold's contract."""
+    n = len(text)
+    last_i = len(states) - 1
+    s_last = states[last_i]
+    qf = s_last["mx"] is None or s_last["mx"] != s_last["mn"]
+
+    def ok(si, pos, bound):
+        s = states[si]
+        if text[pos] not in s["classes"]:
+            return False
+        p = s.get("pred")
+        return p is None or p(pos, bound)
+
+    def done(si, cnt):
+        if si != last_i:
+            return False
+        s = states[si]
+        if qf:
+            # greedy quantified final: count alone completes ONLY at a
+            # bounded cap; unbounded runs close at break/end-of-input
+            return s["mx"] is not None and cnt == s["mx"]
+        return cnt == s["mn"]
+
+    chain = [0]
+    while chain[-1] < last_i and states[chain[-1]]["mn"] == 0:
+        chain.append(chain[-1] + 1)
+    si = next((j for j in chain if ok(j, start, [])), None)
+    if si is None:
+        return None
+    bound, cnt = [(si, start)], 1
+    if done(si, 1):
+        return bound
+    pos = start + 1
+    while pos < n:
+        s = states[si]
+        if (s["mx"] is None or cnt < s["mx"]) and ok(si, pos, bound):
+            cnt += 1
+            bound.append((si, pos))
+            if done(si, cnt):
+                return bound
+            pos += 1
+            continue
+        if si == last_i and qf and cnt >= s["mn"]:
+            return bound  # strict break closes the greedy run
+        if cnt >= s["mn"]:
+            j = si + 1
+            advanced = False
+            while j < len(states):
+                if ok(j, pos, bound):
+                    si, cnt = j, 1
+                    bound.append((j, pos))
+                    if done(j, 1):
+                        return bound
+                    advanced = True
+                    break
+                if states[j]["mn"] == 0:
+                    j += 1
+                    continue
+                break
+            if advanced:
+                pos += 1
+                continue
+        return None
+    if si == last_i and qf and cnt >= states[si]["mn"]:
+        return bound  # end of input closes the run (finalize)
+    return None
+
+
+def _gen_det_skip_qfinal(rng: random.Random):
+    n = rng.randint(2, 3)
+    sts, ost = [], []
+    use_pred = rng.random() < 0.4
+    pi = rng.randint(1, n - 1) if use_pred else -1
+    for i in range(n):
+        last = i == n - 1
+        subset = sorted(rng.sample(CLASSES, rng.randint(1, 2)))
+        cond = "(" + " OR ".join(f"cls = '{c}'" for c in subset) + ")"
+        if last:
+            mn, mx = rng.choice([(1, 2), (1, 3), (2, 3), (1, None)])
+        else:
+            mn, mx = rng.choice(
+                [(1, 1), (1, 2), (2, 2), (0, 1), (1, None)])
+        py = info = None
+        if i == pi:
+            ref = rng.randint(0, i - 1)
+            fn = rng.choice(["FIRST", "LAST"])
+            op = rng.choice(["<", ">", ">=", "<=", "==", "!="])
+            py = f'EV["val"] {op} {fn}("S{ref}","val")'
+            info = (op, fn, ref)
+        sts.append(State(f"S{i}", cond, min_count=mn, max_count=mx,
+                         strict_in=True, consecutive=True, py_cond=py))
+        ost.append({"classes": set(subset), "mn": mn, "mx": mx,
+                    "pred_info": info})
+    vtag = rng.randint(0, n - 1)
+    skip = rng.choice(["past_last", f"to_first:S{vtag}", f"to_last:S{vtag}",
+                       "no_skip", "to_next"])
+    p = PatternSeq(states=tuple(sts), horizon_s=36500 * 86400, skip=skip,
+                   value_cols=("val",) if use_pred else ())
+    p._check()
+    return p, ost
+
+
+@pytest.mark.parametrize("seed", list(range(8200, 8260)))
+def test_det_fold_qfinal_skip_matches_replay_oracle(seed):
+    """The round-11 past_last fix under fuzz: emission keyed on the
+    match's END row — a break-completed match (resolved at a later
+    event) must prune exactly like the end-ordered replay oracle."""
+    rng = random.Random(seed)
+    p, ost = _gen_det_skip_qfinal(rng)
+    n_ev = rng.randint(8, 14)
+    text = "".join(rng.choice(CLASSES) for _ in range(n_ev))
+    vals = [rng.randint(0, 5) for _ in range(n_ev)]
+    states = []
+    for o in ost:
+        d = {"classes": o["classes"], "mn": o["mn"], "mx": o["mx"]}
+        if o["pred_info"]:
+            op, fn, ref = o["pred_info"]
+            d["pred"] = _make_pred(op, fn, ref, vals)
+        states.append(d)
+    matches = {}
+    for s0 in range(n_ev):
+        m = _det_walker_qf(states, text, vals, s0)
+        if m and m[0][1] == s0:
+            matches[s0] = m
+    skip_mode = p.skip.partition(":")[0]
+    if skip_mode in ("no_skip", "to_next"):
+        want = sorted(matches)  # every start's match emits
+    else:
+        want = _emit_replay(matches, p.skip, n_ev)
+    data = {"user_id": [1] * n_ev, "event_id": list(range(n_ev)),
+            "ts": pd.to_datetime(list(range(n_ev)), unit="s")}
+    for i, o in enumerate(ost):
+        data[f"f{i}"] = [c in o["classes"] for c in text]
+    if p.value_cols:
+        data["v_val"] = vals
+    out, _ = _fold_events(1, pd.DataFrame(data), [], _spec(p), finalize=True)
+    got = sorted(r[4][0] for r in out)
+    assert got == want, (
+        f"seed={seed} text={text!r} vals={vals} skip={p.skip} pattern="
+        f"{[(s.min_count, s.max_count) for s in p.states]}")
