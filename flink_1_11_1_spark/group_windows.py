@@ -166,15 +166,27 @@ def _strip_time_qualifier(a: str) -> str:
     return m.group(1) if m else a
 
 
-def _norm_args(fn: str, args: list[str]) -> tuple[str, ...]:
-    """Whitespace/case-normalized (fn, *args) signature for matching an
-    auxiliary call to its GROUP BY group-window declaration.  The first
-    argument (the time attribute) additionally drops backticks and a
-    table qualifier — see _strip_time_qualifier."""
+def _norm_args(fn: str, args: list[str]) -> tuple:
+    """Whitespace/case-normalized signature for matching an auxiliary
+    call to its GROUP BY group-window declaration: (FN, qualifier-or-
+    None, stripped-first-arg, *rest).  The time attribute's backticks
+    always drop; the table qualifier is KEPT as a separate component so
+    an unqualified side matches a qualified one (Flink resolves
+    expressions) but two DIFFERENT qualifiers still mismatch
+    (``TUMBLE_START(a.ts, ...)`` vs ``GROUP BY TUMBLE(b.ts, ...)`` —
+    review finding: the unconditional strip silently bound them)."""
     norm = [re.sub(r"\s+", " ", a).strip().lower() for a in args]
+    qual = None
     if norm:
-        norm[0] = _strip_time_qualifier(norm[0])
-    return (fn.upper(), *norm)
+        m = re.fullmatch(r"(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?", norm[0])
+        if m:
+            qual, norm[0] = m.group(1), m.group(2)
+    return (fn.upper(), qual, *norm)
+
+
+def _sig_matches(aux: tuple, decl: tuple) -> bool:
+    return (aux[0] == decl[0] and aux[2:] == decl[2:]
+            and (aux[1] is None or decl[1] is None or aux[1] == decl[1]))
 
 
 def rewrite_group_windows(sql: str) -> str:
@@ -209,10 +221,11 @@ def rewrite_group_windows(sql: str) -> str:
         pos = close_idx + 1
     if not calls:
         return sql
-    defined = {_norm_args(fn, args)
-               for _, _, fn, suffix, args in calls if not suffix}
+    defined = [_norm_args(fn, args)
+               for _, _, fn, suffix, args in calls if not suffix]
     for _, _, fn, suffix, args in calls:
-        if suffix and _norm_args(fn, args) not in defined:
+        if suffix and not any(
+                _sig_matches(_norm_args(fn, args), d) for d in defined):
             raise ValueError(
                 f"{fn.upper()}{suffix.upper()}({', '.join(args)}) does not "
                 f"match any GROUP BY {fn.upper()}(...) declaration in the "

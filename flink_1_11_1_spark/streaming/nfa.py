@@ -1005,10 +1005,16 @@ def _fold_events(
                 p.setdefault("vals", []).append(evvals)
                 p["ng"] = True  # re-arm the notNext slot
                 # a quantified final completes at its CAP (greedy takes
-                # every extension up to max); fixed finals at min
-                done_at = mx if (qf and si == n_states - 1
-                                 and mx is not None) else mn
-                if p["cnt"] == done_at and _complete_at(p, si):
+                # every extension up to max); an UNBOUNDED quantified
+                # final never completes by count (break/expiry/finalize
+                # only — review finding: the mn fallback truncated
+                # B{2,} at its min); fixed finals at min
+                if qf and si == n_states - 1:
+                    done_at = mx  # None = never by count
+                else:
+                    done_at = mn
+                if done_at is not None and p["cnt"] == done_at \
+                        and _complete_at(p, si):
                     completed.append(p)
                 else:
                     survivors.append(p)

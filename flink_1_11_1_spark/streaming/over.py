@@ -20,6 +20,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import datetime as dt_mod
 from collections.abc import Callable, Iterator, Sequence
 
 import pandas as pd
@@ -141,18 +142,22 @@ class TopNRetractWriter:
         order_by: Sequence[Column],
         n: int,
         workdir: str,
+        rank_col: str = "rn",
     ):
         from .changelog import RetractStreamWriter
 
         self.partition_by = list(partition_by)
         self.order_by = list(order_by)
         self.n = n
-        self._writer = RetractStreamWriter([*self.partition_by, "rn"], workdir)
+        self.rank_col = rank_col
+        self._writer = RetractStreamWriter(
+            [*self.partition_by, rank_col], workdir)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.rank import top_n
 
-        ranked = top_n(batch_df, self.partition_by, self.order_by, self.n)
+        ranked = top_n(batch_df, self.partition_by, self.order_by, self.n,
+                       rank_col=self.rank_col)
         self._writer(ranked, batch_id)
 
 
@@ -241,6 +246,10 @@ def running_over(
         f_.name for f_ in events.schema.fields
         if f_.dataType.typeName() == "timestamp"
     ]
+    date_cols = [
+        f_.name for f_ in events.schema.fields
+        if f_.dataType.typeName() == "date"
+    ]
     out_fields = list(events.schema.fields)
     for fn, out_name, integral in metas:
         if fn == "count":
@@ -262,9 +271,11 @@ def running_over(
     out_cols = in_cols + [m[1] for m in metas]
 
     def _plain(v):
-        # numpy scalars / pandas NaN → JSON-serializable Python (the
-        # NaN-is-NULL rule: _is_sql_null discipline from the MR fold)
-        if v is None:
+        # numpy scalars / pandas NaN/NaT → JSON-serializable Python (the
+        # NaN-is-NULL rule: _is_sql_null discipline from the MR fold);
+        # dates round-trip as ordinals (review finding: a buffered DATE
+        # or NaT row crashed json.dumps)
+        if v is None or v is pd.NaT:
             return None
         if isinstance(v, float):
             return None if v != v else v
@@ -272,6 +283,10 @@ def running_over(
             v = v.item()
             if isinstance(v, float) and v != v:
                 return None
+        if isinstance(v, dt_mod.datetime):
+            return int(pd.Timestamp(v).value // 1000)
+        if isinstance(v, dt_mod.date):
+            return v.toordinal()
         return v
 
     def _window_val(fn, vals, integral):
@@ -336,7 +351,8 @@ def running_over(
                 r = {}
                 for c in in_cols:
                     v = d.get(c)
-                    if c in ts_cols and v is not None and v == v:
+                    if c in ts_cols and v is not None and v == v \
+                            and v is not pd.NaT:
                         r[c] = int(pd.Timestamp(v).value // 1000)
                     else:
                         r[c] = _plain(v)
@@ -355,6 +371,9 @@ def running_over(
             for c in ts_cols:
                 if row.get(c) is not None:
                     row[c] = pd.Timestamp(row[c] * 1000)
+            for c in date_cols:
+                if row.get(c) is not None:
+                    row[c] = dt_mod.date.fromordinal(row[c])
             for (fn_, out_name, _), v in zip(metas, agg_vals):
                 row[out_name] = v
             out.append(row)

@@ -35,6 +35,13 @@ from .capability import UnsupportedStreamingPlan
 _OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
 _SELECT_RE = re.compile(r"^\s*SELECT\s+", re.IGNORECASE)
 
+
+def _has_over(text: str) -> bool:
+    """True when an OVER keyword appears OUTSIDE quotes/comments (a
+    string literal containing 'OVER (' must not trigger routing —
+    review finding; the CLAUDE.md scanner discipline)."""
+    return any(tok == "OVER" for _, tok, _ in _scan_top_level(text))
+
 # clause keywords that end the FROM part / are unsupported at top level
 _TAIL_KWS = ("GROUP", "HAVING", "ORDER", "LIMIT", "UNION", "INTERSECT",
              "EXCEPT", "WINDOW", "QUALIFY")
@@ -283,12 +290,14 @@ class StreamingTopN:
     is_streaming = True
 
     def __init__(self, inner: DataFrame, partition_by: list[str],
-                 order_by: list, n: int, select_items: list[str]):
+                 order_by: list, n: int, select_items: list[str],
+                 rank_col: str = "rn"):
         self.inner = inner
         self.partition_by = partition_by
         self.order_by = order_by
         self.n = n
         self.select_items = select_items
+        self.rank_col = rank_col
         self._workdir: str | None = None
 
     def start(self, workdir: str, checkpoint_dir: str | None = None):
@@ -298,7 +307,8 @@ class StreamingTopN:
 
         self._workdir = workdir
         sink = TopNRetractWriter(
-            self.partition_by, self.order_by, self.n, workdir)
+            self.partition_by, self.order_by, self.n, workdir,
+            rank_col=self.rank_col)
         return (
             self.inner.writeStream.outputMode("complete")
             .foreachBatch(sink)
@@ -400,8 +410,11 @@ def _try_topn(spark: SparkSession, s: str):
     n = num if op == "<=" else (num - 1 if op == "<" else num)
     if n < 1:
         raise UnsupportedStreamingPlan("Top-N needs N >= 1")
-    if _find_kw(inner_rest, "GROUP") < 0:
-        # append-only inner: complete-mode recompute can't snapshot it
+    # classify the inner from its ANALYZED PLAN (review finding: a
+    # text scan for GROUP missed aggregates behind views/subqueries) —
+    # an updating aggregate snapshots in complete mode, an append-only
+    # inner cannot
+    if "Aggregate" not in df_inner._jdf.queryExecution().analyzed().toString():
         from .capability import validate
 
         validate("topn", "append")  # raises with the documented message
@@ -436,7 +449,13 @@ def _try_topn(spark: SparkSession, s: str):
             re.sub(r"\b(ASC|DESC)\b", "", c, flags=re.IGNORECASE).strip())
         order_cols.append(F.col(name).desc() if desc else F.col(name).asc())
     outer_items = [it for it in _split_top_commas(outer_list)]
-    return StreamingTopN(df_inner, part_cols, order_cols, n, outer_items)
+    if rn_alias in df_inner.columns:
+        raise UnsupportedStreamingPlan(
+            f"the rank alias {rn_alias!r} collides with an inner output "
+            "column — rename one (the rank column is materialized under "
+            "that name in the retract stream)")
+    return StreamingTopN(df_inner, part_cols, order_cols, n, outer_items,
+                         rank_col=rn_alias)
 
 
 def route_streaming_select(spark: SparkSession, s: str):
@@ -445,7 +464,7 @@ def route_streaming_select(spark: SparkSession, s: str):
     the one Catalyst analysis is reused), a ``StreamingTopN`` handle, a
     rerouted streaming DataFrame, or None (not OVER-shaped; caller
     falls through to ``spark.sql``)."""
-    if not _OVER_RE.search(s) or not _SELECT_RE.match(s):
+    if not _SELECT_RE.match(s) or not _has_over(s):
         return None
     topn = _try_topn(spark, s)
     if topn is not None:
@@ -473,7 +492,7 @@ def route_streaming_select(spark: SparkSession, s: str):
     specs: set[tuple] = set()
     final_items: list[str] = []
     for i, it in enumerate(items):
-        if not _OVER_RE.search(it):
+        if not _has_over(it):
             final_items.append(it)
             continue
         fn, arg, spec_txt, alias = _parse_over_item(it)

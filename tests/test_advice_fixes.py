@@ -1044,3 +1044,159 @@ def test_group_window_auxiliary_accepts_qualified_time_attr():
         rewrite_group_windows(
             "SELECT TUMBLE_START(other, INTERVAL '1' HOUR) AS s, count(*) "
             "FROM ev t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+
+
+# ---------------- round-11 review findings (all fixed same-session) ---
+
+
+def test_unbounded_quantified_final_min2_is_greedy(spark):
+    """Review finding 1: the deterministic fold truncated B{2,} at its
+    min instead of extending greedily (the mn fallback of done_at)."""
+    import datetime as dt2
+
+    from flink_1_11_1_spark.streaming import nfa
+
+    p = (nfa.PatternSeq.begin("A", "event_type = 'view'")
+         .next_("B", "event_type = 'click'").times_or_more(2).consecutive()
+         .within("2 days"))
+    base = dt2.datetime(2026, 1, 1)
+    rows = [(i, base + dt2.timedelta(minutes=i), 1, t, 1.0)
+            for i, t in enumerate(
+                ["view", "click", "click", "click", "click"])]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    got = [(tuple(r.labels), tuple(r.ids))
+           for r in p.match_batch(ev, lowering=False).collect()]
+    assert got == [(("A", "B", "B", "B", "B"), (0, 1, 2, 3, 4))]
+    # branching fold agrees
+    p2 = (nfa.PatternSeq.begin("A", "event_type = 'view'")
+          .next_("B", "event_type = 'click'").times_or_more(2).consecutive()
+          .with_backtracking().within("2 days"))
+    got2 = [(tuple(r.labels), tuple(r.ids))
+            for r in p2.match_batch(ev, lowering=False).collect()]
+    assert got2 == got
+
+
+def test_running_over_date_and_null_timestamp_columns(spark, tmp_path):
+    """Review finding 2: a buffered DATE column / NULL timestamp must
+    survive the JSON state round-trip (json.dumps crashed on
+    datetime.date and pd.NaT)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_1_spark.streaming import over, replay
+
+    d = str(tmp_path / "rp_date")
+    replay.write_replay(spark, SF_SMOKE, d, parts=3)
+    stream = (replay.events_stream(spark, d)
+              .select("user_id", "event_id", "ts", "value")
+              .withColumn("d", F.to_date("ts"))
+              .withColumn("maybe_ts",
+                          F.when(F.col("event_id") % 3 == 0, F.col("ts"))))
+    out = over.running_over(
+        stream, ["user_id"], "ts", [("sum", "value", "rs")],
+        ("rows", None))
+    got, _ = replay.run_stream(out, "append", "ro_date")
+    real = [r for r in got if r.user_id >= 0]
+    assert len(real) > 0
+    assert all(r.d is not None for r in real)
+    assert any(r.maybe_ts is None for r in real)
+    assert any(r.maybe_ts is not None for r in real)
+
+
+def test_over_in_string_literal_does_not_route(spark, tmp_path):
+    """Review finding 3: a streaming SELECT whose string literal
+    contains 'OVER (' must pass through untouched (quote-aware
+    detection)."""
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    d = str(tmp_path / "rp_lit")
+    replay.write_replay(spark, SF_SMOKE, d, parts=3)
+    stream = replay.events_stream(spark, d).select("user_id", "ts")
+    stream.createOrReplaceTempView("so_lit")
+    out = tenv.execute_sql(
+        "SELECT user_id, concat('x', ' OVER (late)') AS msg FROM so_lit")
+    assert out.isStreaming and "msg" in out.columns
+
+
+def test_streaming_topn_custom_rank_alias(spark, tmp_path):
+    """Review finding 5: the user's ROW_NUMBER alias is the rank
+    column's name end-to-end (snapshot selectExpr must resolve it)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_11_1_spark import catalog as _catalog
+    from flink_1_11_1_spark.operators.rank import top_n
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.sql_over import StreamingTopN
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    d = str(tmp_path / "rp_rnk")
+    replay.write_replay(spark, SF_SMOKE, d, parts=3)
+    stream = replay.events_stream(spark, d, watermark=None).where(
+        "user_id >= 0")
+    stream.createOrReplaceTempView("so_rnk")
+    h = tenv.execute_sql(
+        "SELECT user_id, total, rnk FROM (SELECT user_id, "
+        "sum(value) AS total, ROW_NUMBER() OVER (ORDER BY sum(value) DESC) "
+        "AS rnk FROM so_rnk GROUP BY user_id) t WHERE rnk <= 3")
+    assert isinstance(h, StreamingTopN) and h.rank_col == "rnk"
+    q = h.start(str(tmp_path / "rnk_rec"),
+                checkpoint_dir=str(tmp_path / "rnk_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.user_id, round(r.total, 6), r.rnk)
+                 for r in h.snapshot(spark).collect())
+    ev = _catalog.load_table(spark, SF_SMOKE, "events").where("user_id >= 0")
+    want = top_n(ev.groupBy("user_id").agg(F.sum("value").alias("total")),
+                 [], [F.col("total").desc()], 3, rank_col="rnk")
+    assert got == sorted(
+        (r.user_id, round(r.total, 6), r.rnk) for r in want.collect())
+
+
+def test_streaming_topn_inner_aggregate_behind_view(spark, tmp_path):
+    """Review finding 6: the inner is classified from its ANALYZED PLAN
+    — an aggregate hidden behind a view must route, not raise."""
+    from flink_1_11_1_spark.streaming import replay
+    from flink_1_11_1_spark.streaming.sql_over import StreamingTopN
+    from flink_1_11_1_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    d = str(tmp_path / "rp_vw")
+    replay.write_replay(spark, SF_SMOKE, d, parts=3)
+    stream = replay.events_stream(spark, d, watermark=None).where(
+        "user_id >= 0")
+    stream.createOrReplaceTempView("so_vw_src")
+    spark.sql(
+        "SELECT user_id, sum(value) AS total FROM so_vw_src GROUP BY user_id"
+    ).createOrReplaceTempView("so_vw_agg")
+    try:
+        h = tenv.execute_sql(
+            "SELECT user_id, total, rn FROM (SELECT user_id, total, "
+            "ROW_NUMBER() OVER (ORDER BY total DESC) AS rn FROM so_vw_agg) "
+            "WHERE rn <= 3")
+        assert isinstance(h, StreamingTopN)
+    finally:
+        spark.catalog.dropTempView("so_vw_agg")
+
+
+def test_group_window_auxiliary_qualifier_mismatch_raises():
+    """Review finding 7: two DIFFERENT qualifiers on the same column
+    name must NOT match (only unqualified-vs-qualified is resolution-
+    equivalent)."""
+    import pytest as _pytest
+
+    from flink_1_11_1_spark.group_windows import rewrite_group_windows
+
+    with _pytest.raises(ValueError, match="does not match any GROUP BY"):
+        rewrite_group_windows(
+            "SELECT TUMBLE_START(a.ts, INTERVAL '1' HOUR) s, count(*) "
+            "FROM a JOIN b ON a.k = b.k "
+            "GROUP BY TUMBLE(b.ts, INTERVAL '1' HOUR)")
+    # unqualified-vs-qualified still matches (the advice-fix behavior)
+    out = rewrite_group_windows(
+        "SELECT TUMBLE_START(t.ts, INTERVAL '1' HOUR) s, count(*) "
+        "FROM ev t GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert "window.start" in out

@@ -7,9 +7,9 @@ comparison a pytest case at sf0.001, so an operator regression fails in
 `pytest tests/` instead of surfacing a round later in
 CORRECTNESS_r{N}.json.
 
-Comparison is order-insensitive (sorted canonical rows) — the driver's
-hash convention — since not every extension entry ends in a total
-ORDER BY.
+Comparison is POSITIONAL (testing.compare): since round 7 every
+declared entry ends in a deterministic total ORDER BY, and this net is
+the gate that keeps it true.
 """
 
 from __future__ import annotations
@@ -40,14 +40,12 @@ def test_every_extension_entry_has_an_oracle():
 
 @pytest.mark.parametrize("name", _names())
 def test_extension_entry_matches_oracle(spark, duck, name):
+    # testing.compare is POSITIONAL (rows in order): every declared
+    # entry must end in a deterministic total ORDER BY (the round-7
+    # lesson — 12 reds once came from exactly this gate; the round-11
+    # net fold briefly lost it to a sorted compare, review finding).
     df = _QUERIES[name](spark, SF_SMOKE)
     scols, srows = df.columns, [tuple(r) for r in df.collect()]
     dcols, drows = testing.run_duckdb(duck, _ORACLES[name])
-    assert sorted(scols) == sorted(dcols), (scols, dcols)
-    a = sorted(testing.canon_rows(scols, srows))
-    b = sorted(testing.canon_rows(dcols, drows))
-    assert a == b, (
-        f"{name}: {len(srows)} spark vs {len(drows)} duckdb rows; "
-        f"first spark-only {[r for r in a if r not in b][:2]}; "
-        f"first duckdb-only {[r for r in b if r not in a][:2]}"
-    )
+    ok, msg = testing.compare(scols, srows, dcols, drows)
+    assert ok, f"{name}: {msg}"

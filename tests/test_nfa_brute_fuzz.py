@@ -634,7 +634,8 @@ def _gen_strict_qfinal(rng: random.Random):
         subset = sorted(rng.sample(CLASSES, rng.randint(1, 2)))
         cond = "(" + " OR ".join(f"cls = '{c}'" for c in subset) + ")"
         if last:
-            mn, mx = rng.choice([(1, 2), (1, 3), (2, 3), (1, None)])
+            mn, mx = rng.choice(
+                [(1, 2), (1, 3), (2, 3), (1, None), (2, None)])
             greedy = True
         else:
             mn, mx = rng.choice(
@@ -774,7 +775,8 @@ def _gen_det_skip_qfinal(rng: random.Random):
         subset = sorted(rng.sample(CLASSES, rng.randint(1, 2)))
         cond = "(" + " OR ".join(f"cls = '{c}'" for c in subset) + ")"
         if last:
-            mn, mx = rng.choice([(1, 2), (1, 3), (2, 3), (1, None)])
+            mn, mx = rng.choice(
+                [(1, 2), (1, 3), (2, 3), (1, None), (2, None)])
         else:
             mn, mx = rng.choice(
                 [(1, 1), (1, 2), (2, 2), (0, 1), (1, None)])
