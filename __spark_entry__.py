@@ -150,6 +150,18 @@ _DRIVER_GREEN_HISTORY = {
     "x_tpcds_quarter_trend", "x_tpcds_weekday_pivot",
     "x_tpcds_channel_exclusives", "x_tpcds_pivot_multi",
     "x_tpcds_chain_report", "x_tpcds_null_channel",
+    # round-11 greens (CORRECTNESS_r11.json: 50/50 hash-green rows —
+    # the 16 new round-11 entries + 25 _REVERIFY_FIRST re-verifies +
+    # q01–q09).  All 260 entries now have a recorded driver green
+    # across r01–r11; the round-12 window leads with round-12
+    # additions plus re-verification of touched modules.
+    "x_tpcds_lag_lead", "x_tpcds_year_ratio", "x_tpcds_net_decline",
+    "x_tpcds_return_outliers", "x_tpcds_null_retention",
+    "x_tpcds_case_choose", "x_tpcds_rank_rollup", "x_tpcds_chain_stats",
+    "x_tpcds_cross_year_pair", "x_tpcds_two_supplier",
+    "x_tpcds_returns_share3", "x_tpcds_demand_variance",
+    "x_tpcds_or_subquery", "x_tpcds_balanced_channels",
+    "x_tpcds_triple_growth", "x_mr_quantified_tail",
 }
 
 
@@ -161,25 +173,23 @@ _DRIVER_GREEN_HISTORY = {
 # regime) and re-verifies proven ones — nothing needs deferring.
 _DEFER_FIRST: tuple[str, ...] = ()
 
-# With all entries proven (r01–r10), re-verification slots go first to
-# entries whose implementation the CURRENT round touched — round 11
-# changes ddl.py (nested FROM-list rewrite + comment-span depth scan,
-# streaming SQL OVER/TopN routing), group_windows.py (qualified
-# auxiliary args), sql_compat.py, nfa_lowering.py (quantified-LAST
-# SUBSET shapes) and tpcds_shapes.py (tranche seven) — so the SQL
-# group-window entries, DDL-routed entries, MR/SUBSET entries and a
-# TPC-DS sample re-run inside the window.
+# With all entries proven (r01–r11), re-verification slots go first to
+# entries whose implementation the CURRENT round touched — round 12
+# changes streaming/sql_over.py + streaming/over.py (ADVICE fixes,
+# append-only Top-N, proctime OVER: pytest-covered, no declared
+# entries), operators/skew.py + session-window salting (so the session
+# and salted-agg entries re-verify), then rotates the OLDEST driver
+# greens (r03: ANN/CDC/graph/lookup entries last re-verified eight
+# rounds ago) back through the window.
 _REVERIFY_FIRST: tuple[str, ...] = (
-    "x_sql_tumble", "x_sql_hop", "x_sql_session", "x_sql_lateral",
-    "x_sql_system_time",
-    "x_ddl_roundtrip", "x_ddl_options_hint", "x_catalog_qualified",
-    "x_hive_dialect", "x_hive_multi_insert", "x_ddl_like",
-    "x_mr_subset", "x_mr_composed", "x_mr_multikey",
-    "x_mr_backtrack", "x_mr_alternation", "x_mr_group_funnel",
-    "x_mr_agg", "x_mr_offsets", "x_cep_any",
-    "x_tpcds_grouping_sets", "x_tpcds_pivot_multi",
-    "x_tpcds_null_channel", "x_tpcds_week_over_week",
-    "x_tpcds_chain_report",
+    "x_salted_agg", "x_sessionize", "x_session_dynamic",
+    "x_sql_session", "x_session_df",
+    "x_ann_ivf", "x_ann_quantized", "x_ann_top1", "x_ann_lsh_top1",
+    "x_ann_pq", "x_knn_label", "x_lookup_join", "x_cdc_debezium",
+    "x_cdc_canal", "x_connected_components", "x_count_window_df",
+    "x_dedup_cosine", "x_dedup_simhash", "x_pipeline_clean",
+    "x_topn_df", "x_graph_triangles", "x_graph_pagerank",
+    "x_graph_sssp", "x_dedup_exact", "x_dedup_minhash",
 )
 
 
