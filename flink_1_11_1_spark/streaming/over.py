@@ -161,6 +161,40 @@ class TopNRetractWriter:
         self._writer(ranked, batch_id)
 
 
+class AppendOnlyTopNWriter(TopNRetractWriter):
+    """Streaming Top-N over an INSERT-ONLY inner (round 12).
+
+    Reference parity: flink-table-runtime-blink
+    ``operators/rank/AppendOnlyTopNFunction.java`` — StreamExecRank
+    selects it when the rank input produces no retractions; state is
+    just the current Top-N buffer per partition, because on an
+    append-only input a row that once fell outside the Top-N can never
+    re-enter (new rows only push entries further down).
+
+    Micro-batch rendering: an append-mode trigger delivers only the NEW
+    rows, so the current Top-N is ``top_n(previous Top-N ∪ batch)``.
+    The previous Top-N is exactly the RetractStreamWriter's own latest
+    committed snapshot (bounded: n × #partitions rows on disk) — no
+    second state store, and the restart/retry discipline is inherited:
+    a fresh writer object resumes from the last committed snapshot and
+    a retried batch id re-merges against its true predecessor.
+    """
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.rank import top_n
+
+        spark = batch_df.sparkSession
+        w = self._writer
+        prev_ids = [i for i in w._snapshot_ids() if i < batch_id]
+        merged = batch_df
+        if prev_ids:
+            prev = spark.read.parquet(f"{w.workdir}/snap_b{prev_ids[-1]}")
+            merged = prev.drop(self.rank_col).unionByName(batch_df)
+        ranked = top_n(merged, self.partition_by, self.order_by, self.n,
+                       rank_col=self.rank_col)
+        self._writer(ranked, batch_id)
+
+
 # ------------------------------------------------------------------
 # Generic streaming OVER aggregate (round 11): the SQL front door's
 # operator.  ``running_sum`` above stays as the fixed-schema façade the
@@ -356,6 +390,12 @@ def running_over(
                         r[c] = int(pd.Timestamp(v).value // 1000)
                     else:
                         r[c] = _plain(v)
+                if r[order_by] is None:
+                    # NULL/NaT rowtime (ADVICE r11): Flink's rowtime
+                    # operators never see null event times — buffering
+                    # "t": None made the buf.sort raise TypeError inside
+                    # the executor.  Drop the row, like a late arrival.
+                    continue
                 buf.append({"s": seq, "t": r[order_by], "v": vals, "r": r})
                 seq += 1
         wm_ms = state.getCurrentWatermarkMs()

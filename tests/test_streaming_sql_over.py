@@ -230,12 +230,85 @@ def test_sql_over_capability_errors(tenv, replay_dir):
         tenv.execute_sql(
             "SELECT user_id, sum(value) OVER (PARTITION BY user_id "
             "ORDER BY ts) s FROM so_nowm")
-    # append-only inner for the rank pattern (capability matrix row)
-    with pytest.raises(UnsupportedStreamingPlan, match="Top-N"):
+    # proctime ordering: the NAMED capability row (VERDICT r11 #2) —
+    # not Spark's opaque nondeterministic-window analysis error
+    with pytest.raises(UnsupportedStreamingPlan, match="PROCTIME"):
         tenv.execute_sql(
-            "SELECT user_id, rn FROM (SELECT user_id, ROW_NUMBER() OVER "
-            "(PARTITION BY user_id ORDER BY value DESC) AS rn "
-            "FROM so_cap) WHERE rn <= 2")
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY PROCTIME()) s FROM so_cap")
+    # OVER only inside a derived table: named error, not KeyError
+    # (ADVICE r11 #1)
+    with pytest.raises(UnsupportedStreamingPlan, match="derived table"):
+        tenv.execute_sql(
+            "SELECT user_id, s FROM (SELECT user_id, ts, sum(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS s FROM so_cap) "
+            "WHERE s > 5")
+    # aggregate alias colliding with an input column (ADVICE r11 #2)
+    with pytest.raises(UnsupportedStreamingPlan, match="collides"):
+        tenv.execute_sql(
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts) AS value FROM so_cap")
+
+
+def test_sql_topn_append_only_inner_routes(tenv, replay_dir, tmp_path):
+    """AppendOnlyTopNFunction parity (round 12 — VERDICT r11 missing
+    #1): the rank pattern over an INSERT-ONLY inner (no aggregate)
+    routes to the append-merge writer; the folded retract records equal
+    the batch Top-N of all replayed rows."""
+    from flink_1_11_1_spark.operators.rank import top_n
+    from flink_1_11_1_spark.streaming.sql_over import StreamingTopN
+
+    spark = tenv.spark
+    stream = replay.events_stream(spark, replay_dir).where("user_id >= 0")
+    stream.createOrReplaceTempView("so_ao_src")
+    h = tenv.execute_sql(
+        "SELECT user_id, event_id, value, rn FROM (SELECT user_id, "
+        "event_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY value DESC, event_id) AS rn FROM so_ao_src) t "
+        "WHERE rn <= 3")
+    assert isinstance(h, StreamingTopN) and h.append_only
+    q = h.start(str(tmp_path / "ao_rec"),
+                checkpoint_dir=str(tmp_path / "ao_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.user_id, r.event_id, round(r.value, 6), r.rn)
+                 for r in h.snapshot(spark).collect())
+    ev = _batch_events(spark).where("user_id >= 0")
+    want = top_n(ev, ["user_id"],
+                 [F.col("value").desc(), F.col("event_id").asc()], 3)
+    assert got == sorted(
+        (r.user_id, r.event_id, round(r.value, 6), r.rn)
+        for r in want.select("user_id", "event_id", "value", "rn").collect())
+
+
+def test_running_over_drops_null_rowtime(spark, tmp_path):
+    """ADVICE r11 #3: a NULL/NaT rowtime row must be dropped when
+    buffering (Flink's rowtime operators never see null event times) —
+    not crash the executor sorting None against int."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.streaming import over
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def f(rows):
+        return spark.createDataFrame(rows, schema)
+
+    frames = [
+        f([(1, 1, base, 1.0), (1, 2, None, 99.0)]),
+        f([(1, 3, base + dt.timedelta(hours=1), 2.0), (1, 4, None, 7.0)]),
+        f([(1, 5, base + dt.timedelta(days=30), 0.0)]),  # flush
+    ]
+    d = str(tmp_path / "rp_nullts")
+    replay.write_replay_frames(frames, d)
+    stream = replay.events_stream(spark, d, watermark="10 minutes")
+    out = over.running_over(stream, ["user_id"], "ts",
+                            [("sum", "value", "rs")])
+    got, _ = replay.run_stream(out, "append", "ro_nullts")
+    vals = {r.event_id: round(r.rs, 6) for r in got}
+    assert 2 not in vals and 4 not in vals  # null-rowtime rows dropped
+    assert vals[1] == 1.0 and vals[3] == 3.0
 
 
 def test_running_sum_emits_exactly_once(spark, tmp_path):
