@@ -53,6 +53,61 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+SESSION_SALT_GAP_MS = 30 * 60 * 1000  # 30 minutes
+
+
+def salted_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-safe pre-bucketed session aggregation (round 12 —
+    ``skew.salted_session_agg``, the hot-session-key lever): per-user
+    30-minute sessions computed per (user, day-bucket) with a bounded
+    boundary-islands stitch; identical sessions to the native
+    session_window plan.  All-integer declared outputs: epoch-ms bounds
+    and floor-cents sums (the cross-engine exactness idiom)."""
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    out = skew.salted_session_agg(
+        ev, "ts", "30 minutes", ["user_id"],
+        {"n_events": ("count", "*"), "cents": ("sum", "cents"),
+         "mx_cents": ("max", "cents")},
+        bucket="1 day",
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("session_start").alias("start_ms"),
+        F.unix_millis("session_end").alias("end_ms"),
+        "n_events", "cents", "mx_cents",
+    ).orderBy("user_id", "start_ms")
+
+
+# Spark's session merge is INCLUSIVE at exact-gap abutment (ts ==
+# prev_ts + gap continues the session), so the islands break is the
+# strict ``> gap``; session_end = last event + gap.
+SESSION_SALT_ORACLE = f"""
+WITH events_ms AS (
+  SELECT * REPLACE (cast(date_trunc('milliseconds', ts) as timestamp) AS ts) FROM events
+), t AS (
+  SELECT user_id, epoch_ms(ts) tms,
+         cast(floor(value * 100) as bigint) cents
+  FROM events_ms
+), g AS (
+  SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                   OR tms - lag(tms) OVER w > {SESSION_SALT_GAP_MS}
+                 THEN 1 ELSE 0 END ns
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+), s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tms
+                          ROWS UNBOUNDED PRECEDING) sid
+  FROM g
+)
+SELECT user_id, min(tms) start_ms, max(tms) + {SESSION_SALT_GAP_MS} end_ms,
+       cast(count(*) as bigint) n_events,
+       cast(sum(cents) as bigint) cents, max(cents) mx_cents
+FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline end-to-end: synthesize media, decode via the
     real mapInPandas stage, emit per-item stats.  The fake codec is a
@@ -100,4 +155,5 @@ FROM s ORDER BY doc_id
 def register_all() -> None:
     registry.register("x_lookup_join", lookup_customers, LOOKUP_ORACLE)
     registry.register("x_salted_agg", salted_order_stats, SALTED_ORACLE)
+    registry.register("x_session_salted", salted_sessions, SESSION_SALT_ORACLE)
     registry.register("x_multimodal_decode", multimodal_features, MULTIMODAL_ORACLE)
