@@ -281,6 +281,65 @@ def test_sql_topn_append_only_inner_routes(tenv, replay_dir, tmp_path):
         for r in want.select("user_id", "event_id", "value", "rn").collect())
 
 
+def test_sql_topn_append_only_restart_parity(tenv, tmp_path):
+    """AppendOnlyTopNWriter restart discipline (inherited from
+    RetractStreamWriter): stop after a prefix whose Top-N differs from
+    the final one, restart a FRESH handle against the same workdir +
+    checkpoint, and the folded snapshot equals the batch Top-N of all
+    rows — the diff base is discovered on disk, not held in memory."""
+    import datetime as dt
+
+    from flink_1_11_1_spark.operators.rank import top_n
+
+    spark = tenv.spark
+    base = dt.datetime(2024, 1, 1)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def f(rows):
+        return spark.createDataFrame(
+            [(u, e, base + dt.timedelta(minutes=m), v)
+             for u, e, m, v in rows], schema)
+
+    frames = [
+        f([(1, 1, 0, 10.0), (1, 2, 1, 20.0), (1, 3, 2, 30.0)]),
+        # phase 2 displaces two of phase 1's top-2
+        f([(1, 4, 3, 40.0), (1, 5, 4, 50.0)]),
+    ]
+    rdir = str(tmp_path / "ao_rs_src")
+    replay.write_replay_frames(frames[:1], rdir)
+
+    def run_phase():
+        stream = (spark.readStream.format("parquet")
+                  .schema(frames[0].schema)
+                  .option("maxFilesPerTrigger", 1).load(rdir)
+                  .withWatermark("ts", "10 minutes"))
+        stream.createOrReplaceTempView("ao_rs")
+        h = tenv.execute_sql(
+            "SELECT user_id, event_id, value, rn FROM (SELECT user_id, "
+            "event_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id) AS rn FROM ao_rs) t "
+            "WHERE rn <= 2")
+        assert h.append_only
+        q = h.start(str(tmp_path / "ao_rs_rec"),
+                    checkpoint_dir=str(tmp_path / "ao_rs_ckpt"))
+        q.processAllAvailable()
+        q.stop()
+        return sorted((r.user_id, r.event_id, r.rn)
+                      for r in h.snapshot(spark).collect())
+
+    partial = run_phase()
+    assert partial == [(1, 2, 2), (1, 3, 1)]  # phase-1 top-2
+    replay.write_replay_frames(frames[1:], rdir, start=1)
+    got = run_phase()  # fresh handle + writer, same workdir/ckpt
+    want = top_n(
+        f([(1, 1, 0, 10.0), (1, 2, 1, 20.0), (1, 3, 2, 30.0),
+           (1, 4, 3, 40.0), (1, 5, 4, 50.0)]),
+        ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 2)
+    assert got == sorted((r.user_id, r.event_id, r.rn)
+                         for r in want.collect())
+    assert got != partial  # the restart genuinely revised ranks
+
+
 def test_running_over_drops_null_rowtime(spark, tmp_path):
     """ADVICE r11 #3: a NULL/NaT rowtime row must be dropped when
     buffering (Flink's rowtime operators never see null event times) —
