@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from flink_1_11_1_spark.streaming import changelog, replay
 from flink_1_11_1_spark.streaming.late import LateSideOutput, read_late_rows
 
+from .fuzz_rotation import rotating_subset
+
 pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
 
 
@@ -102,7 +104,7 @@ def _batch_twin(spark, rows):
     return sorted(tuple(r) for r in _agg(_frame_df(spark, rows)).collect())
 
 
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", rotating_subset(range(30), tag="sched"))
 def test_writer_folds_match_batch_twin_across_schedules(spark, tmp_path, seed):
     frames = _schedule(seed)
     all_rows = [e for f in frames for e in f]

@@ -30,6 +30,8 @@ import pytest
 
 from flink_1_11_1_spark.streaming.nfa import PatternSeq, State
 
+from .fuzz_rotation import rotating_subset
+
 pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
 
 
@@ -111,7 +113,7 @@ def _oracle(rx: re.Pattern, states, text: str, skip: str):
     return out
 
 
-@pytest.mark.parametrize("case", _SEEDS)
+@pytest.mark.parametrize("case", rotating_subset(_SEEDS, tag="bt"))
 def test_backtracking_matches_regex_oracle(spark, case):
     rng = random.Random(case)
     pat, subsets, skip = _random_pattern(rng)
@@ -229,7 +231,7 @@ def _oracle_alt(rx, states, classes, text: str, skip: str):
     return out
 
 
-@pytest.mark.parametrize("case", _ALT_SEEDS)
+@pytest.mark.parametrize("case", rotating_subset(_ALT_SEEDS, tag="alt"))
 def test_alternation_matches_regex_oracle(spark, case):
     rng = random.Random(case)
     pat, classes, skip = _random_pattern_alt(rng)
@@ -356,7 +358,7 @@ def _neg_oracle(rx, text: str, skip: str):
     return out
 
 
-@pytest.mark.parametrize("case", _NEG_SEEDS)
+@pytest.mark.parametrize("case", rotating_subset(_NEG_SEEDS, tag="neg"))
 @pytest.mark.parametrize("backtrack", [False, True])
 def test_negative_guard_matches_lookahead_oracle(spark, case, backtrack):
     rng = random.Random(case)

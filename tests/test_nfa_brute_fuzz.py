@@ -43,6 +43,8 @@ from flink_1_11_1_spark.streaming.nfa import (
     _spec,
 )
 
+from .fuzz_rotation import rotating_subset
+
 pytestmark = pytest.mark.slow  # heavy battery: -m 'not slow' skips it
 
 CLASSES = "abc"
@@ -151,7 +153,7 @@ def _gen_strict(rng: random.Random):
 _BRUTE_SEEDS = [94, 120, 138, 187, 194, 203, 221] + list(range(300, 353))
 
 
-@pytest.mark.parametrize("seed", _BRUTE_SEEDS)
+@pytest.mark.parametrize("seed", rotating_subset(_BRUTE_SEEDS, tag="brute"))
 def test_branching_fold_matches_brute_oracle(seed):
     rng = random.Random(seed)
     p, ost = _gen_strict(rng)
@@ -243,7 +245,7 @@ def _gen_full(rng: random.Random):
 _CHUNK_SEEDS = list(range(5000, 5060))
 
 
-@pytest.mark.parametrize("seed", _CHUNK_SEEDS)
+@pytest.mark.parametrize("seed", rotating_subset(_CHUNK_SEEDS, tag="chunk"))
 def test_chunked_fold_equals_one_shot(seed):
     rng = random.Random(seed)
     p = _gen_full(rng)
@@ -411,7 +413,7 @@ def _gen_det_skip(rng: random.Random):
     return p, ost
 
 
-@pytest.mark.parametrize("seed", list(range(7000, 7040)))
+@pytest.mark.parametrize("seed", rotating_subset(range(7000, 7040), tag="r7"))
 def test_det_fold_skip_matches_replay_oracle(seed):
     rng = random.Random(seed)
     p, ost = _gen_det_skip(rng)
@@ -577,7 +579,7 @@ def _gen_r8(rng: random.Random):
 _R8_SEEDS = list(range(6000, 6048))
 
 
-@pytest.mark.parametrize("seed", _R8_SEEDS)
+@pytest.mark.parametrize("seed", rotating_subset(_R8_SEEDS, tag="r8"))
 def test_chunked_fold_equals_one_shot_r8_features(seed):
     rng = random.Random(seed)
     p = _gen_r8(rng)
@@ -663,7 +665,7 @@ def _gen_strict_qfinal(rng: random.Random):
     return p, ost
 
 
-@pytest.mark.parametrize("seed", list(range(8100, 8160)))
+@pytest.mark.parametrize("seed", rotating_subset(range(8100, 8160), tag="r11a"))
 def test_branching_fold_matches_brute_oracle_qfinal(seed):
     rng = random.Random(seed)
     p, ost = _gen_strict_qfinal(rng)
@@ -800,7 +802,7 @@ def _gen_det_skip_qfinal(rng: random.Random):
     return p, ost
 
 
-@pytest.mark.parametrize("seed", list(range(8200, 8260)))
+@pytest.mark.parametrize("seed", rotating_subset(range(8200, 8260), tag="r11b"))
 def test_det_fold_qfinal_skip_matches_replay_oracle(seed):
     """The round-11 past_last fix under fuzz: emission keyed on the
     match's END row — a break-completed match (resolved at a later
