@@ -86,6 +86,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prior: dict[str, float] = {}
+    canonical_scale = True  # elision only at the canonical sf0.1 record
     try:
         with open(detail_path) as f:
             _pd = json.load(f)
@@ -95,8 +96,11 @@ def main() -> None:
             # A run at a different scale must neither retime against
             # the canonical record nor clobber it (BENCH_DETAIL.json is
             # the cross-round sf0.1 memory) — side file instead, which
-            # also serves as this scale's own prior when present
-            # (round 12: smoke runs at sf0.001 get the retimer too).
+            # serves as this scale's RETIMER prior when present.  The
+            # ELISION tier stays off here (round-12 review): a smoke
+            # run at sf0.001 must execute every runner end-to-end — its
+            # job is catching crashes, not timing.
+            canonical_scale = False
             detail_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 f"BENCH_DETAIL_sf{sf}.json",
@@ -139,7 +143,7 @@ def main() -> None:
     # disables the tier for a full timing sweep.
     headline = {"q03", "q05", "q22", "q34"}  # BASELINE.md shape rows
     skipped: list[str] = []
-    if prior and not os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+    if prior and canonical_scale and not os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         import glob
         import hashlib
 

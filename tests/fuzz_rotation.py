@@ -7,11 +7,14 @@ corpus runs with ``SPARK_GRAFT_FUZZ_FULL=1`` — which every round must
 do at least once when NFA/changelog semantics were touched (the
 CLAUDE.md "both slow fuzzers green" rule refers to the full corpora).
 
-Rotation seed = number of committed CORRECTNESS_r*.json files (≈ the
-round number), so the subset advances each round and every case runs
-every ``1/frac`` rounds — the same discipline as bench.py's elision
-sample.  Selection is md5-ranked, so adding cases to a corpus never
-reshuffles which OTHER cases a given round picks.
+The corpus is ranked ONCE by a round-independent md5 and each round
+takes the next contiguous k-slice (offset = round · k, wrapping), so
+coverage is GUARANTEED: every case runs at least once every
+``ceil(1/frac)`` rounds (round-12 review: an earlier per-round
+independent re-sample had no such bound — a case could sit out many
+consecutive seals).  Round number = count of committed
+CORRECTNESS_r*.json files, the same discipline as bench.py's elision
+sample.
 """
 
 from __future__ import annotations
@@ -22,16 +25,17 @@ import os
 
 
 def rotating_subset(seeds, frac: float = 1 / 3, tag: str = ""):
-    """Deterministic per-round subset of ``seeds`` (full corpus when
-    SPARK_GRAFT_FUZZ_FULL is set)."""
+    """Deterministic per-round contiguous rotation over ``seeds`` (full
+    corpus when SPARK_GRAFT_FUZZ_FULL is set)."""
     seeds = list(seeds)
-    if os.environ.get("SPARK_GRAFT_FUZZ_FULL"):
+    if os.environ.get("SPARK_GRAFT_FUZZ_FULL") or not seeds:
         return seeds
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rnd = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     k = max(1, round(len(seeds) * frac))
     ranked = sorted(
         seeds,
-        key=lambda s: hashlib.md5(f"{rnd}:{tag}:{s}".encode()).hexdigest(),
+        key=lambda s: hashlib.md5(f"{tag}:{s}".encode()).hexdigest(),
     )
-    return ranked[:k]
+    start = (rnd * k) % len(ranked)
+    return (ranked + ranked)[start:start + k]

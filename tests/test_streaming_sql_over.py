@@ -281,6 +281,41 @@ def test_sql_topn_append_only_inner_routes(tenv, replay_dir, tmp_path):
         for r in want.select("user_id", "event_id", "value", "rn").collect())
 
 
+def test_sql_topn_batch_subquery_inner_stays_append_only(tenv, replay_dir):
+    """Round-12 review: a BATCH aggregate inside the inner's scalar
+    subquery must not flip the insert-only classification — the plan
+    walk requires an Aggregate over a STREAMING subtree."""
+    spark = tenv.spark
+    catalog.register(spark, SF_SMOKE)  # batch 'events' view for the subquery
+    stream = replay.events_stream(spark, replay_dir).where("user_id >= 0")
+    stream.createOrReplaceTempView("so_sub_src")
+    h = tenv.execute_sql(
+        "SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, ts, "
+        "value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value "
+        "DESC, event_id) AS rn FROM so_sub_src "
+        "WHERE value > (SELECT min(value) FROM events)) t WHERE rn <= 2")
+    assert h.append_only
+
+
+def test_sql_over_batch_proctime_paths(tenv):
+    """Round-12 review: the PROCTIME capability error must not eat
+    batch statements whose analysis succeeds.  A batch PROCTIME() in a
+    PROJECTION (legal — the group-window auxiliaries render this way)
+    stays native; ORDER BY PROCTIME() never analyzes on ANY Spark plan
+    (UNSUPPORTED_SQL_UDF_USAGE in Sort), so there the route upgrades
+    the opaque analysis error to the named capability row."""
+    spark = tenv.spark
+    catalog.register(spark, SF_SMOKE)
+    b = tenv.execute_sql(
+        "SELECT user_id, PROCTIME() AS pt, sum(value) OVER (PARTITION BY "
+        "user_id ORDER BY ts) s FROM events LIMIT 5")
+    assert not b.isStreaming and b.count() == 5
+    with pytest.raises(UnsupportedStreamingPlan, match="PROCTIME"):
+        tenv.execute_sql(
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id ORDER "
+            "BY ts) s FROM events ORDER BY PROCTIME() LIMIT 5")
+
+
 def test_sql_topn_append_only_restart_parity(tenv, tmp_path):
     """AppendOnlyTopNWriter restart discipline (inherited from
     RetractStreamWriter): stop after a prefix whose Top-N differs from
@@ -368,6 +403,15 @@ def test_running_over_drops_null_rowtime(spark, tmp_path):
     vals = {r.event_id: round(r.rs, 6) for r in got}
     assert 2 not in vals and 4 not in vals  # null-rowtime rows dropped
     assert vals[1] == 1.0 and vals[3] == 3.0
+    # the fixed-schema running_sum façade has the same guard (round-12
+    # review: NaT.value is int64-min — it sorted below any watermark
+    # and overflowed pd.Timestamp on emission)
+    stream2 = replay.events_stream(spark, d, watermark="10 minutes")
+    got2, _ = replay.run_stream(over.running_sum(stream2), "append",
+                                "rs_nullts")
+    vals2 = {r.event_id: round(r.running_sum, 6) for r in got2}
+    assert 2 not in vals2 and 4 not in vals2
+    assert vals2[1] == 1.0 and vals2[3] == 3.0
 
 
 def test_running_sum_emits_exactly_once(spark, tmp_path):
