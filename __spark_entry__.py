@@ -183,7 +183,7 @@ _DEFER_FIRST: tuple[str, ...] = ()
 # rounds ago) back through the window.
 _REVERIFY_FIRST: tuple[str, ...] = (
     "x_salted_agg", "x_sessionize", "x_session_dynamic",
-    "x_sql_session", "x_session_df",
+    "x_sql_session", "x_session_df", "x_multimodal_decode",
     "x_ann_ivf", "x_ann_quantized", "x_ann_top1", "x_ann_lsh_top1",
     "x_ann_pq", "x_knn_label", "x_lookup_join", "x_cdc_debezium",
     "x_cdc_canal", "x_connected_components", "x_count_window_df",
