@@ -106,6 +106,25 @@ def test_sql_client_script_end_to_end(spark, tmp_path):
         tenv.execute_sql("DROP VIEW seg_totals")
 
 
+def test_streaming_rank_over_example_runs(spark):
+    """examples/streaming_rank_over.py is the runs-unchanged proof for
+    the round 11-12 streaming SQL rank/over surface (running OVER,
+    Top-N over an updating aggregate, append-only Top-N) — executed as
+    a subprocess like a real user would."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "examples",
+                                      "streaming_rank_over.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK streaming rank/over" in proc.stdout
+
+
 def test_round9_example_runs(spark):
     """examples/flink_sql_client_script.py is the runs-unchanged proof
     for the round-9 surface (DDL + LIKE + hive multi-INSERT +
