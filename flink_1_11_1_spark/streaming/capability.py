@@ -57,6 +57,17 @@ _MATRIX: dict[tuple[str, str], str | None] = {
         "retract records (Flink: StreamExecRank's retract/upsert stream)."
     ),
     ("topn", "update"): None,
+    # rowtime OVER routes via streaming/sql_over (running_over); the
+    # ProcTime* OVER family (Flink 1.11 ships seven ProcTime{Rows,
+    # Range}{Bounded,Unbounded}* functions) is a NAMED delta — see the
+    # matching error in sql_over._PROCTIME_ERR (round 12).
+    ("over_rowtime", "append"): None,
+    ("over_proctime", "append"): (
+        "Processing-time OVER is arrival-order-nondeterministic and has "
+        "no micro-batch equivalent; order by the watermarked rowtime "
+        "attribute (Flink 1.11: ProcTime{Rows,Range}{Bounded,Unbounded}* "
+        "vs the implemented RowTime* family)."
+    ),
     ("sort", "append"): (
         "General streaming ORDER BY is not supported (same restriction as "
         "Flink: only time-ascending or bounded sort-limit). Sort inside "
