@@ -39,3 +39,36 @@ def test_driver_window_leads_with_unproven_entries():
     fresh = [k for k in names if k not in e._DRIVER_GREEN_HISTORY]
     assert len(fresh) <= 50, f"{len(fresh)} unproven entries exceed the driver window"
     assert names[: len(fresh)] == fresh  # unproven first, proven rotations after
+
+
+def test_green_history_derived_from_correctness_artifacts():
+    """Round 13 automated the rotation: the green history is parsed from
+    the checked-in CORRECTNESS_r*.json files, so it must (a) cover every
+    declared entry once all are proven, and (b) record the LATEST green
+    round (x_session_salted first went green in round 12)."""
+    import __spark_entry__ as e
+
+    greens = e._green_rounds()
+    names = set(e.queries())
+    assert names - set(greens) == set(), "entries with no recorded driver green"
+    assert greens["x_session_salted"] == 12
+    # a re-verified entry carries its latest round, not its first
+    assert greens["x_dedup_exact"] >= 12  # r01-era entry, re-verified r12
+    assert greens["q01"] >= 12
+
+
+def test_proven_tail_ordered_stalest_first():
+    """The window tail must be the stalest greens given the recorded
+    history: after the fresh + _REVERIFY_FIRST blocks, proven entries
+    appear in nondecreasing last-green-round order (judge's round-12
+    Done criterion for automating the reverify rotation)."""
+    import __spark_entry__ as e
+
+    greens = e._green_rounds()
+    names = list(e.queries())
+    fresh = [k for k in names if k not in greens]
+    reverify = [k for k in e._REVERIFY_FIRST if k in greens]
+    head = len(fresh) + len(e._DEFER_FIRST) + len(reverify)
+    assert names[len(fresh) : head][-len(reverify) :] == reverify if reverify else True
+    tail_rounds = [greens[k] for k in names[head:]]
+    assert tail_rounds == sorted(tail_rounds), "proven tail not stalest-first"
