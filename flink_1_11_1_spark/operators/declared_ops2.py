@@ -53,6 +53,37 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted hot-key equi-join (``skew.salted_join``): probe rows
+    scatter over 8 salts, the build side replicates across every salt,
+    so any single key's shuffle splits num_salts ways.  Row-identical to
+    the plain join by construction; declared output aggregates to the
+    market-segment grain with the floor-cents idiom so both engines
+    compare on integers."""
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    cust = catalog.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    out = skew.salted_join(orders, cust, ["ck"], num_salts=8)
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment,
+       cast(count(*) as bigint) n,
+       cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint) cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 SESSION_SALT_GAP_MS = 30 * 60 * 1000  # 30 minutes
 
 
@@ -155,5 +186,6 @@ FROM s ORDER BY doc_id
 def register_all() -> None:
     registry.register("x_lookup_join", lookup_customers, LOOKUP_ORACLE)
     registry.register("x_salted_agg", salted_order_stats, SALTED_ORACLE)
+    registry.register("x_salted_join", salted_join_segments, SALTED_JOIN_ORACLE)
     registry.register("x_session_salted", salted_sessions, SESSION_SALT_ORACLE)
     registry.register("x_multimodal_decode", multimodal_features, MULTIMODAL_ORACLE)

@@ -141,6 +141,29 @@ def test_salted_join_equals_plain(spark):
     assert sorted(map(tuple, got_l.collect())) == sorted(map(tuple, want_l.collect()))
 
 
+def test_salted_join_splits_shuffle_num_salts_ways(spark):
+    """The salted join's shuffle keys must include the salt: both sides
+    hash-partition on (key, _salt), so one hot key's rows land on
+    num_salts reducers instead of one (the point of the rewrite)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cust = catalog.load_table(spark, SF_SMOKE, "customer")
+        nation = catalog.load_table(spark, SF_SMOKE, "nation").withColumnRenamed(
+            "n_nationkey", "c_nationkey"
+        )
+        got = skew.salted_join(cust, nation, ["c_nationkey"], num_salts=4)
+        got.collect()  # finalize AQE plan
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        salted = [p for p in parts if "c_nationkey" in p and "_salt" in p]
+        assert len(salted) >= 2, f"join inputs not partitioned on (key, salt): {parts}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Bucketing both sides on the join key co-locates the join: the
     SortMergeJoin runs without Exchange on either input (the engine's
