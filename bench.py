@@ -58,6 +58,26 @@ def apply_retimer(
     return retimed, contended
 
 
+def merge_detail(
+    detail_queries: dict[str, float],
+    prior: dict[str, float],
+    retimed: dict[str, list[float]],
+) -> dict[str, float]:
+    """Min-merge this run's detail values against the prior (VERDICT r12
+    next #6): the detail file is the cross-round retimer baseline, and
+    one slow (contended) run must not inflate it — a single reading
+    above the prior keeps the prior.  A reading that the retimer
+    CONFIRMED (min-of-2 still high → a real regression) records as-is;
+    so do improvements.
+    """
+    out = dict(detail_queries)
+    for n, t in out.items():
+        p = prior.get(n)
+        if p and p > 0 and n not in retimed and t > p:
+            out[n] = p
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     t_start = time.time()
@@ -205,6 +225,7 @@ def main() -> None:
     detail_queries = dict(timings)
     for n in skipped:
         detail_queries[n] = prior[n]
+    detail_queries = merge_detail(detail_queries, prior, retimed)
     result = {
         "metric": "suite_seconds",
         "value": total,
@@ -233,15 +254,22 @@ def main() -> None:
         json.dump(result, f, indent=1)
     budget = 1900
     stdout_result = dict(result)
-    stdout_result["queries"] = timings  # fresh measurements only
+    # fresh measurements only: contended entries hold carried priors in
+    # `timings`, so they are EXCLUDED here (like skipped ones) and their
+    # names emitted — a stdout reader must not mistake a carried prior
+    # for a fresh reading (ADVICE r12).
+    stdout_result["queries"] = {
+        k: v for k, v in timings.items() if k not in contended
+    }
     stdout_result["carried"] = len(skipped)
-    stdout_result["contended"] = len(contended)  # raw readings in detail
+    stdout_result["contended"] = sorted(contended)  # raw readings in detail
     line = json.dumps(stdout_result, separators=(",", ":"))
     if len(line) > budget:
         slim = dict(stdout_result)
         slim.pop("config")
         slim["retimed"] = len(retimed)  # pairs live in the detail file
-        kept = dict(timings)
+        slim["contended"] = len(contended)  # names live in the detail file
+        kept = dict(stdout_result["queries"])
         # drop fastest-first, never the headline shapes; no speed floor —
         # with 148 entries even >1 s timings must be elidable or the
         # line outgrows the driver's 2000-char tail capture

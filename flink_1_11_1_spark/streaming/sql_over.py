@@ -526,14 +526,17 @@ def route_streaming_select(spark: SparkSession, s: str):
         return topn
     try:
         df_full = spark.sql(s)
-    except Exception:
+    except Exception as exc:
         # a proctime window order never survives analysis (the PROCTIME
         # shim is current_timestamp(), nondeterministic in a window) —
         # surface the named capability row, not Spark's generic error
         # (round-12 review: the earlier unconditional pre-raise also
-        # caught BATCH statements whose analysis would have succeeded)
+        # caught BATCH statements whose analysis would have succeeded).
+        # Chain the original (ADVICE r12): an unrelated analysis failure
+        # (missing table, typo'd column) in a PROCTIME-ordered statement
+        # must stay visible underneath the capability message.
         if _proctime_ordered(s):
-            raise UnsupportedStreamingPlan(_PROCTIME_ERR) from None
+            raise UnsupportedStreamingPlan(_PROCTIME_ERR) from exc
         raise
     if not df_full.isStreaming:
         return df_full

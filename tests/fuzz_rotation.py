@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import glob
 import hashlib
+import math
 import os
 
 
@@ -32,7 +33,10 @@ def rotating_subset(seeds, frac: float = 1 / 3, tag: str = ""):
         return seeds
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rnd = len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    k = max(1, round(len(seeds) * frac))
+    # ceil, not round (ADVICE r12): ceil(1/frac) consecutive k-slices
+    # must cover len(seeds) — round() undershoots (40 seeds at 1/3 gave
+    # k=13, 39 covered over 3 rounds).
+    k = max(1, math.ceil(len(seeds) * frac))
     ranked = sorted(
         seeds,
         key=lambda s: hashlib.md5(f"{tag}:{s}".encode()).hexdigest(),

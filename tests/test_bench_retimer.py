@@ -70,3 +70,25 @@ def test_non_candidates_untouched():
         timings, prior, _runners(timings), budget=20.0)
     assert retimed == {} and contended == {}
     assert timings == {"a": 1.1, "b": 0.3, "c": 9.0, "d": 2.0}
+
+
+def test_detail_min_merge_keeps_prior_on_uncorroborated_slowdown():
+    """VERDICT r12 next #6: one slow (contended-adjacent) run must not
+    inflate the next round's retime baseline — a single reading above
+    the prior keeps the prior in the detail file."""
+    prior = {"a": 1.0, "b": 2.0, "c": 3.0}
+    detail = {"a": 1.2, "b": 1.5, "c": 3.0, "new": 4.0}
+    out = bench.merge_detail(detail, prior, retimed={})
+    assert out["a"] == 1.0   # uncorroborated slowdown → prior kept
+    assert out["b"] == 1.5   # improvement records
+    assert out["c"] == 3.0   # unchanged
+    assert out["new"] == 4.0  # no prior → records as-is
+
+
+def test_detail_min_merge_records_retime_confirmed_regression():
+    """A reading the retimer confirmed (min-of-2 still above prior) is a
+    real regression and must overwrite the stale prior."""
+    prior = {"a": 1.0}
+    detail = {"a": 2.0}
+    out = bench.merge_detail(detail, prior, retimed={"a": [2.4, 2.0]})
+    assert out["a"] == 2.0

@@ -42,6 +42,22 @@ def test_full_env_returns_everything(monkeypatch):
     assert fr.rotating_subset(corpus, frac=0.1, tag="y") == corpus
 
 
+def test_round_undershoot_sizes_covered_in_ceil_rounds(monkeypatch):
+    """ADVICE r12: k = round(n * frac) undershoots (n=40 at frac=1/3
+    gave k=13 → only 39/40 covered in 3 rounds).  With ceil, EVERY
+    corpus size must be fully tiled by ceil(1/frac) consecutive rounds
+    — swept over sizes 1..60 and all start rounds 0..5."""
+    monkeypatch.delenv("SPARK_GRAFT_FUZZ_FULL", raising=False)
+    for n in range(1, 61):
+        corpus = list(range(n))
+        for start in range(6):
+            seen: set[int] = set()
+            for rnd in range(start, start + 3):
+                _patch_round(monkeypatch, rnd)
+                seen.update(fr.rotating_subset(corpus, frac=1 / 3, tag="c"))
+            assert seen == set(corpus), f"n={n} start={start}: {sorted(seen)}"
+
+
 def test_uneven_tail_still_covered(monkeypatch):
     """A corpus whose size is not a multiple of k must still be fully
     tiled by consecutive rounds (the slice wraps)."""

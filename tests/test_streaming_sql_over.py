@@ -328,6 +328,20 @@ def test_sql_over_batch_proctime_paths(tenv):
             "BY ts) s FROM events ORDER BY PROCTIME() LIMIT 5")
 
 
+def test_sql_over_proctime_error_chains_real_cause(tenv):
+    """ADVICE r12: an UNRELATED analysis failure (here a typo'd column)
+    in a PROCTIME-ordered statement must stay visible — the capability
+    error chains the original exception instead of swallowing it."""
+    spark = tenv.spark
+    catalog.register(spark, SF_SMOKE)
+    with pytest.raises(UnsupportedStreamingPlan, match="PROCTIME") as ei:
+        tenv.execute_sql(
+            "SELECT user_id, sum(no_such_column) OVER (PARTITION BY "
+            "user_id ORDER BY ts) s FROM events ORDER BY PROCTIME() LIMIT 5")
+    cause = ei.value.__cause__
+    assert cause is not None and "no_such_column" in str(cause)
+
+
 def test_sql_topn_append_only_restart_parity(tenv, tmp_path):
     """AppendOnlyTopNWriter restart discipline (inherited from
     RetractStreamWriter): stop after a prefix whose Top-N differs from
