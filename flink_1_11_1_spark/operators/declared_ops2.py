@@ -183,9 +183,60 @@ FROM s ORDER BY doc_id
 """
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize + frame-sample stages end-to-end (round 13 —
+    the two mapInPandas stages x_multimodal_decode does not exercise):
+    synthesize media, nearest-neighbor resize to 6x3, sample 2 frames
+    (rows 0 and 1 of the resized image), then sum each frame's 6
+    payload bytes JVM-side from the hex rendering.  All-integer
+    declared outputs — bit-exact cross-engine, no float rounding.
+
+    The fake codec is a pure function of (doc_id, text bytes): resized
+    pixel (y, x) = payload byte at (y*h//3)*w + x*w//6 (zero-padded),
+    so the oracle replays the whole pipeline relationally."""
+    docs = catalog.load_table(spark, sf_dir, "documents").where("doc_id < 100")
+    media = mm.attach_fake_media(docs)
+    frames = mm.frame_sample(mm.resize_media(media, 6, 3), n_frames=2)
+    # frame blob = 4-byte magic + 5-byte header + 6 payload bytes
+    fsum = F.expr(
+        "aggregate(sequence(9, 14), 0L, (acc, p) -> "
+        "acc + cast(conv(substring(hex(frame), 2*p+1, 2), 16, 10) as long))"
+    )
+    return (
+        frames.select("doc_id", "frame_no", fsum.alias("fsum"))
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+# frame fn of the 6x3 resize = original row fn*h//3 (frame_sample picks
+# rows arange(2)*3//2 = [0, 1] of the resized stack); x-th byte =
+# payload[(fn*h//3)*w + x*w//6], zero when past the payload end.
+MULTIMODAL_FRAMES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 8 + 4)::INT w, (doc_id % 5 + 4)::INT h,
+         hex(encode(text)) hx, octet_length(encode(text)) m
+  FROM documents WHERE doc_id < 100),
+f AS (
+  SELECT doc_id, w, h, hx, m, unnest(range(2)) AS fn FROM d),
+s AS (
+  SELECT doc_id, fn,
+         list_sum(list_transform(range(6), x ->
+           CASE WHEN ((fn * h) // 3) * w + (x * w) // 6 < m
+                THEN (strpos('0123456789ABCDEF',
+                        hx[2 * (((fn * h) // 3) * w + (x * w) // 6) + 1]) - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                        hx[2 * (((fn * h) // 3) * w + (x * w) // 6) + 2]) - 1)
+                ELSE 0 END)) fsum
+  FROM f)
+SELECT doc_id, cast(fn as int) frame_no, cast(fsum as bigint) fsum
+FROM s ORDER BY doc_id, frame_no
+"""
+
+
 def register_all() -> None:
     registry.register("x_lookup_join", lookup_customers, LOOKUP_ORACLE)
     registry.register("x_salted_agg", salted_order_stats, SALTED_ORACLE)
     registry.register("x_salted_join", salted_join_segments, SALTED_JOIN_ORACLE)
     registry.register("x_session_salted", salted_sessions, SESSION_SALT_ORACLE)
     registry.register("x_multimodal_decode", multimodal_features, MULTIMODAL_ORACLE)
+    registry.register("x_multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_ORACLE)
