@@ -32,20 +32,23 @@ def write_replay_frames(
 
     One parquet file per chunk, named and mtime-ordered so the file
     source replays them in this exact order (one per micro-batch).
+
+    Driver-side write (round 13): replay chunks are tiny by design, and
+    a Spark WRITE job over a local-data (python-RDD-backed) frame costs
+    ~4.5 s of per-job python-worker spin-up — the dominant wall-clock of
+    the whole streaming pytest tier (seal profile, round-13).  toArrow()
+    + pyarrow writes the identical TIMESTAMP(MICROS)-encoded single file
+    in ~0.3 s; the streaming source reads both the same way.
     """
-    import glob
-    import shutil
     import time
+
+    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i, chunk in enumerate(frames, start=start):
-        staging = os.path.join(out_dir, f"_staging_{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
         dest = os.path.join(out_dir, f"chunk_{i:03d}.parquet")
-        shutil.copyfile(part, dest)
-        shutil.rmtree(staging)
+        pq.write_table(chunk.toArrow(), dest)
         t = time.time() - len(frames) + i  # strictly increasing mtimes
         os.utime(dest, (t, t))
         paths.append(dest)
