@@ -6,25 +6,35 @@ hash mismatch depending on the comparer's type handling.  Planning-only
 (no collect), so this covers every entry cheaply.
 """
 
-from flink_1_11_1_spark import catalog, declared
-from flink_1_11_1_spark.extensions import registry
+import pytest
+
+from flink_1_11_1_spark import catalog
 
 from .conftest import SF_SMOKE
 
 
-def test_no_decimal_output_columns(spark):
-    offenders = []
+@pytest.fixture(scope="module")
+def entry_dtypes(spark):
+    """name -> Spark dtypes for every contract entry, analyzed ONCE —
+    both type gates consume the same 263 plan analyses (round 13: the
+    two tests each re-analyzed the full contract, ~20 s apiece)."""
+    import __spark_entry__ as e
+
     catalog.register(spark, SF_SMOKE)
-    for qid in declared.QUERIES:
-        df = spark.sql(declared.spark_text(qid))
-        offenders += [(qid, c, t) for c, t in df.dtypes if "decimal" in t]
-    for name, fn in registry.queries().items():
-        df = fn(spark, SF_SMOKE)
-        offenders += [(name, c, t) for c, t in df.dtypes if "decimal" in t]
+    return {name: fn(spark, SF_SMOKE).dtypes for name, fn in e.queries().items()}
+
+
+def test_no_decimal_output_columns(entry_dtypes):
+    offenders = [
+        (name, c, t)
+        for name, dts in entry_dtypes.items()
+        for c, t in dts
+        if "decimal" in t
+    ]
     assert not offenders, offenders
 
 
-def test_no_cross_engine_type_class_mismatch(spark, duck):
+def test_no_cross_engine_type_class_mismatch(entry_dtypes, duck):
     """Every oracle-backed entry must agree with DuckDB on the type
     CLASS (int/float/str/ts/date/bool) of each output column — an
     int-vs-float column (e.g. Spark ceil()->BIGINT vs DuckDB ->DOUBLE)
@@ -55,12 +65,12 @@ def test_no_cross_engine_type_class_mismatch(spark, duck):
             return "ts"
         return {"date": "date", "boolean": "bool"}.get(t, t)
 
-    qs, osql = e.queries(), e.oracle_sql()
+    osql = e.oracle_sql()
     bad = []
-    for name, fn in qs.items():
+    for name, dts in entry_dtypes.items():
         if name not in osql:
             continue
-        sd = dict(fn(spark, SF_SMOKE).dtypes)
+        sd = dict(dts)
         dd = {
             r[0]: r[1]
             for r in duck.execute(f"DESCRIBE SELECT * FROM ({osql[name]})").fetchall()
