@@ -279,7 +279,10 @@ def main() -> None:
             if name not in headline:
                 kept.pop(name, None)
         slim["queries"] = kept
-        slim["queries_elided"] = len(timings) - len(kept)
+        # count only entries dropped by THIS budget pass — contended
+        # names were never in the stdout map (round-13 review: the old
+        # len(timings) base double-counted them against `contended`)
+        slim["queries_elided"] = len(stdout_result["queries"]) - len(kept)
         slim["detail_file"] = "BENCH_DETAIL.json"
         line = json.dumps(slim, separators=(",", ":"))
     sys.stdout.flush()

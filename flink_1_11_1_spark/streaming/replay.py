@@ -40,17 +40,29 @@ def write_replay_frames(
     + pyarrow writes the identical TIMESTAMP(MICROS)-encoded single file
     in ~0.3 s; the streaming source reads both the same way.
     """
+    import glob
     import time
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    # strictly increasing mtimes across CALLS too: the old ~4.5 s/chunk
+    # Spark writes made cross-call monotonicity incidental; the fast
+    # driver-side path must enforce it or a second call could stamp an
+    # earlier mtime than a prior call's chunks and the file source
+    # would replay out of order (round-13 review).
+    prev = max(
+        (os.path.getmtime(p)
+         for p in glob.glob(os.path.join(out_dir, "chunk_*.parquet"))),
+        default=0.0,
+    )
     paths = []
     for i, chunk in enumerate(frames, start=start):
         dest = os.path.join(out_dir, f"chunk_{i:03d}.parquet")
         pq.write_table(chunk.toArrow(), dest)
-        t = time.time() - len(frames) + i  # strictly increasing mtimes
+        t = max(time.time() - len(frames) + i, prev + 0.001)
         os.utime(dest, (t, t))
+        prev = t
         paths.append(dest)
     return paths
 

@@ -69,9 +69,14 @@ def test_proven_tail_ordered_stalest_first():
 
     greens = e._green_rounds()
     names = list(e.queries())
-    fresh = [k for k in names if k not in greens]
-    reverify = [k for k in e._REVERIFY_FIRST if k in greens]
-    head = len(fresh) + len(e._DEFER_FIRST) + len(reverify)
-    assert names[len(fresh) : head][-len(reverify) :] == reverify if reverify else True
+    # mirror queries()'s own membership rules exactly: a stale name in
+    # either knob (not a current entry / not in the fresh-or-proven
+    # bucket) is skipped there, so it must be skipped here too
+    # (round-13 review: raw len(_DEFER_FIRST) misaligned the slices).
+    fresh = [k for k in names if k not in greens]  # incl. any deferred
+    reverify = [k for k in e._REVERIFY_FIRST if k in greens and k in names]
+    head = len(fresh) + len(reverify)
+    if reverify:
+        assert names[head - len(reverify) : head] == reverify
     tail_rounds = [greens[k] for k in names[head:]]
     assert tail_rounds == sorted(tail_rounds), "proven tail not stalest-first"

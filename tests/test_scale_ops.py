@@ -155,9 +155,22 @@ def test_salted_join_splits_shuffle_num_salts_ways(spark):
         got = skew.salted_join(cust, nation, ["c_nationkey"], num_salts=4)
         got.collect()  # finalize AQE plan
         plan = got._jdf.queryExecution().executedPlan().toString()
-        import re
 
-        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        # balanced-paren capture (CLAUDE.md: [^)]* dies on a ')' inside —
+        # partitioning expressions can wrap keys in cast(...)/etc.)
+        def _partitionings(text):
+            out, needle = [], "hashpartitioning("
+            pos = text.find(needle)
+            while pos >= 0:
+                depth, j = 1, pos + len(needle)
+                while j < len(text) and depth:
+                    depth += {"(": 1, ")": -1}.get(text[j], 0)
+                    j += 1
+                out.append(text[pos + len(needle) : j - 1])
+                pos = text.find(needle, j)
+            return out
+
+        parts = _partitionings(plan)
         salted = [p for p in parts if "c_nationkey" in p and "_salt" in p]
         assert len(salted) >= 2, f"join inputs not partitioned on (key, salt): {parts}"
     finally:

@@ -60,6 +60,27 @@ def test_s1_tumble_stream_equals_batch(spark, replay_dir):
     assert got_m == want_m
 
 
+def test_replay_chunk_mtimes_monotonic_across_calls(spark, tmp_path):
+    """The file source replays chunks in mtime order; with the fast
+    driver-side writes two write_replay_frames calls land within the
+    same second, so monotonicity must be ENFORCED, not incidental
+    (round-13 review: a later call could otherwise stamp an earlier
+    mtime and the replay would reorder, silently dropping rows behind
+    the watermark)."""
+    import os as _os
+
+    d = str(tmp_path / "mono")
+    f = spark.createDataFrame([(1,)], "a long")
+    replay.write_replay_frames([f], d)
+    replay.write_replay_frames([f, f, f, f, f], d, start=1)
+    replay.write_replay_frames([f], d, start=6)
+    mt = [
+        _os.path.getmtime(_os.path.join(d, f"chunk_{i:03d}.parquet"))
+        for i in range(7)
+    ]
+    assert mt == sorted(mt) and len(set(mt)) == 7, mt
+
+
 def test_s1b_late_rows_are_dropped(spark, replay_dir):
     """Hand-move some early rows into the last chunk: watermark has
     passed -> dropped, observable via numRowsDroppedByWatermark
