@@ -1339,3 +1339,69 @@ def test_fuzzed_recursive_cte_matches_duckdb(spark, duck, idx):
         f"spark-only={[r for r in a if r not in b][:2]}\n"
         f"duck-only={[r for r in b if r not in a][:2]}"
     )
+
+
+# ---------------- part 15: aggregate FILTER clause + boolean/conditional
+# aggregates (round 13 — a distinct parser+planner surface: FILTER'd
+# plain, FILTER'd DISTINCT, count_if, bool_and/bool_or; all probed
+# portable one-text).
+
+
+def gen_filter_agg_query(rng: random.Random) -> str:
+    t = rng.choice(["customer", "orders", "lineitem", "supplier"])
+    cols = _cols(t)
+    g = rng.choice([c for c, k in cols if k == "str"])
+    icol = rng.choice([c for c, k in cols if k == "int"])
+    icol2 = rng.choice([c for c, k in cols if k == "int"])
+    m, r = rng.randint(2, 7), rng.randint(0, 1)
+    variant = rng.randrange(4)
+    if variant == 0:  # FILTER'd count + sum beside plain aggregates
+        return (
+            f"SELECT {g} AS g, cast(count(*) as bigint) AS n, "
+            f"cast(count(*) FILTER (WHERE {icol} % {m} = {r}) as bigint) AS nf, "
+            f"cast(coalesce(sum({icol2}) FILTER (WHERE {icol} % {m} = {r}), 0) as bigint) AS sf "
+            f"FROM {t} GROUP BY {g}"
+        )
+    if variant == 1:  # FILTER'd DISTINCT count
+        return (
+            f"SELECT cast(count(DISTINCT {icol}) FILTER "
+            f"(WHERE {icol2} % {m} = {r}) as bigint) AS d, "
+            f"cast(count(*) as bigint) AS n FROM {t}"
+        )
+    if variant == 2:  # count_if twin of the CASE idiom
+        return (
+            f"SELECT {g} AS g, cast(count_if({icol} % {m} = {r}) as bigint) AS ci, "
+            f"cast(sum(CASE WHEN {icol} % {m} = {r} THEN 1 ELSE 0 END) as bigint) AS cs "
+            f"FROM {t} GROUP BY {g}"
+        )
+    # bool_and / bool_or lattice
+    k = rng.randint(1, 500)
+    return (
+        f"SELECT {g} AS g, bool_and({icol} >= 0) AS ba, "
+        f"bool_or({icol} > {k}) AS bo, cast(count(*) as bigint) AS n "
+        f"FROM {t} GROUP BY {g}"
+    )
+
+
+N_QUERIES15 = 16
+_RNG15 = random.Random(151515)
+QUERIES15 = [gen_filter_agg_query(_RNG15) for _ in range(N_QUERIES15)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES15))
+def test_fuzzed_filter_agg_matches_duckdb(spark, duck, idx):
+    from flink_1_11_1_spark import catalog
+
+    sql = QUERIES15[idx]
+    catalog.register(spark, SF_SMOKE)
+    df = spark.sql(sql)
+    scols, srows = df.columns, [tuple(r) for r in df.collect()]
+    dcols, drows = testing.run_duckdb(duck, sql)
+    assert sorted(scols) == sorted(dcols), sql
+    a = sorted(testing.canon_rows(scols, srows))
+    b = sorted(testing.canon_rows(dcols, drows))
+    assert a == b, (
+        f"query15 #{idx} diverged ({len(srows)} vs {len(drows)} rows):\n{sql}\n"
+        f"spark-only={[r for r in a if r not in b][:2]}\n"
+        f"duck-only={[r for r in b if r not in a][:2]}"
+    )
