@@ -106,6 +106,11 @@ def async_enrich(
     """
     if on_timeout not in ("error", "null", "drop"):
         raise ValueError(f"on_timeout must be error|null|drop, got {on_timeout!r}")
+    if capacity < 1:
+        # Semaphore(0) would block every lookup forever — the task hangs
+        # with no error (round-13 review); fail fast like Flink's
+        # AsyncDataStream capacity check
+        raise ValueError(f"capacity must be >= 1, got {capacity!r}")
     fields = df.schema.fields
     out_schema = StructType(list(fields)).add(output_col, output_type)
     cols = [f.name for f in fields]
@@ -149,12 +154,13 @@ def async_enrich(
             completed = asyncio.run(drive(list(pdf[input_col])))
             if ordered:
                 completed = sorted(completed, key=lambda t: t[0])
-            idx = [i for i, r in completed if not (r is _TIMEOUT and on_timeout == "drop")]
-            vals = [
-                None if r is _TIMEOUT else r
-                for _, r in completed
+            kept = [
+                (i, None if r is _TIMEOUT else r)
+                for i, r in completed
                 if not (r is _TIMEOUT and on_timeout == "drop")
             ]
+            idx = [i for i, _ in kept]
+            vals = [v for _, v in kept]
             out = pdf.iloc[idx][cols].copy()
             out[output_col] = vals
             yield out

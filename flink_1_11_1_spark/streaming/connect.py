@@ -83,8 +83,14 @@ def dynamic_threshold_filter(
         parts = [p for p in rows if len(p)]
         if not parts:
             return
+        # control rows FIRST on timestamp ties (side descending): the
+        # declared batch twin is an inclusive as-of join (right_time <=
+        # left_time), so a same-ts control update applies to the data
+        # row — ascending side order applied the OLD threshold
+        # (round-13 review; semi_anti.py sorts rights-first for the
+        # same reason)
         batch = pd.concat(parts, ignore_index=True).sort_values(
-            ["ts", "side", "event_id"]
+            ["ts", "side", "event_id"], ascending=[True, False, True]
         )
         thr = state.get[0] if state.exists else default_threshold
         out = []

@@ -54,6 +54,23 @@ class LateSideOutput:
             _parse_interval(window_size) * 1_000_000 if window_size else None
         )
         self.sink_path = str(sink_path)
+        # the marker protocol uses driver-local os.* I/O; on a remote
+        # filesystem it would silently capture NOTHING (round-13
+        # review) — fail fast with the porting pointer instead
+        if re.match(r"^[a-z][a-z0-9+.\-]*://", self.sink_path, re.IGNORECASE):
+            raise NotImplementedError(
+                "LateSideOutput's watermark markers use driver-local file "
+                f"I/O; sink_path {self.sink_path!r} is a remote URI — use a "
+                "locally-mounted (shared/NFS) path, or port _prev_max_us/"
+                "__call__'s marker writes to the Hadoop FileSystem API for "
+                "object stores"
+            )
+        # cached watermark base: (last_batch_id, max over batches <
+        # last, max over batches <= last) — avoids re-listing every
+        # marker per batch; a RETRY of last_batch_id must use the
+        # before-last value (never its own rows), anything older falls
+        # back to the disk scan
+        self._base_cache: tuple[int, int | None, int | None] | None = None
 
     def _marker_dir(self) -> str:
         return os.path.join(self.sink_path, "_wm")
@@ -77,10 +94,23 @@ class LateSideOutput:
                 best = v
         return best
 
+    def _base_for(self, batch_id: int) -> int | None:
+        """Cached watermark base with exact retry discipline; disk scan
+        only on (re)start or an out-of-sequence batch id."""
+        c = self._base_cache
+        if c is not None:
+            last, before_last, through_last = c
+            if batch_id == last + 1:
+                return through_last
+            if batch_id == last:  # foreachBatch retry: exclude own rows
+                return before_last
+        return self._prev_max_us(batch_id)
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         ts_us = F.unix_micros(F.col(self.ts_col))
-        prev_max = self._prev_max_us(batch_id)
+        prev_max = self._base_for(batch_id)
         if prev_max is not None:
+            batch_df.persist()  # one source scan feeds both filter+max
             wm_us = prev_max - self.delay_us
             if self.window_us:
                 # window-level rule: late iff the row's window END <= wm.
@@ -99,13 +129,16 @@ class LateSideOutput:
         # feeds the NEXT batch's watermark (Spark updates between
         # micro-batches).  Persist as a marker file, overwrite-idempotent.
         row = batch_df.agg(F.max(ts_us).alias("m")).first()
+        if prev_max is not None:
+            batch_df.unpersist()
         os.makedirs(self._marker_dir(), exist_ok=True)
         tmp = os.path.join(self._marker_dir(), f".b{batch_id}.json.tmp")
+        batch_max = int(row.m) if row and row.m is not None else None
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id,
-                       "max_us": int(row.m) if row and row.m is not None else None},
-                      fh)
+            json.dump({"batch_id": batch_id, "max_us": batch_max}, fh)
         os.replace(tmp, os.path.join(self._marker_dir(), f"b{batch_id}.json"))
+        vals = [v for v in (prev_max, batch_max) if v is not None]
+        self._base_cache = (batch_id, prev_max, max(vals) if vals else None)
 
 
 def read_late_rows(spark: SparkSession, sink_path: str) -> DataFrame:

@@ -51,18 +51,34 @@ from pyspark.sql.types import (
 
 from .pattern import _parse_interval
 
-OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
-    ]
-)
+def _out_schema(key: str) -> StructType:
+    """Output carries the JOIN KEY under its own name (round-13 review:
+    a hardcoded ``user_id`` misnamed the column for any other key)."""
+    return StructType(
+        [
+            StructField(key, LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
 
-# min_right_ts (µs, -1 = none yet) + pending left rows json [(eid, ts_us)]
+
+# legacy alias (the default-key schema) for callers/tests that import it
+OUT_SCHEMA = _out_schema("user_id")
+
+# min_right_ts (µs) + pending left rows json [(eid, ts_us)]
 _STATE = StructType(
     [StructField("min_rts", LongType()), StructField("pending", StringType())]
 )
+
+# "no right seen yet" sentinel: far below any real epoch-µs value —
+# -1 collided with legitimate pre-epoch timestamps (round-13 review)
+_NO_RIGHT = -(2**62)
+
+# park idle keys' timers far-future instead of leaving a stale expired
+# timer in the store (no clear-timer API; same discipline as over.py —
+# the round-11 lesson class)
+_PARK_TIMER_MS = 253402300799000
 
 
 def _tag_union(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
@@ -101,7 +117,9 @@ def streaming_semi_anti_join(
 
     def fn(k, rows: Iterator[pd.DataFrame], state: GroupState):
         min_rts, pending = (
-            (state.get[0], json.loads(state.get[1])) if state.exists else (-1, [])
+            (state.get[0], json.loads(state.get[1]))
+            if state.exists
+            else (_NO_RIGHT, [])
         )
         out: list[tuple] = []
 
@@ -126,7 +144,7 @@ def streaming_semi_anti_join(
                 for ev in batch.itertuples(index=False):
                     ts_us = int(ev.ts.value // 1000)
                     if ev.side == 1:  # right row
-                        if min_rts < 0 or ts_us < min_rts:
+                        if min_rts == _NO_RIGHT or ts_us < min_rts:
                             min_rts = ts_us
                         resolved, live = [], []
                         for eid, lts in pending:
@@ -137,7 +155,7 @@ def streaming_semi_anti_join(
                             out.extend((k[0], eid, lts) for eid, lts in resolved)
                         pending = live
                     else:  # left row
-                        if 0 <= min_rts <= ts_us + horizon_us:
+                        if min_rts != _NO_RIGHT and min_rts <= ts_us + horizon_us:
                             if emit_on_match:
                                 out.append((k[0], int(ev.event_id), ts_us))
                         else:
@@ -148,15 +166,21 @@ def streaming_semi_anti_join(
         if pending:
             next_ms = min(lts + horizon_us for _, lts in pending) // 1000 + 1
             state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            # no clear-timer API: PARK the timer far-future, or the old
+            # expired timestamp is written back with the state and this
+            # key re-fires on every later trigger forever (round-13
+            # review; the round-11 running_sum lesson class)
+            state.setTimeoutTimestamp(_PARK_TIMER_MS)
         if out:
             yield pd.DataFrame(
                 [
                     (kk, eid, pd.Timestamp(lts * 1000))
                     for kk, eid, lts in out
                 ],
-                columns=["user_id", "event_id", "ts"],
+                columns=[key, "event_id", "ts"],
             )
 
     return _tag_union(left, right, key).groupBy(key).applyInPandasWithState(
-        fn, OUT_SCHEMA, _STATE, "append", GroupStateTimeout.EventTimeTimeout
+        fn, _out_schema(key), _STATE, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -379,3 +379,34 @@ def test_one_or_more_quantifier(spark):
         mine = sorted(r.a_id for r in p if r.user_id == u and r.b_id == b)
         assert len(mine) == n and mine[0] == fa and mine[-1] == la
     assert len(g) > 0
+
+
+def test_connected_streams_same_ts_control_applies(spark, tmp_path):
+    """Round-13 review: at a timestamp TIE, the control update must
+    apply to the same-ts data row (the declared batch twin is an
+    INCLUSIVE as-of join) — the fold previously processed data-before-
+    control on ties and used the old threshold."""
+    import tempfile
+
+    from flink_1_11_1_spark.streaming import connect, replay
+
+    control = spark.createDataFrame(
+        [("k", "2024-01-10 10:00:00", 70.0)], ["key", "ts_s", "threshold"]
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "threshold")
+    data = spark.createDataFrame(
+        [("k", "2024-01-10 10:00:00", 1, 50.0),
+         ("k", "2024-01-10 10:00:00", 2, 80.0)],
+        ["key", "ts_s", "event_id", "value"],
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_id", "value")
+    d1, d2 = str(tmp_path / "c"), str(tmp_path / "d")
+    replay.write_replay_frames([control], d1)
+    replay.write_replay_frames([data], d2)
+    c_stream = spark.readStream.schema(control.schema).option(
+        "maxFilesPerTrigger", 1).parquet(d1 + "/chunk_*.parquet")
+    d_stream = spark.readStream.schema(data.schema).option(
+        "maxFilesPerTrigger", 1).parquet(d2 + "/chunk_*.parquet")
+    out = connect.dynamic_threshold_filter(c_stream, d_stream)
+    got, _ = replay.run_stream(out, "append", "conn_tie")
+    # value 50 < new threshold 70 -> dropped; value 80 passes with thr 70
+    assert {(r.event_id, r.threshold) for r in got} == {(2, 70.0)}

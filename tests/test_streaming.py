@@ -361,6 +361,39 @@ def test_s9_streaming_semi_anti_equals_batch(spark, replay_dir, mode):
     assert got_ids  # non-degenerate fixture
 
 
+def test_s9b_semi_join_custom_key_name(spark, tmp_path):
+    """Round-13 review: the output key column carries the JOIN KEY's
+    name, not a hardcoded user_id (schema AND rows).  The companion
+    sentinel fix (_NO_RIGHT instead of -1, which collided with
+    pre-epoch right timestamps) is defensive-only: Spark's event-time
+    watermark initializes at epoch 0, so pre-epoch rows are dropped
+    before any stateful operator and cannot transit the real path."""
+    from flink_1_11_1_spark.streaming import semi_anti
+
+    frame = spark.createDataFrame(
+        [(7, "2024-01-01 10:00:00", None, "r"),
+         (7, "2024-01-01 11:30:00", 100, "l"),
+         (8, "2024-01-01 11:40:00", 200, "l")],  # no right: not emitted
+        ["account_id", "ts_s", "event_id", "side_t"],
+    ).select("account_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_id", "side_t")
+    d = str(tmp_path / "pre_epoch")
+    replay.write_replay_frames([frame], d)
+    stream = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1).parquet(d + "/chunk_*.parquet")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = semi_anti.streaming_semi_anti_join(
+        stream.where("side_t = 'l'").select("account_id", "ts", "event_id"),
+        stream.where("side_t = 'r'").select("account_id", "ts"),
+        "semi", "2 hours", key="account_id",
+    )
+    assert out.columns == ["account_id", "event_id", "ts"]
+    got, _ = replay.run_stream(out, "append", "s9b_pre_epoch")
+    assert [(r.account_id, r.event_id) for r in got] == [(7, 100)]
+
+
 def test_s12_streaming_incremental_dedup_equals_batch(spark):
     """S12: streaming incremental MinHash dedup over a 3-chunk document
     replay finds exactly the batch pair set, each pair emitted by the
@@ -1176,3 +1209,59 @@ def test_s22_idle_source_watermark_policy(spark, tmp_path):
         spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", prior)
     assert results["min"] == 0   # idle branch stalls everything
     assert results["max"] == 2   # active branch finalizes W0 and W1
+
+
+def test_late_sideoutput_remote_uri_rejected(tmp_path):
+    """Round-13 review: the marker protocol is driver-local file I/O —
+    a remote sink URI must fail fast, not silently capture nothing."""
+    from flink_1_11_1_spark.streaming.late import LateSideOutput
+
+    with pytest.raises(NotImplementedError, match="remote URI"):
+        LateSideOutput("ts", "10 minutes", "s3a://bucket/late")
+    LateSideOutput("ts", "10 minutes", str(tmp_path / "ok"))  # local fine
+
+
+def test_late_sideoutput_cached_base_retry_discipline(spark, tmp_path):
+    """Round-13 review: the cached watermark base must (a) serve the
+    next batch without re-listing markers, (b) on a RETRY of batch N
+    use the before-N base (never N's own rows), and (c) match the
+    disk-scan result exactly."""
+    from flink_1_11_1_spark.streaming.late import LateSideOutput, read_late_rows
+
+    def frame(rows):  # (event_id, minute offset)
+        return spark.createDataFrame(
+            [(e, f"2024-01-01 {h:02d}:{m:02d}:00") for e, (h, m) in rows],
+            ["event_id", "ts_s"],
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    sink = LateSideOutput("ts", "10 minutes", str(tmp_path / "late"))
+    sink(frame([(1, (10, 0)), (2, (11, 0))]), 0)      # max 11:00
+    # batch 1: event 3 at 10:30 is behind wm 11:00-10m -> late
+    b1 = frame([(3, (10, 30)), (4, (12, 0))])
+    sink(b1, 1)
+    ids = sorted(r.event_id for r in read_late_rows(spark, sink.sink_path).collect())
+    assert ids == [3]
+    # retry batch 1: base excludes b1's own max (12:00) -> same capture
+    sink(b1, 1)
+    ids = sorted(r.event_id for r in read_late_rows(spark, sink.sink_path).collect())
+    assert ids == [3]
+    # cache vs disk agreement for the next batch
+    assert sink._base_for(2) == sink._prev_max_us(2)
+    # batch 2 base now includes 12:00: event 5 at 11:30 is late
+    sink(frame([(5, (11, 30)), (6, (13, 0))]), 2)
+    ids = sorted(r.event_id for r in read_late_rows(spark, sink.sink_path).collect())
+    assert ids == [3, 5]
+
+
+def test_async_enrich_capacity_validated(spark):
+    """Round-13 review: capacity <= 0 would deadlock every lookup
+    (Semaphore(0)) — reject at entry like the on_timeout guard."""
+    from flink_1_11_1_spark.operators.enrich import async_enrich
+
+    df = spark.range(3).selectExpr("id AS k")
+
+    async def fn(v):
+        return v
+
+    with pytest.raises(ValueError, match="capacity"):
+        async_enrich(df, "k", "r", "long", fn, capacity=0)
