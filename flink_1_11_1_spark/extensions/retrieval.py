@@ -77,8 +77,11 @@ def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs).orderBy("doc_id")
 
 
-BM25_ORACLE = f"""
-WITH t AS (
+# shared BM25 CTE chain (t → dfr): ONE copy feeds both oracles — a
+# tokenizer/idf/rounding fix cannot silently fork the two contracts
+# (round-13 review; CLAUDE.md "don't inline a second copy of a
+# nontrivial SQL shape")
+_BM25_CTES = """t AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') toks
   FROM documents),
@@ -88,13 +91,18 @@ hits AS (
   SELECT doc_id, dl, u.term
   FROM d, unnest(list_filter(toks, x -> x IN ('join', 'vector', 'window'))) u(term)),
 tf AS (SELECT doc_id, dl, term, count(*) tf FROM hits GROUP BY 1, 2, 3),
-dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1)
-SELECT doc_id,
-       round(round(sum(
+dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1)"""
+
+_BM25_MEASURE = f"""round(round(sum(
          ln(1.0 + (n::DOUBLE - df + 0.5) / (df + 0.5))
          * tf * ({K1} + 1.0)
          / (tf + {K1} * (1.0 - {B} + {B} * dl / (sumlen::DOUBLE / n)))
-       ), 7), 4) bm25
+       ), 7), 4)"""
+
+BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT doc_id,
+       {_BM25_MEASURE} bm25
 FROM tf JOIN dfr USING (term), stats
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -142,12 +150,18 @@ def rrf_fusion(
     from pyspark.sql.window import Window
 
     lex = bm25_scores(docs)
+    # depth-truncate with TakeOrdered FIRST (orderBy+limit → per-
+    # partition heaps), then rank the <=depth survivors — the previous
+    # unpartitioned row_number sorted the whole corpus through one
+    # partition before the depth filter (round-13 review; the docstring
+    # always promised this shape)
     lex_rank = (
-        lex.withColumn(
+        lex.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(depth)
+        .withColumn(
             "lex_rank",
             F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
         )
-        .where(F.col("lex_rank") <= depth)
         .select(F.col("doc_id").alias("id"), "lex_rank")
     )
     v = emb.select(
@@ -165,11 +179,12 @@ def rrf_fusion(
                 / (F.col("n") * F.col("qn"))
             ).alias("sim"),
         )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(depth)
         .withColumn(
             "sem_rank",
             F.row_number().over(Window.orderBy(F.col("sim").desc(), "vec_id")),
         )
-        .where(F.col("sem_rank") <= depth)
         .select(F.col("vec_id").alias("id"), "sem_rank")
     )
     return (
@@ -195,24 +210,10 @@ def _rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RRF_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') toks
-  FROM documents),
-d AS (SELECT doc_id, len(toks) dl, toks FROM t),
-stats AS (SELECT count(*) n, sum(dl) sumlen FROM d),
-hits AS (
-  SELECT doc_id, dl, u.term
-  FROM d, unnest(list_filter(toks, x -> x IN ('join', 'vector', 'window'))) u(term)),
-tf AS (SELECT doc_id, dl, term, count(*) tf FROM hits GROUP BY 1, 2, 3),
-dfr AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+WITH {_BM25_CTES},
 bm AS (
   SELECT doc_id,
-         round(round(sum(
-           ln(1.0 + (n::DOUBLE - df + 0.5) / (df + 0.5))
-           * tf * ({K1} + 1.0)
-           / (tf + {K1} * (1.0 - {B} + {B} * dl / (sumlen::DOUBLE / n)))
-         ), 7), 4) bm25
+         {_BM25_MEASURE} bm25
   FROM tf JOIN dfr USING (term), stats GROUP BY doc_id),
 lexr AS (
   SELECT doc_id AS id, lex_rank FROM (

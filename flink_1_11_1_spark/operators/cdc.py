@@ -26,11 +26,35 @@ from pyspark.sql.window import Window
 ROW_KINDS = ("+I", "-U", "+U", "-D")
 
 
-def debezium_decode(df: DataFrame, value_col: str, row_schema: StructType) -> DataFrame:
+def _guard_parse(pieces, value_col: str, ignore_parse_errors: bool, fmt: str):
+    """Flink's ignore-parse-errors contract (round-13 review): a
+    non-null payload that decodes to NO changelog pieces (unparseable
+    JSON, unknown op/type) FAILS the job unless opted out — explode()
+    would otherwise drop it silently and a corrupt feed would
+    materialize to stale-but-healthy-looking state.  Null payloads
+    (Kafka tombstones) are skipped either way."""
+    if ignore_parse_errors:
+        return pieces
+    return F.when(
+        F.col(value_col).isNotNull() & pieces.isNull(),
+        F.raise_error(
+            F.concat(F.lit(f"malformed {fmt} envelope: "), F.col(value_col))
+        ),
+    ).otherwise(pieces)
+
+
+def debezium_decode(
+    df: DataFrame,
+    value_col: str,
+    row_schema: StructType,
+    ignore_parse_errors: bool = False,
+) -> DataFrame:
     """Decode debezium-json envelopes to (row_kind, <row fields>).
 
     op mapping (DebeziumJsonDeserializationSchema): c/r -> +I(after),
-    u -> -U(before) and +U(after), d -> -D(before).
+    u -> -U(before) and +U(after), d -> -D(before).  Unknown ops and
+    unparseable payloads raise unless ``ignore_parse_errors`` (Flink's
+    ``debezium-json.ignore-parse-errors``, default false).
     """
     env = StructType().add("before", row_schema).add("after", row_schema).add("op", "string")
     parsed = df.withColumn("_env", F.from_json(F.col(value_col), env))
@@ -45,6 +69,7 @@ def debezium_decode(df: DataFrame, value_col: str, row_schema: StructType) -> Da
         END
         """
     )
+    pieces = _guard_parse(pieces, value_col, ignore_parse_errors, "debezium-json")
     passthrough = [c for c in df.columns if c != value_col]
     out = parsed.select(*passthrough, F.explode(pieces).alias("_p")).select(
         *passthrough, F.col("_p.row_kind").alias("row_kind"), F.col("_p.row.*")
@@ -52,12 +77,19 @@ def debezium_decode(df: DataFrame, value_col: str, row_schema: StructType) -> Da
     return out
 
 
-def canal_decode(df: DataFrame, value_col: str, row_schema: StructType) -> DataFrame:
+def canal_decode(
+    df: DataFrame,
+    value_col: str,
+    row_schema: StructType,
+    ignore_parse_errors: bool = False,
+) -> DataFrame:
     """Decode canal-json envelopes: {type: INSERT|UPDATE|DELETE,
     data: [row...], old: [partial-row...]}.
 
     UPDATE emits -U (old merged over data, per CanalJson semantics the
-    ``old`` array carries only changed fields) and +U (data).
+    ``old`` array carries only changed fields) and +U (data).  Unknown
+    types and unparseable payloads raise unless ``ignore_parse_errors``
+    (Flink's ``canal-json.ignore-parse-errors``, default false).
     """
     from pyspark.sql.types import ArrayType
 
@@ -71,11 +103,14 @@ def canal_decode(df: DataFrame, value_col: str, row_schema: StructType) -> DataF
     passthrough = [c for c in df.columns if c != value_col]
     exploded = parsed.select(
         *passthrough,
+        value_col,  # kept visible for the parse guard's error message
         "_env.type",
         F.posexplode_outer("_env.data").alias("_i", "_row"),
         F.col("_env.old").alias("_old"),
     )
-    old_row = F.expr("_old[_i]")
+    # get(), not _old[_i]: ANSI mode errors on out-of-bounds (CLAUDE.md)
+    # and a truncated 'old' array must fall back to the data row
+    old_row = F.expr("get(_old, _i)")
     # canal 'old' rows hold only changed fields -> coalesce field-wise
     merged_old = F.struct(
         *[
@@ -96,6 +131,7 @@ def canal_decode(df: DataFrame, value_col: str, row_schema: StructType) -> DataF
             F.struct(F.lit("+U").alias("row_kind"), F.col("_row").alias("row")),
         ),
     )
+    pieces = _guard_parse(pieces, value_col, ignore_parse_errors, "canal-json")
     return exploded.select(*passthrough, F.explode(pieces).alias("_p")).select(
         *passthrough, F.col("_p.row_kind").alias("row_kind"), F.col("_p.row.*")
     )
@@ -109,8 +145,15 @@ def materialize(
     The row with the greatest ``seq_col`` per key wins; if it is a
     retraction (-D or -U with no following +U), the key is absent from
     the result.  One shuffle on the keys.
+
+    Ties on ``seq_col`` resolve additions over retractions: the -U/+U
+    pair of ONE update envelope shares its passthrough seq (offset,
+    ts_ms), and the +U is the envelope's final state — without the
+    tiebreak the winner was nondeterministic and the key could be
+    wrongly deleted (round-13 review).
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    add_rank = F.when(F.col("row_kind").isin("+I", "+U"), 1).otherwise(0)
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), add_rank.desc())
     return (
         changelog.withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")

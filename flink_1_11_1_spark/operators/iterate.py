@@ -60,7 +60,12 @@ def delta_iterate(
     cols = list(solution.columns)
     val_cols = [c for c in cols if c not in keys]
     for i in range(max_iterations):
-        updates = step(solution, workset, i)
+        # normalize to the solution's column ORDER by name: subtract is
+        # positional, and the final toDF(*cols) re-mint is a positional
+        # rename — a step() returning value-columns-first would
+        # otherwise silently mislabel (round-13 review; latent, every
+        # in-repo caller happens to pass keys-first)
+        updates = step(solution, workset, i).select(*cols)
         # changed = updates that differ from the current solution row.
         # toDF() mints fresh attribute ids for the checkpointed frame:
         # solution and changed otherwise share exprIds through the
@@ -86,7 +91,8 @@ def delta_iterate(
         )
         new_rows = changed.join(solution.select(*keys), keys, "left_anti")
         solution = (
-            updated.unionByName(new_rows)
+            updated.select(*cols)  # name-ordered before the positional re-mint
+            .unionByName(new_rows.select(*cols))
             .localCheckpoint(eager=True)
             .toDF(*cols)
         )

@@ -93,7 +93,10 @@ class PartitionCommitSink:
         return sorted(
             int(m.group(1))
             for fn in os.listdir(d)
-            if (m := re.fullmatch(r"pt=(\d+)", fn))
+            # -? : pre-epoch event times bucket to NEGATIVE partition
+            # starts; \d+ alone left them permanently uncommitted
+            # (round-13 review)
+            if (m := re.fullmatch(r"pt=(-?\d+)", fn))
         )
 
     # -- the foreachBatch hook -------------------------------------------
@@ -101,6 +104,7 @@ class PartitionCommitSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         ts_us = F.unix_micros(F.col(self.ts_col))
         pt = ts_us - F.pmod(ts_us, F.lit(self.part_us))
+        batch_df.persist()  # one source scan feeds both write + max
         (
             batch_df.withColumn("pt", pt)
             .withColumn("batch", F.lit(batch_id))
@@ -112,6 +116,7 @@ class PartitionCommitSink:
 
         # watermark update rule (Spark: between micro-batches), persisted
         row = batch_df.agg(F.max(ts_us).alias("m")).first()
+        batch_df.unpersist()
         os.makedirs(self._wm_dir(), exist_ok=True)
         tmp = os.path.join(self._wm_dir(), f".b{batch_id}.json.tmp")
         with open(tmp, "w") as fh:
@@ -131,7 +136,7 @@ class PartitionCommitSink:
         # driver-side partition LISTING only (O(#partitions); on an
         # object store this is the same list call Flink's committer does)
         for fn in os.listdir(ddir):
-            m = re.fullmatch(r"pt=(\d+)", fn)
+            m = re.fullmatch(r"pt=(-?\d+)", fn)
             if not m:
                 continue
             start = int(m.group(1))
@@ -144,8 +149,14 @@ class PartitionCommitSink:
 def read_committed(spark: SparkSession, path: str, sink: PartitionCommitSink) -> DataFrame:
     """The downstream view: rows of COMMITTED partitions only (the
     success-file contract — uncommitted partitions are invisible even
-    though their files exist)."""
-    df = spark.read.parquet(os.path.join(path, "data"))
+    though their files exist).  Polling BEFORE the first batch has
+    written anything returns an empty frame carrying just the partition
+    columns (round-13 review: the raw read raised PATH_NOT_FOUND on the
+    exact early-polling case the _SUCCESS contract exists for)."""
+    ddir = os.path.join(path, "data")
+    if not os.path.isdir(ddir):
+        return spark.createDataFrame([], "pt bigint, batch int")
+    df = spark.read.parquet(ddir)
     committed = sink.committed()
     if not committed:
         return df.limit(0)

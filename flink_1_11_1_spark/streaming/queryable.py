@@ -57,8 +57,18 @@ def query_state(
     df = r.load(checkpoint)
     if not flatten:
         return df
-    key_cols = [f"key.{f.name}" for f in df.schema["key"].dataType.fields]
-    val_cols = [f"value.{f.name}" for f in df.schema["value"].dataType.fields]
+    key_names = [f.name for f in df.schema["key"].dataType.fields]
+    key_cols = [F.col(f"key.{n}") for n in key_names]
+    # collision-safe: a value field repeating a key field's name (state
+    # that stores its own key) gets a value_ prefix — a bare flatten
+    # produced duplicate columns and state_lookup then failed with
+    # AMBIGUOUS_REFERENCE (round-13 review)
+    val_cols = [
+        F.col(f"value.{f.name}").alias(
+            f"value_{f.name}" if f.name in key_names else f.name
+        )
+        for f in df.schema["value"].dataType.fields
+    ]
     return df.select(*key_cols, *val_cols)
 
 

@@ -93,6 +93,68 @@ def test_canal_decode(spark):
     assert len(got) == 5
 
 
+def test_canal_decode_truncated_old_array(spark):
+    """Round-13 review: a truncated 'old' array (producer omitted the
+    entry) must fall back to the data row via get(), not die with
+    ANSI INVALID_ARRAY_INDEX."""
+    schema = StructType().add("id", IntegerType()).add("name", StringType())
+    rows = [
+        ('{"data": [{"id": 1, "name": "a2"}, {"id": 2, "name": "b2"}], '
+         '"old": [{"name": "a"}], "type": "UPDATE"}',),
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    got = {(r.row_kind, r.id, r.name)
+           for r in cdc.canal_decode(df, "value", schema).collect()}
+    # row 0 has an old entry (merged); row 1 falls back to its data row
+    assert ("-U", 1, "a") in got and ("-U", 2, "b2") in got
+    assert ("+U", 1, "a2") in got and ("+U", 2, "b2") in got
+
+
+def test_cdc_malformed_envelope_raises_unless_opted_out(spark):
+    """Round-13 review (Flink ignore-parse-errors parity): an unknown
+    op / unparseable payload FAILS the decode by default; the opt-out
+    drops it; null payloads (tombstones) are skipped either way."""
+    import pytest as _pytest
+
+    schema = StructType().add("id", IntegerType())
+    bad = spark.createDataFrame(
+        [('{"after": {"id": 1}, "op": "zz"}',), ("not json at all",), (None,)],
+        "value string",
+    )
+    with _pytest.raises(Exception, match="malformed debezium"):
+        cdc.debezium_decode(bad, "value", schema).collect()
+    assert cdc.debezium_decode(
+        bad, "value", schema, ignore_parse_errors=True
+    ).collect() == []
+    cbad = spark.createDataFrame(
+        [('{"data": [{"id": 1}], "old": null, "type": "TRUNCATE"}',)],
+        "value string",
+    )
+    with _pytest.raises(Exception, match="malformed canal"):
+        cdc.canal_decode(cbad, "value", schema).collect()
+    assert cdc.canal_decode(
+        cbad, "value", schema, ignore_parse_errors=True
+    ).collect() == []
+
+
+def test_materialize_same_seq_update_pair_keeps_addition(spark):
+    """Round-13 review: the -U/+U pair of one update envelope shares
+    its seq — the +U must win deterministically (the old seq-only order
+    let -U win arbitrarily and wrongly delete the key)."""
+    rows = [
+        (10, "+I", 1, "a"),
+        (20, "-U", 1, "a"),   # same seq as the +U below (one envelope)
+        (20, "+U", 1, "a2"),
+    ]
+    log = spark.createDataFrame(rows, "seq long, row_kind string, id int, name string")
+    got = cdc.materialize(log, ["id"], "seq").collect()
+    assert [(r.id, r.name) for r in got] == [(1, "a2")]
+    # and a genuine delete at the head still removes the key
+    log2 = log.union(spark.createDataFrame(
+        [(30, "-D", 1, "a2")], "seq long, row_kind string, id int, name string"))
+    assert cdc.materialize(log2, ["id"], "seq").collect() == []
+
+
 def test_flink_function_shims(spark):
     ffn.register_flink_functions(spark)
     row = spark.sql(
@@ -303,3 +365,23 @@ def test_session_window_dynamic_gap(spark):
     # user 2: purchase at 0 covers 20 (30-min gap); view at 20 covers to
     #   30 < 120 -> second session
     assert sessions == {(1, 0): 2, (1, 1): 2, (1, 2): 1, (2, 0): 2, (2, 1): 1}
+
+
+def test_delta_iterate_value_first_columns(spark):
+    """Round-13 review: delta_iterate's merge re-mints attributes with a
+    positional toDF — a solution schema that does NOT lead with the key
+    columns silently swapped column labels.  Value-column-first schema,
+    keys=['v']: the contraction must converge to dist=10 per vertex."""
+    from flink_1_11_1_spark.operators.iterate import delta_iterate
+
+    sol = spark.createDataFrame([(30, 1), (20, 2)], "dist int, v int")
+
+    def step(solution, workset, i):
+        # returns value-first order on purpose
+        return (
+            solution.select((F.col("dist") - F.lit(10)).alias("dist"), "v")
+            .where("dist >= 10")
+        )
+
+    out = delta_iterate(sol, sol, ["v"], step, max_iterations=10)
+    assert sorted((r.v, r.dist) for r in out.collect()) == [(1, 10), (2, 10)]

@@ -121,3 +121,31 @@ def test_partition_commit_delay_holds_back(spark, tmp_path):
     # is held
     sink(_frame(spark, [(4, 600)]), 3)
     assert sink.committed() == [BASE * 10**6, (BASE + 7200) * 10**6]
+
+
+def test_partition_commit_pre_epoch_partition(spark, tmp_path):
+    """Round-13 review: pre-epoch event times bucket to NEGATIVE
+    partition starts — the \\d+-only marker regexes left them
+    permanently uncommitted (silent data loss)."""
+    root = str(tmp_path / "pc_neg")
+    sink = PartitionCommitSink("ts", root, partition="1 hour")
+
+    def frame(rows):  # (event_id, iso timestamp string)
+        return spark.createDataFrame(rows, ["event_id", "ts_s"]).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    sink(frame([(1, "1969-12-31 23:30:00")]), 0)
+    sink(frame([(2, "1970-01-01 03:00:00")]), 1)   # wm base still batch 0
+    sink(frame([(3, "1970-01-01 06:00:00")]), 2)   # wm base = 03:00
+    committed = sink.committed()
+    assert -3_600_000_000 in committed  # the pre-epoch hour committed
+    vis = sorted(r.event_id for r in read_committed(spark, root, sink).collect())
+    assert 1 in vis
+
+
+def test_read_committed_before_first_write(spark, tmp_path):
+    """Round-13 review: polling the committed view before any batch has
+    written must return an empty frame, not PATH_NOT_FOUND."""
+    root = str(tmp_path / "pc_empty")
+    sink = PartitionCommitSink("ts", root, partition="1 hour")
+    assert read_committed(spark, root, sink).count() == 0
