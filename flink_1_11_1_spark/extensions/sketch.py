@@ -101,16 +101,26 @@ th AS (
               ELSE max(CASE WHEN rn = {K} THEN h END) END AS theta
   FROM kept GROUP BY event_type
 ),
-common AS (
+cs AS (
   SELECT a.event_type AS et_a, b.event_type AS et_b,
-         ta.theta AS theta_a, tb.theta AS theta_b,
-         ta.n_kept AS nk_a, tb.n_kept AS nk_b,
          sum(CASE WHEN a.h < least(ta.theta, tb.theta) THEN 1 ELSE 0 END) AS inter_cnt
   FROM kept a
   JOIN kept b ON a.user_id = b.user_id AND a.event_type < b.event_type
   JOIN th ta ON ta.event_type = a.event_type
   JOIN th tb ON tb.event_type = b.event_type
-  GROUP BY a.event_type, b.event_type, ta.theta, tb.theta, ta.n_kept, tb.n_kept
+  GROUP BY a.event_type, b.event_type
+),
+common AS (
+  -- EVERY sketch pair gets a row (round-13 review): a pair sharing no
+  -- kept sample is an estimated-disjoint pair (inter_cnt 0), not a
+  -- missing one — the old inner-join-on-samples shape dropped it
+  SELECT ta.event_type AS et_a, tb.event_type AS et_b,
+         ta.theta AS theta_a, tb.theta AS theta_b,
+         ta.n_kept AS nk_a, tb.n_kept AS nk_b,
+         coalesce(cs.inter_cnt, 0) AS inter_cnt
+  FROM th ta
+  JOIN th tb ON ta.event_type < tb.event_type
+  LEFT JOIN cs ON cs.et_a = ta.event_type AND cs.et_b = tb.event_type
 ),
 ex AS (
   SELECT a.event_type AS et_a, b.event_type AS et_b,

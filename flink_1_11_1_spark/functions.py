@@ -28,16 +28,19 @@ def rand_integer(n: int | Column, seed: int | None = None) -> Column:
     return F.floor(r * (F.lit(n) if isinstance(n, int) else n)).cast("int")
 
 
+# Flink's IS_* checks are Character.isLetter/isDigit per char (unicode)
+# and parseable-decimal (signed) — the old ASCII/unsigned regexes
+# diverged (round-13 review)
 def is_alpha(s: Column | str) -> Column:
-    return _c(s).rlike("^[A-Za-z]+$")
+    return _c(s).rlike(r"^\p{L}+$")
 
 
 def is_digit(s: Column | str) -> Column:
-    return _c(s).rlike("^[0-9]+$")
+    return _c(s).rlike(r"^\p{Nd}+$")
 
 
 def is_decimal(s: Column | str) -> Column:
-    return _c(s).rlike("^[0-9]+([.][0-9]+)?$")
+    return _c(s).rlike(r"^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)$")
 
 
 def proctime() -> Column:
@@ -74,8 +77,12 @@ def overlaps(
 ) -> Column:
     """SQL-standard (a_start, a_end) OVERLAPS (b_start, b_end) — Flink
     supports the literal syntax, Spark does not (found by the §3.10
-    inventory test); the semantics are this closed form."""
-    return (_c(a_start) <= _c(b_end)) & (_c(b_start) <= _c(a_end))
+    inventory test).  SQL OVERLAPS normalizes each pair with
+    least/greatest before comparing (Calcite does the same) — reversed
+    bounds are legal input (round-13 review)."""
+    a_lo, a_hi = F.least(_c(a_start), _c(a_end)), F.greatest(_c(a_start), _c(a_end))
+    b_lo, b_hi = F.least(_c(b_start), _c(b_end)), F.greatest(_c(b_start), _c(b_end))
+    return (a_lo <= b_hi) & (b_lo <= a_hi)
 
 
 def collect_multiset(col: str, element_type: str = "string") -> Column:
@@ -101,7 +108,9 @@ def to_time_millis(ts: Column | str) -> Column:
     t = _c(ts)
     return (
         (F.hour(t) * 3600_000 + F.minute(t) * 60_000 + F.second(t) * 1000)
-        + (F.unix_micros(t) % 1_000_000) / 1000
+        # pmod: Spark % follows the dividend sign, so a pre-epoch
+        # fractional second went NEGATIVE (round-13 review)
+        + F.pmod(F.unix_micros(t), F.lit(1_000_000)) / 1000
     ).cast("int")
 
 
@@ -193,9 +202,10 @@ _SQL_MACROS = {
         r"get(split(s, regexp_replace(sep, '([^a-zA-Z0-9])', '\\\\$1'), -1), i)",
     ),
     "RAND_INTEGER": ("n INT", "INT", "cast(floor(rand() * n) as int)"),
-    "IS_ALPHA": ("s STRING", "BOOLEAN", "s rlike '^[A-Za-z]+$'"),
-    "IS_DIGIT": ("s STRING", "BOOLEAN", "s rlike '^[0-9]+$'"),
-    "IS_DECIMAL": ("s STRING", "BOOLEAN", "s rlike '^[0-9]+([.][0-9]+)?$'"),
+    "IS_ALPHA": ("s STRING", "BOOLEAN", r"s rlike '^\\p{L}+$'"),
+    "IS_DIGIT": ("s STRING", "BOOLEAN", r"s rlike '^\\p{Nd}+$'"),
+    "IS_DECIMAL": ("s STRING", "BOOLEAN",
+                   r"s rlike '^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)$'"),
     "PROCTIME": ("", "TIMESTAMP", "current_timestamp()"),
 }
 
@@ -219,4 +229,6 @@ def single_value(col: Column | str) -> Column:
     return F.when(
         F.count(F.lit(1)) > 1,
         F.raise_error(F.lit("SINGLE_VALUE: more than one row in group")),
-    ).otherwise(F.max(c))
+    ).otherwise(F.first(c))  # first, not max: non-orderable types
+    # (maps) are legal SINGLE_VALUE inputs; deterministic because the
+    # >1-row case raises (round-13 review)

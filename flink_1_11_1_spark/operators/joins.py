@@ -23,11 +23,26 @@ residual filters within partitions).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _interval_us(text: str | int | float) -> int:
+    """Signed interval → microseconds ('-1 hour', '0', '30 minutes',
+    bare numbers = seconds)."""
+    if isinstance(text, (int, float)):
+        return int(text * 1_000_000)
+    t = text.strip()
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t) * 1_000_000
+    neg = t.startswith("-")
+    from ..streaming.pattern import _parse_interval
+
+    return (-1 if neg else 1) * _parse_interval(t.lstrip("+-").strip()) * 1_000_000
 
 
 def asof_join(
@@ -52,23 +67,30 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in on]
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload")
 
-    r = right.select(
+    l_cols = left.columns
+    ldt = dict(left.dtypes)
+    # a NULL right_time is no version at all: NULLS FIRST in the window
+    # order would otherwise make its payload the "earliest version"
+    # fallback, where the SQL twin (right_time <= left_time) excludes it
+    # (round-13 review).  Null-pad left-only columns in ONE projection
+    # (the old per-column withColumn loop built O(columns) plan nodes).
+    r = right.where(F.col(right_time).isNotNull()).select(
         *on,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         payload,
+        *[
+            F.lit(None).cast(ldt[c]).alias(c)
+            for c in l_cols
+            if c not in on
+        ],
     )
-    l_cols = left.columns
     lft = left.select(
         *[F.col(c) for c in l_cols],
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
     )
-    # align schemas: right side carries nulls for left-only columns
-    for c in l_cols:
-        if c not in on:
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     r = r.select(*lft.columns)
 
     w = (
@@ -103,16 +125,20 @@ def interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join constrained to ``left.time + lower <= right.time <=
-    left.time + upper`` (interval literals like ``'-1 hour'``/``'0'``).
+    left.time + upper`` (interval strings like ``'-1 hour'``/``'0'``;
+    bare numbers are seconds).
 
     Works identically on batch DataFrames and on watermarked streams
     (where the bound also drives state cleanup — Spark native).
+    Bounds normalize to microsecond interval literals and time columns
+    are dataframe-qualified (round-13 review: the docstring's own '0'
+    example was a parse error, and a time column name shared by both
+    sides hit AMBIGUOUS_REFERENCE).
     """
-    cond = (
-        on
-        & (F.col(right_time) >= F.expr(f"{left_time} + INTERVAL {lower}"))
-        & (F.col(right_time) <= F.expr(f"{left_time} + INTERVAL {upper}"))
-    )
+    lo = F.expr(f"INTERVAL {_interval_us(lower)} MICROSECOND")
+    up = F.expr(f"INTERVAL {_interval_us(upper)} MICROSECOND")
+    lt, rt = left[left_time], right[right_time]
+    cond = on & (rt >= lt + lo) & (rt <= lt + up)
     return left.join(right, cond, how)
 
 

@@ -51,6 +51,23 @@ def deduplicate(
     Deterministic (explicit order), unlike ``dropDuplicates`` whose
     survivor is partition-order dependent.  For streams use
     ``dropDuplicatesWithinWatermark`` (keep-first) — see streaming/.
+
+    ``keep='last'`` selects the LAST row in the GIVEN order (round-13
+    review: the old ``.desc()``-every-column reversal broke on
+    directional sort Columns — .desc() on an existing SortOrder — and
+    an unknown ``keep`` silently meant 'last').
     """
-    order = list(order_by) if keep == "first" else [c.desc() for c in order_by]
-    return top_n(df, keys, order, 1, keep_rank_col=False)
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first|last, got {keep!r}")
+    if keep == "first":
+        return top_n(df, keys, order_by, 1, keep_rank_col=False)
+    # last-in-order without reversing the (possibly directional) spec:
+    # rn == count over the same partition
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    wall = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wall))
+        .where("_rn = _cnt")
+        .drop("_rn", "_cnt")
+    )

@@ -90,6 +90,13 @@ def session_agg(
         .drop("session_window")
     )
     if with_session_id:
+        if df.isStreaming:
+            raise ValueError(
+                "with_session_id is batch-only: session-id numbering is "
+                "a per-key ordered scan (non-time window), which Spark "
+                "streaming rejects — number sessions downstream of the "
+                "sink instead"
+            )
         w = Window.partitionBy(*keys).orderBy("session_start")
         out = out.withColumn("sid", F.row_number().over(w) - 1)
     return out
@@ -126,7 +133,10 @@ def window_join(
     key AND the tumbling window.  Realized as an equi-join on
     (keys, window bucket) — one shuffle, no time-range residual.
     """
-    lw = left.withColumn("_w", F.window(left_ts, size))
-    rw = right.withColumn("_w", F.window(right_ts, size))
-    out = lw.join(rw, [*keys, "_w"])
-    return out.withColumn("window_start", F.col("_w.start")).drop("_w")
+    wcol = "_w"
+    while wcol in left.columns or wcol in right.columns:
+        wcol += "_"  # never clobber a caller column (round-13 review)
+    lw = left.withColumn(wcol, F.window(left_ts, size))
+    rw = right.withColumn(wcol, F.window(right_ts, size))
+    out = lw.join(rw, [*keys, wcol])
+    return out.withColumn("window_start", F.col(f"{wcol}.start")).drop(wcol)

@@ -385,3 +385,79 @@ def test_delta_iterate_value_first_columns(spark):
 
     out = delta_iterate(sol, sol, ["v"], step, max_iterations=10)
     assert sorted((r.v, r.dist) for r in out.collect()) == [(1, 10), (2, 10)]
+
+
+def test_asof_join_null_right_time_is_no_version(spark):
+    """Round-13 review: a right row with NULL right_time is not a
+    version at all — NULLS FIRST ordering made its payload the
+    'earliest version' fallback where the SQL twin yields NULL."""
+    left = spark.createDataFrame([(1, 5)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 3, "real")], "k int, t2 int, v string"
+    )
+    out = joins.asof_join(left, right, on=["k"], left_time="t", right_time="t2").collect()
+    assert out[0].v == "real"
+    # with ONLY the null-time row, there is no match
+    right2 = spark.createDataFrame([(1, None, "ghost")], "k int, t2 int, v string")
+    out2 = joins.asof_join(left, right2, on=["k"], left_time="t", right_time="t2").collect()
+    assert out2[0].v is None
+
+
+def test_interval_join_zero_literal_and_shared_ts_name(spark):
+    """Round-13 review: lower='0' (the docstring's own example) was a
+    parse error, and a time column name shared by both sides hit
+    AMBIGUOUS_REFERENCE."""
+    a = spark.createDataFrame([(1, 100)], ["k", "ts"]).select(
+        "k", F.timestamp_seconds("ts").alias("ts"))
+    b = spark.createDataFrame([(1, 150), (1, 99), (1, 4000)], ["k2", "ts"]).select(
+        "k2", F.timestamp_seconds("ts").alias("ts"))
+    out = joins.interval_join(
+        a, b, a["k"] == b["k2"], "ts", "ts", lower="0", upper="1 hour"
+    ).collect()
+    assert sorted(int(r[3].timestamp()) for r in out) == [150]
+
+
+def test_deduplicate_keep_last_with_directional_order(spark):
+    """Round-13 review: keep='last' must honor directional sort Columns
+    (the old .desc()-everything reversal broke on them) and unknown
+    keep values must raise."""
+    from flink_1_11_1_spark.operators import rank
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (1, 20, "c"), (2, 5, "d")],
+        "k int, ts int, v string",
+    )
+    # last by ascending ts -> the max-ts row
+    got = {(r.k, r.v) for r in rank.deduplicate(df, ["k"], [F.col("ts")], "last").collect()}
+    assert got == {(1, "b"), (2, "d")}
+    # last by DESCENDING ts -> the min-ts row (directional spec honored)
+    got_d = {(r.k, r.v) for r in
+             rank.deduplicate(df, ["k"], [F.col("ts").desc()], "last").collect()}
+    assert got_d == {(1, "a"), (2, "d")}
+    with pytest.raises(ValueError, match="keep"):
+        rank.deduplicate(df, ["k"], [F.col("ts")], "frist")
+
+
+def test_overlaps_normalizes_reversed_bounds(spark):
+    """Round-13 review: SQL OVERLAPS normalizes each (start, end) pair
+    with least/greatest — reversed bounds are legal input."""
+    r = spark.range(1).select(
+        ffn.overlaps(
+            F.lit("2024-01-01 10:00:00").cast("timestamp"),
+            F.lit("2024-01-01 09:00:00").cast("timestamp"),  # reversed
+            F.lit("2024-01-01 09:30:00").cast("timestamp"),
+            F.lit("2024-01-01 09:45:00").cast("timestamp"),
+        ).alias("o")
+    ).first()
+    assert r.o is True
+
+
+def test_is_decimal_signed_and_unicode_classes(spark):
+    r = spark.range(1).select(
+        ffn.is_decimal(F.lit("-1.5")).alias("a"),
+        ffn.is_decimal(F.lit("+3.")).alias("b"),
+        ffn.is_decimal(F.lit("abc")).alias("c"),
+        ffn.is_alpha(F.lit("café")).alias("d"),
+        ffn.is_digit(F.lit("٣٤")).alias("e"),  # Arabic-Indic digits
+    ).first()
+    assert r.a and r.b and not r.c and r.d and r.e
