@@ -104,10 +104,17 @@ _DEFER_FIRST: tuple[str, ...] = ()
 # The ONLY manual rotation knob since round 13: proven entries whose
 # implementation the CURRENT round touched jump the staleness queue.
 # Everything else is ordered stalest-first automatically from the
-# CORRECTNESS history.  Round 13 touches operators/skew.py (adds
-# salted_join beside the salted agg/session helpers).
+# CORRECTNESS history.  Round 13 touched skew.py (salted_join), and the
+# three stale-module review batches touched joins/rank/cdc/iterate/
+# retrieval/sketch/windows — their entries re-verify first.
 _REVERIFY_FIRST: tuple[str, ...] = (
     "x_salted_agg", "x_session_salted",
+    "x_asof_join_df", "x_interval_join_df", "x_topn_df",
+    "x_dedup_first_df", "x_sketch_theta", "x_bm25", "x_rrf_fusion",
+    "x_cdc_debezium", "x_cdc_canal", "x_lookup_join",
+    "x_graph_triangles", "x_graph_pagerank", "x_graph_sssp",
+    "x_connected_components", "x_session_df", "x_count_window_df",
+    "q36", "q37", "q38", "q39",
 )
 
 
