@@ -55,16 +55,20 @@ def _declared_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # the staleness queue.
 
 
-@lru_cache(maxsize=1)
-def _green_rounds() -> dict[str, int]:
+@lru_cache(maxsize=4)
+def _green_rounds(artifact_dir: str | None = None) -> dict[str, int]:
     """entry name -> latest round with a recorded driver green.
 
     A row is green when it has no error and matched the oracle
     (rows + schema + value hash; a missing hash/schema key — the old
     rows-only shape — counts as green, matching the hand-curated
-    history this replaces).
+    history this replaces).  `artifact_dir` overrides the artifact
+    location so tests can pin the parser to a synthetic fixture that
+    live driver artifacts can never age (round-14 fix: the round-13
+    test hardcoded a latest-green value that the very next driver
+    artifact was designed to change).
     """
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)

@@ -45,7 +45,9 @@ def test_green_history_derived_from_correctness_artifacts():
     """Round 13 automated the rotation: the green history is parsed from
     the checked-in CORRECTNESS_r*.json files, so it must (a) cover every
     declared entry once all are proven, and (b) record the LATEST green
-    round (x_session_salted first went green in round 12)."""
+    round.  Anchors use >= so a future driver artifact re-verifying an
+    anchor entry (which bumps its latest-green — the rotation working as
+    designed) can never age this test (round-13 judge finding)."""
     import __spark_entry__ as e
 
     greens = e._green_rounds()
@@ -54,10 +56,40 @@ def test_green_history_derived_from_correctness_artifacts():
     unproven = names - set(greens)
     assert len(unproven) <= 50, f"unproven set exceeds the driver window: {unproven}"
     assert len(set(greens) & names) >= 250
-    assert greens["x_session_salted"] == 12
+    assert greens["x_session_salted"] >= 12  # first green r12
     # a re-verified entry carries its latest round, not its first
     assert greens["x_dedup_exact"] >= 12  # r01-era entry, re-verified r12
     assert greens["q01"] >= 12
+
+
+def test_green_rounds_parser_on_synthetic_fixture(tmp_path):
+    """Pin _green_rounds' parsing rules against a synthetic artifact
+    directory so live CORRECTNESS files can never age the assertions:
+    latest-green wins, err/rows/hash/schema gates, legacy rows-only
+    shape counts as green, malformed rows skipped."""
+    import json
+
+    import __spark_entry__ as e
+
+    r1 = {
+        "a": {"err": None, "rows_match": True},  # legacy rows-only: green
+        "b": {"err": None, "rows_match": True, "schema_match": True,
+              "hash_match": True},
+        "c": {"err": "boom", "rows_match": True},  # err: not green
+        "d": {"err": None, "rows_match": False},  # mismatch: not green
+        "e": "not-a-dict",  # malformed: skipped
+    }
+    r2 = {
+        "b": {"err": None, "rows_match": True, "schema_match": True,
+              "hash_match": False},  # hash red: r1 stays latest for b
+        "a": {"err": None, "rows_match": True, "schema_match": True,
+              "hash_match": True},  # re-verified: latest bumps to 2
+    }
+    (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(r2))
+    (tmp_path / "CORRECTNESS_notaround.json").write_text("{}")
+    greens = e._green_rounds(str(tmp_path))
+    assert greens == {"a": 2, "b": 1}
 
 
 def test_proven_tail_ordered_stalest_first():
