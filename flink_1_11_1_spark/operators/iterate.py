@@ -48,15 +48,25 @@ def delta_iterate(
     keys: Sequence[str],
     step: Callable[[DataFrame, DataFrame, int], DataFrame],
     max_iterations: int,
+    updates_are_changed: bool = False,
 ) -> DataFrame:
     """Delta iteration: ``step`` returns candidate updates (same schema
     as ``solution``); rows that actually changed become the next workset
     and are merged into the solution set by key.  Terminates when the
     workset is empty (Flink's natural delta-iteration termination).
+
+    ``updates_are_changed=True`` declares that ``step`` already emits
+    ONLY rows that differ from the current solution (Flink's native
+    delta contract, where the step produces the next workset itself):
+    the generic ``subtract`` diff — two full-solution-set shuffles per
+    round — is skipped and the updates feed the merge directly.  The
+    caller owns the guarantee; a step that re-emits an unchanged row
+    under this flag would loop until max_iterations.
     """
     keys = list(keys)
+    same = workset is solution
     solution = solution.localCheckpoint(eager=True)
-    workset = workset.localCheckpoint(eager=True)
+    workset = solution if same else workset.localCheckpoint(eager=True)
     cols = list(solution.columns)
     val_cols = [c for c in cols if c not in keys]
     for i in range(max_iterations):
@@ -76,7 +86,7 @@ def delta_iterate(
         # plus a union only for genuinely-new keys — same semantics,
         # planner-safe (verified over the failing co-order graph).
         changed = (
-            updates.subtract(solution)
+            (updates if updates_are_changed else updates.subtract(solution))
             .localCheckpoint(eager=True)
             .toDF(*updates.columns)
         )
@@ -121,26 +131,31 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
     )
 
-    def step(cur: DataFrame, _i: int) -> DataFrame:
+    # Delta formulation (round 14, guide §2.3/§2.4): only vertices whose
+    # label improved last round propagate, and the step emits ONLY
+    # strictly-improved rows, so the generic subtract diff (two
+    # full-vertex-set shuffles per round) is skipped.  Equivalence with
+    # the bulk form: after round k a vertex's label is the minimum
+    # vertex id within k hops under either schedule (an improvement can
+    # only arrive through a neighbor that improved the round before),
+    # and both terminate exactly when a round changes nothing — pinned
+    # by tests/test_operators.py::test_connected_components_delta_matches_bulk.
+    def step(solution: DataFrame, workset: DataFrame, _i: int) -> DataFrame:
         neighbor_min = (
-            sym.join(cur, sym[src] == cur["vertex"])
+            sym.join(workset, sym[src] == workset["vertex"])
             .groupBy(F.col(dst).alias("vertex"))
             .agg(F.min("component").alias("nc"))
         )
         return (
-            cur.join(neighbor_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
-                ).alias("component"),
-            )
+            solution.alias("s")
+            .join(neighbor_min, "vertex")
+            .where(F.col("nc") < F.col("s.component"))
+            .select("vertex", F.col("nc").alias("component"))
         )
 
-    def converged(prev: DataFrame, cur: DataFrame) -> bool:
-        return cur.subtract(prev).take(1) == []
-
-    return bulk_iterate(labels, step, max_iterations, converged)
+    return delta_iterate(
+        labels, labels, ["vertex"], step, max_iterations, updates_are_changed=True
+    )
 
 
 def triangle_enumeration(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -201,12 +216,16 @@ def pagerank_integer(
     n_nodes = nodes.count()
     init = PR_SCALE // n_nodes
     base = (15 * init) // 100
+    # (edge, out-degree) is loop-invariant: join it ONCE and checkpoint,
+    # instead of re-running the degree aggregation + edge join in every
+    # rank round (round 14, guide §2.4 — one exchange shared by all
+    # iterations; only the rank join + contribution sum remain per round)
     deg = e.groupBy(src).agg(F.count("*").alias("deg"))
+    e_deg = e.join(deg, src).localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
     for _ in range(iterations):
         contrib = (
-            e.join(deg, src)
-            .join(ranks, F.col(src) == F.col("node"))
+            e_deg.join(ranks, F.col(src) == F.col("node"))
             .select(F.col(dst).alias("node"), F.expr("rank div deg").alias("c"))
         )
         incoming = contrib.groupBy("node").agg(F.sum("c").alias("s"))
@@ -259,6 +278,16 @@ def shortest_paths(
     )
     work = vertices.where(F.col("dist") == 0)
 
+    # The step emits ONLY strictly-improved vertices (round 14, guide
+    # §2.3): the old form returned the full least()-merged solution —
+    # O(|V|) rows per round — and paid delta_iterate's generic subtract
+    # (two more full-solution shuffles) just to re-derive the frontier.
+    # Emitting `cand.dist < s.dist` rows is exactly that frontier (BFS
+    # min-merge: any other candidate row equals the solution row), so
+    # updates_are_changed=True is sound and the per-round shuffles carry
+    # frontier-sized data; the tiny changed side then broadcast-joins in
+    # the merge.  Measured at sf0.1 (x_graph_sssp): 6.7 -> 4.2 s
+    # same-session min-of-3; row-identical output.
     def step(solution: DataFrame, workset: DataFrame, _i: int) -> DataFrame:
         cand = (
             e.join(workset, e[src] == workset["v"])
@@ -268,16 +297,14 @@ def shortest_paths(
         )
         return (
             solution.alias("s")
-            .join(cand.alias("c"), "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("s.dist"), F.coalesce(F.col("c.dist"), F.lit(SSSP_INF))
-                ).alias("dist"),
-            )
+            .join(cand.alias("c"), "v")
+            .where(F.col("c.dist") < F.col("s.dist"))
+            .select("v", F.col("c.dist").alias("dist"))
         )
 
-    out = delta_iterate(vertices, work, ["v"], step, max_iterations)
+    out = delta_iterate(
+        vertices, work, ["v"], step, max_iterations, updates_are_changed=True
+    )
     return out.where(F.col("dist") < SSSP_INF).select(
         F.col("v").alias("node"), "dist"
     )

@@ -387,6 +387,99 @@ def test_delta_iterate_value_first_columns(spark):
     assert sorted((r.v, r.dist) for r in out.collect()) == [(1, 10), (2, 10)]
 
 
+def test_delta_iterate_updates_are_changed_matches_default(spark):
+    """Round-14 optimization: a step that already emits only changed
+    rows must produce the identical solution with and without the
+    subtract-skipping flag (BFS hop counts over a chain + branch)."""
+    from flink_1_11_1_spark.operators.iterate import delta_iterate
+
+    inf = 10**9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (6, 7)], ["src", "dst"]
+    )
+    vertices = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("dist", F.when(F.col("v") == 1, 0).otherwise(inf))
+    )
+    work = vertices.where("dist = 0")
+
+    def step(solution, workset, _i):
+        cand = (
+            edges.join(workset, edges["src"] == workset["v"])
+            .select(F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+        )
+        return (
+            solution.alias("s")
+            .join(cand.alias("c"), "v")
+            .where(F.col("c.dist") < F.col("s.dist"))
+            .select("v", F.col("c.dist").alias("dist"))
+        )
+
+    got_default = delta_iterate(vertices, work, ["v"], step, 10).collect()
+    got_flagged = delta_iterate(
+        vertices, work, ["v"], step, 10, updates_are_changed=True
+    ).collect()
+    expect = [(1, 0), (2, 1), (3, 2), (4, 2), (5, 1), (6, inf), (7, inf)]
+    assert sorted((r.v, r.dist) for r in got_default) == expect
+    assert sorted((r.v, r.dist) for r in got_flagged) == expect
+
+
+def test_connected_components_delta_matches_bulk(spark):
+    """Round-14 optimization: connected_components moved from the bulk
+    converged-by-subtract loop to the delta frontier form.  Pin the
+    schedule equivalence on a graph needing several propagation rounds
+    (a 7-chain), plus a triangle and an isolated pair."""
+    from flink_1_11_1_spark.operators.iterate import (
+        bulk_iterate,
+        connected_components,
+    )
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+           (10, 11), (11, 12), (12, 10), (20, 21)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {
+        r.vertex: r.component
+        for r in connected_components(edges, max_iterations=20).collect()
+    }
+
+    # inline bulk reference (the pre-round-14 formulation)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+
+    def step(cur, _i):
+        nm = (
+            sym.join(cur, sym["src"] == cur["vertex"])
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.min("component").alias("nc"))
+        )
+        return cur.join(nm, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+            ).alias("component"),
+        )
+
+    ref = {
+        r.vertex: r.component
+        for r in bulk_iterate(
+            labels, step, 20, lambda p, c: c.subtract(p).take(1) == []
+        ).collect()
+    }
+    assert got == ref
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_asof_join_null_right_time_is_no_version(spark):
     """Round-13 review: a right row with NULL right_time is not a
     version at all — NULLS FIRST ordering made its payload the
