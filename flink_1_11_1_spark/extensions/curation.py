@@ -75,7 +75,9 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM, eval_pct: int = DECON_E
     bucket = F.expr(_SPARK_BUCKET.format(salt="eval"))
     eval_ids = docs.where(bucket < eval_pct).select("doc_id")
     train_ids = docs.where(~(bucket < eval_pct)).select("doc_id")
-    sh = shingles(docs, n)
+    # read 3x (eval grams, per-doc totals, hit counts): lazy-checkpoint
+    # so the shingle explode runs once (round 14, guide §5)
+    sh = shingles(docs, n).localCheckpoint(eager=False)
     eval_grams = sh.join(F.broadcast(eval_ids), "doc_id").select("g").distinct()
     train_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
     totals = train_sh.groupBy("doc_id").agg(F.count("*").alias("_t"))

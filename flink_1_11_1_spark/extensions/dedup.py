@@ -78,11 +78,46 @@ def drop_exact_duplicates(docs: DataFrame, key: Column | None = None) -> DataFra
 # ---------------------------------------------------- shingles (shared)
 
 
+def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per doc as ONE array row:
+    (doc_id, gs).
+
+    Arrays stay JVM-side (split/transform/sequence); 0-based Spark
+    indexing — w[i-1..i+n-2] for i in 1..len-n+1.  The array form is
+    the minhash path's signature input (map-only, no explode/groupBy
+    shuffle — round 14); ``shingles`` below is its exploded view.
+    """
+    parts = ", ".join(f"w[i-2+{j}]" for j in range(1, n + 1))
+    # `w` sits under a Generate (exploding a 1-element array) because a
+    # plain adjacent-Projects form gets collapsed: CollapseProject
+    # inlines split() into EVERY lambda reference — 12 split() calls
+    # per row in the executed plan, 2x on the jaccard entry (round-14
+    # re-measurement of the round-10 CollapseProject lesson).  The
+    # Generate boundary pins split() to one evaluation per row.
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(F.split(F.trim("text"), " "))).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(w)-{n-1}), "
+                f"i -> concat_ws(' ', {parts}))) "
+                "ELSE array() END"
+            ).alias("gs"),
+        )
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles per doc: (doc_id, g).
 
-    Arrays stay JVM-side (split/transform/sequence/explode); 0-based
-    Spark indexing — w[i-1..i+n-2] for i in 1..len-n+1.
+    Kept in the fused-generator form (the transform CASE IS the
+    generator expression): the Generate boundary pins split() to one
+    evaluation, and consumers that explode anyway skip the extra
+    pass-through Generate a shingle_arrays-then-explode form would add.
     """
     parts = ", ".join(f"w[i-2+{j}]" for j in range(1, n + 1))
     return (
@@ -225,6 +260,24 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_from_arrays(arr: DataFrame) -> DataFrame:
+    """(doc_id, h0..h63) from (doc_id, gs) shingle ARRAYS — map-only.
+
+    ``array_min(transform(gs, g -> hash(g, i)))`` evaluates the exact
+    murmur3(g, seed=i) expression ``minhash_signatures`` aggregates, so
+    signatures are bit-identical (pinned by a unit test), but the
+    explode + 64-agg groupBy shuffle disappears: signatures fall out of
+    the scan stage (round 14, guide §2.4).  Empty arrays are filtered
+    to mirror the grouped form exactly (no shingles -> no signature
+    row, not a NULL-filled one).
+    """
+    aggs = [
+        F.expr(f"array_min(transform(gs, g -> hash(g, {i})))").alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return arr.where(F.size("gs") > 0).select("doc_id", *aggs)
+
+
 def minhash_layout(
     target_jaccard: float,
     miss: float = 1e-5,
@@ -253,14 +306,21 @@ def minhash_layout(
 def lsh_candidates(
     sig: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> DataFrame:
-    """Band-bucket join: pairs agreeing on all rows of >=1 band."""
+    """Band-bucket join: pairs agreeing on all rows of >=1 band.
+
+    The bucket frame feeds BOTH sides of the self-join and Catalyst does
+    not reuse the exchange across the aliases, so without the lazy
+    checkpoint the whole signature lineage executed twice (measured in
+    the round-14 plan audit: no ReusedExchange node; ~2x the signature
+    cost on every caller).
+    """
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         band_structs.append(F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh")))
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.bh")
+    ).select("doc_id", "bk.band", "bk.bh").localCheckpoint(eager=False)
     return (
         buckets.alias("a")
         .join(
@@ -286,8 +346,13 @@ def minhash_lsh_pairs(
     The default 16×4 layout catches J ≈ 0.99 fixture duplicates with
     miss ≈ 1e-22; for other duplicate profiles size the banding with
     ``minhash_layout`` and pass (bands, rows_per_band)."""
-    sh = shingles(docs, n).localCheckpoint(eager=False)
-    cand = lsh_candidates(minhash_signatures(sh), bands, rows_per_band)
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("gs").alias("g")).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidates(
+        minhash_signatures_from_arrays(arr), bands, rows_per_band
+    )
     return (
         _pair_jaccard(cand, sh)
         .where(F.col("jac") >= threshold)
@@ -335,6 +400,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     bit_count(xor) verification — never an all-pairs comparison.
     """
     sig = simhash_signatures(docs)
+    # the band frame feeds both sides of the candidate self-join: the
+    # lazy checkpoint runs the signature aggregation (64 bit votes over
+    # every token) ONCE instead of once per side (round 14; measured
+    # 2.2 -> 1.5 s at sf0.1, identical rows; no ReusedExchange without it)
     bands = sig.select(
         "doc_id",
         "sh",
@@ -349,7 +418,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bk")
+    ).select("doc_id", "sh", "bb.band", "bb.bk").localCheckpoint(eager=False)
     return (
         bands.alias("a")
         .join(
@@ -514,12 +583,16 @@ def _cos_band_candidates(
         codes = (bits.reshape(len(M), bands, rpb) * weights).sum(axis=2)
         return pd.Series(list(codes.astype(np.int32)))
 
+    # both sides of the candidate self-join read the bucket frame: the
+    # lazy checkpoint runs the Arrow projection (GEMM against the plane
+    # bank) once instead of once per side (round 14)
     buckets = (
         emb.select(
             "vec_id",
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         )
         .select("vec_id", F.posexplode(band_codes("v")).alias("band", "code"))
+        .localCheckpoint(eager=False)
     )
     return (
         buckets.alias("a")
@@ -644,10 +717,13 @@ def cosine_near_dup_pairs(
     # Norms are per-vector: compute them once in the vector projection,
     # not per candidate pair (the verify join evaluates its select over
     # |candidates| rows — recomputing two 128-dim norms there tripled
-    # the higher-order-function work per pair).
+    # the higher-order-function work per pair).  The projection feeds
+    # both verify-join sides: lazy-checkpoint so it runs once (round 14).
     v = emb.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    ).withColumn("n", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    ).withColumn(
+        "n", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))")
+    ).localCheckpoint(eager=False)
     return (
         cand.join(
             v.select(F.col("vec_id").alias("da"), F.col("v").alias("va"),
@@ -833,15 +909,21 @@ def incremental_dedup_pairs(
         "doc_id",
         (F.expr(_SPARK_BUCKET.format(salt="ingest")) < new_pct).alias("is_new"),
     )
-    sh = shingles(docs, n).localCheckpoint(eager=False)
-    buckets = minhash_signatures(sh).join(flags, "doc_id")
+    arr = shingle_arrays(docs, n).localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("gs").alias("g")).localCheckpoint(
+        eager=False
+    )
+    buckets = minhash_signatures_from_arrays(arr).join(flags, "doc_id")
     band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"h{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
         band_structs.append(F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bh")))
+    # both sides of the candidate self-join read bk: lazy-checkpoint so
+    # the signature lineage executes once (round 14, same fix as
+    # lsh_candidates — Catalyst does not reuse the exchange here)
     bk = buckets.select(
         "doc_id", "is_new", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "is_new", "bk.band", "bk.bh")
+    ).select("doc_id", "is_new", "bk.band", "bk.bh").localCheckpoint(eager=False)
     cand = (
         bk.alias("a")
         .join(
@@ -1030,12 +1112,17 @@ def semdedup_pairs(
     # SCALE_NOTES.md).  The declared entry pins k=8 for the static
     # oracle; callers at scale pass their own.
     assign = kmeans_assign(emb, k=k if k is not None else KM_K)
+    # the (vector, norm, cluster) projection feeds BOTH pair sides: the
+    # lazy checkpoint runs the k-means assignment distances (k
+    # interpreted 64-dim folds per vector) and the norm fold once
+    # instead of once per side (round 14, same fix as the LSH tiers)
     v = (
         emb.select(
             "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
         )
         .withColumn("n", F.expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
         .join(assign, "vec_id")
+        .localCheckpoint(eager=False)
     )
     a = v.select(
         F.col("vec_id").alias("da"), F.col("v").alias("va"),
@@ -1303,7 +1390,9 @@ def containment_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     this join verifying candidates only (same composition contract as
     the rest of the family).
     """
-    sh = shingles(docs, n)
+    # read 3x (both join sides + counts): lazy-checkpoint so the
+    # shingle explode runs once (round 14, same fix as the LSH tiers)
+    sh = shingles(docs, n).localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")

@@ -40,6 +40,32 @@ def test_minhash_equals_exact_jaccard(spark):
     assert lsh == exact  # miss probability ~1e-22 at fixture similarity
 
 
+def test_minhash_array_signatures_bit_identical(spark):
+    """Round-14 optimization: the map-only array signature path must
+    produce bit-identical (doc_id, h0..h63) rows to the historical
+    explode + 64-agg groupBy form, including dropping shingle-less docs
+    (a one-word doc exercises the empty-array guard)."""
+    docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(40)
+    docs = docs.unionByName(
+        docs.sparkSession.createDataFrame(
+            [(990001, "stub", "en", "synthetic", 4)], docs.schema
+        )
+    )
+    grouped = sorted(
+        map(tuple, dedup.minhash_signatures(dedup.shingles(docs, 3)).collect())
+    )
+    arr = sorted(
+        map(
+            tuple,
+            dedup.minhash_signatures_from_arrays(
+                dedup.shingle_arrays(docs, 3)
+            ).collect(),
+        )
+    )
+    assert arr == grouped
+    assert all(r[0] != 990001 for r in arr)  # no-shingle doc emits no row
+
+
 def test_simhash_finds_planted_duplicate(spark):
     docs = catalog.load_table(spark, SF_SMOKE, "documents").limit(50)
     planted = docs.where("doc_id = 0").select(
