@@ -193,6 +193,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
         .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select("doc_id", "g", "pos", "n")
     )
+    # the prefix table feeds BOTH sides of the candidate self-join and
+    # Catalyst does not reuse the exchange across the aliases — without
+    # the lazy checkpoint the freq join + position window ran twice
+    # (round 14, same class as the lsh_candidates fix)
+    prefixes = prefixes.localCheckpoint(eager=False)
     # PPJoin's two exact pair pruners (Xiao et al., WWW'08) ride the
     # candidate join itself: the LENGTH filter (t·|A| <= |B| <= |A|/t —
     # Jaccard >= t bounds the size ratio) and the POSITIONAL filter
@@ -1220,9 +1225,16 @@ def substring_dedup_stats(docs: DataFrame, n: int = SUB_NGRAM) -> DataFrame:
         )
         .withColumn("k", F.col("doc_id") * 1000000 + F.col("pos"))
     )
-    own = grams.groupBy("g").agg(F.min("k").alias("ok"))
+    # ownership as a whole-partition window min instead of the old
+    # groupBy(g) + join-back: one pass over the gram stream and one
+    # exchange on g, where the join form computed the gram explode
+    # twice and shuffled it twice (round 14, guide §2.4; same integer
+    # comparisons, row-identical output)
+    from pyspark.sql.window import Window
+
+    own_w = Window.partitionBy("g")
     return (
-        grams.join(own, "g")
+        grams.withColumn("ok", F.min("k").over(own_w))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -53,11 +53,14 @@ def register_all() -> None:
 def _co_order_part_edges(spark: SparkSession, sf_dir: str, modulus: int = 4):
     """Canonical part-part edges: both parts bought in one order (orders
     subsampled 1/``modulus`` by key to bound the declared entry's cost)."""
+    # li feeds both sides of the co-order self-join: the lazy checkpoint
+    # runs the scan + distinct once instead of per side (round 14)
     li = (
         catalog.load_table(spark, sf_dir, "lineitem")
         .where(f"l_orderkey % {modulus} = 0")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     return (
         li.alias("a")

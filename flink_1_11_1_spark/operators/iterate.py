@@ -168,7 +168,12 @@ def triangle_enumeration(edges: DataFrame, src: str = "src", dst: str = "dst") -
     the standard distributed formulation; at 100 TB you additionally
     orient edges by degree (low->high) to cap the skew of hub nodes.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # e feeds all three legs of the wedge + closing-edge joins: the lazy
+    # checkpoint runs the canonicalize+distinct (and whatever edge
+    # lineage the caller passes) once instead of three times (round 14)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=False)
     return (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
