@@ -423,13 +423,16 @@ cand AS (
   FROM ph p
   {word_joins}
   WHERE {bit_tests}
-),
-verified AS (
-  SELECT c.o_orderkey FROM cand c JOIN build b ON b.c_custkey = c.o_custkey
 )
-SELECT cast((SELECT count(*) FROM build) as bigint)    AS n_build,
-       cast((SELECT count(*) FROM cand) as bigint)     AS n_candidates,
-       cast((SELECT count(*) FROM verified) as bigint) AS n_verified
+-- one pass over cand: Spark inlines repeated CTE references, so the
+-- old scalar-subquery tail (count(cand) + count(cand JOIN build)) ran
+-- the orders scan + 3-probe pipeline twice (round 14).  build is
+-- DISTINCT keys, so the left join adds no fanout and count(matched
+-- key) equals the old verified count; values are identical.
+SELECT cast((SELECT count(*) FROM build) as bigint) AS n_build,
+       cast(count(*) as bigint)                     AS n_candidates,
+       cast(count(b.c_custkey) as bigint)           AS n_verified
+FROM cand c LEFT JOIN build b ON b.c_custkey = c.o_custkey
 """
 
 
