@@ -58,15 +58,33 @@ def ts_norm_sql(dt) -> str:
     return "date_trunc('MILLISECOND', cast(ts as timestamp))"
 
 
+# Lazy DataFrame HANDLES per (session, sf_dir, table) — round 14: each
+# spark.read.parquet call re-lists the path and re-reads the footer for
+# schema (~85 ms measured), and the suite makes hundreds of load_table
+# calls.  A DataFrame is an immutable plan, not data: reusing the handle
+# skips only the repeated schema/footer round-trip — every action still
+# computes from the parquet files (no result caching).  Same staleness
+# trust as _REGISTERED below: the fixture files are immutable per the
+# contract.  Keyed weakly so dropped sessions don't pin memory.
+_TABLES_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical table as a DataFrame."""
     configure(spark)  # nanosAsLong/UTC must hold on driver-owned sessions too
+    # (configure re-runs even on cache hits — a test may have flipped a
+    # runtime conf since, and register() re-asserts the same way)
+    cache = _TABLES_CACHE.setdefault(spark, {})
+    df = cache.get((sf_dir, name))
+    if df is not None:
+        return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Contract: ts exposed as ms-floored TimestampType regardless of
         # the parquet physical encoding (see ts_norm_sql) so Spark and the
         # DuckDB oracle compare identical values.
         df = df.withColumn("ts", F.expr(ts_norm_sql(df.schema["ts"].dataType)))
+    cache[(sf_dir, name)] = df
     return df
 
 

@@ -559,7 +559,8 @@ def _cos_layout(
 
 
 def _cos_band_candidates(
-    emb: DataFrame, bands: int, rpb: int, seed: int = 7
+    emb: DataFrame, bands: int, rpb: int, seed: int = 7,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(da, db) LSH candidates: per-vector band codes (sign bits of
     random-hyperplane projections, rpb bits per band) → shuffle join on
@@ -590,15 +591,19 @@ def _cos_band_candidates(
 
     # both sides of the candidate self-join read the bucket frame: the
     # lazy checkpoint runs the Arrow projection (GEMM against the plane
-    # bank) once instead of once per side (round 14)
+    # bank) once instead of once per side (round 14).  checkpoint=False
+    # exists for the plan-shape test, which asserts the banded routing
+    # on the pre-checkpoint lineage (the final plan only shows the
+    # checkpoint scan).
     buckets = (
         emb.select(
             "vec_id",
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         )
         .select("vec_id", F.posexplode(band_codes("v")).alias("band", "code"))
-        .localCheckpoint(eager=False)
     )
+    if checkpoint:
+        buckets = buckets.localCheckpoint(eager=False)
     return (
         buckets.alias("a")
         .join(

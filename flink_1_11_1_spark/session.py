@@ -55,26 +55,41 @@ def ship_package(spark: SparkSession) -> None:
     ``--py-files`` deployment; here we build the zip once (content-hashed
     name, so ``addPyFile`` stays idempotent) and attach it.
     """
-    import hashlib
-    import tempfile
-    import zipfile
+    global _ZIP_PATH
+    if _ZIP_PATH is None:
+        # built once per process (round 14: the walk + md5 of every
+        # package file cost ~15 ms and ran on EVERY load_table/configure
+        # call — hundreds of times per bench suite).  Source files are
+        # immutable within a process lifetime for every real surface
+        # (bench CLI, driver, pytest); an edited file needs a fresh
+        # process to re-import anyway, which resets this memo too.
+        import hashlib
+        import tempfile
+        import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    digest = hashlib.md5()
-    files = []
-    for dirpath, _, names in sorted(os.walk(pkg_dir)):
-        for n in sorted(names):
-            if n.endswith(".py"):
-                p = os.path.join(dirpath, n)
-                files.append(p)
-                digest.update(open(p, "rb").read())
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"flink_1_11_1_spark_{digest.hexdigest()[:12]}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for p in files:
-                z.write(p, os.path.join("flink_1_11_1_spark", os.path.relpath(p, pkg_dir)))
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        digest = hashlib.md5()
+        files = []
+        for dirpath, _, names in sorted(os.walk(pkg_dir)):
+            for n in sorted(names):
+                if n.endswith(".py"):
+                    p = os.path.join(dirpath, n)
+                    files.append(p)
+                    digest.update(open(p, "rb").read())
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"flink_1_11_1_spark_{digest.hexdigest()[:12]}.zip"
+        )
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for p in files:
+                    z.write(
+                        p,
+                        os.path.join(
+                            "flink_1_11_1_spark", os.path.relpath(p, pkg_dir)
+                        ),
+                    )
+        _ZIP_PATH = zpath
+    zpath = _ZIP_PATH
     if zpath in _SHIPPED:
         return
     try:
@@ -85,6 +100,7 @@ def ship_package(spark: SparkSession) -> None:
 
 
 _SHIPPED: set[str] = set()
+_ZIP_PATH: str | None = None
 
 
 def configure(spark: SparkSession) -> SparkSession:

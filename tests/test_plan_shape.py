@@ -250,13 +250,27 @@ def test_cosine_lsh_entry_uses_band_join_not_gemm(spark):
     """The round-7 pruning-regime entry (x_dedup_cosine_lsh, t=0.95,
     explicit 8x12 layout) must run the BANDED path: a posexplode of
     per-band codes (Generate) feeding the candidate equi-join — and no
-    grouped-GEMM Arrow stage (that is the permissive-threshold path)."""
+    grouped-GEMM Arrow stage (that is the permissive-threshold path).
+    Since round 14 the bucket frame sits behind a lazy checkpoint (it
+    feeds both self-join sides), so the banded stage is asserted on the
+    pre-checkpoint lineage and the entry plan on the join + scan shape."""
     plan = _entry_plan(spark, "x_dedup_cosine_lsh")
     assert "FlatMapGroupsInPandas" not in plan       # no GEMM stage
-    assert "Generate" in plan                        # posexplode(band codes)
-    assert "ArrowEvalPython" in plan                 # vectorized code udf
+    assert "Scan ExistingRDD" in plan                # checkpointed buckets
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan               # (band, code) equi-join
+
+    from flink_1_11_1_spark import catalog
+    from flink_1_11_1_spark.extensions import dedup
+
+    emb = catalog.load_table(spark, SF_SMOKE, "embeddings")
+    bucket_plan = (
+        dedup._cos_band_candidates(emb, 8, 12, checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" in bucket_plan                 # posexplode(band codes)
+    assert "ArrowEvalPython" in bucket_plan          # vectorized code udf
+    assert "FlatMapGroupsInPandas" not in bucket_plan
 
 
 def test_tpcds_pivot_is_single_aggregate(spark):
