@@ -108,17 +108,21 @@ _DEFER_FIRST: tuple[str, ...] = ()
 # The ONLY manual rotation knob since round 13: proven entries whose
 # implementation the CURRENT round touched jump the staleness queue.
 # Everything else is ordered stalest-first automatically from the
-# CORRECTNESS history.  Round 13 touched skew.py (salted_join), and the
-# three stale-module review batches touched joins/rank/cdc/iterate/
-# retrieval/sketch/windows — their entries re-verify first.
+# CORRECTNESS history.  Round 14 (optimization round) touched the graph
+# iteration family (iterate.py, declared_ops3.py), the dedup family
+# (dedup.py: shared-frame checkpoints, array minhash signatures,
+# windowed substring ownership), decontaminate + semdedup
+# (curation.py), the repetition gate (text.py), PQ-ANN staging
+# (similarity.py), and the bloom-prune tail (stats.py) — their entries
+# re-verify first.
 _REVERIFY_FIRST: tuple[str, ...] = (
-    "x_salted_agg", "x_session_salted",
-    "x_asof_join_df", "x_interval_join_df", "x_topn_df",
-    "x_dedup_first_df", "x_sketch_theta", "x_bm25", "x_rrf_fusion",
-    "x_cdc_debezium", "x_cdc_canal", "x_lookup_join",
-    "x_graph_triangles", "x_graph_pagerank", "x_graph_sssp",
-    "x_connected_components", "x_session_df", "x_count_window_df",
-    "q36", "q37", "q38", "q39",
+    "x_graph_sssp", "x_graph_pagerank", "x_graph_triangles",
+    "x_connected_components",
+    "x_dedup_jaccard", "x_dedup_minhash", "x_dedup_simhash",
+    "x_dedup_incremental", "x_dedup_clusters", "x_dedup_containment",
+    "x_dedup_cosine", "x_dedup_cosine_lsh", "x_semdedup",
+    "x_substring_dedup", "x_decontaminate", "x_repetition",
+    "x_ann_pq", "x_bloom_prune",
 )
 
 
