@@ -72,6 +72,37 @@ def test_non_candidates_untouched():
     assert timings == {"a": 1.1, "b": 0.3, "c": 9.0, "d": 2.0}
 
 
+def test_contended_run_never_raises_a_floor():
+    """VERDICT r14 next #3: during a degraded host window min-of-2 only
+    CONFIRMS contention-inflated readings — with the probe gate up,
+    every candidate carries its prior and the raw reading is annotated,
+    so a slow-window run cannot raise any floor."""
+    prior = {"a": 2.0, "b": 1.0}
+    timings = {"a": 6.0, "b": 4.5}
+    retimed, contended = bench.apply_retimer(
+        timings, prior, _runners(timings), budget=100.0, contended_run=True)
+    assert retimed == {}
+    assert contended == {"a": 6.0, "b": 4.5}
+    assert timings == {"a": 2.0, "b": 1.0}  # priors carried
+    # and merge_detail then keeps every prior (nothing retime-confirmed)
+    out = bench.merge_detail(dict(timings), prior, retimed)
+    assert out == prior
+
+
+def test_probe_gate_thresholds():
+    # adaptive gate: 1.3x the recorded idle floor, never below 0.8 s
+    assert not bench.run_is_contended(0.5, probe_floor=0.42)
+    assert bench.run_is_contended(0.9, probe_floor=0.42)
+    assert bench.run_is_contended(2.076, probe_floor=0.42)  # the r15 run
+    # r14's 0.603 driver window sits above 1.3x the 0.423 r13 idle probe
+    assert bench.run_is_contended(0.603, probe_floor=0.423)
+    # large recorded floor lifts the gate past the 0.8 fallback
+    assert not bench.run_is_contended(1.0, probe_floor=0.9)
+    # no recorded floor yet -> absolute fallback only
+    assert not bench.run_is_contended(0.79, probe_floor=None)
+    assert bench.run_is_contended(0.81, probe_floor=None)
+
+
 def test_detail_min_merge_keeps_prior_on_uncorroborated_slowdown():
     """VERDICT r12 next #6: one slow (contended-adjacent) run must not
     inflate the next round's retime baseline — a single reading above
