@@ -136,9 +136,17 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs (da < db) given shingle sets."""
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+def _pair_jaccard(
+    cand: DataFrame, sh: DataFrame, cnt: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs (da < db) given shingle sets.
+
+    ``cnt`` (doc_id, n) may be supplied when the caller already has the
+    per-doc set sizes staged (ngram_jaccard_pairs derives them from its
+    prefix aggregation) — saves one full groupBy pass over ``sh``.
+    """
+    if cnt is None:
+        cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     x = sh.select(F.col("doc_id").alias("da"), "g")
     y = sh.select(F.col("doc_id").alias("db"), "g")
     inter = (
@@ -184,20 +192,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     # 100 TB the same role is a staged parquet write.
     sh = shingles(docs, n).localCheckpoint(eager=False)
     freq = sh.groupBy("g").agg(F.count("*").alias("df"))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pos_w = Window.partitionBy("doc_id").orderBy("df", "g")
-    prefixes = (
+    # Per-doc prefix derivation WITHOUT the global row_number window
+    # (round 15, VERDICT r14 next #4): collect each doc's (df, g) pairs
+    # into an array, sort locally, slice the PPJoin prefix.  One hash
+    # aggregation keyed on doc_id replaces the window's sort-exchange
+    # of the whole gram stream AND the separate cnt groupBy pass over
+    # sh (n = size of the collected set — shingles are distinct per
+    # doc).  sort_array's struct comparison (df asc, then g asc) is
+    # exactly the window's ORDER BY df, g; a doc's shingle set fits in
+    # task memory by construction (one document).
+    per_doc = (
         sh.join(freq, "g")
-        .withColumn("pos", F.row_number().over(pos_w))
-        .join(cnt, "doc_id")
-        .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc_id", "g", "pos", "n")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("sg"))
+        .select(
+            "doc_id",
+            F.size("sg").alias("n"),
+            F.expr(
+                f"slice(sg, 1, size(sg) - "
+                f"CAST(ceil({threshold} * size(sg)) AS INT) + 1)"
+            ).alias("pre"),
+        )
+        # feeds BOTH candidate self-join sides and the verify stage's
+        # cnt — Catalyst does not reuse the exchange across join
+        # aliases (round 14); the lazy checkpoint runs the freq join +
+        # prefix aggregation once
+        .localCheckpoint(eager=False)
     )
-    # the prefix table feeds BOTH sides of the candidate self-join and
-    # Catalyst does not reuse the exchange across the aliases — without
-    # the lazy checkpoint the freq join + position window ran twice
-    # (round 14, same class as the lsh_candidates fix)
-    prefixes = prefixes.localCheckpoint(eager=False)
+    prefixes = per_doc.select(
+        "doc_id", "n", F.posexplode("pre").alias("pos0", "el")
+    ).select(
+        "doc_id",
+        F.col("el.g").alias("g"),
+        (F.col("pos0") + 1).alias("pos"),
+        "n",
+    )
     # PPJoin's two exact pair pruners (Xiao et al., WWW'08) ride the
     # candidate join itself: the LENGTH filter (t·|A| <= |B| <= |A|/t —
     # Jaccard >= t bounds the size ratio) and the POSITIONAL filter
@@ -226,7 +255,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
         .distinct()
     )
     return (
-        _pair_jaccard(cand, sh)
+        _pair_jaccard(cand, sh, cnt=per_doc.select("doc_id", "n"))
         .where(F.col("jac") >= threshold)
         .select("da", "db", F.round("jac", 4).alias("j"))
         .orderBy("da", "db")
@@ -1234,7 +1263,11 @@ def substring_dedup_stats(docs: DataFrame, n: int = SUB_NGRAM) -> DataFrame:
     # groupBy(g) + join-back: one pass over the gram stream and one
     # exchange on g, where the join form computed the gram explode
     # twice and shuffled it twice (round 14, guide §2.4; same integer
-    # comparisons, row-identical output)
+    # comparisons, row-identical output).  Skew caveat (ADVICE r14): a
+    # frameless window buffers each gram's whole partition in WindowExec,
+    # so an extremely frequent gram materializes/spills where the old
+    # hash aggregate streamed — at 100 TB shapes with degenerate gram
+    # distributions the groupBy(g)+join form is the skew-safe fallback.
     from pyspark.sql.window import Window
 
     own_w = Window.partitionBy("g")

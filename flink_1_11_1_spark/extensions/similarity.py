@@ -697,6 +697,17 @@ def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_fn, sqdist_fn, idx_fn, arr_fn = (
         _pq_spark_slice, _pq_spark_sqdist, _pq_spark_idx, _pq_spark_arr,
     )
+    try:
+        return _pq_ann_build(spark, ms, slice_fn, sqdist_fn, idx_fn, arr_fn)
+    finally:
+        # every spark.sql() above is analyzed eagerly, so the returned
+        # plan no longer needs the views — drop them so the names do
+        # not leak into (or clobber) the caller's session (ADVICE r14)
+        for vw in ("x_pq_v", "x_pq_sub", "x_pq_cb"):
+            spark.catalog.dropTempView(vw)
+
+
+def _pq_ann_build(spark, ms, slice_fn, sqdist_fn, idx_fn, arr_fn) -> DataFrame:
     v = spark.sql(
         f"SELECT vec_id, {_PQ_SPARK_QUANT} AS q FROM embeddings"
     ).localCheckpoint(eager=False)

@@ -56,12 +56,18 @@ def delta_iterate(
     workset is empty (Flink's natural delta-iteration termination).
 
     ``updates_are_changed=True`` declares that ``step`` already emits
-    ONLY rows that differ from the current solution (Flink's native
-    delta contract, where the step produces the next workset itself):
-    the generic ``subtract`` diff — two full-solution-set shuffles per
-    round — is skipped and the updates feed the merge directly.  The
-    caller owns the guarantee; a step that re-emits an unchanged row
-    under this flag would loop until max_iterations.
+    ONLY rows that differ from the current solution — AND at most one
+    distinct row per key (Flink's native delta contract, where the step
+    produces the next workset itself): the generic ``subtract`` diff —
+    two full-solution-set shuffles per round — is skipped and the
+    updates feed the merge directly.  The subtract path's implicit
+    DISTINCT is skipped with it, so duplicate keys would fan out the
+    left-join merge and persist into later rounds (ADVICE r14).  The
+    caller owns both guarantees; a step that re-emits an unchanged row
+    under this flag would loop until max_iterations, and one that emits
+    two rows for a key silently corrupts the solution set (add
+    ``.dropDuplicates(keys)`` in the step if uniqueness is not
+    structural — both in-repo callers aggregate per key).
     """
     keys = list(keys)
     same = workset is solution

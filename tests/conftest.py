@@ -11,6 +11,27 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default tier (round 15 — VERDICT r14 next #1): a bare
+    ``pytest tests/`` deselects the ``slow``-marked batteries (fuzzers,
+    per-entry oracle nets, checkpoint-restart) so the driver-visible
+    run finishes inside its window — the r14 full suite (~37 min idle)
+    outran it and the round's seal became unverifiable
+    (``tests_ok: false``).  The fast tier (~980 tests: every unit
+    equivalence, plan shape, streaming parity) stays the default;
+    the batteries still run via an explicit ``-m``/``-k`` selection or
+    ``SPARK_GRAFT_TEST_FULL=1`` (the round seal MUST use one of those —
+    see CLAUDE.md)."""
+    if os.environ.get("SPARK_GRAFT_TEST_FULL"):
+        return
+    if config.option.markexpr or config.option.keyword:
+        return  # explicit selection wins, including -m "slow"
+    deselected = [it for it in items if it.get_closest_marker("slow")]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [it for it in items if not it.get_closest_marker("slow")]
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("flink-1.11.1-spark-tests")
