@@ -1044,6 +1044,14 @@ def match_recognize(
     else:
         if aggbacks:
             out = out.withColumn("_mid", F.monotonically_increasing_id())
+            # the match output feeds the result projection AND the
+            # aggregate join-back — without the checkpoint the WHOLE
+            # match pipeline (events scan + flag windows + match plan)
+            # re-executed once per reference (the r15 audit counted 16
+            # scans in x_mr_agg's plan), and the non-deterministic _mid
+            # could in principle differ between re-executions; the
+            # checkpoint pins it (round 15; VERDICT r14 next #5)
+            out = out.localCheckpoint(eager=False)
             cols.append(F.col("_mid"))
         res = out.select(*cols)
     for tmp, spec in joinbacks:
@@ -1052,37 +1060,51 @@ def match_recognize(
             F.col("event_id").alias(f"{tmp}_k"), F.col(col).alias(alias)
         )
         res = res.join(side, res[tmp] == side[f"{tmp}_k"], "left").drop(tmp, f"{tmp}_k")
-    for fn, var, col, alias in aggbacks:
-        pairs = (
-            out.select("_mid", F.explode(F.expr("arrays_zip(ids, labels)")).alias("_z"))
-            .where(
-                F.col("_z.labels").isin(*var)
-                if isinstance(var, tuple)
-                else F.col("_z.labels") == var
-            )
-            .select("_mid", F.col("_z.ids").alias("_eid"))
-        )
-        vals = events.select(F.col("event_id").alias("_eid"), F.col(col).alias("_v"))
-        # SUM/AVG accumulate in DECIMAL(28,10): double accumulation is
-        # shuffle-order-dependent (non-associative), so the same query
-        # could hash differently run to run; exact decimal sums are
-        # order-free and cross-engine identical, cast back to double
-        # once.  (1e-10 quantization of genuinely irrational inputs is
-        # the documented price.)
-        if fn == "sum":
-            expr = "cast(sum(cast(_v as decimal(28,10))) as double)"
-        elif fn == "avg":
-            expr = "cast(sum(cast(_v as decimal(28,10))) as double) / count(_v)"
-        else:
-            expr = f"{fn}(_v)"
-        agg = (
-            pairs.join(vals, "_eid")
-            .groupBy("_mid")
-            .agg(F.expr(expr).alias(alias))
-        )
-        res = res.join(agg, "_mid", "left")
     if aggbacks:
-        res = res.drop("_mid")
+        # ONE explode + ONE events join + ONE grouped aggregation for
+        # every aggregate measure (round 15): per-measure label filters
+        # become conditional aggregates, so k measures no longer pay k
+        # explodes, k events scans and k joins.  A match with no rows
+        # for a measure's variable aggregates over an empty set → NULL,
+        # exactly the old per-measure left join's missing-key NULL.
+        pairs = (
+            out.select(
+                "_mid", F.explode(F.expr("arrays_zip(ids, labels)")).alias("_z")
+            )
+            .select(
+                "_mid",
+                F.col("_z.ids").alias("_eid"),
+                F.col("_z.labels").alias("_lbl"),
+            )
+        )
+        need = sorted({col for _, _, col, _ in aggbacks})
+        vals = events.select(
+            F.col("event_id").alias("_eid"), *[F.col(c) for c in need]
+        )
+        agg_exprs = []
+        for fn, var, col, alias in aggbacks:
+            pred = (
+                "_lbl IN (" + ", ".join(f"'{m}'" for m in var) + ")"
+                if isinstance(var, tuple)
+                else f"_lbl = '{var}'"
+            )
+            v = f"(CASE WHEN {pred} THEN `{col}` END)"
+            # SUM/AVG accumulate in DECIMAL(28,10): double accumulation
+            # is shuffle-order-dependent (non-associative), so the same
+            # query could hash differently run to run; exact decimal
+            # sums are order-free and cross-engine identical, cast back
+            # to double once.  (1e-10 quantization of genuinely
+            # irrational inputs is the documented price.)
+            if fn == "sum":
+                expr = f"cast(sum(cast({v} as decimal(28,10))) as double)"
+            elif fn == "avg":
+                expr = (f"cast(sum(cast({v} as decimal(28,10))) as double)"
+                        f" / count({v})")
+            else:
+                expr = f"{fn}({v})"
+            agg_exprs.append(F.expr(expr).alias(alias))
+        agg = pairs.join(vals, "_eid").groupBy("_mid").agg(*agg_exprs)
+        res = res.join(agg, "_mid", "left").drop("_mid")
     if len(keys) > 1:
         rest = [c0 for c0 in res.columns if c0 != key]
         if res.isStreaming:

