@@ -108,21 +108,21 @@ _DEFER_FIRST: tuple[str, ...] = ()
 # The ONLY manual rotation knob since round 13: proven entries whose
 # implementation the CURRENT round touched jump the staleness queue.
 # Everything else is ordered stalest-first automatically from the
-# CORRECTNESS history.  Round 14 (optimization round) touched the graph
-# iteration family (iterate.py, declared_ops3.py), the dedup family
-# (dedup.py: shared-frame checkpoints, array minhash signatures,
-# windowed substring ownership), decontaminate + semdedup
-# (curation.py), the repetition gate (text.py), PQ-ANN staging
-# (similarity.py), and the bloom-prune tail (stats.py) — their entries
-# re-verify first.
+# CORRECTNESS history.  Round 15 (optimization round) touched the
+# MR/CEP lowering tiers + measure layer (nfa_lowering.py,
+# match_recognize.py: shared-frame checkpoints, merged aggregate
+# join-backs) — every lowered/measure-bearing MR/CEP entry re-verifies
+# first — plus the PPJoin prefix stage (dedup.py), the staged MAD plan
+# (stats.py), and the PQ-ANN temp-view cleanup (similarity.py).
 _REVERIFY_FIRST: tuple[str, ...] = (
-    "x_graph_sssp", "x_graph_pagerank", "x_graph_triangles",
-    "x_connected_components",
-    "x_dedup_jaccard", "x_dedup_minhash", "x_dedup_simhash",
-    "x_dedup_incremental", "x_dedup_clusters", "x_dedup_containment",
-    "x_dedup_cosine", "x_dedup_cosine_lsh", "x_semdedup",
-    "x_substring_dedup", "x_decontaminate", "x_repetition",
-    "x_ann_pq", "x_bloom_prune",
+    "x_mr_agg", "x_mr_subset", "x_mr_multikey", "x_mr_composed",
+    "x_mr_plus", "x_mr_offsets", "x_mr_next", "x_mr_optional",
+    "x_mr_xvar", "x_mr_allrows", "x_mr_prev", "x_mr_skip_to_last",
+    "x_mr_allrows_running", "x_mr_backtrack", "x_mr_alternation",
+    "x_mr_group_funnel", "x_mr_quantified_tail",
+    "x_cep_funnel3", "x_cep_any", "x_cep_times_df", "x_cep_optional_df",
+    "x_cep_overlap_opt",
+    "x_dedup_jaccard", "x_mad_outliers", "x_ann_pq",
 )
 
 

@@ -1125,6 +1125,9 @@ def streaming_minhash_dedup(
 
 # ------------------------------------- semantic dedup (cluster-bounded)
 
+SEM_BLOCKS = 8  # pair-space blocks per cluster (see semdedup_pairs)
+
+
 def semdedup_pairs(
     emb: DataFrame, threshold: float = COS_THRESHOLD, k: int | None = None
 ) -> DataFrame:
@@ -1163,16 +1166,28 @@ def semdedup_pairs(
         .join(assign, "vec_id")
         .localCheckpoint(eager=False)
     )
+    # Pair-space block decomposition (round 15, guide §2.5): the pair
+    # join's key is `cluster`, so with the declared k=8 at most k tasks
+    # ever do the quadratic verify — the 10x scale-up showed the entry
+    # flat from 4 to 32 cores.  Tagging the b side with db % B and
+    # replicating the a side across the B target blocks splits each
+    # cluster's pair space into k*B evenly-sized tasks; every (da, db)
+    # pair still matches EXACTLY once (in the a-copy tagged with db's
+    # block), so the output is row-identical.  The a-side replication
+    # shuffles B extra copies of the vectors — bounded, and at real
+    # scale k itself grows with the corpus (the documented knob); B is
+    # belt-and-braces for the k << cores regime.
     a = v.select(
         F.col("vec_id").alias("da"), F.col("v").alias("va"),
         F.col("n").alias("na"), F.col("cluster"),
-    )
+    ).withColumn("_bb", F.explode(F.expr(f"sequence(0, {SEM_BLOCKS - 1})")))
     b = v.select(
         F.col("vec_id").alias("db"), F.col("v").alias("vb"),
         F.col("n").alias("nb"), F.col("cluster"),
+        F.pmod(F.col("vec_id"), F.lit(SEM_BLOCKS)).alias("_bb"),
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_bb"])
         .where(F.col("da") < F.col("db"))
         .withColumn(
             "sim",

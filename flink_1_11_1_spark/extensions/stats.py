@@ -594,33 +594,70 @@ mad AS ({_MAD_MED.format(col='d', alias='mad_cents', src='dev')})
 """
 
 
+# Bucket-refinement exact lower median per group (two passes, every
+# shuffle keyed on (event_type, bucket)): identical VALUE to the
+# window form — the lower median is the smallest value whose
+# cumulative count reaches ceil(n/2), buckets are value-ordered, and
+# within the hit bucket the local rank (target - below) lands on the
+# same sorted position the global row_number would.  The per-group
+# window form sorts each group in ONE task (the 10x scale-up measured
+# the entry flat from 4 to 32 cores: events has ~5 event types, so at
+# most 5 tasks ever sorted the corpus); the refinement spreads the
+# sort across (group, bucket) tasks — the docstring's promised 100 TB
+# form, now the executed one.
+_MAD_MED_BUCKETED = """SELECT event_type, min({col}) AS {alias}
+FROM (
+  SELECT s.event_type, s.{col}, h.target, h.below,
+         row_number() OVER (PARTITION BY s.event_type
+                            ORDER BY s.{col}) AS lrn
+  FROM {src} s
+  JOIN (
+    SELECT event_type, bk, target, below FROM (
+      SELECT event_type, bk,
+             cast(ceil(sum(cnt) OVER (PARTITION BY event_type) / 2.0)
+                  as bigint) AS target,
+             coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT event_type, {col} div 1000 AS bk, count(*) AS cnt
+            FROM {src} GROUP BY event_type, {col} div 1000)
+    ) WHERE target > below AND target <= cum
+  ) h ON h.event_type = s.event_type AND h.bk = s.{col} div 1000
+) WHERE lrn = target - below
+GROUP BY event_type"""
+
+
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier counts per event_type (the data-quality
     gate profile jobs run before training ingestion).
 
-    The two medians are exact lower-medians via per-group windows —
-    each group sorts independently (no global sort), and at 100 TB the
-    same bucket-refinement trick as ``dist_quantiles`` replaces the
-    in-group window sort.  Integer cents end to end.
+    The two medians are exact lower-medians; the DuckDB oracle computes
+    them via per-group windows, the Spark side via two-pass bucket
+    refinement (same value — see _MAD_MED_BUCKETED).  Integer cents end
+    to end.
 
     Round 15: Spark inlines repeated CTE references, so the one-text
     plan scanned events three times and ran the median window twice
     (``v`` feeds med/dev/final, ``m`` feeds dev/final).  The Spark side
-    stages ``v`` and ``m`` behind lazy checkpoints + temp views built
-    from the SAME fragments the DuckDB oracle text uses; the oracle
-    keeps the single-text form.
+    stages ``v`` and ``m`` behind lazy checkpoints + temp views; the
+    shared projection/devation/final fragments are literally the same
+    strings as the oracle text's, and the median twin is pinned by
+    tests/test_stats.py::test_mad_bucketed_median_matches_window.
     """
     catalog.register(spark, sf_dir)
     try:
         v = spark.sql(_MAD_V).localCheckpoint(eager=False)
         v.createOrReplaceTempView("x_mad_v")
         m = spark.sql(
-            _MAD_MED.format(col="cents", alias="median_cents", src="x_mad_v")
+            _MAD_MED_BUCKETED.format(
+                col="cents", alias="median_cents", src="x_mad_v")
         ).localCheckpoint(eager=False)
         m.createOrReplaceTempView("x_mad_m")
         return spark.sql(f"""
 WITH dev AS ({_MAD_DEV.format(v='x_mad_v', m='x_mad_m')}),
-mad AS ({_MAD_MED.format(col='d', alias='mad_cents', src='dev')})
+mad AS ({_MAD_MED_BUCKETED.format(col='d', alias='mad_cents', src='dev')})
 {_MAD_FINAL.format(v='x_mad_v', m='x_mad_m', mad='mad')}
 """)
     finally:

@@ -147,6 +147,42 @@ def test_mad_outliers_python_replay(spark):
         ), et
 
 
+def test_mad_bucketed_median_matches_window(spark):
+    """Round 15: the Spark side's bucket-refinement lower median must be
+    VALUE-identical to the oracle's window form on random frames —
+    including negatives (trunc-division buckets are uneven but monotone)
+    and bucket-boundary values."""
+    import random
+
+    rnd = random.Random(715)
+    rows = []
+    for i in range(4000):
+        et = f"t{rnd.randrange(4)}"
+        # mix: negatives, exact bucket boundaries, dense ties
+        c = rnd.choice([
+            rnd.randrange(-5000, 5000),
+            rnd.randrange(-3, 3) * 1000,
+            rnd.randrange(10),
+        ])
+        rows.append((et, c))
+    df = spark.createDataFrame(rows, "event_type string, cents long")
+    df.createOrReplaceTempView("x_mad_twin_src")
+    try:
+        win = {
+            tuple(r)
+            for r in spark.sql(stats._MAD_MED.format(
+                col="cents", alias="m", src="x_mad_twin_src")).collect()
+        }
+        bk = {
+            tuple(r)
+            for r in spark.sql(stats._MAD_MED_BUCKETED.format(
+                col="cents", alias="m", src="x_mad_twin_src")).collect()
+        }
+        assert win == bk
+    finally:
+        spark.catalog.dropTempView("x_mad_twin_src")
+
+
 def test_exact_quantiles_property_random_frames(spark):
     """Hypothesis-style property over seeded random frames: the generic
     two-pass helper equals plain sorted indexing for every probability,

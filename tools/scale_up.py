@@ -50,6 +50,7 @@ K = 10  # replicas
 # entries timed by `run` — the heavy dedup/graph/text family the
 # VERDICT asked to demonstrate scaling on
 ENTRIES = [
+    "x_dedup_cosine",
     "x_dedup_jaccard",
     "x_dedup_minhash",
     "x_dedup_simhash",
