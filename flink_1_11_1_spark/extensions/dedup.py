@@ -647,7 +647,7 @@ def _cos_band_candidates(
 
 
 def _cos_gemm_candidates(
-    emb: DataFrame, threshold: float, block_rows: int = 512
+    emb: DataFrame, threshold: float, block_rows: int | None = None
 ) -> DataFrame:
     """(da, db) exact all-pairs candidates via blocked GEMM — the
     FAISS-IndexFlat shape, distributed.
@@ -674,6 +674,19 @@ def _cos_gemm_candidates(
     # vectors; beyond that, raise the threshold into the LSH pruning
     # regime or bound candidates structurally first — SemDeDup
     # clustering — rather than capping B and blowing up group memory).
+    if block_rows is None:
+        # scale-adaptive (round 15): pick the block size so the
+        # B(B+1)/2 group count covers ~2x the core count (parallelism
+        # floor at small N) while blocks cap at 1024 rows (the shuffle
+        # replicates each vector B times, so bigger blocks mean less
+        # shuffle at large N; a 2048x2048 score tile is 33 MB —
+        # bounded).  10x A/B: 1024-row blocks beat 512 (1.58 vs
+        # 1.72 s) and 2048 (1.95 s, too few in-flight groups per wave).
+        import math
+
+        cores = emb.sparkSession.sparkContext.defaultParallelism
+        b_target = max(4, math.isqrt(4 * cores))
+        block_rows = min(1024, max(256, -(-n // b_target)))
     nblocks = int(max(1, -(-n // block_rows)))
     pairs = spark.createDataFrame(
         [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
